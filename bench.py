@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is executed to completion (count + a cheap full materialization
+via write to noop-like count) with a warm session; JVM startup is excluded
+per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_flagship_revenue_cube",
+    "q_filter_compound",
+    "q_join_inner",
+    "q_groupby_multi",
+    "q_cube_dense",
+    "q_window_moving_avg",
+    "q_topk_per_group",
+    "q_graph_closure",
+    "q_events_session",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from modevetl_spark.queries import all_queries
+    from modevetl_spark.session import get_spark
+
+    spark = get_spark(app_name="modevetl-bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries] or sorted(queries)
+
+    # warm up the JVM / parquet footer caches on a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

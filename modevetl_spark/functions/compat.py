@@ -1,0 +1,95 @@
+"""Oracle-parity numeric compat layer (SURVEY.md §7 "hard parts").
+
+Floating-point aggregation is order-dependent: ``sum(double)`` over a
+shuffled DataFrame and over DuckDB's sequential scan can differ in the last
+bits, which breaks the driver's value-hash comparison. The fix is to make
+the aggregation *exact*: cast each operand to a decimal wide enough to hold
+it losslessly-after-fixed-rounding, aggregate in decimal (exact, associative),
+and cast the final value back to double. Both engines then produce
+bit-identical doubles regardless of row order or partial-aggregation
+topology — and the decimal cast per row is still whole-stage-codegen'd
+JVM-side work, so there is no performance cliff at scale.
+
+Precision choices keep every intermediate within DECIMAL(38,_): operands at
+(18,6); a product of two (18,6) is at most (37,12) in Spark's rules, and
+DuckDB's (36,12) — both exact.
+
+Reference analog: the reference aggregates in pure Python floats
+(``pyLibrary/queries/windows.py`` accumulators) and never needed
+cross-engine reproducibility; we do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str, places: int = 2) -> Column:
+    """Exact (decimal-accumulated) sum, returned as a rounded double.
+
+    The final ROUND matters: DuckDB's DECIMAL(38,12)->DOUBLE cast is not
+    correctly rounded (int128 / 10^scale in float), so the two engines can
+    differ by 1 ulp before rounding; after rounding to ``places`` they agree
+    (verified empirically over every suppkey group at sf0.01 — 100/100 with
+    ROUND, 57/100 with decimal-quantize, because DuckDB's decimal rescale is
+    not HALF_UP either).
+    """
+    return F.round(F.sum(_c(col).cast(DEC)).cast("double"), places)
+
+
+def davg(col: Column | str, places: int = 6) -> Column:
+    """Exact-sum average: decimal sum cast to double, divided by count,
+    rounded (same 1-ulp rationale as :func:`dsum`)."""
+    c = _c(col)
+    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), places)
+
+
+def money(price: Column | str, discount: Column | str) -> Column:
+    """The TPC-H revenue term price*(1-discount) in exact decimal."""
+    return _c(price).cast(DEC) * (F.lit(1) - _c(discount)).cast(DEC)
+
+
+def dsum_money(price: Column | str, discount: Column | str, places: int = 2) -> Column:
+    return F.round(F.sum(money(price, discount)).cast("double"), places)
+
+
+def round_sig(col: Column | str, digits: int) -> Column:
+    """Round to significant digits — the reference's ``Math.round(value,
+    digits=n)`` (``pyLibrary/maths/__init__.py``) rounds to significant
+    figures, not decimal places.
+    """
+    c = _c(col)
+    scale = F.pow(F.lit(10.0), F.floor(F.log10(F.abs(c))) - F.lit(digits - 1))
+    return F.when(c == 0, F.lit(0.0)).otherwise(F.round(c / scale, 0) * scale)
+
+
+# --- SQL-side twins (DuckDB dialect, used to build oracle_sql strings) ---
+
+
+def sql_dsum(expr: str, alias: str, places: int = 2) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), {places})"
+        f" AS {alias}"
+    )
+
+
+def sql_davg(expr: str, alias: str, places: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {places}) AS {alias}"
+    )
+
+
+def sql_money(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
+    return f"CAST({price} AS DECIMAL(18,6)) * CAST(1 - {discount} AS DECIMAL(18,6))"
+
+
+def sql_dsum_money(alias: str = "revenue", places: int = 2) -> str:
+    return f"ROUND(CAST(SUM({sql_money()}) AS DOUBLE), {places}) AS {alias}"

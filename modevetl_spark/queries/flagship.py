@@ -1,0 +1,100 @@
+"""M1 flagship: densified revenue cube (SURVEY.md §7 M1).
+
+One query exercising the whole reference essence: scan -> filter -> 4-way
+join -> computed aggregate -> time+set edge domains -> dense cube
+(``pyLibrary/queries/cube.py`` semantics: every region x month coordinate
+exists, empty ones with revenue 0 / item count 0).
+
+Scale notes: region/nation/customer are the small side of every join —
+Catalyst broadcast-joins them under the configured threshold; the only big
+shuffle is the groupBy on (region, month), whose key cardinality is tiny
+(5 x 24), so partial aggregation collapses almost all rows map-side. The
+densify grid (120 rows) is a broadcast left join. At 100 TB the plan shape
+is unchanged: one wide shuffle of pre-aggregated partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modevetl_spark.functions.compat import money, sql_dsum_money
+from modevetl_spark.operators.cube import densify, time_domain
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+_START, _STOP = "1996-01-01", "1998-01-01"
+
+_FLAGSHIP_ORACLE = f"""
+WITH months AS (
+    SELECT m AS order_month
+    FROM generate_series(TIMESTAMP '{_START}',
+                         TIMESTAMP '{_STOP}' - INTERVAL 1 MONTH,
+                         INTERVAL 1 MONTH) AS t(m)
+),
+agg AS (
+    SELECT r_name,
+           date_trunc('month', o_orderdate) AS order_month,
+           {sql_dsum_money('revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '{_START}'
+      AND o_orderdate <  TIMESTAMP '{_STOP}'
+    GROUP BY 1, 2
+)
+SELECT r.r_name,
+       m.order_month,
+       COALESCE(a.revenue, 0.0) AS revenue,
+       COALESCE(a.n_items, 0) AS n_items
+FROM region r
+CROSS JOIN months m
+LEFT JOIN agg a ON a.r_name = r.r_name AND a.order_month = m.order_month
+"""
+
+
+@q("q_flagship_revenue_cube", oracle_sql=_FLAGSHIP_ORACLE)
+def flagship_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(_START)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(_STOP)))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    agg = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        )
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice", "l_discount")).cast("double"), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+    grid = [
+        region.select("r_name"),
+        time_domain(spark, "order_month", _START, _STOP, "1 MONTH"),
+    ]
+    return densify(
+        grid,
+        agg,
+        keys=["r_name", "order_month"],
+        fill={"revenue": F.lit(0.0), "n_items": F.lit(0).cast("long")},
+    )

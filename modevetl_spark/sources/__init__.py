@@ -1,0 +1,3 @@
+from modevetl_spark.sources.catalog import TABLES, load, load_all
+
+__all__ = ["TABLES", "load", "load_all"]
