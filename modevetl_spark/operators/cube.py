@@ -29,8 +29,16 @@ from pyspark.sql import functions as F
 
 
 def set_domain(spark: SparkSession, name: str, values: list) -> DataFrame:
-    """D1 ``set`` domain: explicit partition list (``domains.py`` SetDomain)."""
-    return spark.createDataFrame([(v,) for v in values], [name])
+    """D1 ``set`` domain: explicit partition list (``domains.py`` SetDomain).
+
+    Built as a Catalyst LocalRelation (range(1) + explode of literals), NOT
+    ``spark.createDataFrame``: the latter yields an RDD-backed relation with
+    UnknownPartitioning whose cartesian product fans out to
+    defaultParallelism^2 scheduler tasks (measured: 1024 tasks / ~20 s of
+    pure overhead for a 6-cell grid at local[32]).
+    """
+    arr = F.array([F.lit(v) for v in values])
+    return spark.range(1).select(F.explode(arr).alias(name))
 
 
 def time_domain(
@@ -57,7 +65,7 @@ def range_domain(
 ) -> DataFrame:
     """D4 ``range`` domain: numeric buckets [k*width, (k+1)*width)."""
     n = int((stop - start) / width)
-    return spark.range(n).select(
+    return spark.range(0, n, 1, numPartitions=1).select(
         (F.lit(start) + F.col("id") * F.lit(width)).alias(name)
     )
 

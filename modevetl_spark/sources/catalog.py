@@ -32,7 +32,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    if table == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+    truncate to a µs timestamp with *integer* division (a double division
+    at ~1.7e18 ns would lose µs precision past 2^53). DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncates identically in oracle SQL.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -32,8 +32,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
+            import numpy as np
+
             df[c] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
             )
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
