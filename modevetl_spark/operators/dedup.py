@@ -1,0 +1,230 @@
+"""Deduplication operators for LLM data pipelines ([EXT]).
+
+Exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all as
+shuffle-conscious DataFrame compositions:
+
+- **Exact**: group on sha2(text); at 100 TB this is one hash-partitioned
+  shuffle of (hash, id) pairs only — never the payload.
+- **MinHash+LSH**: per-doc signature (k minhashes) computed in one
+  projection over the shingle array (no explode of the corpus); banding
+  explodes to b rows/doc; candidate pairs come from a self-join on
+  (band_id, band_hash) — the classic sub-quadratic near-dup path.
+- **SimHash**: 64 weighted-bit sums per doc in a single aggregation;
+  candidates from 16-bit chunk banding (Hamming<=3 ⇒ some chunk equal).
+- **Jaccard**: exact set similarity for candidate verification.
+
+Hash choice: xxhash64 (JVM intrinsic) for scale paths; md5 where the
+DuckDB oracle must reproduce the value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from modevetl_spark.operators._util import spread
+from modevetl_spark.operators.text import tokens, word_shingles
+
+
+def exact_dedup_key(text: Column | str) -> Column:
+    """Content hash for exact dedup (sha256, engine-portable)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature over a shingle array (expression
+    form, for composing inside a single projection on modest arrays).
+
+    For corpus-scale signature computation prefer the exploded row form in
+    :func:`minhash_signatures` — vectorized hash aggregation with map-side
+    combine beats per-row array folds by an order of magnitude (measured
+    13-36 s vs ~2 s over 5k docs at sf0.1).
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.when(
+        F.size(shingles) > 0,
+        F.array(
+            *[
+                F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(F.lit(i), h)))
+                for i in range(k)
+            ]
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+) -> DataFrame:
+    """Corpus MinHash signatures, explode-based: each shingle string is
+    hashed exactly once into a long; the k permutations are cheap
+    (int, long) hashes aggregated with ``min`` (whole-stage codegen'd
+    hash-agg; partial aggregation collapses to one row per doc before the
+    shuffle). Docs with no shingles drop out (same contract as the NULL
+    signature of the expression form).
+
+    Returns (id_col, m0..m{k-1}).
+    """
+    hashed = spread(docs).select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, F.xxhash64("sh").alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` hashes of ``rows`` elements each ->
+    array<struct<band_id int, band_hash bigint>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH."""
+    rows = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, shingle_n, k)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs -> (id_a, id_b, jaccard)."""
+    sets = spread(docs).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def simhash_bits(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash: explode tokens, hash each once, then 64 conditional sums
+    (one aggregation pass; each sum is sign(+1/-1) of a hash bit weighted
+    by token multiplicity)."""
+    tok = spread(docs).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    # fold sign bits back into one BIGINT fingerprint
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit chunk => possible Hamming<=3 pair
+    (pigeonhole over 4 chunks), verified with bit_count."""
+    sh = simhash_bits(docs, id_col, text_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "chunk_id",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "chunk_id",
+        "chunk",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on=["chunk_id", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

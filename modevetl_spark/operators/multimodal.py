@@ -1,0 +1,75 @@
+"""Multimodal column plumbing ([EXT]): image/audio/video as opaque binary
+columns with typed metadata, processed via Arrow-batched mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libs in this container):
+``decode_stub`` derives deterministic fake features from the payload bytes
+so the Spark-side plumbing — schema, batching, partitioning, UDF signature
+— is real and oracle-testable end to end. Swap ``_fake_features`` for a
+PIL/libav call in production; nothing else changes.
+
+Scale notes: mapInPandas streams Arrow record batches (no per-row Python
+overhead); binary payloads stay off the shuffle (derive features early,
+project payload away); `spark.sql.execution.arrow.maxRecordsPerBatch`
+bounds batch memory for fat binaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_bytes", LongType()),
+        StructField("fake_width", LongType()),
+        StructField("fake_height", LongType()),
+        StructField("fake_n_frames", LongType()),
+    ]
+)
+
+
+def _fake_features(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image/video decode.
+
+    Production implementation decodes the payload (PIL / torchaudio /
+    pyav) — NotImplementedError semantics are documented rather than
+    raised so the plumbing stays runnable in this container.
+    """
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, n % 7 + 1)
+
+
+def extract_features(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[payload_col]
+            feats = [_fake_features(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_bytes": [len(p) if p is not None else 0 for p in payloads],
+                    "fake_width": [f[0] for f in feats],
+                    "fake_height": [f[1] for f in feats],
+                    "fake_n_frames": [f[2] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture an opaque binary payload column from text (the fixtures
+    carry no real media; the bytes are opaque to everything downstream)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns ([EXT]).
+
+Brute-force cosine top-k as the correctness baseline, plus an LSH
+(random-hyperplane) bucketed variant as the 100 TB path.
+
+Scale notes:
+- dot/norm are higher-order array folds (JVM-side, no Python);
+- the query set is broadcast — the corpus is never shuffled;
+- brute force is O(|Q|·|C|): fine when |Q| is small or as a per-bucket
+  kernel; the LSH variant buckets both sides on hyperplane sign bits so
+  each bucket's cross product is tiny (approximate recall, tunable by
+  number of tables/bits — the standard trade).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double,
+    left-to-right (same fold order DuckDB uses -> oracle-parity)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cos_sim) with self-matches excluded.
+    Cosine is rounded before ranking so ranking ties break on neighbor id
+    deterministically in both engines.
+    """
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python, no numpy
+    RNG state) — Box-Muller over a splitmix-ish integer sequence."""
+    def u01(i: int) -> float:
+        x = (i * 2654435761 + seed * 40503) % (2**32)
+        x ^= x >> 16
+        x = (x * 2246822519) % (2**32)
+        return (x + 0.5) / 2**32
+
+    planes = []
+    idx = 0
+    for _ in range(n_bits):
+        v = []
+        for _ in range(dim):
+            u1, u2 = u01(idx), u01(idx + 1)
+            idx += 2
+            v.append(
+                math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+            )
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(x) for x in p]))
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + F.shiftleft(bit, j)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's LSH bucket
+    are scored. One equi-join on bucket replaces the cross join."""
+    planes = hyperplanes(dim, n_bits)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        cs.join(F.broadcast(qs), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

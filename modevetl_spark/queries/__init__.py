@@ -8,6 +8,7 @@ SQL string. ``__spark_entry__.py`` re-exports the merged registry.
 from __future__ import annotations
 
 import importlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,8 +54,30 @@ def all_oracle() -> dict[str, str]:
 
 
 def prep(spark: SparkSession) -> SparkSession:
-    """Defensive session confs so results match the oracle regardless of how
-    the caller built the session (timestamps are interpreted in session tz).
+    """Defensive session setup so queries behave identically regardless of
+    how the caller built the session:
+
+    - UTC session timezone (timestamp semantics must match the oracle);
+    - ship this package to the Python workers. The driver process imports
+      ``modevetl_spark`` via a sys.path shim, but executor-side Python
+      workers deserialize pandas UDFs with a clean sys.path — without
+      addPyFile they die with ModuleNotFoundError whenever the driver's
+      cwd is not the repo root.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_modevetl_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(tempfile.gettempdir(), f"modevetl_spark_pyfiles_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "modevetl_spark")
+    sc.addPyFile(zip_path)
+    sc._modevetl_shipped = True

@@ -1,0 +1,468 @@
+"""L1-L4 [EXT]: LLM-data-pipeline queries over documents/embeddings
+(mandated by BASELINE.json; SURVEY.md §2.11), plus the UDF/UDAF surface
+(U1/U2) exercised through the multimodal/scoring paths.
+
+Oracle strategy: everything with engine-portable math gets a full DuckDB
+oracle (md5/sha256 are identical across engines; cosine folds are
+double-deterministic after round); MinHash/SimHash/LSH use xxhash64 (no
+DuckDB twin) and are graded rows-only, with their *verification* stage
+(exact Jaccard) oracle-graded instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.operators.dedup import (
+    exact_dedup_key,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_candidates,
+)
+from modevetl_spark.operators._util import spread
+from modevetl_spark.operators.multimodal import extract_features, with_binary_payload
+from modevetl_spark.operators.similarity import brute_force_topk, cosine, lsh_topk
+from modevetl_spark.operators.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    en_score,
+    mean_token_len,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@q("q_dedup_exact", oracle_sql=_DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact dedup: content-hash groupBy; keep lowest id per group.
+    At 100 TB only (hash, id) shuffles — payload never moves."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(exact_dedup_key("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@q("q_dedup_minhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 near-dup: MinHash signatures + LSH banding -> candidate pairs,
+    verified with exact Jaccard (the verification math is oracle-graded in
+    q_dedup_ngram_jaccard)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, shingle_n=3, k=16, bands=4)
+    return jaccard_pairs(d, cands, shingle_n=3).where(F.col("jaccard") >= 0.5)
+
+
+@q("q_dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 near-dup: 64-bit SimHash, 16-bit-chunk banding, Hamming<=3."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return simhash_candidates(d, max_hamming=3)
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE doc_id < 200
+),
+shingle_sets AS (
+    SELECT doc_id, tok AS shingle FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+pair_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM shingle_sets a
+    JOIN shingle_sets b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle_sets GROUP BY 1)
+SELECT p.id_a, p.id_b,
+       ROUND(CAST(p.n_inter AS DOUBLE)
+             / (sa.n + sb.n - p.n_inter), 6) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+"""
+
+
+@q("q_dedup_ngram_jaccard", oracle_sql=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact token-set Jaccard over all pairs (the verification kernel
+    of near-dup dedup, oracle-graded; shingle_n=1 so the oracle SQL stays
+    a sane size). Inverted-index join, not a cross join."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
+    sets = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("shingle")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sets.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+"""
+
+
+@q("q_dedup_embedding", oracle_sql=_EMB_DEDUP_ORACLE)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: embedding-cosine near-dup pairs, blocked by label (the blocking
+    key stands in for an ANN bucket at scale)."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("vb"),
+    )
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, on="lbl")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.8)
+    )
+
+
+_SIM_TOPK_ORACLE = """
+SELECT q.vec_id AS query_id,
+       c.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+JOIN embeddings c ON c.vec_id <> q.vec_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+             c.vec_id
+) <= 5
+"""
+
+
+@q("q_sim_topk", oracle_sql=_SIM_TOPK_ORACLE)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: brute-force cosine top-k (exact baseline; queries broadcast,
+    corpus never shuffled)."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+@q("q_sim_topk_lsh")  # rows-only: approximate recall by design
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: random-hyperplane LSH bucketing; equi-join on bucket
+    replaces the cross join (recall < 1 by design -> rows-only check)."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
+
+
+_TOKENS_ORACLE = """
+SELECT doc_id,
+       len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS n_tokens,
+       len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                     t -> t <> ''))) AS n_unique,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
+FROM documents
+"""
+
+
+@q("q_text_tokens", oracle_sql=_TOKENS_ORACLE)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: token counting — whitespace tokens, distinct tokens, and a
+    BPE-ish regex segmentation count."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_ish"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tok,
+       ROUND(tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+FROM tf
+JOIN df USING (tok)
+CROSS JOIN n
+WHERE doc_id < 100
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY ROUND(tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) DESC,
+             tok
+) <= 3
+"""
+
+
+@q("q_text_tfidf", oracle_sql=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: TF-IDF top-3 terms per document (smoothed idf). The DF table is
+    tiny (vocabulary) -> broadcast back onto the exploded TF rows."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tfidf = F.round(
+        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        tf.where(F.col("doc_id") < 100)
+        .join(F.broadcast(df), "tok")
+        .select("doc_id", "tok", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                                t -> list_contains({_STOPLIST_SQL}, t)))
+                AS DOUBLE)
+           / greatest(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')), 1) AS score
+    FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(score, 6) AS en_score,
+       (score > 0.05) AS pred_en
+FROM scored
+"""
+
+
+@q("q_text_langid", oracle_sql=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: language-ID heuristic — stopword mass as the n-gram-profile
+    stand-in (deterministic, oracle-checkable)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    score = stopword_ratio(tokens("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("en_score"),
+        (score > 0.05).alias("pred_en"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+           length(text) AS n_chars_real
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars_real,
+           len(toks) AS n_toks,
+           CAST(len(list_filter(toks, x -> list_contains({_STOPLIST_SQL}, x)))
+                AS DOUBLE) / greatest(len(toks), 1) AS sw_ratio,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1) AS mean_tok_len
+    FROM t
+)
+SELECT doc_id,
+       ROUND(least(n_chars_real / 500.0, 1.0) * 0.4
+             + sw_ratio * 0.3
+             + (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10
+                     THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+FROM m
+"""
+
+
+@q("q_text_quality", oracle_sql=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: quality scoring — length / stopword-mass / word-shape composite."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+_FINGERPRINT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 4 THEN
+               list_transform(range(1, len(t) - 2),
+                              i -> md5(array_to_string(t[i:i+3], ' ')))
+           ELSE [md5(array_to_string(t, ' '))] END AS hashes
+    FROM toks
+)
+SELECT doc_id, list_min(hashes) AS fingerprint
+FROM sh
+"""
+
+
+@q("q_text_fingerprint", oracle_sql=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: document fingerprint — min-md5 over word 4-gram shingles
+    (rolling-hash analog; md5 so DuckDB reproduces the exact value)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", doc_fingerprint("text", 4).alias("fingerprint"))
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS payload_bytes,
+       CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
+       CAST(length(text) % 480 + 1 AS BIGINT) AS fake_height,
+       CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
+FROM documents
+"""
+
+
+@q("q_multimodal_features", oracle_sql=_MULTIMODAL_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 + U1/U2: binary-column feature extraction through Arrow-batched
+    mapInPandas (decode stubbed deterministically — see
+    operators/multimodal.py; the Spark plumbing is the real thing)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    return extract_features(with_binary_payload(d), "doc_id", "payload")
+
+
+_UDF_ORACLE = """
+SELECT c_custkey,
+       ROUND(1.0 / (1.0 + EXP(-c_acctbal / 1000.0)), 6) AS acct_sigmoid
+FROM customer
+"""
+
+
+@q("q_udf_scalar", oracle_sql=_UDF_ORACLE)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: vectorized (Arrow) pandas scalar UDF — the slow-path escape
+    hatch, kept off hot paths; here it computes a sigmoid score."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    prep(spark)
+
+    @pandas_udf("double")
+    def sigmoid(x: pd.Series) -> pd.Series:
+        return 1.0 / (1.0 + np.exp(-x / 1000.0))
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.round(sigmoid(F.col("c_acctbal")), 6).alias("acct_sigmoid")
+    )
+
+
+_UDAF_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal > m.mean_bal) AS BIGINT)
+           AS n_above_mean
+FROM customer
+JOIN (
+    SELECT c_nationkey AS nk, AVG(c_acctbal) AS mean_bal
+    FROM customer GROUP BY 1
+) m ON c_nationkey = m.nk
+GROUP BY c_nationkey
+"""
+
+
+@q("q_udaf_grouped", oracle_sql=_UDAF_ORACLE)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: grouped-map UDAF via applyInPandas — each nation's customers
+    arrive as one pandas frame; result is an integer (count above group
+    mean) so float association can't affect the oracle hash."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+
+    def above_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["c_acctbal"].mean()
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "n_above_mean": [int((pdf["c_acctbal"] > m).sum())],
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        above_mean, schema="c_nationkey int, n_above_mean long"
+    )
