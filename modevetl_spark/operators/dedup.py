@@ -42,14 +42,15 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     13-36 s vs ~2 s over 5k docs at sf0.1).
     """
     base = F.transform(shingles, lambda s: F.xxhash64(s))
+
+    def perm(i: int):
+        # single-arg lambda on purpose: a two-arg lambda would be bound as
+        # (element, array_index) by transform(), shadowing the permutation id
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     return F.when(
         F.size(shingles) > 0,
-        F.array(
-            *[
-                F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(F.lit(i), h)))
-                for i in range(k)
-            ]
-        ),
+        F.array(*[F.array_min(F.transform(base, perm(i))) for i in range(k)]),
     )
 
 

@@ -120,26 +120,50 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_bits: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the query's LSH bucket
-    are scored. One equi-join on bucket replaces the cross join."""
-    planes = hyperplanes(dim, n_bits)
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    cs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    Standard scheme: L independent tables of b bits; a candidate is scored
+    if it shares the query's bucket in ANY table (recall
+    1-(1-p^b)^L for per-plane agreement p = 1-θ/π). Each table is one
+    equi-join on its bucket column; the union of candidates is deduped
+    before scoring so each pair's cosine is computed once.
+    """
+    tables = [hyperplanes(dim, n_bits, seed=7 + 13 * t) for t in range(n_tables)]
+
+    def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str):
+        cols = [F.col(idc).alias(out_id), F.col(vecc).alias(out_vec)]
+        cols += [
+            lsh_bucket(F.col(vecc), tables[t]).alias(f"bucket_{t}")
+            for t in range(n_tables)
+        ]
+        return df.select(*cols)
+
+    qs = with_buckets(queries, id_col, vec_col, "query_id", "q_vec")
+    cs = with_buckets(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+
+    pairs = None
+    for t in range(n_tables):
+        p = (
+            cs.select("neighbor_id", F.col(f"bucket_{t}").alias("bucket"))
+            .join(
+                F.broadcast(
+                    qs.select("query_id", F.col(f"bucket_{t}").alias("bucket"))
+                ),
+                on="bucket",
+            )
+            .select("query_id", "neighbor_id")
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    pairs = pairs.where(F.col("neighbor_id") != F.col("query_id")).distinct()
+
     scored = (
-        cs.join(F.broadcast(qs), on="bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        pairs.join(cs.select("neighbor_id", "c_vec"), on="neighbor_id")
+        .join(F.broadcast(qs.select("query_id", "q_vec")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",

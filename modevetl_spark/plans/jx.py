@@ -1,0 +1,514 @@
+"""Qb / "JSON Query Expressions" front-end.
+
+The reference's public query API (``pyLibrary/queries/__init__.py
+Q.run``, ``query.py`` normalization, ``MVEL.py`` expressions): a JSON
+dict — ``{"from", "select", "edges", "groupby", "where", "window",
+"sort", "limit"}`` — evaluated over document lists. This module
+translates that dialect to a Catalyst logical plan: normalization maps to
+the analyzer, expression trees to Columns, edges to the densify
+composition, windows to pyspark Window specs. No interpreter loop — the
+output IS a DataFrame, so Catalyst optimizes jx queries exactly like
+hand-written ones (pushdown, pruning, codegen).
+
+Supported surface (documented reference semantics):
+
+- **from**: table name (catalog), DataFrame, or nested query dict.
+- **select**: "field" | {"name", "value", "aggregate"} | list of same.
+  Aggregates: count, sum, min, max, average|mean, median, percentile,
+  cardinality, union, geomean, variance, std.
+- **edges**: dense-domain group-bys: {"value", "domain": {"type":
+  set|time|range|duration|default, ...}} — every partition materializes
+  (cube.py semantics); ``allowNulls`` adds the overflow bucket.
+- **groupby**: sparse group-by (list of fields / computed values).
+- **where**: expression tree — and/or/not, eq/term, ne, gt/gte/lt/lte,
+  in/terms, exists, missing, prefix, regex, match_all, between.
+- **window**: [{name, value, aggregate, edges, sort, range{min,max}}]
+  (windows.py semantics: aggregate over sorted partition + row frame).
+- **sort**: field | {"value", "sort": ±1} list — nulls first, like the
+  reference's Null-is-least ordering.
+- **limit**: int.
+
+Scalar expression ops: literal, add/sub/mult/div (div takes optional
+default), abs, floor, round, exp, ln, coalesce, concat, length, lower,
+upper, left, right, not, when/then/else, date/number casts.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.operators.cube import (
+    default_domain,
+    densify,
+    range_domain,
+    set_domain,
+    time_domain,
+)
+from modevetl_spark.sources.catalog import TABLES, load
+
+
+class JxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def _lit(v: Any) -> Column:
+    return F.lit(v)
+
+
+def to_col(e: Any) -> Column:
+    """jx expression -> Column."""
+    if isinstance(e, Column):
+        return e
+    if isinstance(e, str):
+        return F.col(e)
+    if isinstance(e, bool) or isinstance(e, (int, float)):
+        return F.lit(e)
+    if e is None:
+        return F.lit(None)
+    if not isinstance(e, dict) or len(e) == 0:
+        raise JxError(f"cannot translate expression: {e!r}")
+
+    if "when" in e and "then" in e:  # {"when": cond, "then": v, "else": w}
+        return F.when(to_boolean(e["when"]), to_col(e["then"])).otherwise(
+            to_col(e.get("else"))
+        )
+
+    default = e.get("default")
+    op, arg = next(iter((k, v) for k, v in e.items() if k != "default"))
+
+    out = _scalar_op(op, arg)
+    if default is not None:
+        out = F.coalesce(out, _lit(default))
+    return out
+
+
+def _scalar_op(op: str, arg: Any) -> Column:
+    if op == "literal":
+        return _lit(arg)
+    if op in ("add", "sum"):
+        cols = [to_col(a) for a in arg]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+    if op in ("sub", "subtract", "minus"):
+        a, b = (to_col(x) for x in arg)
+        return a - b
+    if op in ("mult", "mul", "multiply"):
+        cols = [to_col(a) for a in arg]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out * c
+        return out
+    if op in ("div", "divide"):
+        a, b = (to_col(x) for x in arg)
+        # reference div never raises on 0 — yields Null (then `default`)
+        return F.when(b != 0, a / b)
+    if op == "exp":
+        a, b = (to_col(x) for x in arg)
+        return F.pow(a, b)
+    if op == "abs":
+        return F.abs(to_col(arg))
+    if op == "floor":
+        if isinstance(arg, list):  # floor to multiple: {"floor": [x, m]}
+            a, m = (to_col(x) for x in arg)
+            return F.floor(a / m) * m
+        return F.floor(to_col(arg))
+    if op == "round":
+        if isinstance(arg, list):
+            a, places = to_col(arg[0]), int(arg[1])
+            return F.round(a, places)
+        return F.round(to_col(arg), 0)
+    if op == "ln":
+        return F.log(to_col(arg))
+    if op == "log":
+        return F.log10(to_col(arg))
+    if op == "sqrt":
+        return F.sqrt(to_col(arg))
+    if op == "coalesce":
+        return F.coalesce(*[to_col(a) for a in arg])
+    if op == "concat":
+        sep = ""
+        if isinstance(arg, dict):
+            sep, arg = arg.get("separator", ""), arg["terms"]
+        return F.concat_ws(sep, *[to_col(a) for a in arg])
+    if op == "length":
+        return F.length(to_col(arg))
+    if op == "lower":
+        return F.lower(to_col(arg))
+    if op == "upper":
+        return F.upper(to_col(arg))
+    if op == "left":
+        a, n = to_col(arg[0]), int(arg[1])
+        return F.substring(a, 1, n)
+    if op == "right":
+        a, n = to_col(arg[0]), int(arg[1])
+        return a.substr(F.greatest(F.length(a) - n + 1, F.lit(1)), F.lit(n))
+    if op == "string":
+        return to_col(arg).cast("string")
+    if op == "number":
+        return to_col(arg).cast("double")
+    if op == "case":
+        # [{"when": cond, "then": v}, ..., else_v]
+        *whens, els = arg
+        out = None
+        for w in whens:
+            c = F.when(to_boolean(w["when"]), to_col(w["then"]))
+            out = c if out is None else out.when(
+                to_boolean(w["when"]), to_col(w["then"])
+            )
+        return out.otherwise(to_col(els))
+    if op == "not":
+        return ~to_boolean(arg)
+    # boolean ops used in scalar position
+    return to_boolean({op: arg})
+
+
+# ---------------------------------------------------------------- booleans
+
+
+def to_boolean(e: Any) -> Column:
+    """jx filter expression tree -> boolean Column
+    (``pyLibrary/queries/filters.py`` semantics)."""
+    if isinstance(e, Column):
+        return e
+    if e is True or e is None:
+        return F.lit(True)
+    if e is False:
+        return F.lit(False)
+    if isinstance(e, str):
+        return F.col(e).cast("boolean")
+    if not isinstance(e, dict):
+        raise JxError(f"cannot translate filter: {e!r}")
+    if len(e) == 0 or "match_all" in e:
+        return F.lit(True)
+
+    op, arg = next(iter(e.items()))
+
+    # Reference semantics are TWO-valued (``struct.Null``: a comparison
+    # against a missing value is plain False, never Unknown — so
+    # not(eq(missing, x)) MATCHES). Each comparison leaf is coalesced to
+    # false, making and/or/not ordinary boolean algebra. (Found by the
+    # hypothesis differential test vs the naive Python evaluator.)
+    def _2v(c: Column) -> Column:
+        return F.coalesce(c, F.lit(False))
+
+    if op == "and":
+        out = F.lit(True)
+        for a in arg:
+            out = out & to_boolean(a)
+        return out
+    if op == "or":
+        out = F.lit(False)
+        for a in arg:
+            out = out | to_boolean(a)
+        return out
+    if op == "not":
+        return ~to_boolean(arg)
+    if op in ("eq", "term"):
+        return _2v(_pairwise(arg, lambda a, b: a == b))
+    if op in ("ne", "neq"):
+        # Null != x is True in the reference (Null equals nothing)
+        return ~_2v(_pairwise(arg, lambda a, b: a == b))
+    if op == "gt":
+        return _2v(_pairwise(arg, lambda a, b: a > b))
+    if op == "gte":
+        return _2v(_pairwise(arg, lambda a, b: a >= b))
+    if op == "lt":
+        return _2v(_pairwise(arg, lambda a, b: a < b))
+    if op == "lte":
+        return _2v(_pairwise(arg, lambda a, b: a <= b))
+    if op in ("in", "terms"):
+        (field, values), = arg.items()
+        return _2v(to_col(field).isin(*values))
+    if op == "between":
+        (field, bounds), = arg.items() if isinstance(arg, dict) else ((arg[0], arg[1:]),)
+        return _2v(to_col(field).between(_lit(bounds[0]), _lit(bounds[1])))
+    if op == "exists":
+        field = arg if isinstance(arg, str) else arg.get("field", arg)
+        return to_col(field).isNotNull()
+    if op == "missing":
+        field = arg if isinstance(arg, str) else arg.get("field", arg)
+        return to_col(field).isNull()
+    if op == "prefix":
+        (field, pre), = arg.items()
+        return _2v(to_col(field).startswith(pre))
+    if op == "regex":
+        (field, pattern), = arg.items()
+        return _2v(to_col(field).rlike(pattern))
+    raise JxError(f"unknown filter op: {op!r}")
+
+
+def _pairwise(arg: Any, cmp) -> Column:
+    """Accept both {"field": literal} and [expr, expr] comparison forms."""
+    if isinstance(arg, dict):
+        out = F.lit(True)
+        for field, value in arg.items():
+            out = out & cmp(to_col(field), _lit(value))
+        return out
+    a, b = (to_col(x) for x in arg)
+    return cmp(a, b)
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+def _aggregate(agg: str, value: Column, percentile: float | None = None) -> Column:
+    if agg == "count":
+        return F.count(value)
+    if agg == "sum":
+        return F.sum(value)
+    if agg in ("minimum", "min"):
+        return F.min(value)
+    if agg in ("maximum", "max"):
+        return F.max(value)
+    if agg in ("average", "mean", "avg"):
+        return F.avg(value)
+    if agg == "median":
+        return F.percentile(value, F.lit(0.5))
+    if agg == "percentile":
+        return F.percentile(value, F.lit(percentile if percentile is not None else 0.5))
+    if agg == "cardinality":
+        return F.countDistinct(value)
+    if agg == "union":
+        return F.array_sort(F.collect_set(value))
+    if agg == "geomean":
+        return F.exp(F.avg(F.log(value)))
+    if agg in ("variance", "var"):
+        return F.var_samp(value)
+    if agg in ("std", "stddev"):
+        return F.stddev(value)
+    if agg == "first":
+        return F.first(value)
+    if agg == "last":
+        return F.last(value)
+    raise JxError(f"unknown aggregate: {agg!r}")
+
+
+# ---------------------------------------------------------------- QB engine
+
+
+class QB:
+    """``Q.run`` equivalent: evaluate jx JSON queries as DataFrame plans.
+
+    tables: name -> DataFrame mapping, or pass ``sf_dir`` to lazily load
+    the driver catalog tables.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame] | None = None,
+        sf_dir: str | None = None,
+    ):
+        self.spark = spark
+        self._tables = dict(tables or {})
+        self._sf_dir = sf_dir
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        if self._sf_dir and name in TABLES:
+            df = load(self.spark, self._sf_dir, name)
+            self._tables[name] = df
+            return df
+        raise JxError(f"unknown table {name!r}")
+
+    # -- main entry point ---------------------------------------------
+
+    def run(self, query: dict) -> DataFrame:
+        frm = query.get("from")
+        if isinstance(frm, DataFrame):
+            df = frm
+        elif isinstance(frm, dict):
+            df = self.run(frm)
+        elif isinstance(frm, str):
+            df = self.table(frm)
+        else:
+            raise JxError("query needs a 'from'")
+
+        if query.get("where") is not None:
+            df = df.where(to_boolean(query["where"]))
+
+        selects = _normalize_selects(query.get("select"))
+        edges = _normalize_edges(query.get("edges"))
+        groupby = _normalize_edges(query.get("groupby"))
+        has_agg = any(s.get("aggregate") for s in selects)
+
+        windows = _listify(query.get("window"))
+
+        if edges:
+            df = self._run_edges(df, selects, edges)
+            for w in windows:
+                df = self._add_window(df, w)
+        elif groupby:
+            df = self._run_groupby(df, selects, groupby, densify_grid=False)
+            for w in windows:
+                df = self._add_window(df, w)
+        elif has_agg:
+            df = df.agg(*[self._agg_col(s) for s in selects])
+        else:
+            # windows compute over source rows, then the projection keeps
+            # selected + window columns (Q.window appends derived columns)
+            for w in windows:
+                df = self._add_window(df, w)
+            if selects:
+                df = df.select(
+                    *[to_col(s["value"]).alias(s["name"]) for s in selects],
+                    *[w["name"] for w in windows],
+                )
+
+        sort = query.get("sort")
+        if sort is not None:
+            df = df.orderBy(*_sort_cols(sort))
+        if query.get("limit") is not None:
+            df = df.limit(int(query["limit"]))
+        return df
+
+    # -- helpers --------------------------------------------------------
+
+    def _agg_col(self, s: dict) -> Column:
+        value = to_col(s.get("value", F.lit(1)))
+        return _aggregate(s["aggregate"], value, s.get("percentile")).alias(s["name"])
+
+    def _run_groupby(self, df, selects, keys, densify_grid):
+        key_cols = [to_col(k["value"]).alias(k["name"]) for k in keys]
+        aggs = [self._agg_col(s) for s in selects if s.get("aggregate")] or [
+            F.count(F.lit(1)).alias("count")
+        ]
+        return df.groupBy(*key_cols).agg(*aggs)
+
+    def _run_edges(self, df, selects, edges):
+        """Dense cube: sparse aggregate + domain-grid densify (cube.py)."""
+        key_cols, domains = [], []
+        pre = df
+        for e in edges:
+            name = e["name"]
+            dom = e.get("domain", {"type": "default"})
+            dtype = dom.get("type", "default")
+            val = to_col(e["value"])
+            if dtype == "set":
+                domains.append(
+                    set_domain(self.spark, name, list(dom["partitions"]))
+                )
+                key = val
+            elif dtype == "time":
+                interval = dom.get("interval", "1 MONTH")
+                domains.append(
+                    time_domain(self.spark, name, dom["min"], dom["max"], interval)
+                )
+                unit = interval.split()[-1].lower().rstrip("s")
+                key = F.date_trunc(unit, val)
+            elif dtype in ("range", "duration"):
+                width = float(dom["interval"])
+                domains.append(
+                    range_domain(
+                        self.spark, name, float(dom["min"]), float(dom["max"]), width
+                    )
+                )
+                key = (F.floor(val / width) * width).cast("double")
+            elif dtype == "default":
+                pre_named = pre.withColumn(name, val)
+                domains.append(default_domain(pre_named, name, dom.get("limit", 1000)))
+                key = val
+            else:
+                raise JxError(f"unknown domain type {dtype!r}")
+            if dom.get("allowNulls"):
+                sentinel = dom.get("nullValue", "<null>")
+                key = F.coalesce(key.cast("string"), F.lit(sentinel))
+                domains[-1] = domains[-1].select(
+                    F.col(name).cast("string").alias(name)
+                ).union(self.spark.range(1).select(F.lit(sentinel).alias(name)))
+            key_cols.append(key.alias(name))
+
+        agg_selects = [s for s in selects if s.get("aggregate")]
+        sparse = df.groupBy(*key_cols).agg(*[self._agg_col(s) for s in agg_selects])
+        fill = {
+            s["name"]: F.lit(0).cast("long")
+            for s in agg_selects
+            if s["aggregate"] == "count"
+        }
+        return densify(domains, sparse, [e["name"] for e in edges], fill)
+
+    def _add_window(self, df: DataFrame, w: dict) -> DataFrame:
+        """Q.window: aggregate over sorted partition with row frame
+        (``windows.py`` range {min, max} relative to current row)."""
+        parts = [to_col(p["value"]) for p in _normalize_edges(w.get("edges"))]
+        spec = Window.partitionBy(*parts) if parts else Window.partitionBy(F.lit(1))
+        sort = w.get("sort")
+        if sort is not None:
+            spec = spec.orderBy(*_sort_cols(sort))
+            rng = w.get("range")
+            if rng is not None:
+                lo = rng.get("min")
+                hi = rng.get("max", 0)
+                spec = spec.rowsBetween(
+                    Window.unboundedPreceding if lo is None else int(lo),
+                    Window.unboundedFollowing if hi is None else int(hi),
+                )
+            else:
+                spec = spec.rowsBetween(Window.unboundedPreceding, 0)
+        agg = w.get("aggregate")
+        if agg == "rownum":
+            col = F.row_number().over(spec)
+        elif agg == "rank":
+            col = F.rank().over(spec)
+        else:
+            col = _aggregate(agg, to_col(w["value"]), w.get("percentile")).over(spec)
+        return df.withColumn(w["name"], col)
+
+
+# ---------------------------------------------------------------- normalize
+
+
+def _listify(x) -> list:
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _normalize_selects(select) -> list[dict]:
+    """Query.__init__ canonicalization: wrap scalars, default names."""
+    out = []
+    for s in _listify(select):
+        if isinstance(s, str):
+            out.append({"name": s.replace(".", "\\."), "value": s})
+        else:
+            s = dict(s)
+            s.setdefault(
+                "name",
+                s["value"] if isinstance(s.get("value"), str) else s.get("aggregate"),
+            )
+            out.append(s)
+    return out
+
+
+def _normalize_edges(edges) -> list[dict]:
+    out = []
+    for e in _listify(edges):
+        if isinstance(e, str):
+            out.append({"name": e, "value": e})
+        else:
+            e = dict(e)
+            e.setdefault("name", e["value"] if isinstance(e["value"], str) else "edge")
+            out.append(e)
+    return out
+
+
+def _sort_cols(sort) -> list[Column]:
+    cols = []
+    for s in _listify(sort):
+        if isinstance(s, str):
+            cols.append(to_col(s).asc_nulls_first())
+        else:
+            c = to_col(s["value"])
+            cols.append(
+                c.desc_nulls_last() if s.get("sort", 1) < 0 else c.asc_nulls_first()
+            )
+    return cols

@@ -26,6 +26,7 @@ _MODULES = [
     "funcs",
     "events",
     "llm",
+    "jx_queries",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Driver-gated queries expressed in the Qb/jx JSON dialect and executed
+through the ``plans.jx.QB`` front-end — proving the reference's own query
+API produces oracle-correct plans (not just the hand-written DataFrame
+code).
+
+Aggregate choice note: these use jx's plain aggregates (no decimal compat
+layer, faithfully reference-shaped), so the measures are chosen to be
+order-independent: counts and sums of the integral l_quantity column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from modevetl_spark.plans.jx import QB
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+
+QUERIES, ORACLE, q = make_registry()
+
+
+_JX_CUBE_ORACLE = """
+WITH flags AS (SELECT unnest(['A', 'N', 'R']) AS flag),
+     agg AS (
+         SELECT l_returnflag AS flag,
+                COUNT(*) AS n,
+                SUM(l_quantity) AS qty
+         FROM lineitem
+         WHERE l_discount >= 0.05
+         GROUP BY 1
+     )
+SELECT f.flag, COALESCE(a.n, 0) AS n, a.qty
+FROM flags f LEFT JOIN agg a USING (flag)
+"""
+
+
+@q("q_jx_cube", oracle_sql=_JX_CUBE_ORACLE)
+def jx_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qb edges query (dense set domain) via the JSON front-end."""
+    prep(spark)
+    return QB(spark, sf_dir=sf_dir).run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "flag",
+                    "value": "l_returnflag",
+                    "domain": {"type": "set", "partitions": ["A", "N", "R"]},
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {"name": "qty", "value": "l_quantity", "aggregate": "sum"},
+            ],
+            "where": {"gte": {"l_discount": 0.05}},
+        }
+    )
+
+
+_JX_SETOP_ORACLE = """
+SELECT o_orderkey AS id,
+       o_totalprice AS price,
+       CASE WHEN o_totalprice >= 250000 THEN 'big' ELSE 'small' END AS size
+FROM orders
+WHERE o_orderstatus = 'F'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND NOT (o_totalprice < 50000)
+ORDER BY price DESC, id
+LIMIT 50
+"""
+
+
+@q("q_jx_setop", oracle_sql=_JX_SETOP_ORACLE)
+def jx_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qb setop (no-aggregate) query: filter tree + computed select +
+    sort + limit via the JSON front-end."""
+    prep(spark)
+    return QB(spark, sf_dir=sf_dir).run(
+        {
+            "from": "orders",
+            "select": [
+                {"name": "id", "value": "o_orderkey"},
+                {"name": "price", "value": "o_totalprice"},
+                {
+                    "name": "size",
+                    "value": {
+                        "when": {"gte": {"o_totalprice": 250000}},
+                        "then": {"literal": "big"},
+                        "else": {"literal": "small"},
+                    },
+                },
+            ],
+            "where": {
+                "and": [
+                    {"eq": {"o_orderstatus": "F"}},
+                    {"in": {"o_orderpriority": ["1-URGENT", "2-HIGH"]}},
+                    {"not": {"lt": {"o_totalprice": 50000}}},
+                ]
+            },
+            "sort": [{"value": "price", "sort": -1}, {"value": "id", "sort": 1}],
+            "limit": 50,
+        }
+    )
+
+
+_JX_WINDOW_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS running_qty
+FROM lineitem
+WHERE l_orderkey <= 2000
+"""
+
+
+@q("q_jx_window", oracle_sql=_JX_WINDOW_ORACLE)
+def jx_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q.window: running aggregate over a sorted partition via the JSON
+    front-end (integral quantities -> order-independent double sums)."""
+    prep(spark)
+    return QB(spark, sf_dir=sf_dir).run(
+        {
+            "from": "lineitem",
+            "select": [
+                {"name": "l_orderkey", "value": "l_orderkey"},
+                {"name": "l_linenumber", "value": "l_linenumber"},
+            ],
+            "where": {"lte": {"l_orderkey": 2000}},
+            "window": [
+                {
+                    "name": "running_qty",
+                    "value": "l_quantity",
+                    "aggregate": "sum",
+                    "edges": ["l_orderkey"],
+                    "sort": ["l_linenumber"],
+                    "range": {"min": None, "max": 0},
+                }
+            ],
+        }
+    )

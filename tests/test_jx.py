@@ -1,0 +1,280 @@
+"""Qb/jx front-end tests: JSON queries -> DataFrame plans, checked against
+hand-written DataFrame results and DuckDB SQL (the reference's own test
+style — small queries with expected outputs — but oracle-backed)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from modevetl_spark.plans.jx import QB, JxError, to_boolean, to_col
+from tests.oracle import compare
+
+
+@pytest.fixture(scope="module")
+def qb(spark, sf_dir):
+    return QB(spark, sf_dir=sf_dir)
+
+
+def test_scan_where_select(qb, duck):
+    out = qb.run(
+        {
+            "from": "orders",
+            "select": [
+                {"name": "id", "value": "o_orderkey"},
+                {"name": "price", "value": "o_totalprice"},
+            ],
+            "where": {"and": [
+                {"gte": {"o_totalprice": 100000}},
+                {"in": {"o_orderstatus": ["O", "F"]}},
+            ]},
+        }
+    )
+    compare(
+        out,
+        duck,
+        """SELECT o_orderkey AS id, o_totalprice AS price FROM orders
+           WHERE o_totalprice >= 100000 AND o_orderstatus IN ('O','F')""",
+    )
+
+
+def test_computed_select(qb, duck):
+    out = qb.run(
+        {
+            "from": "lineitem",
+            "select": [
+                {"name": "key", "value": "l_orderkey"},
+                {
+                    "name": "net",
+                    "value": {"mult": ["l_extendedprice",
+                                       {"sub": [1, "l_discount"]}]},
+                },
+                {
+                    "name": "ratio",
+                    "value": {"div": ["l_extendedprice", "l_quantity"],
+                              "default": 0.0},
+                },
+            ],
+            "where": {"lte": {"l_linenumber": 1}},
+        }
+    )
+    compare(
+        out,
+        duck,
+        """SELECT l_orderkey AS key,
+                  l_extendedprice * (1 - l_discount) AS net,
+                  COALESCE(CASE WHEN l_quantity <> 0
+                                THEN l_extendedprice / l_quantity END, 0.0)
+                      AS ratio
+           FROM lineitem WHERE l_linenumber <= 1""",
+    )
+
+
+def test_global_aggregate(qb, duck):
+    out = qb.run(
+        {
+            "from": "lineitem",
+            "select": [
+                {"name": "n", "value": "l_quantity", "aggregate": "count"},
+                {"name": "mx", "value": "l_quantity", "aggregate": "maximum"},
+            ],
+        }
+    )
+    compare(out, duck, "SELECT COUNT(l_quantity) AS n, MAX(l_quantity) AS mx FROM lineitem")
+
+
+def test_groupby_sparse(qb, duck):
+    out = qb.run(
+        {
+            "from": "orders",
+            "groupby": ["o_orderstatus"],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+    )
+
+
+def test_edges_dense_cube(qb, duck):
+    out = qb.run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "flag",
+                    "value": "l_returnflag",
+                    "domain": {"type": "set", "partitions": ["A", "N", "R"]},
+                },
+                {
+                    "name": "status",
+                    "value": "l_linestatus",
+                    "domain": {"type": "set", "partitions": ["F", "O"]},
+                },
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+            "where": {"gte": {"l_quantity": 45}},
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH f AS (SELECT unnest(['A','N','R']) AS flag),
+                s AS (SELECT unnest(['F','O']) AS status),
+                a AS (SELECT l_returnflag AS flag, l_linestatus AS status,
+                             COUNT(*) AS n
+                      FROM lineitem WHERE l_quantity >= 45 GROUP BY 1, 2)
+           SELECT f.flag, s.status, COALESCE(a.n, 0) AS n
+           FROM f CROSS JOIN s LEFT JOIN a USING (flag, status)""",
+    )
+
+
+def test_edges_time_domain(qb, duck):
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "month",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-01",
+                        "max": "1996-07-01",
+                        "interval": "1 MONTH",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    # Spark groups ALL months but the grid keeps only the domain's six;
+    # rows outside the domain vanish (reference: values outside domain ->
+    # null bucket unless allowNulls).
+    compare(
+        out,
+        duck,
+        """WITH m AS (SELECT s AS month
+                      FROM generate_series(TIMESTAMP '1996-01-01',
+                                           TIMESTAMP '1996-06-01',
+                                           INTERVAL 1 MONTH) t(s)),
+                a AS (SELECT date_trunc('month', o_orderdate) AS month,
+                             COUNT(*) AS n
+                      FROM orders GROUP BY 1)
+           SELECT m.month, COALESCE(a.n, 0) AS n
+           FROM m LEFT JOIN a USING (month)""",
+    )
+
+
+def test_window_running_sum(qb, duck):
+    out = qb.run(
+        {
+            "from": "orders",
+            "select": [
+                {"name": "o_custkey", "value": "o_custkey"},
+                {"name": "o_orderkey", "value": "o_orderkey"},
+            ],
+            "window": [
+                {
+                    "name": "seq",
+                    "value": "o_orderkey",
+                    "aggregate": "count",
+                    "edges": ["o_custkey"],
+                    "sort": [{"value": "o_orderkey", "sort": 1}],
+                }
+            ],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """SELECT o_custkey, o_orderkey,
+                  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+           FROM orders""",
+    )
+
+
+def test_sort_limit_nested_from(qb, duck):
+    out = qb.run(
+        {
+            "from": {
+                "from": "orders",
+                "where": {"eq": {"o_orderstatus": "F"}},
+                "select": [
+                    {"name": "k", "value": "o_orderkey"},
+                    {"name": "p", "value": "o_totalprice"},
+                ],
+            },
+            "sort": [{"value": "p", "sort": -1}, {"value": "k", "sort": 1}],
+            "limit": 5,
+        }
+    )
+    compare(
+        out,
+        duck,
+        """SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+           WHERE o_orderstatus = 'F'
+           ORDER BY p DESC, k LIMIT 5""",
+    )
+
+
+def test_filter_tree_ops(spark, qb):
+    df = qb.run(
+        {
+            "from": "part",
+            "where": {
+                "or": [
+                    {"prefix": {"p_type": "PROMO"}},
+                    {"and": [{"regex": {"p_name": "^a"}},
+                             {"not": {"missing": "p_brand"}}]},
+                ]
+            },
+            "select": ["p_partkey"],
+        }
+    )
+    hand = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .where(
+            F.col("p_type").startswith("PROMO")
+            | (F.col("p_name").rlike("^a") & F.col("p_brand").isNotNull())
+        )
+        .select(F.col("p_partkey").alias("p_partkey"))
+    )
+    assert df.count() == hand.count() > 0
+
+
+def test_errors():
+    with pytest.raises(JxError):
+        to_col({"frobnicate": [1, 2]})
+    with pytest.raises(JxError):
+        to_boolean({"unknown_op": {"a": 1}})
+
+
+def test_when_then_else(qb, duck):
+    out = qb.run(
+        {
+            "from": "orders",
+            "select": [
+                {"name": "k", "value": "o_orderkey"},
+                {
+                    "name": "bucket",
+                    "value": {
+                        "when": {"gte": {"o_totalprice": 200000}},
+                        "then": {"literal": "big"},
+                        "else": {"literal": "small"},
+                    },
+                },
+            ],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """SELECT o_orderkey AS k,
+                  CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END
+                      AS bucket
+           FROM orders""",
+    )

@@ -1,0 +1,167 @@
+"""Operator unit tests — the forms the driver's SQL oracle can't grade:
+native array/map outputs, approximate aggregates, strategy equivalences,
+expression-vs-row-form equivalences, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from modevetl_spark.operators.closure import transitive_closure
+from modevetl_spark.operators.dedup import (
+    minhash_signature,
+    minhash_signatures,
+    simhash_candidates,
+)
+from modevetl_spark.operators.multimodal import extract_features, with_binary_payload
+from modevetl_spark.operators.similarity import brute_force_topk, lsh_topk
+from modevetl_spark.operators.text import tokens, word_shingles
+from modevetl_spark.functions.compat import round_sig
+from modevetl_spark.sources.catalog import load
+
+
+def test_collect_set_array_form(spark, sf_dir):
+    """A8 union aggregate, genuine ArrayType output."""
+    o = load(spark, sf_dir, "orders")
+    out = o.groupBy("o_orderstatus").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("ps")
+    )
+    rows = {r.o_orderstatus: r.ps for r in out.collect()}
+    assert all(isinstance(v, list) and v == sorted(set(v)) for v in rows.values())
+
+
+def test_multiset_map_form(spark, sf_dir):
+    """F8 multiset as genuine MapType value->count."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").count()
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "count")))
+        ).alias("bag")
+    )
+    row = m.orderBy("user_id").first()
+    assert isinstance(row.bag, dict) and sum(row.bag.values()) > 0
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx"
+        ),
+    ).collect()[0]
+    assert abs(r.exact - r.approx) / r.exact < 0.01
+
+
+def test_closure_strategies_agree(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 2), (6, 3), (7, 3), (8, 4), (9, 4), (10, 5)],
+        ["src", "dst"],
+    )
+    a = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges, strategy="doubling").collect()
+    }
+    b = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges, strategy="seminaive").collect()
+    }
+    assert a == b
+    assert (8, 1) in a and (10, 1) in a and (9, 2) in a
+
+
+def test_closure_handles_cycles(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    got = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges, strategy="seminaive").collect()
+    }
+    assert got == {(a, b) for a in (1, 2, 3) for b in (1, 2, 3)}
+    got2 = {
+        (r.src, r.dst)
+        for r in transitive_closure(edges, strategy="doubling").collect()
+    }
+    assert got2 == got
+
+
+def test_minhash_forms_agree(spark, sf_dir):
+    """Expression-form and explode-form signatures are the same function."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    expr_form = d.select(
+        "doc_id",
+        minhash_signature(word_shingles(tokens("text"), 3), 8).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+    row_form = minhash_signatures(d, shingle_n=3, k=8)
+    joined = expr_form.join(row_form, "doc_id")
+    mismatches = joined.where(
+        ~(
+            F.col("sig")
+            == F.array(*[F.col(f"m{i}") for i in range(8)])
+        )
+    ).count()
+    assert mismatches == 0 and joined.count() > 0
+
+
+def test_simhash_self_similarity(spark, sf_dir):
+    """A doc duplicated under two ids must surface as a 0-hamming pair."""
+    d = load(spark, sf_dir, "documents").limit(20).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") == d.first().doc_id).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    cands = simhash_candidates(d.unionByName(dup))
+    pair = cands.where(F.col("hamming") == 0).count()
+    assert pair >= 1
+
+
+def test_lsh_recall_reasonable(spark, sf_dir):
+    """LSH top-k must recover a decent share of true top-1 neighbors
+    (sanity bound; exact recall depends on bits)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(e, q, k=1, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+
+
+def test_multimodal_plumbing_schema(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").limit(10)
+    out = extract_features(with_binary_payload(d), "doc_id", "payload")
+    rows = out.collect()
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "payload_bytes",
+        "fake_width",
+        "fake_height",
+        "fake_n_frames",
+    ]
+    assert all(r.payload_bytes > 0 and 1 <= r.fake_n_frames <= 7 for r in rows)
+
+
+def test_round_sig(spark):
+    df = spark.range(1).select(
+        round_sig(F.lit(123456.789), 3).alias("a"),
+        round_sig(F.lit(0.00123456), 3).alias("b"),
+        round_sig(F.lit(0.0), 3).alias("c"),
+        round_sig(F.lit(-987.654), 2).alias("d"),
+    )
+    r = df.collect()[0]
+    assert r.a == 123000.0
+    assert abs(r.b - 0.00123) < 1e-12
+    assert r.c == 0.0
+    assert r.d == -990.0
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("solo",)], ["text"]
+    )
+    out = df.select(word_shingles(tokens("text"), 3).alias("sh")).collect()
+    assert [r.sh for r in out] == [["a b c", "b c d"], [], [], []]
