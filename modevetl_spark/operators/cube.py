@@ -90,7 +90,10 @@ def densify(
     reference's null cube cells for value aggregates.
     """
     grid = reduce(lambda a, b: a.crossJoin(b), grid_domains)
-    out = grid.join(aggregated, on=keys, how="left")
+    # the aggregated side is post-groupBy and therefore domain-bounded —
+    # broadcast it explicitly so the densify join never plans a sort-merge
+    # (the grid side is generated and has no size statistics)
+    out = grid.join(F.broadcast(aggregated), on=keys, how="left")
     if fill:
         agg_cols = [c for c in aggregated.columns if c not in keys]
         out = out.select(

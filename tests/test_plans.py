@@ -1,0 +1,86 @@
+"""Physical-plan quality gates (SURVEY.md §4): the optimizations we rely
+on at 100 TB must actually appear in the plans — filter/projection
+pushdown to parquet, broadcast joins for dims, partial aggregation,
+window-group-limit for top-k, no Python in JVM-only paths."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from modevetl_spark.queries import all_queries
+from modevetl_spark.sources.catalog import load
+
+_Q = all_queries()
+
+
+def plan(df) -> str:
+    mode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _Q["q_filter_compound"](spark, sf_dir)
+    p = plan(df)
+    assert "PushedFilters: [" in p
+    assert "In(o_orderstatus" in p or "o_orderstatus" in p.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    df = _Q["q_scan_project"](spark, sf_dir)
+    p = plan(df)
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_orderpriority" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan(_Q["q_join_inner"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_no_cartesian_on_facts(spark, sf_dir):
+    df = _Q["q_flagship_revenue_cube"](spark, sf_dir)
+    p = plan(df)
+    # all star-dim joins broadcast; densify join broadcast (no SMJ of the
+    # generated grid); exactly one shuffle Exchange (the groupBy)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    tree = p.split("(1) Scan")[0]
+    shuffle_exchanges = tree.count("- Exchange (")
+    assert shuffle_exchanges <= 1, tree
+
+
+def test_partial_aggregation(spark, sf_dir):
+    p = plan(_Q["q_groupby_multi"](spark, sf_dir))
+    assert "partial_" in p  # map-side combine before the exchange
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    p = plan(_Q["q_topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    p = plan(_Q["q_sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_no_python_udf_in_jvm_paths(spark, sf_dir):
+    """Everything except the declared UDF/multimodal queries must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas)."""
+    udf_queries = {"q_udf_scalar", "q_udaf_grouped", "q_multimodal_features"}
+    for name in sorted(set(_Q) - udf_queries):
+        p = plan(_Q[name](spark, sf_dir))
+        assert "EvalPython" not in p and "InPandas" not in p, name
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    df = _Q["q_groupby_multi"](spark, sf_dir)
+    df.collect()  # AQE finalizes the executed plan lazily
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen'd stages; both the partial
+    # and final aggregate must be inside one
+    assert "*(1) HashAggregate" in p and "*(2) HashAggregate" in p
