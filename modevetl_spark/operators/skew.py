@@ -1,0 +1,83 @@
+"""Skew-mitigation operators (SURVEY.md §4: salting + AQE).
+
+AQE's skew-join splitting handles most cases at runtime; these explicit
+rewrites are for the two shapes AQE can't fix:
+
+- **Salted aggregation** — a groupBy whose key space is tiny relative to
+  the cluster (everything funnels into a handful of reducers). Two-phase:
+  aggregate on (key, salt) first, then merge per key. Partial results are
+  algebraic (count/sum/min/max), so the merge is exact.
+- **Salted join** — a huge skewed probe side against a small dim that is
+  too big to broadcast: replicate the dim ``n_salts`` times and give each
+  probe row a deterministic salt, turning one hot key into n_salts
+  balanced keys.
+
+Salts are deterministic (hash of a unique column, not rand()) so results
+are reproducible and retries/speculative tasks can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(unique_col: Column, n: int) -> Column:
+    return F.pmod(F.xxhash64(unique_col), F.lit(n))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    unique_col: str,
+    aggs: dict[str, tuple],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    aggs: out_name -> ("count", col) | ("sum", col) | ("min", col) |
+    ("max", col). The partial of each is computed per (keys, salt), then
+    merged exactly per keys (count merges by sum).
+    """
+    partial_exprs, merge_exprs = [], []
+    for name, (kind, col) in aggs.items():
+        if kind == "count":
+            partial_exprs.append(F.count(col).alias(name))
+            merge_exprs.append(F.sum(name).alias(name))
+        elif kind == "sum":
+            partial_exprs.append(F.sum(col).alias(name))
+            merge_exprs.append(F.sum(name).alias(name))
+        elif kind == "min":
+            partial_exprs.append(F.min(col).alias(name))
+            merge_exprs.append(F.min(name).alias(name))
+        elif kind == "max":
+            partial_exprs.append(F.max(col).alias(name))
+            merge_exprs.append(F.max(name).alias(name))
+        else:
+            raise ValueError(f"unsupported salted agg {kind!r}")
+    partial = df.groupBy(
+        *keys, _salt(F.col(unique_col), n_salts).alias("__salt")
+    ).agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    big_unique_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-dim salted equi-join for hot keys.
+
+    dim rows are exploded n_salts times (dim must be the small side — the
+    replication factor is the price of balance); big rows get a
+    deterministic salt in [0, n_salts).
+    """
+    salted_big = big.withColumn("__salt", _salt(F.col(big_unique_col), n_salts))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salted_big.join(salted_dim, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -27,6 +27,7 @@ _MODULES = [
     "events",
     "llm",
     "jx_queries",
+    "extras",
 ]
 
 

@@ -165,3 +165,31 @@ def test_word_shingles_edges(spark):
     )
     out = df.select(word_shingles(tokens("text"), 3).alias("sh")).collect()
     assert [r.sh for r in out] == [["a b c", "b c d"], [], [], []]
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL cardinality within 5%, approx median within 1% of exact."""
+    li = load(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.countDistinct("l_partkey").alias("exact_card"),
+        F.approx_count_distinct("l_partkey").alias("approx_card"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_med"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias(
+            "approx_med"
+        ),
+    ).collect()[0]
+    assert abs(r.approx_card - r.exact_card) / r.exact_card < 0.05
+    assert abs(r.approx_med - r.exact_med) / r.exact_med < 0.01
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from modevetl_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = ev.join(dim, "user_id")
+    salted = salted_join(ev, dim, on="user_id", big_unique_col="event_id", n_salts=4)
+    assert (
+        salted.exceptAll(plain.select(salted.columns)).count() == 0
+        and plain.count() == salted.count()
+    )
