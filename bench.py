@@ -29,6 +29,8 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_topk",
     "q_text_tfidf",
+    "q_jx_cube",
+    "q_skew_salted_agg",
 ]
 
 

@@ -35,10 +35,12 @@ upper, left, right, not, when/then/else, date/number casts.
 
 from __future__ import annotations
 
+import contextvars
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from modevetl_spark.operators.cube import (
     default_domain,
@@ -56,6 +58,30 @@ class JxError(ValueError):
 
 # ---------------------------------------------------------------- scalars
 
+# Null-safe navigation (``struct.Null``): referencing a field the document
+# doesn't have yields Null, never an analysis error. QB.run installs a
+# schema-aware resolver for the current 'from'; outside QB, field refs
+# resolve strictly via F.col.
+_FIELD_RESOLVER: contextvars.ContextVar = contextvars.ContextVar(
+    "jx_field_resolver", default=None
+)
+
+
+def _field(name: str) -> Column:
+    resolver = _FIELD_RESOLVER.get()
+    return resolver(name) if resolver else F.col(name)
+
+
+def schema_paths(schema: StructType, prefix: str = "") -> set[str]:
+    """All addressable dot-paths in a (possibly nested) schema."""
+    out: set[str] = set()
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        out.add(path)
+        if isinstance(f.dataType, StructType):
+            out |= schema_paths(f.dataType, prefix=path + ".")
+    return out
+
 
 def _lit(v: Any) -> Column:
     return F.lit(v)
@@ -66,7 +92,7 @@ def to_col(e: Any) -> Column:
     if isinstance(e, Column):
         return e
     if isinstance(e, str):
-        return F.col(e)
+        return _field(e)
     if isinstance(e, bool) or isinstance(e, (int, float)):
         return F.lit(e)
     if e is None:
@@ -183,7 +209,7 @@ def to_boolean(e: Any) -> Column:
     if e is False:
         return F.lit(False)
     if isinstance(e, str):
-        return F.col(e).cast("boolean")
+        return _field(e).cast("boolean")
     if not isinstance(e, dict):
         raise JxError(f"cannot translate filter: {e!r}")
     if len(e) == 0 or "match_all" in e:
@@ -333,6 +359,19 @@ class QB:
         else:
             raise JxError("query needs a 'from'")
 
+        # schemaless documents: unknown field paths resolve to Null
+        available = schema_paths(df.schema)
+
+        def resolver(name: str) -> Column:
+            return F.col(name) if name in available else F.lit(None)
+
+        token = _FIELD_RESOLVER.set(resolver)
+        try:
+            return self._run_body(df, query)
+        finally:
+            _FIELD_RESOLVER.reset(token)
+
+    def _run_body(self, df: DataFrame, query: dict) -> DataFrame:
         if query.get("where") is not None:
             df = df.where(to_boolean(query["where"]))
 
@@ -366,7 +405,17 @@ class QB:
 
         sort = query.get("sort")
         if sort is not None:
-            df = df.orderBy(*_sort_cols(sort))
+            # sort runs on the PROJECTED output, so field names resolve
+            # against the current schema (select aliases included), not the
+            # source document schema the outer resolver holds
+            out_avail = schema_paths(df.schema)
+            tok = _FIELD_RESOLVER.set(
+                lambda n: F.col(n) if n in out_avail else F.lit(None)
+            )
+            try:
+                df = df.orderBy(*_sort_cols(sort))
+            finally:
+                _FIELD_RESOLVER.reset(tok)
         if query.get("limit") is not None:
             df = df.limit(int(query["limit"]))
         return df

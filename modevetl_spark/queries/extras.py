@@ -136,3 +136,33 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "n_users_events").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_COMPONENTS_ORACLE = """
+SELECT c_custkey AS node,
+       c_custkey - c_custkey % 50 AS component
+FROM customer
+WHERE c_custkey % 50 <> 0
+UNION ALL
+SELECT c_custkey - c_custkey % 50 AS node,
+       c_custkey - c_custkey % 50 AS component
+FROM customer
+WHERE c_custkey % 50 <> 0
+GROUP BY 1, 2
+"""
+
+
+@q("q_graph_components", oracle_sql=_COMPONENTS_ORACLE)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] connected components by label propagation over synthetic
+    star edges (custkey -> its group anchor custkey - custkey%50), so the
+    oracle has the closed form component = anchor id."""
+    from modevetl_spark.operators.components import connected_components
+
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    edges = c.where(F.col("c_custkey") % 50 != 0).select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") - F.col("c_custkey") % 50).alias("dst"),
+    )
+    return connected_components(edges)

@@ -255,3 +255,25 @@ def map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("type_counts")
     )
+
+
+_LEAVES_ORACLE = """
+SELECT event_id, 'j.k' AS path, CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) AS value
+FROM events
+WHERE props->>'$.k' IS NOT NULL AND event_id < 2000
+"""
+
+
+@q("q_leaves", oracle_sql=_LEAVES_ORACLE)
+def leaves_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 ``leaves()``: deep-flatten a nested document into (dot-path,
+    value) rows (``pyLibrary/struct`` leaves view) — here over the JSON
+    ``props`` column parsed into a real struct first."""
+    from modevetl_spark.operators.nested import leaves
+
+    prep(spark)
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    nested = ev.select(
+        "event_id", F.from_json("props", "k bigint").alias("j")
+    )
+    return leaves(nested, ["event_id"])

@@ -278,3 +278,63 @@ def test_when_then_else(qb, duck):
                       AS bucket
            FROM orders""",
     )
+
+
+def test_nullsafe_missing_fields(qb, spark):
+    """§1.1 schemaless navigation: referencing a field the documents don't
+    have yields Null (never an AnalysisException), and not(eq(missing))
+    matches everything — the reference's struct.Null model."""
+    out = qb.run(
+        {
+            "from": "region",
+            "select": [
+                {"name": "k", "value": "r_regionkey"},
+                {"name": "ghost", "value": "no_such_field"},
+                {"name": "deep_ghost", "value": "a.b.c"},
+            ],
+            "where": {"not": {"eq": {"no_such_field": 42}}},
+        }
+    )
+    rows = out.collect()
+    assert len(rows) == 5  # all regions match: missing != 42 is True
+    assert all(r.ghost is None and r.deep_ghost is None for r in rows)
+
+
+def test_nested_struct_paths(spark):
+    """Dot-path select into real nested structs via jx."""
+    from modevetl_spark.plans.jx import QB
+
+    df = spark.createDataFrame(
+        [(1, ("alice", ("nyc", "us"))), (2, ("bob", (None, "fr")))],
+        "id int, u struct<name:string, loc:struct<city:string, country:string>>",
+    )
+    out = QB(spark, tables={"people": df}).run(
+        {
+            "from": "people",
+            "select": [
+                {"name": "id", "value": "id"},
+                {"name": "city", "value": "u.loc.city"},
+                {"name": "missing", "value": "u.loc.zip"},
+            ],
+        }
+    )
+    got = {(r.id, r.city, r.missing) for r in out.collect()}
+    assert got == {(1, "nyc", None), (2, None, None)}
+
+
+def test_leaves_operator(spark):
+    from modevetl_spark.operators.nested import leaves
+
+    df = spark.createDataFrame(
+        [(1, ("alice", ("nyc", "us"))), (2, ("bob", (None, "fr")))],
+        "id int, u struct<name:string, loc:struct<city:string, country:string>>",
+    )
+    out = leaves(df, ["id"])
+    got = {(r.id, r.path, r.value) for r in out.collect()}
+    assert got == {
+        (1, "u.name", "alice"),
+        (1, "u.loc.city", "nyc"),
+        (1, "u.loc.country", "us"),
+        (2, "u.name", "bob"),
+        (2, "u.loc.country", "fr"),  # null city has no leaf
+    }
