@@ -28,6 +28,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ancestors_of(
+    frontier: DataFrame,
+    edges: DataFrame,
+    node: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """All (node, ancestor) pairs for nodes in ``frontier`` only — the
+    incremental form of the closure: instead of closing the whole graph,
+    walk just the frontier's ancestor chains up the (src -> dst) edges.
+
+    This is exactly ``hierarchy.py``'s incremental pattern: get_pending
+    yields the changed docs; only their ancestor chains need updating.
+    Cost per run is O(|frontier| * depth) rows instead of O(|V| * depth).
+    """
+    edges = edges.select(src, dst).distinct().cache()
+    # level 1: direct parents of the frontier
+    current = (
+        frontier.select(F.col(node))
+        .distinct()
+        .join(edges.withColumnRenamed(src, node), on=node)
+        .select(F.col(node), F.col(dst).alias("ancestor"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    acc = current
+    for _ in range(max_iterations):
+        nxt = (
+            current.withColumnRenamed("ancestor", "__mid")
+            .join(edges.withColumnRenamed(src, "__mid"), on="__mid")
+            .select(F.col(node), F.col(dst).alias("ancestor"))
+            .join(acc, on=[node, "ancestor"], how="left_anti")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            edges.unpersist()
+            return acc
+        acc = acc.union(nxt).localCheckpoint(eager=True)
+        current = nxt
+    raise RuntimeError(f"ancestor walk did not converge in {max_iterations} iterations")
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "src",

@@ -127,3 +127,29 @@ def test_stream_dedup(spark, sf_dir, tmp_path):
     run_to_sink(result, sink, str(tmp_path / "ckpt3"), mode="append")
     got = spark.read.parquet(sink)
     assert got.count() == got.distinct().count()
+
+
+def test_hierarchy_incremental_equals_full(spark, sf_dir, tmp_path):
+    """Frontier-incremental hierarchy across two split batches must equal
+    the one-shot full recompute (insert-only edge stream)."""
+    from modevetl_spark.plans.jobs import hierarchy_job, hierarchy_job_incremental
+
+    full_sink = str(tmp_path / "full")
+    hierarchy_job(spark, sf_dir, full_sink, str(tmp_path / "full_state.json"))
+    full = {
+        (r.ancestor, r.n_descendants, r.min_node, r.max_node)
+        for r in spark.read.parquet(full_sink).collect()
+    }
+
+    inc_sink = str(tmp_path / "inc")
+    inc_state = str(tmp_path / "inc_state.json")
+    n1 = hierarchy_job_incremental(spark, sf_dir, inc_sink, inc_state, upper_bound=100)
+    n2 = hierarchy_job_incremental(spark, sf_dir, inc_sink, inc_state)
+    assert n1 > 0 and n2 > 0
+    inc = {
+        (r.ancestor, r.n_descendants, r.min_node, r.max_node)
+        for r in spark.read.parquet(inc_sink).collect()
+    }
+    assert inc == full
+    # third run: nothing pending
+    assert hierarchy_job_incremental(spark, sf_dir, inc_sink, inc_state) == 0
