@@ -149,7 +149,7 @@ JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE a.vec_id < 300 AND b.vec_id < 300
   AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
 """
 
 
@@ -174,7 +174,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, on="lbl")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.8)
+        .where(F.col("cos_sim") >= 0.2)
     )
 
 
