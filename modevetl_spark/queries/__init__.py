@@ -28,6 +28,7 @@ _MODULES = [
     "llm",
     "jx_queries",
     "extras",
+    "reshape",
 ]
 
 

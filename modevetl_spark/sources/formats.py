@@ -1,0 +1,68 @@
+"""Additional source/sink formats (S3/S4 breadth).
+
+The reference ingests JSON documents (``CNV.JSON2object`` over ES scroll
+responses) and emits JSON bulk bodies. The driver fixtures are parquet;
+these helpers cover the other formats an engine user needs, with the
+same schema-explicit discipline (inference is opt-in — at 100 TB you
+never want a full-scan schema inference pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (the reference's document interchange form)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines source. Pass a schema for production reads; omitting it
+    triggers Spark's inference scan (fine for tests, not for 100 TB)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read.option("header", True)
+    reader = reader.schema(schema) if schema is not None else reader.option(
+        "inferSchema", True
+    )
+    return reader.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles data into hash buckets so
+    later equi-joins/aggregations on the bucket key need NO exchange —
+    the co-located join strategy for repeated 100 TB fact-fact joins.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -1,0 +1,83 @@
+"""Source/sink format round-trips and the bucketed co-located join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from modevetl_spark.sources.catalog import load
+from modevetl_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_bucketed,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
+
+
+def _assert_same_rows(a, b, key):
+    assert a.count() == b.count()
+    assert a.exceptAll(b.select(a.columns)).count() == 0
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    docs = load(spark, sf_dir, "documents")
+    p = str(tmp_path / "docs_json")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p, schema=docs.schema)
+    _assert_same_rows(docs, back, "doc_id")
+    inferred = read_jsonl(spark, p)  # inference path
+    assert set(inferred.columns) == set(docs.columns)
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nat = load(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_csv")
+    write_csv(nat, p)
+    back = read_csv(spark, p, schema=nat.schema)
+    _assert_same_rows(nat, back, "n_nationkey")
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders, p)
+    _assert_same_rows(orders, read_orc(spark, p), "o_orderkey")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key -> SortMergeJoin with zero
+    Exchange operators (the co-located join plan)."""
+    # spark.sql.warehouse.dir is static; tables land in the session's
+    # default warehouse and are dropped (managed => data deleted) below
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed(
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "o_b",
+        ["l_orderkey"],
+        4,
+        sort_cols=["l_orderkey"],
+    )
+    # disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("o_b"), "l_orderkey")
+        mode = joined._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        tree = plan.split("(1) Scan")[0]
+        assert "SortMergeJoin" in plan
+        assert tree.count("- Exchange (") == 0, tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
