@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modevetl_spark.operators.closure import _tuned_shuffle
+
 
 def connected_components(
     edges: DataFrame,
@@ -36,32 +38,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            undirected.join(
-                labels.withColumnRenamed("node", "b"), on="b"
+    with _tuned_shuffle(undirected, labels.count()):
+        for _ in range(max_iterations):
+            neighbor_min = (
+                undirected.join(
+                    labels.withColumnRenamed("node", "b"), on="b"
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
+            new_labels = (
+                labels.join(neighbor_min, on="node", how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
-            undirected.unpersist()
-            return labels
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .isEmpty()
+            )
+            labels = new_labels
+            if converged:
+                undirected.unpersist()
+                return labels
     raise RuntimeError(f"components did not converge in {max_iterations} iterations")
