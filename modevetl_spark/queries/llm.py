@@ -26,7 +26,12 @@ from modevetl_spark.operators.dedup import (
 )
 from modevetl_spark.operators._util import spread
 from modevetl_spark.operators.multimodal import extract_features, with_binary_payload
-from modevetl_spark.operators.similarity import brute_force_topk, cosine, lsh_topk
+from modevetl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    lsh_topk,
+)
 from modevetl_spark.operators.text import (
     EN_STOPWORDS,
     doc_fingerprint,
@@ -210,6 +215,16 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
+
+
+@q("q_sim_topk_ivf")  # rows-only: approximate recall by design
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path #2: inverted-file (IVF) index — Lloyd-trained cells,
+    probe nprobe cells per query via broadcast equi-join (recall < 1 by
+    design -> rows-only check; recall floor unit-tested)."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, nlist=16, nprobe=4)
 
 
 _TOKENS_ORACLE = """

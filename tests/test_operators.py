@@ -14,7 +14,7 @@ from modevetl_spark.operators.dedup import (
     simhash_candidates,
 )
 from modevetl_spark.operators.multimodal import extract_features, with_binary_payload
-from modevetl_spark.operators.similarity import brute_force_topk, lsh_topk
+from modevetl_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from modevetl_spark.operators.text import tokens, word_shingles
 from modevetl_spark.functions.compat import round_sig
 from modevetl_spark.sources.catalog import load
@@ -129,6 +129,28 @@ def test_lsh_recall_reasonable(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"recall {recall}"
+
+
+def test_ivf_recall_reasonable(spark, sf_dir):
+    """IVF top-k with a generous nprobe/nlist ratio must recover most
+    true top-1 neighbors; also pins determinism across two runs."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(e, q, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, q, k=1, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"
+    again = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, q, k=1, nlist=8, nprobe=4).collect()
+    }
+    assert approx == again
 
 
 def test_multimodal_plumbing_schema(spark, sf_dir):
