@@ -40,7 +40,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import ArrayType, DataType, StructType
 
 from modevetl_spark.operators.cube import (
     default_domain,
@@ -81,6 +81,14 @@ def schema_paths(schema: StructType, prefix: str = "") -> set[str]:
         if isinstance(f.dataType, StructType):
             out |= schema_paths(f.dataType, prefix=path + ".")
     return out
+
+
+def _dtype_at(schema: StructType, path: str) -> DataType:
+    """Data type at a dot-path (path must exist — see schema_paths)."""
+    dt: DataType = schema
+    for seg in path.split("."):
+        dt = dt[seg].dataType
+    return dt
 
 
 def _lit(v: Any) -> Column:
@@ -346,6 +354,45 @@ class QB:
             return df
         raise JxError(f"unknown table {name!r}")
 
+    def _from_path(self, frm: str) -> DataFrame:
+        """Resolve a ``from`` string: a table name, or a dot-path into a
+        nested array column (``"orders.items"``) — the reference's
+        ES nested-document query shape (es_query.py dispatches on the
+        nested path; query.py normalizes ``from`` clauses with dots).
+
+        Dotting into an array-of-structs explodes it: one output row per
+        inner document with the parent row's fields repeated, and the
+        inner document addressable by its path (``items.qty``). An
+        explode is a narrow transformation — no shuffle; Catalyst prunes
+        unreferenced parent columns out of the scan as usual.
+        """
+        try:
+            return self.table(frm)
+        except JxError:
+            pass
+        parts = frm.split(".")
+        for i in range(len(parts) - 1, 0, -1):
+            try:
+                df = self.table(".".join(parts[:i]))
+                break
+            except JxError:
+                continue
+        else:
+            raise JxError(f"unknown table {frm!r}")
+
+        base = None  # addressable prefix of the current navigation point
+        for seg in parts[i:]:
+            ref = f"{base}.{seg}" if base else seg
+            if ref not in schema_paths(df.schema):
+                raise JxError(f"no nested path {ref!r} in {frm!r}")
+            if isinstance(_dtype_at(df.schema, ref), ArrayType):
+                # explode into a top-level column named after the segment
+                df = df.withColumn(seg, F.explode_outer(F.col(ref)))
+                base = seg
+            else:
+                base = ref
+        return df
+
     # -- main entry point ---------------------------------------------
 
     def run(self, query: dict) -> DataFrame:
@@ -355,7 +402,7 @@ class QB:
         elif isinstance(frm, dict):
             df = self.run(frm)
         elif isinstance(frm, str):
-            df = self.table(frm)
+            df = self._from_path(frm)
         else:
             raise JxError("query needs a 'from'")
 

@@ -11,10 +11,12 @@ order-independent: counts and sums of the integral l_quantity column.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modevetl_spark.plans.jx import QB
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -136,6 +138,54 @@ def jx_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sort": ["l_linenumber"],
                     "range": {"min": None, "max": 0},
                 }
+            ],
+        }
+    )
+
+
+_JX_NESTED_ORACLE = """
+SELECT o_orderkey AS okey,
+       o_orderstatus AS status,
+       l_linenumber AS line,
+       l_quantity AS qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_quantity >= 48
+"""
+
+
+@q("q_jx_nested_from", oracle_sql=_JX_NESTED_ORACLE)
+def jx_nested_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``from`` (ES nested-document shape): dot-path into an
+    array-of-structs column explodes the inner documents with parent
+    fields repeated (reference: es_query.py nested-path dispatch,
+    query.py dotted-from normalization).
+
+    The nested table is materialized first (collect_list of item structs
+    per order) so the jx query genuinely navigates an array column; the
+    oracle is the equivalent flat join the explode undoes.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_quantity"))
+            ).alias("items")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderkey", "o_orderstatus", "items")
+    )
+    return QB(spark, tables={"onested": nested}).run(
+        {
+            "from": "onested.items",
+            "where": {"gte": {"items.l_quantity": 48}},
+            "select": [
+                {"name": "okey", "value": "o_orderkey"},
+                {"name": "status", "value": "o_orderstatus"},
+                {"name": "line", "value": "items.l_linenumber"},
+                {"name": "qty", "value": "items.l_quantity"},
             ],
         }
     )

@@ -338,3 +338,56 @@ def test_leaves_operator(spark):
         (2, "u.name", "bob"),
         (2, "u.loc.country", "fr"),  # null city has no leaf
     }
+
+
+def test_nested_from_explodes(spark):
+    """Dotting 'from' into an array<struct> explodes inner docs with
+    parent fields repeated; unknown inner fields resolve to Null."""
+    from modevetl_spark.plans.jx import QB
+
+    df = spark.createDataFrame(
+        [(1, [(10, "a"), (20, "b")]), (2, []), (3, None)],
+        "id int, items array<struct<qty:int, tag:string>>",
+    )
+    out = QB(spark, tables={"t": df}).run(
+        {
+            "from": "t.items",
+            "select": [
+                {"name": "id", "value": "id"},
+                {"name": "qty", "value": "items.qty"},
+                {"name": "missing", "value": "items.nope"},
+            ],
+        }
+    )
+    got = {(r.id, r.qty, r.missing) for r in out.collect()}
+    assert got == {(1, 10, None), (1, 20, None), (2, None, None), (3, None, None)}
+
+
+def test_nested_from_through_struct(spark):
+    """Navigation through a struct segment to reach the array."""
+    from modevetl_spark.plans.jx import QB
+
+    df = spark.createDataFrame(
+        [(1, ((["x", "y"],),))],
+        "id int, a struct<b:struct<tags:array<string>>>",
+    )
+    out = QB(spark, tables={"t": df}).run(
+        {
+            "from": "t.a.b.tags",
+            "select": [
+                {"name": "id", "value": "id"},
+                {"name": "tag", "value": "tags"},
+            ],
+        }
+    )
+    got = {(r.id, r.tag) for r in out.collect()}
+    assert got == {(1, "x"), (1, "y")}
+
+
+def test_nested_from_unknown_path_raises(spark):
+    from modevetl_spark.plans.jx import QB, JxError
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with _pytest.raises(JxError):
+        QB(spark, tables={"t": df}).run({"from": "t.nope", "select": [{"name": "id", "value": "id"}]})
