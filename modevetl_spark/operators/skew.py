@@ -81,3 +81,72 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted_big.join(salted_dim, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def key_histogram(
+    df: DataFrame, key: str, sample_fraction: float | None = None
+) -> DataFrame:
+    """(key, cnt) histogram of the join/group key. Partial (map-side)
+    aggregation means the histogram job itself cannot skew — every task
+    emits at most |distinct keys in its split| rows. At 100 TB pass
+    ``sample_fraction`` to scan a deterministic sample and scale the
+    counts (seeded — reproducible across retries)."""
+    if sample_fraction is not None:
+        return (
+            df.sample(fraction=sample_fraction, seed=7)
+            .groupBy(key)
+            .agg((F.count(F.lit(1)) / sample_fraction).cast("long").alias("cnt"))
+        )
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def adaptive_salted_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    big_unique_col: str,
+    target_rows_per_salt: int = 1_000_000,
+    max_salts: int = 64,
+    how: str = "inner",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Histogram-tuned salted join: salt ONLY the hot keys, each with a
+    salt count sized to its measured frequency.
+
+    Uniform salting replicates the whole dim side n_salts times —
+    n_salts x dim shuffle volume spent mostly on cold keys that were
+    never a problem. Here a key histogram of the probe side finds keys
+    whose row count exceeds ``target_rows_per_salt``; each hot key k
+    gets ceil(cnt_k / target) salts (capped at ``max_salts``), cold keys
+    keep salt 0 with no dim replication. The hot-key map is a handful of
+    rows — broadcast to both sides, so tuning adds one cheap pre-agg and
+    zero extra shuffles of the big table.
+
+    Same exact-result contract as ``salted_join`` (deterministic salts,
+    algebraically mergeable), graded against the plain-join oracle.
+    """
+    hot = (
+        key_histogram(big, on, sample_fraction)
+        .where(F.col("cnt") > target_rows_per_salt)
+        .select(
+            on,
+            F.least(
+                F.ceil(F.col("cnt") / target_rows_per_salt), F.lit(max_salts)
+            )
+            .cast("int")
+            .alias("__n_salts"),
+        )
+    )
+    n_of = F.coalesce(F.col("__n_salts"), F.lit(1))
+    salted_big = (
+        big.join(F.broadcast(hot), on=on, how="left")
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(big_unique_col)), n_of))
+        .drop("__n_salts")
+    )
+    salted_dim = (
+        dim.join(F.broadcast(hot), on=on, how="left")
+        .withColumn("__salt", F.explode(F.sequence(F.lit(0), n_of - 1)))
+        .withColumn("__salt", F.col("__salt").cast("bigint"))
+        .drop("__n_salts")
+    )
+    return salted_big.join(salted_dim, on=[on, "__salt"], how=how).drop("__salt")

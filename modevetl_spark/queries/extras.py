@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modevetl_spark.functions.compat import dsum, round_sig, sql_dsum
-from modevetl_spark.operators.skew import salted_agg, salted_join
+from modevetl_spark.operators.skew import adaptive_salted_join, salted_agg, salted_join
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -166,3 +166,34 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") - F.col("c_custkey") % 50).alias("dst"),
     )
     return connected_components(edges)
+
+
+_ADAPTIVE_JOIN_ORACLE = """
+SELECT e.user_id, d.n_users_events, COUNT(*) AS n
+FROM events e
+JOIN (SELECT user_id, COUNT(*) AS n_users_events FROM events GROUP BY 1) d
+  ON e.user_id = d.user_id
+GROUP BY 1, 2
+"""
+
+
+@q("q_skew_adaptive_join", oracle_sql=_ADAPTIVE_JOIN_ORACLE)
+def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 skew: histogram-tuned salted join — only keys measured hot get
+    salted (per-key salt counts), cold keys add zero dim replication.
+    Graded against the plain join oracle to prove the rewrite is
+    semantics-preserving."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_users_events"))
+    joined = adaptive_salted_join(
+        ev.select("user_id", "event_id"),
+        dim,
+        on="user_id",
+        big_unique_col="event_id",
+        target_rows_per_salt=50,
+        max_salts=8,
+    )
+    return joined.groupBy("user_id", "n_users_events").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -215,3 +215,49 @@ def test_salted_join_equals_plain(spark, sf_dir):
         salted.exceptAll(plain.select(salted.columns)).count() == 0
         and plain.count() == salted.count()
     )
+
+
+def test_adaptive_salted_join_equals_plain_and_salts_only_hot(spark, sf_dir):
+    from modevetl_spark.operators.skew import adaptive_salted_join, key_histogram
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = ev.join(dim, "user_id")
+    target = 50
+    salted = adaptive_salted_join(
+        ev, dim, on="user_id", big_unique_col="event_id",
+        target_rows_per_salt=target, max_salts=8,
+    )
+    assert (
+        salted.exceptAll(plain.select(salted.columns)).count() == 0
+        and plain.count() == salted.count()
+    )
+    # some keys must actually be hot at this target, else the test is vacuous
+    hist = key_histogram(ev, "user_id")
+    assert hist.where(F.col("cnt") > target).count() > 0
+    # cold keys contribute exactly one dim replica: total dim-side rows
+    # after salting = n_cold + sum(min(ceil(cnt/target), 8)) over hot
+    from pyspark.sql import functions as _F
+    expected = (
+        hist.select(
+            _F.sum(
+                _F.when(
+                    _F.col("cnt") > target,
+                    _F.least(_F.ceil(_F.col("cnt") / target), _F.lit(8)),
+                ).otherwise(_F.lit(1))
+            ).alias("s")
+        ).collect()[0].s
+    )
+    hot = (
+        hist.where(_F.col("cnt") > target)
+        .select(
+            "user_id",
+            _F.least(_F.ceil(_F.col("cnt") / target), _F.lit(8)).cast("int").alias("__n_salts"),
+        )
+    )
+    replicated = (
+        dim.join(_F.broadcast(hot), "user_id", "left")
+        .withColumn("__salt", _F.explode(_F.sequence(_F.lit(0), _F.coalesce(_F.col("__n_salts"), _F.lit(1)) - 1)))
+        .count()
+    )
+    assert replicated == expected
