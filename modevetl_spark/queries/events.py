@@ -179,3 +179,74 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_unique_minutes")
     )
+
+
+_SESSION_TERMINAL_ORACLE = """
+WITH marked AS (
+    SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  OR LAG(event_type)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     = 'purchase'
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, event_type,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@q("q_events_session_terminal", oracle_sql=_SESSION_TERMINAL_ORACLE)
+def events_session_terminal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+ batch twin of streaming/structured.stateful_sessions: sessions
+    close on a 30-min gap OR a terminal 'purchase' event. The custom
+    close rule is lag-gap-cumsum expressible in batch — the streaming
+    form needs applyInPandasWithState (tested for parity in
+    tests/test_streaming.py); this oracle-grades the shared semantics."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w_order))
+                > 30 * 60 * 1_000_000
+            )
+            | (F.lag("event_type").over(w_order) == "purchase"),
+            1,
+        ).otherwise(0),
+    )
+    sessions = marked.withColumn(
+        "session_id", F.sum("is_new").over(w_run).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )

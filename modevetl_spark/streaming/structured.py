@@ -69,6 +69,90 @@ def deduped(stream: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
     )
 
 
+def stateful_sessions(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    terminal_type: str = "purchase",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """T4+ custom stateful operator: sessionization where a session closes
+    on an explicit terminal event (e.g. a purchase) OR a gap timeout —
+    richer than native ``session_window``, which only knows gaps. The
+    reference has no streaming engine at all (cron batch); this is the
+    idiomatic Spark expression of its session-ish rollups with custom
+    close rules.
+
+    Built on ``applyInPandasWithState`` (Arrow-batched, per-key state):
+    state is one (start, last, n) triple per open session per user —
+    O(active users), bounded by the event-time timeout, which emits
+    still-open sessions once the watermark passes last_ts + gap. Output
+    rows carry ``closed_by`` in {'terminal','gap','timeout'}.
+
+    Batch/stream parity with a driver-side reference fold is pinned in
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        user_id = key[0]
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, l, n = state.get
+                out.append((user_id, s, l, n, "timeout"))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values("ts")
+            s, l, n = state.get if state.exists else (None, None, 0)
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                t = ts.value // 1000  # pandas ns -> event-time us
+                if s is not None and t - l > gap_us:
+                    out.append((user_id, s, l, n, "gap"))
+                    s, n = None, 0
+                if s is None:
+                    s = t
+                l = t
+                n += 1
+                if et == terminal_type:
+                    out.append((user_id, s, l, n, "terminal"))
+                    s, n = None, 0
+            if s is not None:
+                state.update((s, l, n))
+                # fire once the watermark passes the would-be gap close
+                state.setTimeoutTimestamp(l // 1000 + gap_minutes * 60 * 1000)
+            elif state.exists:
+                state.remove()
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events", "closed_by"]
+        )
+
+    folded = (
+        stream.select("user_id", "ts", "event_type")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=(
+                "user_id long, start_us long, end_us long, "
+                "n_events long, closed_by string"
+            ),
+            stateStructType="start long, last long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
+
+
 def run_to_sink(
     result: DataFrame,
     sink_dir: str,

@@ -153,3 +153,73 @@ def test_hierarchy_incremental_equals_full(spark, sf_dir, tmp_path):
     assert inc == full
     # third run: nothing pending
     assert hierarchy_job_incremental(spark, sf_dir, inc_sink, inc_state) == 0
+
+
+def test_stateful_sessions_parity(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer vs an independent driver-side
+    fold over the same events: every closed session must agree. Sessions
+    still open at end-of-data stay in state (no timeout fires under a
+    single availableNow batch) — streaming-correct behavior."""
+    from modevetl_spark.streaming.structured import events_stream, stateful_sessions
+
+    gap_min, terminal = 30, "purchase"
+    sessions = stateful_sessions(
+        events_stream(spark, sf_dir), gap_minutes=gap_min, terminal_type=terminal
+    )
+    sink = str(tmp_path / "sessions")
+    (
+        sessions.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .option("path", sink)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    # independent reference fold (driver-side, plain python)
+    from modevetl_spark.sources.catalog import load
+
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .orderBy("user_id", "ts")
+        .collect()
+    )
+    gap_us = gap_min * 60 * 1_000_000
+    expected = set()
+    state = {}
+    for r in rows:
+        t = int(r.ts.timestamp() * 1_000_000)
+        s = state.get(r.user_id)
+        if s and t - s[1] > gap_us:
+            expected.add((r.user_id, s[0], s[1], s[2], "gap"))
+            s = None
+        if s is None:
+            s = (t, t, 0)
+        s = (s[0], t, s[2] + 1)
+        if r.event_type == terminal:
+            expected.add((r.user_id, s[0], s[1], s[2], "terminal"))
+            state.pop(r.user_id, None)
+        else:
+            state[r.user_id] = s
+    # event-time timeouts: the final watermark (max ts - 1h delay) expires
+    # open sessions whose gap deadline has passed; fresher ones stay open
+    wm_us = max(int(r.ts.timestamp() * 1_000_000) for r in rows) - 3600 * 1_000_000
+    for u, s in state.items():
+        if s[1] + gap_us < wm_us:
+            expected.add((u, s[0], s[1], s[2], "timeout"))
+    import datetime
+
+    def us2ts(us):
+        return datetime.datetime.fromtimestamp(us / 1e6)
+
+    expected_ts = {
+        (u, us2ts(a), us2ts(b), n, c) for (u, a, b, n, c) in expected
+    }
+    assert got == expected_ts
+    assert len(got) > 0
