@@ -229,3 +229,37 @@ def simhash_candidates(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end near-duplicate removal: given verified duplicate PAIRS,
+    return the corpus with one canonical representative per duplicate
+    cluster (the minimum id — deterministic) and all non-duplicates.
+
+    Duplicate pairs form an undirected graph whose connected components
+    are the duplicate clusters (A~B, B~C must collapse to one survivor
+    even if A and C were never directly paired). Reuses the label-
+    propagation ``connected_components`` operator — the component label
+    IS the min id, so survivors are exactly the nodes equal to their
+    label, plus every doc never seen in a pair (left anti join).
+
+    Scale shape: pairs are tiny relative to the corpus (post-LSH,
+    post-verify), so the components fixpoint runs on the small pair
+    graph; the corpus itself is touched by one broadcast-able semi/anti
+    join pass.
+    """
+    from modevetl_spark.operators.components import connected_components
+
+    comp = connected_components(
+        dup_pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, on=id_col, how="left_anti")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.operators.dedup import (
+    dedup_corpus,
     exact_dedup_key,
     jaccard_pairs,
     minhash_candidates,
@@ -481,3 +482,16 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_nationkey").applyInPandas(
         above_mean, schema="c_nationkey int, n_above_mean long"
     )
+
+
+@q("q_dedup_corpus")  # rows-only: pair generation uses xxhash64 (no DuckDB twin)
+def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 end-to-end: MinHash-LSH candidates -> exact-Jaccard verify ->
+    duplicate clusters via connected components -> corpus with one
+    canonical survivor per cluster. The full training-data dedup pass,
+    composed from oracle-/unit-graded parts."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_candidates(d, shingle_n=3, k=16, bands=4)
+    pairs = jaccard_pairs(d, cands, shingle_n=3).where(F.col("jaccard") >= 0.5)
+    return dedup_corpus(d, pairs).select("doc_id")

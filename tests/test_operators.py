@@ -9,6 +9,7 @@ import pytest
 
 from modevetl_spark.operators.closure import transitive_closure
 from modevetl_spark.operators.dedup import (
+    dedup_corpus,
     minhash_signature,
     minhash_signatures,
     simhash_candidates,
@@ -261,3 +262,16 @@ def test_adaptive_salted_join_equals_plain_and_salts_only_hot(spark, sf_dir):
         .count()
     )
     assert replicated == expected
+
+
+def test_dedup_corpus_transitive_clusters(spark):
+    """A~B and B~C collapse to one survivor (min id) even though A and C
+    were never directly paired; untouched docs all survive."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], ["id_a", "id_b"]
+    )
+    got = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert got == [1, 2, 4, 7]
