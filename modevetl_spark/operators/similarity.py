@@ -257,6 +257,53 @@ def ivf_topk(
     )
 
 
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS via IVF cell blocking: vectors are
+    assigned to their best centroid cell, pairs are scored only within a
+    cell. The all-pairs O(n²) cosine becomes sum over cells of |cell|² —
+    with balanced cells, n²/nlist — and the per-cell self-join is an
+    equi-join on the cell id, so it shuffles each vector once. At 100 TB
+    the cell becomes a partition column and each cell's block never
+    leaves one executor. (Near-dups have cosine ≈ 1, so both vectors
+    land in the same best cell except exactly-on-boundary ties — the
+    standard IVF recall trade, sharpened here by the high threshold.)
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim rounded for
+    deterministic comparison.
+    """
+    centroids = ivf_train(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = _with_scores(corpus, vec_col, centroids).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.array_max("__scores")["i"].alias("cell"),
+    )
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    return (
+        a.join(b, on="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

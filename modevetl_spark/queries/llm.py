@@ -30,6 +30,7 @@ from modevetl_spark.operators.multimodal import extract_features, with_binary_pa
 from modevetl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
+    ivf_neardup_pairs,
     ivf_topk,
     lsh_topk,
 )
@@ -495,3 +496,14 @@ def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_candidates(d, shingle_n=3, k=16, bands=4)
     pairs = jaccard_pairs(d, cands, shingle_n=3).where(F.col("jaccard") >= 0.5)
     return dedup_corpus(d, pairs).select("doc_id")
+
+
+@q("q_dedup_embedding_ivf")  # rows-only: cell blocking is approximate by design
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 scale path: embedding near-dup pairs blocked by IVF cell
+    instead of a label column — all-pairs cosine becomes per-cell
+    self-joins (n^2/nlist with balanced cells). Planted-duplicate recall
+    is unit-tested; q_dedup_embedding oracle-grades the scoring math."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_neardup_pairs(e, threshold=0.2, nlist=8)

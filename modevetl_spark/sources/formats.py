@@ -51,6 +51,29 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_partitions: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet — the data
+    layout play for 100 TB scan-heavy tables: ``repartitionByRange``
+    gives each output file a disjoint key range and the sort tightens
+    per-row-group min/max stats, so a range predicate prunes to the few
+    files (and row groups) that can match instead of scanning the table.
+    The same layout is what makes incremental watermark pulls cheap:
+    ``ts > hwm`` touches only the tail files.
+    """
+    (
+        df.repartitionByRange(n_partitions, *range_cols)
+        .sortWithinPartitions(*range_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -275,3 +275,19 @@ def test_dedup_corpus_transitive_clusters(spark):
     )
     got = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
     assert got == [1, 2, 4, 7]
+
+
+def test_ivf_neardup_finds_planted_duplicate(spark, sf_dir):
+    """An exactly-duplicated vector (new id) must pair with its source at
+    cos=1.0 — same best cell by construction."""
+    from modevetl_spark.operators.similarity import ivf_neardup_pairs
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    pairs = ivf_neardup_pairs(e.unionByName(dup), threshold=0.999, nlist=8)
+    hit = pairs.where(
+        (F.col("id_a") == 3) & (F.col("id_b") == 1_000_003)
+    ).collect()
+    assert len(hit) == 1 and hit[0].cos_sim >= 0.999

@@ -81,3 +81,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_range_sorted_layout_prunable(spark, sf_dir, tmp_path):
+    """write_range_sorted produces disjoint per-file key ranges (the
+    property parquet min/max pruning needs to skip files)."""
+    from modevetl_spark.sources.formats import write_range_sorted
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "li_ranged")
+    write_range_sorted(li, path, ["l_orderkey"], n_partitions=4)
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(per_file) >= 2
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # round-trip completeness
+    assert spark.read.parquet(path).count() == li.count()
