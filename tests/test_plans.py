@@ -84,3 +84,32 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     # '*(n)' prefixes mark whole-stage-codegen'd stages; both the partial
     # and final aggregate must be inside one
     assert "*(1) HashAggregate" in p and "*(2) HashAggregate" in p
+
+
+def test_adaptive_salted_join_broadcasts_hot_map(spark, sf_dir):
+    """The histogram's hot-key map must ride as a broadcast to BOTH
+    sides — no extra shuffle of the big table for salt assignment."""
+    p = plan(_Q["q_skew_adaptive_join"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in p and "BroadcastNestedLoopJoin" in p
+    ), p
+
+
+def test_nested_from_explode_is_narrow(spark, sf_dir):
+    """The nested-'from' explode adds a Generate node but NO exchange of
+    its own: shuffles in the plan belong to the nested-table build
+    (groupBy/join), not to the dot-path navigation."""
+    p = plan(_Q["q_jx_nested_from"](spark, sf_dir))
+    assert "Generate" in p
+    gen_pos = p.index("Generate")
+    # everything above Generate in the formatted tree (later stages)
+    # must be exchange-free: filter/project only
+    later = p[:gen_pos]
+    assert "Exchange" not in later.split("== Physical Plan ==")[-1], p
+
+
+def test_ivf_probe_broadcasts_queries(spark, sf_dir):
+    """IVF probe joins the (small) exploded query-cell side via
+    broadcast; the corpus side is never shuffled for the probe."""
+    p = plan(_Q["q_sim_topk_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
