@@ -1,0 +1,107 @@
+"""Deterministic sampling + batch packing for training-data pipelines
+([EXT] — the selection stage between dedup/quality-filter and training).
+
+Sampling here is CONTENT-hash based, not RNG based: ``sample()`` /
+``sampleBy()`` draw from a per-partition RNG stream, so results change
+whenever partitioning or row order changes — unacceptable for a 100 TB
+pipeline where retries, AQE re-plans, and compaction reshuffle rows.
+A row is kept iff a fixed-width prefix of md5(key) falls under the
+fraction threshold: the decision is a pure function of the row's key,
+stable across any physical layout, and md5 is engine-portable, so even
+the sampling queries are DuckDB-oracle-gated (unlike any RNG form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_bucket(key: Column) -> Column:
+    """First 4 hex digits of md5(key) -> uniform bucket in [0, 65536)."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def hash_threshold(fraction: float) -> str:
+    """4-hex-digit threshold t such that P(bucket < t) = fraction.
+
+    fraction 1.0 maps to 'g' — lexicographically above every hex bucket
+    (format(65536, '04x') would be '10000', which string-compares BELOW
+    '2000'-'ffff' and silently drops ~7/8 of the stratum).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    n = int(round(fraction * 65536))
+    return "g" if n >= 65536 else format(n, "04x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by md5(key) — deterministic
+    under any partitioning, repartitioning, or retry."""
+    return df.where(_hash_bucket(F.col(key_col)) < hash_threshold(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample the dominant language,
+    keep all of the rare one). Strata absent from ``fractions`` are
+    dropped — pass 1.0 to keep a stratum whole. The per-stratum
+    threshold is a literal CASE, so the whole filter stays one codegen'd
+    predicate pushed at the scan."""
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.lit(hash_threshold(frac))
+        thresh = (
+            F.when(F.col(strata_col) == stratum, t)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == stratum, t)
+        )
+    if thresh is None:
+        raise ValueError("fractions must not be empty")
+    return df.where(_hash_bucket(F.col(key_col)) < thresh.otherwise(F.lit("0000")))
+
+
+def pack_by_budget(
+    docs: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit packing of documents into bins of ~``budget``
+    total weight (token-budget batch packing for training). Packing is
+    PER PARTITION — a global optimal packing is inherently sequential,
+    and per-partition greedy is the standard distributed recipe: bins
+    never span executors, so the pass is one shuffle-free mapPartitions
+    over Arrow batches (``applyInPandas`` on the partition id).
+
+    Returns (id_col, weight_col, bin_id) where bin_id is globally unique
+    (partition id * 2^32 + local bin). A document heavier than the
+    budget gets a bin of its own.
+    """
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)  # deterministic within partition
+        part = int(pdf["__part"].iloc[0])
+        bins: list[int] = []
+        fill = 0
+        local = 0
+        for w in pdf[weight_col]:
+            w = int(w)
+            if fill > 0 and fill + w > budget:
+                local += 1
+                fill = 0
+            bins.append((part << 32) + local)
+            fill += w
+        out = pdf[[id_col, weight_col]].copy()
+        out["bin_id"] = bins
+        return out
+
+    src = docs.select(id_col, weight_col)
+    if n_partitions:
+        src = src.repartition(n_partitions, id_col)
+    with_part = src.withColumn("__part", F.spark_partition_id())
+    schema = f"{id_col} long, {weight_col} long, bin_id long"
+    return with_part.groupBy("__part").applyInPandas(pack, schema=schema)

@@ -507,3 +507,71 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     return ivf_neardup_pairs(e, threshold=0.2, nlist=8)
+
+
+_SAMPLE_HASH_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'
+"""
+
+
+@q("q_sample_hash", oracle_sql=_SAMPLE_HASH_ORACLE)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 [EXT]: deterministic content-hash sampling (~10%) — the keep
+    decision is md5(key), stable under any partitioning/retry/AQE
+    re-plan, unlike RNG sample(); md5 portability makes even the sample
+    oracle-gated."""
+    prep(spark)
+    from modevetl_spark.operators.sampling import hash_sample
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return hash_sample(o, "o_orderkey", 0.1)
+
+
+_SAMPLE_STRAT_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n_kept
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+      < CASE o_orderstatus
+            WHEN 'F' THEN '0ccd'
+            WHEN 'O' THEN '8000'
+            WHEN 'P' THEN 'g'
+            ELSE '0000'
+        END
+GROUP BY o_orderstatus
+"""
+
+
+@q("q_sample_stratified", oracle_sql=_SAMPLE_STRAT_ORACLE)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 [EXT]: stratified hash sampling — downsample the dominant
+    strata (F@5%, O@50%), keep the rare one whole (P@100%); one
+    codegen'd CASE predicate, no RNG."""
+    prep(spark)
+    from modevetl_spark.operators.sampling import stratified_hash_sample
+
+    o = load(spark, sf_dir, "orders")
+    kept = stratified_hash_sample(
+        o, "o_orderkey", "o_orderstatus", {"F": 0.05, "O": 0.5, "P": 1.0}
+    )
+    return kept.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@q("q_pack_budget")  # rows-only: per-partition greedy has no SQL twin
+def pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 [EXT]: token-budget batch packing — documents greedily packed
+    into ~4096-token bins per partition (bins never span executors;
+    invariants unit-tested)."""
+    prep(spark)
+    from modevetl_spark.operators.sampling import pack_by_budget
+    from modevetl_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_by_budget(d, "n_tokens", budget=4096, n_partitions=8)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

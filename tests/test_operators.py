@@ -291,3 +291,48 @@ def test_ivf_neardup_finds_planted_duplicate(spark, sf_dir):
         (F.col("id_a") == 3) & (F.col("id_b") == 1_000_003)
     ).collect()
     assert len(hit) == 1 and hit[0].cos_sim >= 0.999
+
+
+def test_hash_sample_partition_invariant(spark, sf_dir):
+    """Hash sampling keeps the same ROWS regardless of physical layout —
+    the property RNG sample() lacks and retries/AQE need."""
+    from modevetl_spark.operators.sampling import hash_sample
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    a = {r.o_orderkey for r in hash_sample(o, "o_orderkey", 0.2).collect()}
+    b = {
+        r.o_orderkey
+        for r in hash_sample(o.repartition(17), "o_orderkey", 0.2).collect()
+    }
+    assert a == b and 0 < len(a) < o.count()
+
+
+def test_stratified_sample_full_keep_stratum(spark, sf_dir):
+    """fraction=1.0 must keep the stratum WHOLE (regression: a '10000'
+    hex threshold string-compares below '2000'-'ffff')."""
+    from modevetl_spark.operators.sampling import stratified_hash_sample
+
+    o = load(spark, sf_dir, "orders")
+    kept = stratified_hash_sample(
+        o, "o_orderkey", "o_orderstatus", {"P": 1.0}
+    )
+    assert kept.count() == o.where(F.col("o_orderstatus") == "P").count()
+
+
+def test_pack_by_budget_invariants(spark, sf_dir):
+    """Every doc assigned exactly once; no bin exceeds the budget unless
+    it holds a single over-budget doc."""
+    from modevetl_spark.operators.sampling import pack_by_budget
+    from modevetl_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("w")
+    )
+    packed = pack_by_budget(d, "w", budget=500, n_partitions=4)
+    assert packed.count() == d.count()
+    assert packed.select("doc_id").distinct().count() == d.count()
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("w").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    bad = bins.where((F.col("total") > 500) & (F.col("n") > 1)).count()
+    assert bad == 0

@@ -71,7 +71,12 @@ def test_sort_limit_is_take_ordered(spark, sf_dir):
 def test_no_python_udf_in_jvm_paths(spark, sf_dir):
     """Everything except the declared UDF/multimodal queries must stay
     JVM-side (no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas)."""
-    udf_queries = {"q_udf_scalar", "q_udaf_grouped", "q_multimodal_features"}
+    udf_queries = {
+        "q_udf_scalar",
+        "q_udaf_grouped",
+        "q_multimodal_features",
+        "q_pack_budget",  # per-partition greedy packing is applyInPandas
+    }
     for name in sorted(set(_Q) - udf_queries):
         p = plan(_Q[name](spark, sf_dir))
         assert "EvalPython" not in p and "InPandas" not in p, name
