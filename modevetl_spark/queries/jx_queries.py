@@ -189,3 +189,59 @@ def jx_nested_from(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
+
+
+_JX_COMPUTED_EDGE_ORACLE = """
+WITH bands AS (SELECT unnest(['big', 'mid', 'small']) AS price_band),
+     agg AS (
+         SELECT CASE WHEN o_totalprice >= 250000 THEN 'big'
+                     WHEN o_totalprice >= 100000 THEN 'mid'
+                     ELSE 'small' END AS price_band,
+                COUNT(*) AS n,
+                CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+         FROM orders
+         GROUP BY 1
+     )
+SELECT b.price_band, COALESCE(a.n, 0) AS n, a.cust_sum
+FROM bands b LEFT JOIN agg a USING (price_band)
+"""
+
+
+@q("q_jx_computed_edge", oracle_sql=_JX_COMPUTED_EDGE_ORACLE)
+def jx_computed_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed (expression-valued) edge through the JSON front-end —
+    the reference's MVEL-scripted-facet shape (es_query dispatches
+    computed edges to scripted facets; here the expression compiles into
+    the groupBy key and the dense set domain still densifies)."""
+    prep(spark)
+    return QB(spark, sf_dir=sf_dir).run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "price_band",
+                    "value": {
+                        "when": {"gte": {"o_totalprice": 250000}},
+                        "then": {"literal": "big"},
+                        "else": {
+                            "when": {"gte": {"o_totalprice": 100000}},
+                            "then": {"literal": "mid"},
+                            "else": {"literal": "small"},
+                        },
+                    },
+                    "domain": {
+                        "type": "set",
+                        "partitions": ["big", "mid", "small"],
+                    },
+                }
+            ],
+            "select": [
+                {"name": "n", "aggregate": "count"},
+                {
+                    "name": "cust_sum",
+                    "value": "o_custkey",
+                    "aggregate": "sum",
+                },
+            ],
+        }
+    )
