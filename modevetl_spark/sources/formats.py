@@ -10,6 +10,7 @@ never want a full-scan schema inference pass).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -49,6 +50,30 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def es_bulk_lines(df: DataFrame, index: str, id_col: str) -> DataFrame:
+    """Render rows as Elasticsearch bulk-API body lines — the reference's
+    push format (bulk POST of alternating action/source JSON lines, with
+    the document id in the action so replays upsert idempotently).
+
+    Each row becomes one string: the index action (``{"index":
+    {"_index": ..., "_id": ...}}``) and the source document joined by a
+    newline; writing the single column as text yields a valid bulk body.
+    Pure JVM expression work (to_json) — at 100 TB each partition
+    renders its own batch, which is exactly the bulk-batch boundary a
+    sink connector would POST.
+    """
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"),
+                F.col(id_col).cast("string").alias("_id"),
+            ).alias("index")
+        )
+    )
+    source = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(F.concat(action, F.lit("\n"), source).alias("line"))
 
 
 def write_range_sorted(

@@ -103,3 +103,24 @@ def test_range_sorted_layout_prunable(spark, sf_dir, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
     # round-trip completeness
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_es_bulk_lines_format(spark, sf_dir):
+    """Bulk body:each row renders an action line (with _index/_id) and a
+    source line that round-trips the row."""
+    import json
+
+    from modevetl_spark.sources.formats import es_bulk_lines
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).limit(5)
+    lines = [r.line for r in es_bulk_lines(o, "orders_v1", "o_orderkey").collect()]
+    assert len(lines) == 5
+    for chunk in lines:
+        action_s, source_s = chunk.split("\n")
+        action = json.loads(action_s)
+        source = json.loads(source_s)
+        assert action["index"]["_index"] == "orders_v1"
+        assert action["index"]["_id"] == str(source["o_orderkey"])
+        assert set(source) == {"o_orderkey", "o_orderstatus"}
