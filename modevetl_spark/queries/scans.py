@@ -139,3 +139,51 @@ def incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.where(F.col("ts") >= F.to_timestamp(F.lit("2024-01-20 00:00:00"))).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old_snap AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_snap AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+       END AS change_type,
+       COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+FROM old_snap o
+FULL OUTER JOIN new_snap n USING (o_orderkey)
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+           WHEN n.o_orderkey IS NULL THEN 'removed'
+           WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+@q("q_snapshot_diff", oracle_sql=_SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ change-data detection: diff two keyed snapshots into
+    added/removed/changed rows (the reconcile step of the reference's
+    pull -> compare -> bulk-upsert loop, as one full-outer join)."""
+    prep(spark)
+    from modevetl_spark.operators.diff import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old_snap = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_snap = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old_snap, new_snap, keys=["o_orderkey"])

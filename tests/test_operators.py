@@ -336,3 +336,23 @@ def test_pack_by_budget_invariants(spark, sf_dir):
     )
     bad = bins.where((F.col("total") > 500) & (F.col("n") > 1)).count()
     assert bad == 0
+
+
+def test_snapshot_diff_null_safety(spark):
+    """null -> value and value -> null are CHANGED; null -> null is
+    unchanged (eqNullSafe, not =); adds/removes classified by presence."""
+    from modevetl_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c"), (4, None)], ["id", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (4, None), (5, "e")], ["id", "v"]
+    )
+    got = {(r.id, r.change_type, r.v) for r in snapshot_diff(old, new, ["id"]).collect()}
+    assert got == {
+        (1, "changed", "x"),
+        (2, "changed", None),
+        (3, "removed", "c"),
+        (5, "added", "e"),
+    }
