@@ -16,9 +16,16 @@ the mark. This module reproduces that contract on parquet:
   form; this is the dependency-free equivalent with the same semantics.
 
 Scale notes: upsert rewrites only what it must when the sink is
-partitioned — pass ``partition_by`` and only affected partitions are
-rewritten (dynamic partition overwrite), the parquet analog of ES's
-id-sharded bulk writes.
+partitioned — pass ``partition_by`` and only the affected partitions are
+rewritten via Spark's dynamic partition overwrite
+(``spark.sql.sources.partitionOverwriteMode=dynamic``), the parquet
+analog of ES's id-sharded bulk writes. "Affected" means partitions that
+incoming rows land in, plus partitions holding an existing row whose key
+collides with an incoming key (so a key that *moves* partitions is still
+deleted from its old home — found with a key-columns-only semi-join, a
+column-pruned scan, never a full rewrite). The unpartitioned fallback
+rewrites the whole sink through a rename-aside swap with no window in
+which the sink is absent.
 """
 
 from __future__ import annotations
@@ -68,11 +75,26 @@ def upsert_parquet(
 ) -> None:
     """Idempotent id-keyed upsert into a parquet directory.
 
-    Incoming rows win on key collision (the reference's ES semantics:
-    an updated doc replaces the indexed one). Writes to a temp dir and
-    swaps atomically so a crashed job never leaves a half-written sink.
+    Incoming rows win on key collision (the reference's ES semantics: an
+    updated doc replaces the indexed one).
+
+    Partitioned sink: only affected partitions are rewritten (dynamic
+    partition overwrite) — untouched partitions' files are left byte-for-
+    byte in place, which is what makes an incremental run O(delta), not
+    O(sink), at 100 TB. Affected = partitions incoming writes into, plus
+    partitions owning a colliding key (located via a key-columns-only
+    semi-join so the probe scan is column-pruned).
+
+    Unpartitioned sink: full rewrite into a temp dir, then a rename-aside
+    swap (new -> live only after old -> backup) so no crash point leaves
+    the sink absent or half-written.
     """
-    if os.path.exists(sink_path):
+    exists = os.path.exists(sink_path)
+    if exists and partition_by:
+        _upsert_partitioned(spark, incoming, sink_path, keys, partition_by)
+        return
+
+    if exists:
         existing = spark.read.parquet(sink_path)
         kept = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(incoming)
@@ -86,9 +108,94 @@ def upsert_parquet(
     out = os.path.join(tmp, "data")
     writer.parquet(out)
     if os.path.exists(sink_path):
-        shutil.rmtree(sink_path)
-    os.replace(out, sink_path)
+        backup = sink_path.rstrip("/") + ".upsert_bak"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(sink_path, backup)  # old stays recoverable until new lands
+        os.rename(out, sink_path)
+        shutil.rmtree(backup, ignore_errors=True)  # delete last
+    else:
+        os.replace(out, sink_path)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _upsert_partitioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    sink_path: str,
+    keys: list[str],
+    partition_by: list[str],
+) -> None:
+    """Partition-scoped merge: rewrite only partitions the delta touches."""
+    existing = spark.read.parquet(sink_path)
+
+    # Partitions to rewrite: where incoming rows land, plus where colliding
+    # keys currently live (a key may move partitions between runs). The
+    # semi-join probe reads only key + partition columns (column pruning)
+    # and its result is one row per touched partition — tiny by definition.
+    inc_parts = incoming.select(*partition_by).distinct()
+    collide_parts = (
+        existing.select(*{*keys, *partition_by})
+        .join(F.broadcast(incoming.select(*keys).distinct()), on=keys, how="left_semi")
+        .select(*partition_by)
+        .distinct()
+    )
+    parts = [r.asDict() for r in inc_parts.unionByName(collide_parts).distinct().collect()]
+    if not parts:
+        return
+
+    def part_pred(p: dict) -> Column:
+        cond = F.lit(True)
+        for c in partition_by:
+            cond = cond & (F.col(c).eqNullSafe(F.lit(p[c])))
+        return cond
+
+    touched = part_pred(parts[0])
+    for p in parts[1:]:
+        touched = touched | part_pred(p)
+
+    # Merge restricted to touched partitions; the filter on partition
+    # columns prunes at the parquet-directory level, so untouched
+    # partitions are never even read here.
+    kept = existing.where(touched).join(
+        incoming.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    merged = kept.unionByName(incoming.select(*existing.columns))
+
+    # Spark refuses to overwrite a path present in the plan's own scan;
+    # localCheckpoint materializes the (delta-sized) merge and cuts the
+    # lineage back to the sink, so the overwrite below is legal.
+    merged = merged.localCheckpoint(eager=True)
+
+    # Dynamic partition overwrite replaces exactly the partitions present
+    # in `merged` and leaves every other partition's files untouched.
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(sink_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    # Dynamic overwrite cannot express "this partition is now empty": a
+    # touched partition whose rows were all removed (e.g. a key moved to a
+    # different partition) appears nowhere in `merged`, so its stale files
+    # survive the write. Drop those directories explicitly.
+    merged_parts = {
+        tuple(r[c] for c in partition_by)
+        for r in merged.select(*partition_by).distinct().collect()
+    }
+    for p in parts:
+        key = tuple(p[c] for c in partition_by)
+        if key not in merged_parts:
+            d = os.path.join(
+                sink_path,
+                *[f"{c}={_hive_part_value(v)}" for c, v in zip(partition_by, key)],
+            )
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _hive_part_value(v) -> str:
+    """Hive-style directory encoding of a partition value (scalar types)."""
+    return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
 
 
 def run_incremental(

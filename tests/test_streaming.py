@@ -45,6 +45,47 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     assert {(r.id, r.v) for r in spark.read.parquet(sink).collect()} == got
 
 
+def _part_files(sink: str, part: str) -> dict[str, float]:
+    d = os.path.join(sink, part)
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_upsert_parquet_partition_scoped(spark, tmp_path):
+    """Partitioned upsert rewrites ONLY the touched partitions: untouched
+    partitions keep the exact same files (names + mtimes)."""
+    sink = str(tmp_path / "psink")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2), (4, "d", 3)], ["id", "v", "p"]
+    )
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    before_p2, before_p3 = _part_files(sink, "p=2"), _part_files(sink, "p=3")
+
+    # update id=2 (p=1) + insert id=5 (p=1): only partition p=1 is touched
+    inc = spark.createDataFrame([(2, "B", 1), (5, "e", 1)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+
+    got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", 1), (2, "B", 1), (3, "c", 2), (4, "d", 3), (5, "e", 1)}
+    assert _part_files(sink, "p=2") == before_p2  # byte-untouched
+    assert _part_files(sink, "p=3") == before_p3
+
+
+def test_upsert_parquet_key_moves_partition(spark, tmp_path):
+    """A key that changes partition value must vanish from its old home."""
+    sink = str(tmp_path / "msink")
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 2)], ["id", "v", "p"])
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    # id=2 moves from p=2 to p=3
+    inc = spark.createDataFrame([(2, "B", 3)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+    got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", 1), (2, "B", 3)}
+
+
 def test_hierarchy_job_incremental(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "hier")
     state = str(tmp_path / "hier_state.json")
