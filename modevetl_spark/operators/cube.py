@@ -63,8 +63,16 @@ def time_domain(
 def range_domain(
     spark: SparkSession, name: str, start: float, stop: float, width: float
 ) -> DataFrame:
-    """D4 ``range`` domain: numeric buckets [k*width, (k+1)*width)."""
-    n = int((stop - start) / width)
+    """D4 ``range`` domain: numeric buckets [start+k*width, start+(k+1)*width).
+
+    Cell count is an epsilon-guarded ceil: plain int() truncation turns the
+    float-noise 9.999…8 of (0.105-0.005)/0.01 into 9 cells and silently
+    drops the last bucket; a not-width-aligned stop still gets its partial
+    final bucket (right-open at ``stop``).
+    """
+    import math
+
+    n = math.ceil((stop - start) / width - 1e-9)
     return spark.range(0, n, 1, numPartitions=1).select(
         (F.lit(start) + F.col("id") * F.lit(width)).alias(name)
     )

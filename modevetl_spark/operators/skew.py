@@ -26,6 +26,21 @@ def _salt(unique_col: Column, n: int) -> Column:
     return F.pmod(F.xxhash64(unique_col), F.lit(n))
 
 
+# Join types where replicating the dim side is semantics-preserving: each
+# big row meets exactly one salt replica of its dim row. right/full outer
+# would emit every UNMATCHED dim replica n_salts times — n_salts copies of
+# each unmatched dim row in the output — so they are rejected.
+_SALTED_JOIN_HOWS = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+
+
+def _check_salted_how(how: str) -> None:
+    if how not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted join supports {sorted(_SALTED_JOIN_HOWS)}, got {how!r}: "
+            "replicated dim rows would duplicate unmatched right-side output"
+        )
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -73,8 +88,10 @@ def salted_join(
 
     dim rows are exploded n_salts times (dim must be the small side — the
     replication factor is the price of balance); big rows get a
-    deterministic salt in [0, n_salts).
+    deterministic salt in [0, n_salts). ``how`` is restricted to joins
+    that preserve semantics under dim replication (inner/left/semi/anti).
     """
+    _check_salted_how(how)
     salted_big = big.withColumn("__salt", _salt(F.col(big_unique_col), n_salts))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -123,8 +140,10 @@ def adaptive_salted_join(
     zero extra shuffles of the big table.
 
     Same exact-result contract as ``salted_join`` (deterministic salts,
-    algebraically mergeable), graded against the plain-join oracle.
+    algebraically mergeable), graded against the plain-join oracle; the
+    same inner/left/semi/anti ``how`` restriction applies.
     """
+    _check_salted_how(how)
     hot = (
         key_histogram(big, on, sample_fraction)
         .where(F.col("cnt") > target_rows_per_salt)

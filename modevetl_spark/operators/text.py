@@ -89,7 +89,12 @@ def doc_fingerprint(text: Column | str, shingle_n: int = 4) -> Column:
     which keeps the fingerprint oracle-checkable; swap xxhash64 for speed
     when parity doesn't matter."""
     c = F.col(text) if isinstance(text, str) else text
-    sh = word_shingles(tokens(c), shingle_n)
+    toks = tokens(c)
+    sh = word_shingles(toks, shingle_n)
+    # Fallback for docs shorter than one shingle hashes the tokens rejoined
+    # with single spaces (NOT the raw lowered text): repeated/tab/newline
+    # whitespace must fingerprint identically to its normalized form, and
+    # it keeps the value reproducible by engines that split differently.
     return F.when(
         F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    ).otherwise(F.md5(F.lower(c)))
+    ).otherwise(F.md5(F.concat_ws(" ", toks)))

@@ -293,6 +293,62 @@ def _pairwise(arg: Any, cmp) -> Column:
 # ---------------------------------------------------------------- aggregates
 
 
+def _time_aligned(min_str: str, unit: str) -> bool:
+    """True when ``min_str`` sits exactly on a ``unit`` boundary, so
+    ``date_trunc(unit, v)`` lands on the same points as the generated grid."""
+    from datetime import datetime
+
+    try:
+        t = datetime.fromisoformat(str(min_str))
+    except ValueError:
+        return False
+    midnight = (t.hour, t.minute, t.second, t.microsecond) == (0, 0, 0, 0)
+    if unit == "year":
+        return midnight and t.month == 1 and t.day == 1
+    if unit == "quarter":
+        return midnight and t.month in (1, 4, 7, 10) and t.day == 1
+    if unit == "month":
+        return midnight and t.day == 1
+    if unit == "week":
+        return midnight and t.weekday() == 0  # Spark's week starts Monday
+    if unit == "day":
+        return midnight
+    if unit == "hour":
+        return (t.minute, t.second, t.microsecond) == (0, 0, 0)
+    if unit == "minute":
+        return (t.second, t.microsecond) == (0, 0)
+    if unit == "second":
+        return t.microsecond == 0
+    return False
+
+
+def _time_bucket_key(val: Column, dom_min: str, dom_max: str, interval: str) -> Column:
+    """Group key for a time-domain edge.
+
+    Fast path: a single-unit interval ('1 MONTH') whose domain min is
+    aligned to that unit — ``date_trunc`` lands exactly on the generated
+    grid. Everything else ('2 MONTH', '7 DAY', a week min that isn't a
+    Monday) must bucket relative to the domain min or the keys never match
+    the grid and rows silently vanish into dropped cells. The general path
+    picks the largest boundary <= val from the SAME ``sequence`` expression
+    that generates the grid, so key and grid are equal by construction.
+    O(|grid|) comparisons per row, array codegen'd — fine for the <=1000
+    cells a dense cube can render anyway.
+    """
+    parts = interval.split()
+    unit = parts[-1].lower().rstrip("s")
+    single = len(parts) == 2 and parts[0] in ("1", "+1")
+    if single and _time_aligned(dom_min, unit):
+        return F.date_trunc(unit, val)
+    seq = F.sequence(
+        F.to_timestamp(F.lit(dom_min)),
+        F.to_timestamp(F.lit(dom_max)),
+        F.expr(f"INTERVAL {interval}"),
+    )
+    below = F.filter(seq, lambda b: b <= val)
+    return F.when(F.size(below) > 0, F.element_at(below, F.size(below)))
+
+
 def _aggregate(agg: str, value: Column, percentile: float | None = None) -> Column:
     if agg == "count":
         return F.count(value)
@@ -499,16 +555,23 @@ class QB:
                 domains.append(
                     time_domain(self.spark, name, dom["min"], dom["max"], interval)
                 )
-                unit = interval.split()[-1].lower().rstrip("s")
-                key = F.date_trunc(unit, val)
+                key = _time_bucket_key(val, dom["min"], dom["max"], interval)
             elif dtype in ("range", "duration"):
                 width = float(dom["interval"])
+                start = float(dom["min"])
                 domains.append(
                     range_domain(
-                        self.spark, name, float(dom["min"]), float(dom["max"]), width
+                        self.spark, name, start, float(dom["max"]), width
                     )
                 )
-                key = (F.floor(val / width) * width).cast("double")
+                # Same arithmetic shape as range_domain's grid
+                # (lit(start) + <long> * lit(width)) so the double bucket
+                # values are bit-identical to the generated grid — a
+                # floor(val/width)*width key anchored at 0 misses every grid
+                # point when start is not a multiple of width, and can miss
+                # by 1 ulp even when aligned (different op order).
+                k = F.floor((val - F.lit(start)) / F.lit(width))
+                key = (F.lit(start) + k * F.lit(width)).cast("double")
             elif dtype == "default":
                 pre_named = pre.withColumn(name, val)
                 domains.append(default_domain(pre_named, name, dom.get("limit", 1000)))

@@ -92,7 +92,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
 WITH toks AS (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
     FROM documents WHERE doc_id < 200
 ),
 shingle_sets AS (
@@ -231,9 +231,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS_ORACLE = """
 SELECT doc_id,
-       len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+       len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
            AS n_tokens,
-       len(list_distinct(list_filter(string_split(lower(text), ' '),
+       len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                      t -> t <> ''))) AS n_unique,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
 FROM documents
@@ -259,7 +259,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = """
 WITH toks AS (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
     FROM documents
 ),
 tf AS (
@@ -313,10 +313,10 @@ _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 _LANGID_ORACLE = f"""
 WITH scored AS (
     SELECT doc_id, lang,
-           CAST(len(list_filter(string_split(lower(text), ' '),
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                 t -> list_contains({_STOPLIST_SQL}, t)))
                 AS DOUBLE)
-           / greatest(len(list_filter(string_split(lower(text), ' '),
+           / greatest(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                       t -> t <> '')), 1) AS score
     FROM documents
 )
@@ -345,7 +345,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
-           list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks,
            length(text) AS n_chars_real
     FROM documents
 ),
@@ -378,7 +378,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FINGERPRINT_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
-           list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
     FROM documents
 ),
 sh AS (

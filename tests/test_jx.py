@@ -168,6 +168,152 @@ def test_edges_time_domain(qb, duck):
     )
 
 
+def test_edges_time_domain_multi_unit(qb, duck):
+    """'2 MONTH' interval: date_trunc('month') would key odd months to grid
+    points that don't exist — the key must bucket relative to the domain min."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-01",
+                        "max": "1997-01-01",
+                        "interval": "2 MONTH",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT s AS bucket
+                      FROM generate_series(TIMESTAMP '1996-01-01',
+                                           TIMESTAMP '1996-11-01',
+                                           INTERVAL 2 MONTH) t(s)),
+                a AS (SELECT time_bucket(INTERVAL '2 months', o_orderdate,
+                                         TIMESTAMP '1996-01-01') AS bucket,
+                             COUNT(*) AS n
+                      FROM orders GROUP BY 1)
+           SELECT g.bucket, COALESCE(a.n, 0) AS n
+           FROM g LEFT JOIN a USING (bucket)""",
+    )
+
+
+def test_edges_time_domain_week_interval(qb, duck):
+    """'7 DAY' buckets anchored at an arbitrary (non-Monday) start date."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "wk",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-04",
+                        "max": "1996-02-29",
+                        "interval": "7 DAY",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT s AS wk
+                      FROM generate_series(TIMESTAMP '1996-01-04',
+                                           TIMESTAMP '1996-02-22',
+                                           INTERVAL 7 DAY) t(s)),
+                a AS (SELECT time_bucket(INTERVAL '7 days', o_orderdate,
+                                         TIMESTAMP '1996-01-04') AS wk,
+                             COUNT(*) AS n
+                      FROM orders GROUP BY 1)
+           SELECT g.wk, COALESCE(a.n, 0) AS n
+           FROM g LEFT JOIN a USING (wk)""",
+    )
+
+
+def test_edges_time_domain_unaligned_min(qb, duck):
+    """'1 MONTH' interval whose min is mid-month: the fast date_trunc path
+    must NOT fire (its keys would all miss the day-15-anchored grid)."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "m",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-15",
+                        "max": "1996-07-15",
+                        "interval": "1 MONTH",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT s AS m
+                      FROM generate_series(TIMESTAMP '1996-01-15',
+                                           TIMESTAMP '1996-06-15',
+                                           INTERVAL 1 MONTH) t(s))
+           SELECT g.m, COUNT(o.o_orderdate) AS n
+           FROM g LEFT JOIN orders o
+             ON o.o_orderdate >= g.m AND o.o_orderdate < g.m + INTERVAL 1 MONTH
+           GROUP BY 1""",
+    )
+
+
+def test_edges_range_domain_unaligned(qb, duck):
+    """Range domain whose min is not a multiple of the width, with a width
+    (0.01) that is not exactly representable — the key must be computed with
+    the same arithmetic shape as the grid or every cell misses."""
+    out = qb.run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "l_discount",
+                    "domain": {
+                        "type": "range",
+                        "min": 0.005,
+                        "max": 0.105,
+                        "interval": 0.01,
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT CAST(0.005 AS DOUBLE) + t.k * CAST(0.01 AS DOUBLE) AS bucket
+                      FROM generate_series(0, 9) t(k)),
+                a AS (SELECT CAST(0.005 AS DOUBLE)
+                             + floor((l_discount - CAST(0.005 AS DOUBLE))
+                                     / CAST(0.01 AS DOUBLE))
+                               * CAST(0.01 AS DOUBLE) AS bucket,
+                             COUNT(*) AS n
+                      FROM lineitem GROUP BY 1)
+           SELECT g.bucket, COALESCE(a.n, 0) AS n
+           FROM g LEFT JOIN a USING (bucket)""",
+    )
+
+
 def test_window_running_sum(qb, duck):
     out = qb.run(
         {

@@ -218,6 +218,24 @@ def test_salted_join_equals_plain(spark, sf_dir):
     )
 
 
+def test_salted_join_rejects_outer_hows(spark, sf_dir):
+    """Unmatched dim rows would be emitted once per salt replica under
+    right/full joins — the operator must refuse rather than multiply rows."""
+    import pytest as _pytest
+
+    from modevetl_spark.operators.skew import adaptive_salted_join, salted_join
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id").limit(10)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    for how in ("right", "right_outer", "full", "outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted join supports"):
+            salted_join(ev, dim, on="user_id", big_unique_col="event_id", how=how)
+        with _pytest.raises(ValueError, match="salted join supports"):
+            adaptive_salted_join(
+                ev, dim, on="user_id", big_unique_col="event_id", how=how
+            )
+
+
 def test_adaptive_salted_join_equals_plain_and_salts_only_hot(spark, sf_dir):
     from modevetl_spark.operators.skew import adaptive_salted_join, key_histogram
 

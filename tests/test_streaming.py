@@ -102,6 +102,37 @@ def test_hierarchy_job_incremental(spark, sf_dir, tmp_path):
     assert n2 == 0
 
 
+def test_jobs_cli_settings_file(sf_dir, tmp_path):
+    """The operational front door: ``python -m modevetl_spark.jobs all
+    --settings settings.json`` runs both jobs from a JSON settings file and
+    is an incremental no-op on rerun."""
+    import json
+    import subprocess
+    import sys
+
+    settings = {
+        "source": {"sf_dir": sf_dir},
+        "sink": {"dir": str(tmp_path / "sinks")},
+        "state": {"dir": str(tmp_path / "state")},
+        "spark": {"master": "local[4]", "shuffle_partitions": 8},
+    }
+    sfile = tmp_path / "settings.json"
+    sfile.write_text(json.dumps(settings))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "modevetl_spark.jobs", "all", "--settings", str(sfile)]
+    out1 = subprocess.run(
+        cmd, cwd=repo, capture_output=True, text=True, timeout=300
+    )
+    assert out1.returncode == 0, out1.stderr[-2000:]
+    assert "job=hierarchy rows=" in out1.stdout and "rows=0" not in out1.stdout
+    assert os.path.isdir(str(tmp_path / "sinks" / "hierarchy"))
+    out2 = subprocess.run(
+        cmd, cwd=repo, capture_output=True, text=True, timeout=300
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert out2.stdout.count("rows=0") == 2  # watermark advanced -> no-op
+
+
 def test_reviews_job(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "reviews")
     state = str(tmp_path / "reviews_state.json")
