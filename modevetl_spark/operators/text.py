@@ -83,6 +83,43 @@ def en_score(toks: Column) -> Column:
     return stopword_ratio(toks)
 
 
+def chunk_spans(toks: Column, chunk_tokens: int, overlap: int = 0) -> Column:
+    """Array of (chunk_id, start, len) structs splitting a token array into
+    fixed-token-budget chunks with ``overlap`` tokens of context between
+    consecutive chunks — the standard pre-tokenization splitting step of a
+    training-data pipeline.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short; an empty
+    doc yields no chunks. Pure built-in expressions: the caller explodes
+    the result (a narrow, shuffle-free transformation), so chunking 100 TB
+    is embarrassingly parallel and Catalyst still prunes/pushes scans.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = F.size(toks)
+    # number of chunks: 1 + ceil((n - chunk_tokens) / stride) for n > 0
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)), F.lit(0)
+        )
+    )
+    idx = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                (i * stride).alias("start"),
+                F.least(F.lit(chunk_tokens), n - i * stride).alias("len"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_id:int,start:int,len:int>>"))
+
+
 def doc_fingerprint(text: Column | str, shingle_n: int = 4) -> Column:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     rolling-hash analog). md5 is the one hash both Spark and DuckDB share,

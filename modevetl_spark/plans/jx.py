@@ -30,7 +30,11 @@ Supported surface (documented reference semantics):
 
 Scalar expression ops: literal, add/sub/mult/div (div takes optional
 default), abs, floor, round, exp, ln, coalesce, concat, length, lower,
-upper, left, right, not, when/then/else, date/number casts.
+upper, left, right, find (0-based substring index, Null when absent),
+between (substring between prefix/suffix, dict or 3-list form),
+left_pad/right_pad (aka lpad/rpad), not, when/then/else, date/number
+casts. ``select`` entries accept a per-column ``default`` applied to
+missing values before any aggregation (upstream select.default).
 """
 
 from __future__ import annotations
@@ -184,6 +188,55 @@ def _scalar_op(op: str, arg: Any) -> Column:
     if op == "right":
         a, n = to_col(arg[0]), int(arg[1])
         return a.substr(F.greatest(F.length(a) - n + 1, F.lit(1)), F.lit(n))
+    if op == "find":
+        # {"find": [str, substr]} or [str, substr, start0] -> 0-based index
+        # of the first occurrence at/after start0; missing -> Null (the
+        # 2-valued missing, so a where like {"gte": {...}} is just false).
+        s = to_col(arg[0])
+        sub = to_col(arg[1])
+        start0 = to_col(arg[2]) if len(arg) > 2 else F.lit(0)
+        pos = F.call_function("locate", sub, s, (start0 + 1).cast("int"))
+        # Empty substring follows the reference's (Python str.find) rule —
+        # found at the start offset while it is within the string — because
+        # SQL locate('') ignores the start position entirely.
+        return F.when(
+            F.length(sub) == 0, F.when(start0 <= F.length(s), start0)
+        ).otherwise(F.when(pos > 0, pos - 1))
+    if op == "between" and isinstance(arg, (list, dict)) and (
+        isinstance(arg, dict) and ("prefix" in arg or "suffix" in arg)
+        or isinstance(arg, list) and len(arg) == 3
+    ):
+        # String between: {"between": {"value": v, "prefix": p, "suffix": s}}
+        # or [v, p, s] -> substring strictly between the first occurrence of
+        # prefix and the next occurrence of suffix. A None prefix anchors at
+        # the start, a None suffix runs to the end; an absent prefix/suffix
+        # yields Null (missing), like the reference's strings.between.
+        if isinstance(arg, dict):
+            v, p, sfx = arg.get("value"), arg.get("prefix"), arg.get("suffix")
+        else:
+            v, p, sfx = arg
+        s = to_col(v)
+        if p is None:
+            content_start = F.lit(1)
+        else:
+            pc = to_col(p)
+            ppos = F.call_function("locate", pc, s)
+            content_start = F.when(ppos > 0, ppos + F.length(pc))
+        if sfx is None:
+            content_end = F.length(s) + 1
+        else:
+            sc = to_col(sfx)
+            spos = F.call_function("locate", sc, s, content_start.cast("int"))
+            content_end = F.when(spos > 0, spos)
+        return s.substr(content_start, content_end - content_start)
+    if op in ("left_pad", "lpad"):
+        a, n = to_col(arg[0]), int(arg[1])
+        fill = str(arg[2]) if len(arg) > 2 else " "
+        return F.lpad(a, n, fill)
+    if op in ("right_pad", "rpad"):
+        a, n = to_col(arg[0]), int(arg[1])
+        fill = str(arg[2]) if len(arg) > 2 else " "
+        return F.rpad(a, n, fill)
     if op == "string":
         return to_col(arg).cast("string")
     if op == "number":
@@ -396,10 +449,39 @@ class QB:
         spark: SparkSession,
         tables: dict[str, DataFrame] | None = None,
         sf_dir: str | None = None,
+        dimensions=None,
     ):
         self.spark = spark
         self._tables = dict(tables or {})
         self._sf_dir = sf_dir
+        self.dimensions = dimensions  # DimensionCatalog | None
+
+    def _resolve_dimensions(self, raw) -> list:
+        """Expand named-dimension references in a raw edges/groupby list
+        (``plans.dimensions``): bare strings and string values that match a
+        registered dimension inherit its value + domain; explicit
+        ``{"dimension": name}`` requires registration."""
+        out = []
+        for e in _listify(raw):
+            if isinstance(e, dict) and "dimension" in e:
+                if self.dimensions is None or e["dimension"] not in self.dimensions:
+                    raise JxError(f"unknown dimension {e.get('dimension')!r}")
+                out.append(self.dimensions.edge(e["dimension"], e))
+            elif (
+                isinstance(e, str) and self.dimensions is not None and e in self.dimensions
+            ):
+                out.append(self.dimensions.edge(e))
+            elif (
+                isinstance(e, dict)
+                and "domain" not in e
+                and isinstance(e.get("value"), str)
+                and self.dimensions is not None
+                and e["value"] in self.dimensions
+            ):
+                out.append(self.dimensions.edge(e["value"], e))
+            else:
+                out.append(e)
+        return out
 
     def table(self, name: str) -> DataFrame:
         if name in self._tables:
@@ -479,8 +561,8 @@ class QB:
             df = df.where(to_boolean(query["where"]))
 
         selects = _normalize_selects(query.get("select"))
-        edges = _normalize_edges(query.get("edges"))
-        groupby = _normalize_edges(query.get("groupby"))
+        edges = _normalize_edges(self._resolve_dimensions(query.get("edges")))
+        groupby = _normalize_edges(self._resolve_dimensions(query.get("groupby")))
         has_agg = any(s.get("aggregate") for s in selects)
 
         windows = _listify(query.get("window"))
@@ -502,7 +584,7 @@ class QB:
                 df = self._add_window(df, w)
             if selects:
                 df = df.select(
-                    *[to_col(s["value"]).alias(s["name"]) for s in selects],
+                    *[_select_value(s).alias(s["name"]) for s in selects],
                     *[w["name"] for w in windows],
                 )
 
@@ -526,7 +608,7 @@ class QB:
     # -- helpers --------------------------------------------------------
 
     def _agg_col(self, s: dict) -> Column:
-        value = to_col(s.get("value", F.lit(1)))
+        value = _select_value(s)
         return _aggregate(s["aggregate"], value, s.get("percentile")).alias(s["name"])
 
     def _run_groupby(self, df, selects, keys, densify_grid):
@@ -624,6 +706,16 @@ class QB:
 
 
 # ---------------------------------------------------------------- normalize
+
+
+def _select_value(s: dict) -> Column:
+    """Value expression of a select entry, honoring the per-column
+    ``default`` (upstream select.default: a missing value reads as the
+    default — before aggregation, so e.g. a sum treats absent as 0)."""
+    c = to_col(s.get("value", F.lit(1)))
+    if s.get("default") is not None:
+        c = F.coalesce(c, F.lit(s["default"]))
+    return c
 
 
 def _listify(x) -> list:

@@ -245,3 +245,116 @@ def jx_computed_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         }
     )
+
+
+_JX_NAMED_DIM_ORACLE = """
+WITH m AS (SELECT s AS month
+           FROM generate_series(TIMESTAMP '1996-01-01',
+                                TIMESTAMP '1996-06-01',
+                                INTERVAL 1 MONTH) t(s)),
+     p AS (SELECT unnest(['1-URGENT', '2-HIGH', '3-MEDIUM']) AS priority),
+     a AS (SELECT date_trunc('month', o_orderdate) AS month,
+                  o_orderpriority AS priority,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT m.month, p.priority, COALESCE(a.n, 0) AS n
+FROM m CROSS JOIN p LEFT JOIN a USING (month, priority)
+"""
+
+
+@q("q_jx_named_dimension", oracle_sql=_JX_NAMED_DIM_ORACLE)
+def jx_named_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges referencing predeclared catalog dimensions by name (upstream
+    dimensions.py: declare field + domain once, reference everywhere) —
+    one bare-string reference and one ``{"dimension": ...}`` reference."""
+    prep(spark)
+    from modevetl_spark.plans.dimensions import DimensionCatalog
+
+    dims = (
+        DimensionCatalog()
+        .register(
+            "order.month",
+            "o_orderdate",
+            {
+                "type": "time",
+                "min": "1996-01-01",
+                "max": "1996-07-01",
+                "interval": "1 MONTH",
+            },
+        )
+        .register(
+            "order.priority",
+            "o_orderpriority",
+            {
+                "type": "set",
+                "partitions": ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+            },
+        )
+    )
+    return QB(spark, sf_dir=sf_dir, dimensions=dims).run(
+        {
+            "from": "orders",
+            "edges": [
+                "order.month",
+                {"dimension": "order.priority", "name": "priority"},
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+
+
+_JX_STRING_OPS_ORACLE = """
+SELECT c_custkey AS id,
+       CASE WHEN strpos(c_name, 'Customer#') > 0
+            THEN substr(c_name, strpos(c_name, 'Customer#') + 9)
+       END AS cust_id,
+       lpad(CASE WHEN strpos(c_name, 'Customer#') > 0
+                 THEN substr(c_name, strpos(c_name, 'Customer#') + 9)
+            END, 12, '0') AS cust_pad,
+       CASE WHEN strpos(c_mktsegment, 'CH') > 0
+            THEN strpos(c_mktsegment, 'CH') - 1 ELSE -1 END AS seg_pos,
+       CASE WHEN strpos(c_mktsegment, 'I') > 0
+            THEN substr(c_mktsegment, 1, strpos(c_mktsegment, 'I') - 1)
+       END AS seg_head
+FROM customer
+"""
+
+
+@q("q_jx_string_ops", oracle_sql=_JX_STRING_OPS_ORACLE)
+def jx_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail string expressions through the JSON front-end: find
+    (0-based index with select.default), between with prefix-only and
+    suffix-only anchors, and left_pad — upstream MVEL/strings surface."""
+    prep(spark)
+    _cust_id = {
+        "between": {
+            "value": "c_name",
+            "prefix": {"literal": "Customer#"},
+            "suffix": None,
+        }
+    }
+    return QB(spark, sf_dir=sf_dir).run(
+        {
+            "from": "customer",
+            "select": [
+                {"name": "id", "value": "c_custkey"},
+                {"name": "cust_id", "value": _cust_id},
+                {"name": "cust_pad", "value": {"left_pad": [_cust_id, 12, "0"]}},
+                {
+                    "name": "seg_pos",
+                    "value": {"find": ["c_mktsegment", {"literal": "CH"}]},
+                    "default": -1,
+                },
+                {
+                    "name": "seg_head",
+                    "value": {
+                        "between": {
+                            "value": "c_mktsegment",
+                            "prefix": None,
+                            "suffix": {"literal": "I"},
+                        }
+                    },
+                },
+            ],
+        }
+    )

@@ -93,7 +93,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = """
 WITH toks AS (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
-    FROM documents WHERE doc_id < 200
+    FROM documents
 ),
 shingle_sets AS (
     SELECT doc_id, tok AS shingle FROM toks WHERE tok <> '' GROUP BY 1, 2
@@ -114,35 +114,62 @@ JOIN sizes sb ON p.id_b = sb.doc_id
 WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
 """
 
+_JACCARD_T = 0.5
+
 
 @q("q_dedup_ngram_jaccard", oracle_sql=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: exact token-set Jaccard over all pairs (the verification kernel
-    of near-dup dedup, oracle-graded; shingle_n=1 so the oracle SQL stays
-    a sane size). Inverted-index join, not a cross join."""
+    """L1: exact token-set Jaccard similarity join via LOSSLESS prefix
+    filtering (All-Pairs/PPJoin): order each doc's tokens rarest-global-df
+    first, keep the ``|d| - ceil(t*|d|) + 1`` prefix, and generate a
+    candidate pair only when two prefixes share a token — any pair with
+    J >= t provably shares a prefix token, so the result is IDENTICAL to
+    the all-pairs join (the oracle stays plain all-pairs SQL) while the
+    posting-list self-join never touches the frequent tail that makes a
+    raw inverted-index join quadratic per hot token at corpus scale.
+    Candidates are then verified exactly with array_intersect on the
+    (small) per-doc token arrays — the same kernel ``jaccard_pairs`` uses
+    after LSH. shingle_n=1 so the oracle SQL stays a sane size.
+    """
     prep(spark)
-    d = spread(load(spark, sf_dir, "documents").where(F.col("doc_id") < 200))
-    sets = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("shingle")
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+
+    sets = docs.select("doc_id", "n", F.explode("toks").alias("shingle"))
+    # Global token order: ascending document frequency, token as tiebreak.
+    docfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sets.join(F.broadcast(docfreq), "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle"))
+        ),
     )
-    a = sets.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sets.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
+    prefix_len = F.col("n") - F.ceil(F.lit(_JACCARD_T) * F.col("n")) + 1
+    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc_id", "shingle")
+
+    a = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
         a.join(b, on="shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+
+    ta = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("n_a")
     )
+    tb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("n_b")
+    )
+    n_inter = F.size(F.array_intersect("ta", "tb"))
+    jac = n_inter.cast("double") / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(jac >= 0.5)
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(jac >= _JACCARD_T)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -574,4 +601,55 @@ def pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+_CHUNKS_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+sized AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+    SELECT doc_id, toks, n,
+           unnest(range(0, 1 + CAST(greatest(ceil((n - 50) / 40.0), 0)
+                                    AS BIGINT))) AS chunk_id
+    FROM sized
+)
+SELECT doc_id,
+       chunk_id,
+       least(50, n - chunk_id * 40) AS n_tokens,
+       array_to_string(
+           toks[chunk_id * 40 + 1 : chunk_id * 40 + least(50, n - chunk_id * 40)],
+           ' ') AS chunk_text
+FROM c
+"""
+
+
+@q("q_doc_chunks", oracle_sql=_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 prep: token-budget document chunking (50-token chunks, 10-token
+    overlap) — the splitting step before tokenization in a training-data
+    pipeline. chunk_spans builds (chunk_id, start, len) spans with built-in
+    array expressions; explode is narrow (no shuffle), so this
+    parallelizes over input splits untouched at 100 TB."""
+    prep(spark)
+    from modevetl_spark.operators.text import chunk_spans
+
+    d = spread(load(spark, sf_dir, "documents"))
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    # generator and struct getField must sit in separate selects (Spark 4
+    # analyzer degrades field names when both share one projection list)
+    ex = base.select(
+        "doc_id", "toks", F.explode(chunk_spans(F.col("toks"), 50, 10)).alias("c")
+    )
+    return ex.select(
+        "doc_id",
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.len").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", F.col("c.start") + 1, F.col("c.len")), " "
+        ).alias("chunk_text"),
     )

@@ -314,6 +314,60 @@ def test_edges_range_domain_unaligned(qb, duck):
     )
 
 
+def test_named_dimension_catalog(spark, duck, sf_dir):
+    from modevetl_spark.plans.dimensions import DimensionCatalog
+    from modevetl_spark.plans.jx import JxError, QB
+
+    dims = DimensionCatalog().register(
+        "flag",
+        "l_returnflag",
+        {"type": "set", "partitions": ["A", "N", "R"]},
+    )
+    qbd = QB(spark, sf_dir=sf_dir, dimensions=dims)
+    # bare-string edge resolves through the catalog (value + domain)
+    out = qbd.run(
+        {
+            "from": "lineitem",
+            "edges": ["flag"],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH f AS (SELECT unnest(['A','N','R']) AS flag),
+                a AS (SELECT l_returnflag AS flag, COUNT(*) AS n
+                      FROM lineitem GROUP BY 1)
+           SELECT f.flag, COALESCE(a.n, 0) AS n
+           FROM f LEFT JOIN a USING (flag)""",
+    )
+    # an inline domain on the edge overrides the catalog's
+    out2 = qbd.run(
+        {
+            "from": "lineitem",
+            "edges": [
+                {
+                    "dimension": "flag",
+                    "domain": {"type": "set", "partitions": ["A", "R"]},
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    assert {r.flag for r in out2.collect()} == {"A", "R"}
+    # unknown {"dimension": ...} is an error, not a silent column lookup
+    import pytest as _pytest
+
+    with _pytest.raises(JxError, match="unknown dimension"):
+        qbd.run(
+            {
+                "from": "lineitem",
+                "edges": [{"dimension": "nope"}],
+                "select": [{"name": "n", "aggregate": "count"}],
+            }
+        )
+
+
 def test_window_running_sum(qb, duck):
     out = qb.run(
         {

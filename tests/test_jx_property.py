@@ -114,3 +114,96 @@ def test_filter_matches_python(docs_df, expr):
         ((d["a"], d["b"], d["s"]) for d in DOCS if py_eval(expr, d)), key=repr
     )
     assert spark_ids == py_ids, expr
+
+
+# ---------------------------------------------------------- string scalars
+
+STR_VALUES = [None, "", "x", "xy", "xyx", "abc-def", "aa--bb--cc", "-lead", "trail-"]
+
+
+def str_scalar():
+    """Expressions over field 't' using the long-tail string ops."""
+    subs = st.sampled_from(["x", "-", "--", "z", ""])
+    return st.one_of(
+        st.builds(lambda sub: {"find": ["t", {"literal": sub}]}, subs),
+        st.builds(
+            lambda sub, k: {"find": ["t", {"literal": sub}, k]},
+            subs,
+            st.integers(0, 4),
+        ),
+        st.builds(
+            lambda p, sfx: {
+                "between": {
+                    "value": "t",
+                    "prefix": {"literal": p} if p is not None else None,
+                    "suffix": {"literal": sfx} if sfx is not None else None,
+                }
+            },
+            st.sampled_from([None, "x", "-", "a"]),
+            st.sampled_from([None, "x", "-", "c"]),
+        ),
+        st.builds(
+            lambda n, f: {"left_pad": ["t", n, f]},
+            st.integers(0, 8),
+            st.sampled_from(["0", "*"]),
+        ),
+        st.builds(
+            lambda n, f: {"right_pad": ["t", n, f]},
+            st.integers(0, 8),
+            st.sampled_from(["0", "*"]),
+        ),
+    )
+
+
+def py_eval_str(e, t):
+    """Python twin of the string scalar ops (missing -> None throughout)."""
+    op, arg = next(iter(e.items()))
+    if t is None:
+        return None
+    if op == "find":
+        sub = arg[1]["literal"]
+        start = arg[2] if len(arg) > 2 else 0
+        idx = t.find(sub, start)
+        return None if idx < 0 else idx
+    if op == "between":
+        p, sfx = arg["prefix"], arg["suffix"]
+        if p is None:
+            start = 0
+        else:
+            i = t.find(p["literal"])
+            if i < 0:
+                return None
+            start = i + len(p["literal"])
+        if sfx is None:
+            return t[start:]
+        j = t.find(sfx["literal"], start)
+        return None if j < 0 else t[start:j]
+    if op == "left_pad":
+        n, f = arg[1], arg[2]
+        return t[:n] if len(t) >= n else f * (n - len(t)) + t
+    if op == "right_pad":
+        n, f = arg[1], arg[2]
+        return t[:n] if len(t) >= n else t + f * (n - len(t))
+    raise AssertionError(op)
+
+
+@pytest.fixture(scope="module")
+def str_df(spark):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("t", StringType())])
+    return spark.createDataFrame([(v,) for v in STR_VALUES], schema).cache()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=str_scalar())
+def test_string_scalars_match_python(str_df, expr):
+    from modevetl_spark.plans.jx import to_col
+
+    got = [r.out for r in str_df.select(to_col(expr).alias("out")).collect()]
+    want = [py_eval_str(expr, t) for t in STR_VALUES]
+    assert got == want, (expr, got, want)

@@ -218,6 +218,34 @@ def test_salted_join_equals_plain(spark, sf_dir):
     )
 
 
+def test_chunk_spans_edges(spark):
+    import pytest as _pytest
+
+    from modevetl_spark.operators.text import chunk_spans
+
+    df = spark.createDataFrame(
+        [(i, list("abcdefghij"[:n])) for i, n in enumerate([0, 3, 5, 7, 10])],
+        ["id", "toks"],
+    )
+    out = {
+        r.id: [(c.chunk_id, c.start, c.len) for c in r.spans]
+        for r in df.select(
+            "id", chunk_spans(F.col("toks"), 5, 2).alias("spans")
+        ).collect()
+    }
+    assert out[0] == []  # empty doc -> no chunks
+    assert out[1] == [(0, 0, 3)]  # shorter than one chunk
+    assert out[2] == [(0, 0, 5)]  # exactly one chunk
+    assert out[3] == [(0, 0, 5), (1, 3, 4)]  # stride 3, short tail
+    assert out[4] == [(0, 0, 5), (1, 3, 5), (2, 6, 4)]
+    # every token is covered and consecutive chunks overlap by `overlap`
+    for spans in out.values():
+        for (c0, s0, l0), (c1, s1, l1) in zip(spans, spans[1:]):
+            assert s1 == s0 + 3 and c1 == c0 + 1
+    with _pytest.raises(ValueError):
+        chunk_spans(F.col("toks"), 5, 5)
+
+
 def test_salted_join_rejects_outer_hows(spark, sf_dir):
     """Unmatched dim rows would be emitted once per salt replica under
     right/full joins — the operator must refuse rather than multiply rows."""
