@@ -653,3 +653,100 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.col("c.start") + 1, F.col("c.len")), " "
         ).alias("chunk_text"),
     )
+
+
+_REPETITION_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+           ELSE [] END AS sh
+    FROM t
+)
+SELECT doc_id,
+       len(sh) AS n_grams,
+       CASE WHEN len(sh) > 0
+            THEN ROUND(1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM s
+"""
+
+
+@q("q_text_repetition", oracle_sql=_REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: duplicate 3-gram ratio — the Gopher/C4-style repetition quality
+    filter (high ratio = boilerplate/looped generation). Pure array
+    built-ins per row; no shuffle beyond the spread() input balance."""
+    prep(spark)
+    from modevetl_spark.operators.text import word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = word_shingles(tokens("text"), 3)
+    n = F.size(sh)
+    ratio = F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / n, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id", n.cast("long").alias("n_grams"), ratio.alias("rep_ratio")
+    )
+
+
+_DECONTAM_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 5 THEN
+               list_distinct(list_transform(
+                   range(1, len(tk) - 3),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                        || tk[i+3] || ' ' || tk[i+4]))
+           ELSE [] END AS sh
+    FROM t
+),
+g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, COUNT(*) AS n_hit_grams
+FROM g JOIN b USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY 1
+"""
+
+
+@q("q_decontaminate", oracle_sql=_DECONTAM_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L3: benchmark decontamination — flag corpus documents sharing any
+    5-gram with a held-out benchmark set (docs with doc_id % 97 == 0 stand
+    in for the eval suite). The benchmark gram set is small by nature ->
+    broadcast; the corpus side explodes distinct grams and equi-joins, so
+    at 100 TB this is one broadcast hash join per scan partition, no
+    shuffle of the corpus. Returns (doc_id, n_hit_grams) for flagged docs."""
+    prep(spark)
+    from modevetl_spark.operators.text import word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 5))).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )

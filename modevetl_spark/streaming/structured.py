@@ -179,13 +179,19 @@ def run_foreach_batch_upsert(
     keys: list[str],
     checkpoint_dir: str,
     mode: str = "update",
+    partition_by: list[str] | None = None,
 ) -> None:
     """foreachBatch upsert: every micro-batch merges id-keyed into the
-    sink — the streaming twin of the reference's bulk-upsert push."""
+    sink — the streaming twin of the reference's bulk-upsert push. Pass
+    ``partition_by`` to get partition-scoped merges (only partitions the
+    micro-batch touches are rewritten), which is what keeps a continuous
+    upsert stream O(batch), not O(sink), at 100 TB."""
     from modevetl_spark.streaming.incremental import upsert_parquet
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df.sparkSession, batch_df, sink_path, keys)
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, sink_path, keys, partition_by
+        )
 
     (
         result.writeStream.outputMode(mode)

@@ -118,3 +118,24 @@ def test_ivf_probe_broadcasts_queries(spark, sf_dir):
     broadcast; the corpus side is never shuffled for the probe."""
     p = plan(_Q["q_sim_topk_ivf"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set joins via broadcast — the corpus side must
+    not shuffle for the contamination probe (one broadcast hash join per
+    scan partition at 100 TB)."""
+    p = plan(_Q["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_doc_chunks_no_python_no_extra_shuffle(spark, sf_dir):
+    """Chunking is pure built-ins (no Python eval) and adds no shuffle
+    beyond the deliberate spread() repartition of the single-file local
+    input."""
+    p = plan(_Q["q_doc_chunks"](spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    import re
+
+    # formatted explain lists every node twice (tree + detail): count the
+    # numbered detail entries, one per physical Exchange node
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p

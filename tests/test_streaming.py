@@ -295,3 +295,31 @@ def test_stateful_sessions_parity(spark, sf_dir, tmp_path):
     }
     assert got == expected_ts
     assert len(got) > 0
+
+
+def test_foreach_batch_upsert_partitioned(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch upsert with a partitioned sink: the final
+    sink equals the batch aggregate (id-keyed merge across micro-batches,
+    partition-scoped rewrites inside each batch)."""
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.streaming.structured import run_foreach_batch_upsert
+
+    stream = events_stream(spark, sf_dir)
+    result = stream.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = str(tmp_path / "fbu")
+    run_foreach_batch_upsert(
+        result,
+        sink,
+        keys=["user_id", "event_type"],
+        checkpoint_dir=str(tmp_path / "ckpt_fbu"),
+        partition_by=["event_type"],
+    )
+    got = spark.read.parquet(sink).select("user_id", "event_type", "n")
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
