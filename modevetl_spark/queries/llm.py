@@ -750,3 +750,84 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit_grams"))
     )
+
+
+# md5-based MinHash twin: the production minhash_candidates uses xxhash64
+# (fastest JVM hash, no DuckDB twin -> rows-only). This variant computes
+# the SAME signature/banding pipeline from md5 (shared by both engines,
+# 32-bit prefix via base-16 conv) with an explicit affine hash family
+# mh_i = (a_i*h + b_i) mod P, so the driver hash-verifies the entire
+# signature computation — upgrading the MinHash family's evidence from
+# rows-only to oracle-graded. Constants: P = 2^31-1; a_i, b_i derived
+# from i with the same arithmetic in both engines (products stay < 2^63:
+# a_i < P, h < 2^32, so a_i*h <= 9.222e18 < 2^63-1 — no overflow in
+# Spark's wrapping or DuckDB's checked bigint math).
+_MINHASH_SIG_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+    FROM t WHERE len(tk) >= 3
+),
+h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h0
+    FROM sh
+),
+k AS (SELECT doc_id, h0, unnest(range(16)) AS i FROM h),
+m AS (
+    SELECT doc_id, i, i // 4 AS band,
+           MIN((((2654435761 * (i + 1)) % 2147483647) * h0
+                + ((40503 * (i + 7)) % 2147483647)) % 2147483647) AS mh
+    FROM k GROUP BY 1, 2, 3
+)
+SELECT doc_id, band,
+       md5(string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i)) AS band_key
+FROM m GROUP BY doc_id, band
+"""
+
+
+@q("q_minhash_signatures", oracle_sql=_MINHASH_SIG_ORACLE)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: oracle-graded MinHash signatures + LSH band keys (k=16 hashes,
+    4 bands of 4) — md5-twin of ``minhash_candidates``'s xxhash64 path.
+    Same plan shape as production: explode shingles, one vectorized
+    hash-agg computes all k mins with map-side combine (the measured-fast
+    pattern), then one agg per (doc, band) folds the band key. Docs
+    sharing a (band, band_key) are the LSH candidate pairs."""
+    prep(spark)
+    from modevetl_spark.operators.text import word_shingles
+
+    k, n_bands, p = 16, 4, 2147483647
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
+    )
+    h0 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+    hs = sh.select(
+        "doc_id",
+        h0.alias("h0"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1)).cast("array<bigint>")).alias("i"),
+    )
+    a_i = (F.lit(2654435761) * (F.col("i") + 1)) % p
+    b_i = (F.lit(40503) * (F.col("i") + 7)) % p
+    mins = (
+        hs.withColumn("mh", (a_i * F.col("h0") + b_i) % p)
+        .groupBy("doc_id", "i")
+        .agg(F.min("mh").alias("mh"))
+        .withColumn("band", (F.col("i") / (k // n_bands)).cast("bigint"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+        lambda x: x["mh"].cast("string"),
+    )
+    return mins.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("-", ordered)).alias("band_key")
+    )
