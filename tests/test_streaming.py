@@ -86,6 +86,18 @@ def test_upsert_parquet_key_moves_partition(spark, tmp_path):
     assert got == {(1, "a", 1), (2, "B", 3)}
 
 
+def test_upsert_parquet_null_partition_key_move(spark, tmp_path):
+    """Key moves out of the NULL partition (__HIVE_DEFAULT_PARTITION__):
+    the emptied null-partition directory must be cleaned up too."""
+    sink = str(tmp_path / "nsink")
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", None)], ["id", "v", "p"])
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    inc = spark.createDataFrame([(2, "B", 3)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+    got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", 1), (2, "B", 3)}
+
+
 def test_hierarchy_job_incremental(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "hier")
     state = str(tmp_path / "hier_state.json")
