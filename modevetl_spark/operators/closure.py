@@ -16,10 +16,13 @@ heavy work as joins the planner can optimize per-iteration:
   action).
 
 Scale notes (100 TB): each iteration is one shuffle join keyed on the join
-column; for power-law graphs add salting on hot hubs. Iterations are
-bounded by graph diameter; ``max_iterations`` guards pathological cycles.
-Cycles are handled by the anti-join against the accumulated closure
-(already-seen pairs never re-enter the frontier).
+column; for power-law graphs pass ``salt_hot_hubs=True`` (semi-naive /
+ancestor walk) — each round's frontier-edge join goes through
+``adaptive_salted_join``, so a celebrity hub's rows spread over
+measured-per-key salt counts instead of melting one reducer. Iterations
+are bounded by graph diameter; ``max_iterations`` guards pathological
+cycles. Cycles are handled by the anti-join against the accumulated
+closure (already-seen pairs never re-enter the frontier).
 """
 
 from __future__ import annotations
@@ -60,6 +63,33 @@ def _tuned_shuffle(df: DataFrame, n_rows: int):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
+def _frontier_edge_join(
+    frontier: DataFrame,
+    edges: DataFrame,
+    salt_hot_hubs: bool,
+    unique_col: str,
+    target_rows_per_salt: int,
+    max_salts: int,
+) -> DataFrame:
+    """One fixpoint round's frontier-edge equi-join on ``__mid`` (both
+    inputs pre-renamed). With ``salt_hot_hubs`` the join runs through
+    ``adaptive_salted_join``: a per-round key histogram of the frontier
+    finds hub mids and sizes their salt counts, so power-law graphs don't
+    funnel a celebrity node's rows into one reducer."""
+    if not salt_hot_hubs:
+        return frontier.join(edges, on="__mid")
+    from modevetl_spark.operators.skew import adaptive_salted_join
+
+    return adaptive_salted_join(
+        frontier,
+        edges,
+        on="__mid",
+        big_unique_col=unique_col,
+        target_rows_per_salt=target_rows_per_salt,
+        max_salts=max_salts,
+    )
+
+
 def ancestors_of(
     frontier: DataFrame,
     edges: DataFrame,
@@ -67,6 +97,9 @@ def ancestors_of(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    salt_hot_hubs: bool = False,
+    target_rows_per_salt: int = 1_000_000,
+    max_salts: int = 64,
 ) -> DataFrame:
     """All (node, ancestor) pairs for nodes in ``frontier`` only — the
     incremental form of the closure: instead of closing the whole graph,
@@ -90,8 +123,14 @@ def ancestors_of(
     with _tuned_shuffle(edges, current.count()):
         for _ in range(max_iterations):
             nxt = (
-                current.withColumnRenamed("ancestor", "__mid")
-                .join(edges.withColumnRenamed(src, "__mid"), on="__mid")
+                _frontier_edge_join(
+                    current.withColumnRenamed("ancestor", "__mid"),
+                    edges.withColumnRenamed(src, "__mid"),
+                    salt_hot_hubs,
+                    node,
+                    target_rows_per_salt,
+                    max_salts,
+                )
                 .select(F.col(node), F.col(dst).alias("ancestor"))
                 .join(acc, on=[node, "ancestor"], how="left_anti")
                 .distinct()
@@ -111,6 +150,9 @@ def transitive_closure(
     dst: str = "dst",
     max_iterations: int = 50,
     strategy: str = "doubling",
+    salt_hot_hubs: bool = False,
+    target_rows_per_salt: int = 1_000_000,
+    max_salts: int = 64,
 ) -> DataFrame:
     """All (src, dst) pairs such that dst is reachable from src.
 
@@ -129,9 +171,17 @@ def transitive_closure(
     edges. Prefer it when the closure is much larger than memory per round
     or diameters are tiny.
     """
+    if salt_hot_hubs and strategy == "doubling":
+        raise ValueError(
+            "salt_hot_hubs requires strategy='seminaive': path doubling "
+            "self-joins the closure (no small side to replicate)"
+        )
     if strategy == "doubling":
         return _closure_doubling(edges, src, dst, max_iterations)
-    return _closure_seminaive(edges, src, dst, max_iterations)
+    return _closure_seminaive(
+        edges, src, dst, max_iterations, salt_hot_hubs,
+        target_rows_per_salt, max_salts,
+    )
 
 
 def _closure_doubling(
@@ -157,7 +207,13 @@ def _closure_doubling(
 
 
 def _closure_seminaive(
-    edges: DataFrame, src: str, dst: str, max_iterations: int
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+    salt_hot_hubs: bool = False,
+    target_rows_per_salt: int = 1_000_000,
+    max_salts: int = 64,
 ) -> DataFrame:
     edges = edges.select(src, dst).distinct().cache()
     closure = edges.localCheckpoint(eager=True)
@@ -167,10 +223,13 @@ def _closure_seminaive(
         for _ in range(max_iterations):
             # frontier(src, mid) ⋈ edges(mid, dst) -> candidate new paths
             step = (
-                frontier.withColumnRenamed(dst, "__mid")
-                .join(
+                _frontier_edge_join(
+                    frontier.withColumnRenamed(dst, "__mid"),
                     edges.withColumnRenamed(src, "__mid"),
-                    on="__mid",
+                    salt_hot_hubs,
+                    src,
+                    target_rows_per_salt,
+                    max_salts,
                 )
                 .select(src, dst)
                 .distinct()

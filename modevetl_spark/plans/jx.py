@@ -13,7 +13,9 @@ hand-written ones (pushdown, pruning, codegen).
 Supported surface (documented reference semantics):
 
 - **from**: table name (catalog), DataFrame, or nested query dict.
-- **select**: "field" | {"name", "value", "aggregate"} | list of same.
+- **select**: "field" | "*" (all leaf columns, deep paths flattened with
+  escaped names) | "." (whole document as a struct) | {"name", "value",
+  "aggregate", "default"} | list of same.
   Aggregates: count, sum, min, max, average|mean, median, percentile,
   cardinality, union, geomean, variance, std.
 - **edges**: dense-domain group-bys: {"value", "domain": {"type":
@@ -560,7 +562,7 @@ class QB:
         if query.get("where") is not None:
             df = df.where(to_boolean(query["where"]))
 
-        selects = _normalize_selects(query.get("select"))
+        selects = _normalize_selects(_expand_star(df, query.get("select")))
         edges = _normalize_edges(self._resolve_dimensions(query.get("edges")))
         groupby = _normalize_edges(self._resolve_dimensions(query.get("groupby")))
         has_agg = any(s.get("aggregate") for s in selects)
@@ -706,6 +708,43 @@ class QB:
 
 
 # ---------------------------------------------------------------- normalize
+
+
+def _leaf_paths(schema: StructType, prefix: str = "") -> list[str]:
+    """Dot-paths of all LEAF columns (structs recursed, arrays/scalars are
+    leaves) in schema order — the upstream ``select: "*"`` expansion set."""
+    out: list[str] = []
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, StructType):
+            out.extend(_leaf_paths(f.dataType, prefix=path + "."))
+        else:
+            out.append(path)
+    return out
+
+
+def _expand_star(df: DataFrame, select) -> list | None:
+    """Expand the upstream wildcard selects against the current schema:
+    ``"*"`` -> every leaf column (deep paths escaped in the output name,
+    mirroring upstream's ``a\\.b`` flattened-leaf naming); ``"."`` -> the
+    whole document as one struct column named ``record``."""
+    if select is None:
+        return None
+    out = []
+    for s in _listify(select):
+        if s == "*" or (isinstance(s, dict) and s.get("value") == "*"):
+            out.extend(
+                {"name": p.replace(".", "\\."), "value": p}
+                for p in _leaf_paths(df.schema)
+            )
+        elif s == "." or (isinstance(s, dict) and s.get("value") == "."):
+            name = s.get("name", "record") if isinstance(s, dict) else "record"
+            out.append(
+                {"name": name, "value": F.struct(*[F.col(c) for c in df.columns])}
+            )
+        else:
+            out.append(s)
+    return out
 
 
 def _select_value(s: dict) -> Column:

@@ -314,6 +314,38 @@ def test_edges_range_domain_unaligned(qb, duck):
     )
 
 
+def test_select_star_and_dot(spark):
+    """Upstream wildcard selects: '*' flattens to all leaf columns (deep
+    paths escaped), '.' yields the whole document as a struct."""
+    from pyspark.sql import Row
+
+    from modevetl_spark.plans.jx import QB
+
+    df = spark.createDataFrame(
+        [(1, Row(x=10, y="a"), "z")],
+        "id int, nested struct<x:int, y:string>, v string",
+    )
+    star = QB(spark, tables={"t": df}).run({"from": "t", "select": "*"})
+    assert star.columns == ["id", "nested\\.x", "nested\\.y", "v"]
+    assert star.collect()[0] == Row(**{
+        "id": 1, "nested\\.x": 10, "nested\\.y": "a", "v": "z"
+    })
+    dot = QB(spark, tables={"t": df}).run({"from": "t", "select": "."})
+    assert dot.columns == ["record"]
+    rec = dot.collect()[0].record
+    assert rec.id == 1 and rec.nested.x == 10 and rec.v == "z"
+    # '*' composes with explicit selects and where
+    mix = QB(spark, tables={"t": df}).run(
+        {
+            "from": "t",
+            "select": ["*", {"name": "twice", "value": {"mult": ["id", 2]}}],
+            "where": {"eq": {"id": 1}},
+        }
+    )
+    assert mix.columns == ["id", "nested\\.x", "nested\\.y", "v", "twice"]
+    assert mix.collect()[0]["twice"] == 2
+
+
 def test_named_dimension_catalog(spark, duck, sf_dir):
     from modevetl_spark.plans.dimensions import DimensionCatalog
     from modevetl_spark.plans.jx import JxError, QB

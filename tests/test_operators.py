@@ -402,3 +402,26 @@ def test_snapshot_diff_null_safety(spark):
         (3, "removed", "c"),
         (5, "added", "e"),
     }
+
+
+def test_closure_hub_salting_matches_plain(spark):
+    """Hub-salted semi-naive closure must equal the plain closure on a
+    skewed graph (a celebrity hub with many children feeding a chain), with
+    a salt target small enough that the hub really is salted."""
+    import pytest as _pytest
+
+    from modevetl_spark.operators.closure import transitive_closure
+
+    # 200 leaves -> hub 1000; chain 1000 -> 1001 -> 1002
+    edges = [(i, 1000) for i in range(200)] + [(1000, 1001), (1001, 1002)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    plain = transitive_closure(df, "src", "dst")
+    salted = transitive_closure(
+        df, "src", "dst", strategy="seminaive",
+        salt_hot_hubs=True, target_rows_per_salt=20, max_salts=8,
+    )
+    a = {(r.src, r.dst) for r in plain.collect()}
+    b = {(r.src, r.dst) for r in salted.collect()}
+    assert a == b and len(a) == 200 * 3 + 2 + 1
+    with _pytest.raises(ValueError, match="seminaive"):
+        transitive_closure(df, "src", "dst", salt_hot_hubs=True)
