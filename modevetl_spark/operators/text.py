@@ -120,6 +120,50 @@ def chunk_spans(toks: Column, chunk_tokens: int, overlap: int = 0) -> Column:
     ).otherwise(F.array().cast("array<struct<chunk_id:int,start:int,len:int>>"))
 
 
+def build_vocab(df, text_col: str, max_size: int = 1 << 20):
+    """Frequency-ranked vocabulary table (token, token_id, freq): id 0 is
+    the most frequent token; ties break lexicographically so the mapping
+    is deterministic across runs/partitionings. One explode + hash-agg
+    over the corpus (map-side combined), then a rank over the (tiny)
+    vocabulary — the corpus never shuffles beyond the token counts."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < max_size)
+        .select("token", "token_id", "freq")
+    )
+
+
+def encode_tokens(df, id_col: str, text_col: str, vocab, oov_id: int = -1):
+    """Encode each document's token stream as an int-id array using a
+    vocabulary table — the tokenizer-vocab mapping step before training.
+
+    Scale shape: posexplode keeps token order, the vocab joins BROADCAST
+    (a vocabulary is small by construction), and one groupBy per doc
+    reassembles the ordered id array. Out-of-vocabulary tokens get
+    ``oov_id``. The only corpus shuffle is the per-doc regroup."""
+    exploded = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    ids = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("token_id").alias("tid")))
+        ),
+        lambda x: F.coalesce(x["tid"], F.lit(oov_id)),
+    )
+    return joined.groupBy(id_col).agg(
+        ids.alias("token_ids"), F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+
+
 def doc_fingerprint(text: Column | str, shingle_n: int = 4) -> Column:
     """Document fingerprint: minimum md5 over word n-gram shingles (a
     rolling-hash analog). md5 is the one hash both Spark and DuckDB share,

@@ -9,7 +9,7 @@ never want a full-scan schema inference pass).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -94,6 +94,54 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_partitions, *range_cols)
         .sortWithinPartitions(*range_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    column's rank-ish integer value. Two/N-dimensional locality in ONE
+    sort key — points close in every dimension land in the same files, so
+    min/max stats prune multi-column predicates the way a single-column
+    range sort only can for its lead column (the Delta/Iceberg OPTIMIZE
+    ZORDER play, built from plain shiftleft/or expressions).
+
+    Columns must be non-negative integers that fit ``bits`` bits (rank or
+    bucket them first; values are masked to ``bits`` bits defensively).
+    """
+    n = len(cols)
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            # bit i of dimension d lands at interleaved position i*n + d
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + d)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_partitions: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort on the Morton key
+    of ``zorder_cols`` so every output file covers a compact hyper-rectangle
+    of the key space — predicates on ANY of the z-ordered columns prune
+    files/row-groups via parquet min/max stats, not just the lead sort
+    column. The key is dropped before writing (layout-only)."""
+    z = zorder_value([F.col(c) for c in zorder_cols], bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode(mode)
         .parquet(path)
     )

@@ -425,3 +425,22 @@ def test_closure_hub_salting_matches_plain(spark):
     assert a == b and len(a) == 200 * 3 + 2 + 1
     with _pytest.raises(ValueError, match="seminaive"):
         transitive_closure(df, "src", "dst", salt_hot_hubs=True)
+
+
+def test_vocab_encode_roundtrip(spark):
+    """Vocabulary ids are frequency-ranked and encoding preserves token
+    order; OOV tokens map to the sentinel."""
+    from modevetl_spark.operators.text import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b a a c a b"), (2, "a b zzz")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(docs, "text")
+    v = {r.token: (r.token_id, r.freq) for r in vocab.collect()}
+    assert v["a"] == (0, 4) and v["b"] == (1, 3) and v["c"][0] == 2
+    enc = encode_tokens(
+        docs, "doc_id", "text", vocab.where(F.col("token") != "zzz")
+    )
+    got = {r.doc_id: (r.token_ids, r.n_tokens) for r in enc.collect()}
+    assert got[1] == ([1, 0, 0, 2, 0, 1], 6)
+    assert got[2] == ([0, 1, -1], 3)  # zzz out-of-vocab -> -1

@@ -124,3 +124,57 @@ def test_es_bulk_lines_format(spark, sf_dir):
         assert action["index"]["_index"] == "orders_v1"
         assert action["index"]["_id"] == str(source["o_orderkey"])
         assert set(source) == {"o_orderkey", "o_orderstatus"}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from modevetl_spark.sources.formats import zorder_value
+
+    def morton(vals, bits, n):
+        z = 0
+        for d, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * n + d)
+        return z
+
+    pts = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_value([F.col("x"), F.col("y")], bits=3).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton((x, y), 3, 2), (x, y, z)
+    # locality sanity: the four unit-quadrant corners of [0,4)^2 all sort
+    # before any point of the [4,8)^2 quadrant
+    assert max(got[(x, y)] for x in range(4) for y in range(4)) < min(
+        got[(x, y)] for x in range(4, 8) for y in range(4, 8)
+    )
+
+
+def test_write_zordered_prunes_both_dimensions(spark, tmp_path):
+    """Per-file min/max bounding boxes: a narrow band on the SECOND
+    z-order column must intersect far fewer files than under a layout
+    range-sorted by the first column only."""
+    from modevetl_spark.sources.formats import write_range_sorted, write_zordered
+
+    pts = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+
+    zpath = str(tmp_path / "zord")
+    rpath = str(tmp_path / "rsort")
+    write_zordered(df, zpath, ["x", "y"], n_partitions=16, bits=6)
+    write_range_sorted(df, rpath, ["x"], n_partitions=16)
+
+    def files_touching_y_band(path, lo, hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+        )
+        return per_file.where((F.col("hi") >= lo) & (F.col("lo") <= hi)).count()
+
+    z_touched = files_touching_y_band(zpath, 10, 12)
+    r_touched = files_touching_y_band(rpath, 10, 12)
+    assert z_touched * 2 <= r_touched, (z_touched, r_touched)
