@@ -1,0 +1,112 @@
+"""End-to-end training-data pipeline integration: the LLM operators must
+COMPOSE — dedup the corpus, chunk the survivors to a token budget, encode
+chunks against a built vocabulary, pack the encoded chunks into training
+bins — with the cross-stage invariants a real data pipeline needs.
+
+Each stage is oracle- or unit-verified on its own elsewhere; this suite
+pins the seams (schemas line up, ids survive, budgets hold end to end).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from modevetl_spark.operators.dedup import (
+    dedup_corpus,
+    jaccard_pairs,
+    minhash_candidates,
+)
+from modevetl_spark.operators.sampling import pack_by_budget
+from modevetl_spark.operators.text import (
+    build_vocab,
+    chunk_spans,
+    encode_tokens,
+    tokens,
+)
+from modevetl_spark.sources.catalog import load
+
+CHUNK, OVERLAP, BUDGET = 40, 8, 512
+
+
+def test_dedup_chunk_encode_pack_pipeline(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    # 1) near-dup removal: LSH candidates -> exact-Jaccard verify -> one
+    #    canonical survivor per duplicate cluster
+    cands = minhash_candidates(docs, shingle_n=3, k=16, bands=4)
+    pairs = jaccard_pairs(docs, cands, shingle_n=3).where(F.col("jaccard") >= 0.8)
+    survivors = dedup_corpus(docs, pairs).cache()
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_docs
+    # no surviving pair is still a >=0.8 near-duplicate of another survivor
+    surv_pairs = jaccard_pairs(
+        survivors, pairs.join(survivors, pairs.id_a == survivors.doc_id, "semi")
+        .join(survivors.select(F.col("doc_id").alias("id_b")), "id_b", "semi"),
+        shingle_n=3,
+    )
+    assert surv_pairs.where(F.col("jaccard") >= 0.8).count() == 0
+
+    # 2) chunk surviving docs into CHUNK-token spans with OVERLAP context
+    base = survivors.select("doc_id", tokens("text").alias("toks"))
+    chunks = (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(chunk_spans(F.col("toks"), CHUNK, OVERLAP)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.slice("toks", F.col("c.start") + 1, F.col("c.len")).alias("chunk"),
+        )
+        .withColumn("chunk_text", F.array_join("chunk", " "))
+        .cache()
+    )
+    per_chunk = chunks.select("doc_id", "chunk_id", F.size("chunk").alias("n"))
+    assert per_chunk.where(F.col("n") > CHUNK).count() == 0
+    # chunks cover every token of every multi-chunk doc: sum of lens minus
+    # overlaps equals the doc's token count
+    cover = (
+        per_chunk.groupBy("doc_id")
+        .agg(F.sum("n").alias("total"), F.count("*").alias("k"))
+        .join(base.select("doc_id", F.size("toks").alias("n_toks")), "doc_id")
+    )
+    bad = cover.where(
+        F.col("total") - (F.col("k") - 1) * OVERLAP != F.col("n_toks")
+    )
+    assert bad.count() == 0
+
+    # 3) encode chunks against a vocabulary built from the SURVIVOR corpus
+    vocab = build_vocab(survivors, "text").cache()
+    vocab_size = vocab.count()
+    enc = encode_tokens(
+        chunks.withColumn(
+            "cid", F.col("doc_id") * 10_000 + F.col("chunk_id")
+        ),
+        "cid",
+        "chunk_text",
+        vocab,
+    )
+    stats = enc.select(
+        F.min(F.array_min("token_ids")).alias("lo"),
+        F.max(F.array_max("token_ids")).alias("hi"),
+        F.sum("n_tokens").alias("total"),
+    ).collect()[0]
+    # vocabulary came from the same corpus -> nothing is out-of-vocabulary
+    assert stats.lo >= 0 and stats.hi < vocab_size
+    assert stats.total == per_chunk.agg(F.sum("n")).collect()[0][0]
+
+    # 4) pack encoded chunks into training bins under the token budget
+    packed = pack_by_budget(
+        enc.select(F.col("cid").alias("doc_id"), "n_tokens"),
+        weight_col="n_tokens",
+        budget=BUDGET,
+    )
+    over = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("w"), F.count("*").alias("k"))
+        .where((F.col("w") > BUDGET) & (F.col("k") > 1))
+    )
+    assert over.count() == 0  # only single-doc bins may exceed the budget
+    assert packed.count() == enc.count()  # every chunk landed in a bin
