@@ -62,6 +62,29 @@ def stratified_hash_sample(
     return df.where(_hash_bucket(F.col(key_col)) < thresh.otherwise(F.lit("0000")))
 
 
+def hash_split(
+    df: DataFrame, key_col: str, fractions: dict[str, float]
+) -> dict[str, DataFrame]:
+    """Deterministic disjoint multi-way split (train/val/test) by content
+    hash: split s covers the half-open bucket interval whose width is its
+    fraction, in sorted-name order, so the assignment is a pure function
+    of the key — stable across partitioning, retries, and re-runs, and
+    every row lands in exactly one split (fractions must sum to <= 1;
+    any remainder is simply unassigned). Each returned DataFrame is one
+    pushdown-friendly range predicate on the md5 bucket."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    bucket = _hash_bucket(F.col(key_col))
+    for name, frac in sorted(fractions.items()):
+        lo_t, hi_t = hash_threshold(lo), hash_threshold(lo + frac)
+        out[name] = df.where((bucket >= lo_t) & (bucket < hi_t))
+        lo += frac
+    return out
+
+
 def pack_by_budget(
     docs: DataFrame,
     weight_col: str,

@@ -444,3 +444,24 @@ def test_vocab_encode_roundtrip(spark):
     got = {r.doc_id: (r.token_ids, r.n_tokens) for r in enc.collect()}
     assert got[1] == ([1, 0, 0, 2, 0, 1], 6)
     assert got[2] == ([0, 1, -1], 3)  # zzz out-of-vocab -> -1
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark, sf_dir):
+    from modevetl_spark.operators.sampling import hash_split
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    splits = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    sets = {k: {r.doc_id for r in v.collect()} for k, v in splits.items()}
+    n = d.count()
+    assert sum(len(s) for s in sets.values()) == n  # exhaustive
+    assert not (sets["train"] & sets["val"]) and not (sets["val"] & sets["test"])
+    assert not (sets["train"] & sets["test"])  # pairwise disjoint
+    # deterministic under repartitioning
+    again = hash_split(d.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {r.doc_id for r in again["val"].collect()} == sets["val"]
+    # roughly proportional
+    assert abs(len(sets["train"]) / n - 0.8) < 0.1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="> 1"):
+        hash_split(d, "doc_id", {"a": 0.9, "b": 0.2})
