@@ -79,9 +79,13 @@ def hash_split(
     lo = 0.0
     bucket = _hash_bucket(F.col(key_col))
     for name, frac in sorted(fractions.items()):
-        lo_t, hi_t = hash_threshold(lo), hash_threshold(lo + frac)
+        # float accumulation in sorted order can drift a hair past 1.0
+        # even when the (differently-ordered) sum() guard passed — clamp,
+        # or hash_threshold rejects a legitimate split like .55/.34/.11
+        hi = min(lo + frac, 1.0)
+        lo_t, hi_t = hash_threshold(lo), hash_threshold(hi)
         out[name] = df.where((bucket >= lo_t) & (bucket < hi_t))
-        lo += frac
+        lo = hi
     return out
 
 

@@ -133,11 +133,14 @@ def build_vocab(df, text_col: str, max_size: int = 1 << 20):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Truncate BEFORE ranking: orderBy+limit compiles to a distributed
+    # TakeOrdered, so the single-partition row_number window below only
+    # ever sees <= max_size rows — ranking the full distinct-token set
+    # through one window task would straggle/OOM on a web-scale corpus.
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(max_size)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .where(F.col("token_id") < max_size)
-        .select("token", "token_id", "freq")
+    return top.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "token", "token_id", "freq"
     )
 
 
@@ -149,18 +152,24 @@ def encode_tokens(df, id_col: str, text_col: str, vocab, oov_id: int = -1):
     (a vocabulary is small by construction), and one groupBy per doc
     reassembles the ordered id array. Out-of-vocabulary tokens get
     ``oov_id``. The only corpus shuffle is the per-doc regroup."""
+    # posexplode_outer keeps zero-token documents as one null-pos row, so
+    # an empty/whitespace-only doc still appears in the output as ([], 0)
+    # instead of silently vanishing from the corpus
     exploded = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+        F.col(id_col), F.posexplode_outer(tokens(text_col)).alias("pos", "token")
     )
     joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
     ids = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("pos"), F.col("token_id").alias("tid")))
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("token_id").alias("tid")))
+            ),
+            lambda x: x["pos"].isNotNull(),
         ),
         lambda x: F.coalesce(x["tid"], F.lit(oov_id)),
     )
     return joined.groupBy(id_col).agg(
-        ids.alias("token_ids"), F.count(F.lit(1)).cast("long").alias("n_tokens")
+        ids.alias("token_ids"), F.count("pos").cast("long").alias("n_tokens")
     )
 
 

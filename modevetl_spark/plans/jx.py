@@ -33,7 +33,8 @@ Supported surface (documented reference semantics):
 Scalar expression ops: literal, add/sub/mult/div (div takes optional
 default), abs, floor, round, exp, ln, coalesce, concat, length, lower,
 upper, left, right, find (0-based substring index, Null when absent),
-between (substring between prefix/suffix, dict or 3-list form),
+between (substring form: {"value", "prefix", "suffix"} dict; the
+[field, lo, hi] list stays the boolean range op),
 left_pad/right_pad (aka lpad/rpad), not, when/then/else, date/number
 casts. ``select`` entries accept a per-column ``default`` applied to
 missing values before any aggregation (upstream select.default).
@@ -204,19 +205,17 @@ def _scalar_op(op: str, arg: Any) -> Column:
         return F.when(
             F.length(sub) == 0, F.when(start0 <= F.length(s), start0)
         ).otherwise(F.when(pos > 0, pos - 1))
-    if op == "between" and isinstance(arg, (list, dict)) and (
-        isinstance(arg, dict) and ("prefix" in arg or "suffix" in arg)
-        or isinstance(arg, list) and len(arg) == 3
+    if op == "between" and isinstance(arg, dict) and (
+        "prefix" in arg or "suffix" in arg
     ):
         # String between: {"between": {"value": v, "prefix": p, "suffix": s}}
-        # or [v, p, s] -> substring strictly between the first occurrence of
-        # prefix and the next occurrence of suffix. A None prefix anchors at
-        # the start, a None suffix runs to the end; an absent prefix/suffix
+        # -> substring strictly between the first occurrence of prefix and
+        # the next occurrence of suffix. A None prefix anchors at the
+        # start, a None suffix runs to the end; an absent prefix/suffix
         # yields Null (missing), like the reference's strings.between.
-        if isinstance(arg, dict):
-            v, p, sfx = arg.get("value"), arg.get("prefix"), arg.get("suffix")
-        else:
-            v, p, sfx = arg
+        # ONLY the prefix/suffix dict form is claimed here — the 3-list
+        # form {"between": [field, lo, hi]} stays the boolean range op.
+        v, p, sfx = arg.get("value"), arg.get("prefix"), arg.get("suffix")
         s = to_col(v)
         if p is None:
             content_start = F.lit(1)
@@ -480,7 +479,14 @@ class QB:
                 and self.dimensions is not None
                 and e["value"] in self.dimensions
             ):
-                out.append(self.dimensions.edge(e["value"], e))
+                # the edge's "value" IS the dimension reference — it must
+                # not survive into the overrides or it would clobber the
+                # catalog's real value expression with the dimension name
+                out.append(
+                    self.dimensions.edge(
+                        e["value"], {k: v for k, v in e.items() if k != "value"}
+                    )
+                )
             else:
                 out.append(e)
         return out
@@ -732,6 +738,14 @@ def _expand_star(df: DataFrame, select) -> list | None:
         return None
     out = []
     for s in _listify(select):
+        if isinstance(s, dict) and s.get("value") in ("*", ".") and s.get("aggregate"):
+            # silently expanding would drop the aggregate (count(*) shape);
+            # upstream expresses count-star as {"aggregate": "count"} with
+            # no value at all
+            raise JxError(
+                "aggregate over '*'/'.' is not supported: use "
+                '{"aggregate": "count"} without a value for count(*)'
+            )
         if s == "*" or (isinstance(s, dict) and s.get("value") == "*"):
             out.extend(
                 {"name": p.replace(".", "\\."), "value": p}

@@ -109,8 +109,17 @@ def zorder_value(cols: list[Column], bits: int = 16) -> Column:
 
     Columns must be non-negative integers that fit ``bits`` bits (rank or
     bucket them first; values are masked to ``bits`` bits defensively).
+    ``len(cols) * bits`` must fit the 63 value bits of a signed long:
+    JVM long shifts wrap mod 64, so an unguarded 4x16-bit key would place
+    a bit on the sign position (inverting sort order) and a 5x16-bit key
+    would silently fold dimensions onto each other.
     """
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits; "
+            "must be <= 63 (signed long) — lower `bits` or drop a column"
+        )
     mask = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for d, c in enumerate(cols):

@@ -89,6 +89,14 @@ def upsert_parquet(
     swap (new -> live only after old -> backup) so no crash point leaves
     the sink absent or half-written.
     """
+    # Crash recovery: a crash between the swap's two renames leaves the
+    # sink absent but its backup intact — restore it before anything else,
+    # or this run would silently treat the sink as empty and write only
+    # the delta (total loss of prior upserts).
+    backup = sink_path.rstrip("/") + ".upsert_bak"
+    if not os.path.exists(sink_path) and os.path.exists(backup):
+        os.rename(backup, sink_path)
+
     exists = os.path.exists(sink_path)
     if exists and partition_by:
         _upsert_partitioned(spark, incoming, sink_path, keys, partition_by)
@@ -108,7 +116,6 @@ def upsert_parquet(
     out = os.path.join(tmp, "data")
     writer.parquet(out)
     if os.path.exists(sink_path):
-        backup = sink_path.rstrip("/") + ".upsert_bak"
         shutil.rmtree(backup, ignore_errors=True)
         os.rename(sink_path, backup)  # old stays recoverable until new lands
         os.rename(out, sink_path)
@@ -193,9 +200,24 @@ def _upsert_partitioned(
             shutil.rmtree(d, ignore_errors=True)
 
 
+# Characters Spark/Hive percent-escape in partition directory names
+# (ExternalCatalogUtils.escapePathName) — ASCII controls plus these.
+_HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^')
+
+
 def _hive_part_value(v) -> str:
-    """Hive-style directory encoding of a partition value (scalar types)."""
-    return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+    """Hive-style directory encoding of a partition value, matching what
+    Spark actually writes: None -> the default-partition sentinel,
+    booleans lowercase ('p=true', not 'p=True'), and reserved characters
+    percent-escaped ('03:04' -> '03%3A04'). A plain str(v) here misses
+    those and the stale-partition cleanup silently deletes nothing."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = "true" if v is True else "false" if v is False else str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if (ch in _HIVE_ESCAPED or ord(ch) < 32) else ch
+        for ch in s
+    )
 
 
 def run_incremental(

@@ -623,3 +623,50 @@ def test_nested_from_unknown_path_raises(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with _pytest.raises(JxError):
         QB(spark, tables={"t": df}).run({"from": "t.nope", "select": [{"name": "id", "value": "id"}]})
+
+
+def test_review_fix_jx_regressions(spark, duck, sf_dir):
+    """Review fixes: (2) a string `value` naming a dimension resolves to
+    the catalog's real expression; (6) the 3-list between stays the
+    boolean range op in scalar position; (7) aggregate-over-star raises."""
+    import pytest as _pytest
+
+    from modevetl_spark.plans.dimensions import DimensionCatalog
+    from modevetl_spark.plans.jx import JxError, QB
+
+    dims = DimensionCatalog().register(
+        "flag", "l_returnflag", {"type": "set", "partitions": ["A", "N", "R"]}
+    )
+    out = QB(spark, sf_dir=sf_dir, dimensions=dims).run(
+        {
+            "from": "lineitem",
+            "edges": [{"name": "f", "value": "flag"}],  # dict value reference
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    rows = {r.f: r.n for r in out.collect()}
+    assert set(rows) == {"A", "N", "R"} and sum(rows.values()) > 0
+
+    qb = QB(spark, sf_dir=sf_dir)
+    sel = qb.run(
+        {
+            "from": "orders",
+            "select": [
+                {"name": "id", "value": "o_orderkey"},
+                {
+                    "name": "mid_price",
+                    "value": {"between": ["o_totalprice", 100000, 200000]},
+                },
+            ],
+            "limit": 5,
+        }
+    )
+    assert dict(sel.dtypes)["mid_price"] == "boolean"
+
+    with _pytest.raises(JxError, match="aggregate over"):
+        qb.run(
+            {
+                "from": "orders",
+                "select": [{"name": "n", "value": "*", "aggregate": "count"}],
+            }
+        )

@@ -465,3 +465,37 @@ def test_hash_split_disjoint_exhaustive_deterministic(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="> 1"):
         hash_split(d, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_review_fix_regressions(spark, sf_dir):
+    """Pin the fixes from the round-2 adversarial review."""
+    import pytest as _pytest
+
+    from modevetl_spark.operators.sampling import hash_split
+    from modevetl_spark.operators.text import build_vocab, encode_tokens
+    from modevetl_spark.sources.formats import zorder_value
+
+    # (1) sorted-order float accumulation (.11+.34+.55 drifts past 1.0)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    splits = hash_split(d, "doc_id", {"a": 0.55, "b": 0.34, "c": 0.11})
+    assert sum(v.count() for v in splits.values()) == d.count()
+
+    # (5) z-order must refuse keys that spill past the 63 value bits
+    with _pytest.raises(ValueError, match="63"):
+        zorder_value([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+
+    # (8) zero-token docs survive encoding as ([], 0)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(docs, "text")
+    got = {
+        r.doc_id: (r.token_ids, r.n_tokens)
+        for r in encode_tokens(docs, "doc_id", "text", vocab).collect()
+    }
+    assert got[1] == ([0, 1], 2) and got[2] == ([], 0) and got[3] == ([], 0)
+
+    # (9) vocabulary cap truncates by rank, ids stay dense 0..max_size-1
+    capped = build_vocab(docs, "text", max_size=1)
+    rows = capped.collect()
+    assert len(rows) == 1 and rows[0].token == "a" and rows[0].token_id == 0

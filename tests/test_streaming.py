@@ -335,3 +335,34 @@ def test_foreach_batch_upsert_partitioned(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+
+
+def test_upsert_bool_partition_cleanup_and_crash_recovery(spark, tmp_path):
+    """Review fixes: (3) boolean partition dirs are written as 'p=true' --
+    the emptied-partition cleanup must match Spark's encoding, not
+    str(True); (4) a crash between the swap renames leaves only the
+    backup, which the next run must restore instead of treating the sink
+    as empty."""
+    import shutil
+
+    sink = str(tmp_path / "bsink")
+    base = spark.createDataFrame([(1, "a", True), (2, "b", False)], ["id", "v", "p"])
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    # id=2 moves from p=false to p=true: the false partition must vanish
+    inc = spark.createDataFrame([(2, "B", True)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+    # partition values read back as strings (no boolean dir inference)
+    got = {(r.id, r.v, str(r.p).lower()) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", "true"), (2, "B", "true")}
+    assert not os.path.exists(os.path.join(sink, "p=false"))
+
+    # simulate the crash window: sink renamed aside, new never landed
+    sink2 = str(tmp_path / "csink")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    upsert_parquet(spark, df1, sink2, keys=["id"])
+    os.rename(sink2, sink2 + ".upsert_bak")  # crash left only the backup
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+    upsert_parquet(spark, df2, sink2, keys=["id"])
+    got2 = {(r.id, r.v) for r in spark.read.parquet(sink2).collect()}
+    assert got2 == {(1, "a"), (2, "b")}  # prior rows recovered, not lost
+    shutil.rmtree(sink2 + ".upsert_bak", ignore_errors=True)
