@@ -228,16 +228,20 @@ def run_incremental(
     sink_path: str,
     keys: list[str],
     state_path: str,
+    partition_by: list[str] | None = None,
 ) -> int:
     """One cron-style incremental run: pull -> transform -> upsert ->
-    advance mark. Returns number of source rows processed."""
+    advance mark. Returns number of source rows processed. Pass
+    ``partition_by`` to keep the sink partitioned and each run's rewrite
+    scoped to the partitions the delta touches — the layout that keeps a
+    daily job O(day), not O(history)."""
     wm = Watermark(state_path)
     pending = pull_newer(source, ts_col, wm.read())
     n = pending.count()
     if n == 0:
         return 0
     result = transform(pending)
-    upsert_parquet(spark, result, sink_path, keys)
+    upsert_parquet(spark, result, sink_path, keys, partition_by)
     new_mark = pending.agg(F.max(ts_col)).collect()[0][0]
     if new_mark is not None:
         if hasattr(new_mark, "isoformat"):

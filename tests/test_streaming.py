@@ -366,3 +366,48 @@ def test_upsert_bool_partition_cleanup_and_crash_recovery(spark, tmp_path):
     got2 = {(r.id, r.v) for r in spark.read.parquet(sink2).collect()}
     assert got2 == {(1, "a"), (2, "b")}  # prior rows recovered, not lost
     shutil.rmtree(sink2 + ".upsert_bak", ignore_errors=True)
+
+
+def test_run_incremental_partitioned_sink(spark, tmp_path):
+    """Cron-contract loop with a partitioned sink: each run rewrites only
+    the partitions its delta touches, the watermark advances, and a rerun
+    is a no-op."""
+    from modevetl_spark.streaming.incremental import run_incremental
+
+    src1 = spark.createDataFrame(
+        [(1, 10, 100, "a"), (2, 10, 200, "b"), (3, 20, 300, "c")],
+        ["id", "day", "seq", "v"],
+    )
+    sink = str(tmp_path / "inc_sink")
+    state = str(tmp_path / "inc_state.json")
+
+    def ident(df):
+        return df.select("id", "day", "v")
+
+    n1 = run_incremental(
+        spark, src1, "seq", ident, sink, keys=["id"], state_path=state,
+        partition_by=["day"],
+    )
+    assert n1 == 3
+    before_d10 = _part_files(sink, "day=10")
+
+    # second batch: new row on day 20 only -> day=10 files untouched
+    src2 = src1.unionByName(
+        spark.createDataFrame([(4, 20, 400, "d")], ["id", "day", "seq", "v"])
+    )
+    n2 = run_incremental(
+        spark, src2, "seq", ident, sink, keys=["id"], state_path=state,
+        partition_by=["day"],
+    )
+    assert n2 == 1  # only the new row was pending
+    assert _part_files(sink, "day=10") == before_d10
+    got = {(r.id, r.day, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, 20, "d")}
+    # replay with no new data -> no-op
+    assert (
+        run_incremental(
+            spark, src2, "seq", ident, sink, keys=["id"], state_path=state,
+            partition_by=["day"],
+        )
+        == 0
+    )
