@@ -120,28 +120,34 @@ def ancestors_of(
         .localCheckpoint(eager=True)
     )
     acc = current
-    with _tuned_shuffle(edges, current.count()):
-        for _ in range(max_iterations):
-            nxt = (
-                _frontier_edge_join(
-                    current.withColumnRenamed("ancestor", "__mid"),
-                    edges.withColumnRenamed(src, "__mid"),
-                    salt_hot_hubs,
-                    node,
-                    target_rows_per_salt,
-                    max_salts,
+    try:
+        with _tuned_shuffle(edges, current.count()):
+            for _ in range(max_iterations):
+                nxt = (
+                    _frontier_edge_join(
+                        current.withColumnRenamed("ancestor", "__mid"),
+                        edges.withColumnRenamed(src, "__mid"),
+                        salt_hot_hubs,
+                        node,
+                        target_rows_per_salt,
+                        max_salts,
+                    )
+                    .select(F.col(node), F.col(dst).alias("ancestor"))
+                    .join(acc, on=[node, "ancestor"], how="left_anti")
+                    .distinct()
+                    .localCheckpoint(eager=True)
                 )
-                .select(F.col(node), F.col(dst).alias("ancestor"))
-                .join(acc, on=[node, "ancestor"], how="left_anti")
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                edges.unpersist()
-                return acc
-            acc = acc.union(nxt).localCheckpoint(eager=True)
-            current = nxt
-    raise RuntimeError(f"ancestor walk did not converge in {max_iterations} iterations")
+                if nxt.isEmpty():
+                    return acc
+                acc = acc.union(nxt).localCheckpoint(eager=True)
+                current = nxt
+        raise RuntimeError(
+            f"ancestor walk did not converge in {max_iterations} iterations"
+        )
+    finally:
+        # unpersist on EVERY exit — the non-convergence raise must not leak
+        # the cached edge set into the session's block manager
+        edges.unpersist()
 
 
 def transitive_closure(
@@ -219,31 +225,34 @@ def _closure_seminaive(
     closure = edges.localCheckpoint(eager=True)
     frontier = closure
 
-    with _tuned_shuffle(edges, closure.count()):
-        for _ in range(max_iterations):
-            # frontier(src, mid) ⋈ edges(mid, dst) -> candidate new paths
-            step = (
-                _frontier_edge_join(
-                    frontier.withColumnRenamed(dst, "__mid"),
-                    edges.withColumnRenamed(src, "__mid"),
-                    salt_hot_hubs,
-                    src,
-                    target_rows_per_salt,
-                    max_salts,
+    try:
+        with _tuned_shuffle(edges, closure.count()):
+            for _ in range(max_iterations):
+                # frontier(src, mid) ⋈ edges(mid, dst) -> candidate new paths
+                step = (
+                    _frontier_edge_join(
+                        frontier.withColumnRenamed(dst, "__mid"),
+                        edges.withColumnRenamed(src, "__mid"),
+                        salt_hot_hubs,
+                        src,
+                        target_rows_per_salt,
+                        max_salts,
+                    )
+                    .select(src, dst)
+                    .distinct()
                 )
-                .select(src, dst)
-                .distinct()
-            )
-            new_paths = step.join(closure, on=[src, dst], how="left_anti")
-            new_paths = new_paths.localCheckpoint(eager=True)
-            if new_paths.isEmpty():
-                break
-            closure = closure.union(new_paths).localCheckpoint(eager=True)
-            frontier = new_paths
-        else:
-            raise RuntimeError(
-                f"closure did not converge in {max_iterations} iterations"
-            )
+                new_paths = step.join(closure, on=[src, dst], how="left_anti")
+                new_paths = new_paths.localCheckpoint(eager=True)
+                if new_paths.isEmpty():
+                    break
+                closure = closure.union(new_paths).localCheckpoint(eager=True)
+                frontier = new_paths
+            else:
+                raise RuntimeError(
+                    f"closure did not converge in {max_iterations} iterations"
+                )
+    finally:
+        # unpersist on EVERY exit, including the non-convergence raise
+        edges.unpersist()
 
-    edges.unpersist()
     return closure

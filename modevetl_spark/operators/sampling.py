@@ -72,6 +72,11 @@ def hash_split(
     every row lands in exactly one split (fractions must sum to <= 1;
     any remainder is simply unassigned). Each returned DataFrame is one
     pushdown-friendly range predicate on the md5 bucket."""
+    bad = {k: v for k, v in fractions.items() if v < 0}
+    if bad:
+        # a negative fraction would move the interval cursor backward and
+        # make later splits OVERLAP earlier ones — silent train/test leakage
+        raise ValueError(f"negative fractions: {bad}")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")

@@ -29,14 +29,19 @@ def _salt(unique_col: Column, n: int) -> Column:
 # Join types where replicating the dim side is semantics-preserving: each
 # big row meets exactly one salt replica of its dim row. right/full outer
 # would emit every UNMATCHED dim replica n_salts times — n_salts copies of
-# each unmatched dim row in the output — so they are rejected.
-_SALTED_JOIN_HOWS = frozenset({"inner", "left", "left_outer", "left_semi", "left_anti"})
+# each unmatched dim row in the output — so they are rejected. Compared
+# after Spark-style normalization (lowercase, underscores stripped) so all
+# of Spark's accepted spellings — semi/leftsemi/left_semi, leftouter, … —
+# pass the guard.
+_SALTED_JOIN_HOWS = frozenset(
+    {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+)
 
 
 def _check_salted_how(how: str) -> None:
-    if how not in _SALTED_JOIN_HOWS:
+    if how.lower().replace("_", "") not in _SALTED_JOIN_HOWS:
         raise ValueError(
-            f"salted join supports {sorted(_SALTED_JOIN_HOWS)}, got {how!r}: "
+            f"salted join supports inner/left/semi/anti spellings, got {how!r}: "
             "replicated dim rows would duplicate unmatched right-side output"
         )
 

@@ -139,8 +139,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sets = docs.select("doc_id", "n", F.explode("toks").alias("shingle"))
     # Global token order: ascending document frequency, token as tiebreak.
+    # NOT force-broadcast: the docfreq table is one row per distinct corpus
+    # token — tiny here, but web-scale vocabularies would OOM the driver;
+    # AQE broadcasts it when it actually fits and shuffles otherwise.
     docfreq = sets.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sets.join(F.broadcast(docfreq), "shingle").withColumn(
+    ranked = sets.join(docfreq, "shingle").withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle"))

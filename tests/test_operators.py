@@ -499,3 +499,27 @@ def test_review_fix_regressions(spark, sf_dir):
     capped = build_vocab(docs, "text", max_size=1)
     rows = capped.collect()
     assert len(rows) == 1 and rows[0].token == "a" and rows[0].token_id == 0
+
+
+def test_review2_fix_regressions(spark, sf_dir):
+    """Second-review fixes: negative split fractions rejected; Spark's
+    alias join-type spellings pass the salted-join guard."""
+    import pytest as _pytest
+
+    from modevetl_spark.operators.sampling import hash_split
+    from modevetl_spark.operators.skew import salted_join
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    with _pytest.raises(ValueError, match="negative"):
+        hash_split(d, "doc_id", {"a": 0.5, "b": -0.2, "c": 0.5})
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id").limit(50)
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    plain = ev.join(dim, "user_id", "leftsemi").count()
+    for how in ("leftsemi", "semi", "LEFT_SEMI"):
+        assert (
+            salted_join(
+                ev, dim, on="user_id", big_unique_col="event_id", how=how
+            ).count()
+            == plain
+        )
