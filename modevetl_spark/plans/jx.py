@@ -388,19 +388,31 @@ def _time_bucket_key(val: Column, dom_min: str, dom_max: str, interval: str) -> 
     that generates the grid, so key and grid are equal by construction.
     O(|grid|) comparisons per row, array codegen'd — fine for the <=1000
     cells a dense cube can render anyway.
+
+    The key is clamped to the right-open domain [min, max): rows outside it
+    get a NULL key, so they either fall out of the densify join or — when
+    ``allowNulls`` coalesces afterwards — land in the overflow bucket, the
+    same treatment out-of-domain values get in a set domain. Without the
+    clamp a val >= max whose floor is the partial final bucket's start (a
+    real grid member when max is not interval-aligned) was silently counted
+    into that bucket; date_trunc on the fast path leaked identically.
     """
     parts = interval.split()
     unit = parts[-1].lower().rstrip("s")
     single = len(parts) == 2 and parts[0] in ("1", "+1")
     if single and _time_aligned(dom_min, unit):
-        return F.date_trunc(unit, val)
-    seq = F.sequence(
-        F.to_timestamp(F.lit(dom_min)),
-        F.to_timestamp(F.lit(dom_max)),
-        F.expr(f"INTERVAL {interval}"),
-    )
-    below = F.filter(seq, lambda b: b <= val)
-    return F.when(F.size(below) > 0, F.element_at(below, F.size(below)))
+        key = F.date_trunc(unit, val)
+    else:
+        seq = F.sequence(
+            F.to_timestamp(F.lit(dom_min)),
+            F.to_timestamp(F.lit(dom_max)),
+            F.expr(f"INTERVAL {interval}"),
+        )
+        below = F.filter(seq, lambda b: b <= val)
+        key = F.when(F.size(below) > 0, F.element_at(below, F.size(below)))
+    lo = F.to_timestamp(F.lit(dom_min))
+    hi = F.to_timestamp(F.lit(dom_max))
+    return F.when((val >= lo) & (val < hi), key)
 
 
 def _aggregate(agg: str, value: Column, percentile: float | None = None) -> Column:
@@ -659,9 +671,19 @@ class QB:
                 # values are bit-identical to the generated grid — a
                 # floor(val/width)*width key anchored at 0 misses every grid
                 # point when start is not a multiple of width, and can miss
-                # by 1 ulp even when aligned (different op order).
+                # by 1 ulp even when aligned (different op order). Clamped to
+                # the right-open [start, max): a val >= max keys to NULL
+                # instead of the partial final bucket's start (which IS a
+                # grid member when max isn't width-aligned), and a val <
+                # start keys to NULL instead of a below-grid value, so both
+                # sides behave like a set domain's out-of-domain values —
+                # dropped, or swept into the allowNulls overflow bucket.
+                stop = float(dom["max"])
                 k = F.floor((val - F.lit(start)) / F.lit(width))
-                key = (F.lit(start) + k * F.lit(width)).cast("double")
+                key = F.when(
+                    (val >= F.lit(start)) & (val < F.lit(stop)),
+                    (F.lit(start) + k * F.lit(width)).cast("double"),
+                )
             elif dtype == "default":
                 pre_named = pre.withColumn(name, val)
                 domains.append(default_domain(pre_named, name, dom.get("limit", 1000)))

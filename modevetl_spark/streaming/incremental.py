@@ -17,15 +17,16 @@ the mark. This module reproduces that contract on parquet:
 
 Scale notes: upsert rewrites only what it must when the sink is
 partitioned — pass ``partition_by`` and only the affected partitions are
-rewritten via Spark's dynamic partition overwrite
-(``spark.sql.sources.partitionOverwriteMode=dynamic``), the parquet
-analog of ES's id-sharded bulk writes. "Affected" means partitions that
-incoming rows land in, plus partitions holding an existing row whose key
-collides with an incoming key (so a key that *moves* partitions is still
-deleted from its old home — found with a key-columns-only semi-join, a
-column-pruned scan, never a full rewrite). The unpartitioned fallback
-rewrites the whole sink through a rename-aside swap with no window in
-which the sink is absent.
+rewritten (merged delta staged into a temp dir, then swapped in per
+partition with rename-aside backups), the parquet analog of ES's
+id-sharded bulk writes. "Affected" means partitions that incoming rows
+land in, plus partitions holding an existing row whose key collides with
+an incoming key (so a key that *moves* partitions is still deleted from
+its old home — found with a key-columns-only semi-join, a column-pruned
+scan, never a full rewrite). The unpartitioned fallback rewrites the
+whole sink through the same rename-aside swap. Both paths leave every
+partition either fully old or fully new at any crash point, with
+backup-restore recovery on the next run.
 """
 
 from __future__ import annotations
@@ -96,6 +97,7 @@ def upsert_parquet(
     backup = sink_path.rstrip("/") + ".upsert_bak"
     if not os.path.exists(sink_path) and os.path.exists(backup):
         os.rename(backup, sink_path)
+    _recover_partitioned(sink_path)
 
     exists = os.path.exists(sink_path)
     if exists and partition_by:
@@ -132,17 +134,35 @@ def _upsert_partitioned(
     keys: list[str],
     partition_by: list[str],
 ) -> None:
-    """Partition-scoped merge: rewrite only partitions the delta touches."""
+    """Partition-scoped merge: rewrite only partitions the delta touches.
+
+    Crash contract mirrors the unpartitioned rename-aside swap, applied
+    per partition: the merged result is written to a temp dir first, then
+    each touched partition directory is swapped in (live -> backup,
+    new -> live), with backups deleted only after every swap succeeded. No
+    crash point leaves a partition half-written — each is either fully old
+    or fully new — and :func:`_recover_partitioned` restores any partition
+    stranded in the backup root on the next run. A partition the crashed
+    run had emptied (all its keys moved elsewhere) is restored too and
+    re-emptied when the same delta replays; the merge is idempotent.
+
+    Writing to a temp dir (rather than dynamically overwriting the sink in
+    place) also removes the self-read-overwrite hazard, so no checkpoint
+    is needed to cut lineage.
+    """
     existing = spark.read.parquet(sink_path)
 
     # Partitions to rewrite: where incoming rows land, plus where colliding
     # keys currently live (a key may move partitions between runs). The
     # semi-join probe reads only key + partition columns (column pruning)
     # and its result is one row per touched partition — tiny by definition.
+    # The incoming key set itself is delta-sized but unbounded (a backfill
+    # batch can be huge), so it is NOT force-broadcast: AQE picks broadcast
+    # vs shuffle from the measured size.
     inc_parts = incoming.select(*partition_by).distinct()
     collide_parts = (
         existing.select(*{*keys, *partition_by})
-        .join(F.broadcast(incoming.select(*keys).distinct()), on=keys, how="left_semi")
+        .join(incoming.select(*keys).distinct(), on=keys, how="left_semi")
         .select(*partition_by)
         .distinct()
     )
@@ -168,36 +188,53 @@ def _upsert_partitioned(
     )
     merged = kept.unionByName(incoming.select(*existing.columns))
 
-    # Spark refuses to overwrite a path present in the plan's own scan;
-    # localCheckpoint materializes the (delta-sized) merge and cuts the
-    # lineage back to the sink, so the overwrite below is legal.
-    merged = merged.localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="upsert_parts_", dir=os.path.dirname(sink_path) or ".")
+    out = os.path.join(tmp, "data")
+    merged.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
 
-    # Dynamic partition overwrite replaces exactly the partitions present
-    # in `merged` and leaves every other partition's files untouched.
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(sink_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-
-    # Dynamic overwrite cannot express "this partition is now empty": a
-    # touched partition whose rows were all removed (e.g. a key moved to a
-    # different partition) appears nowhere in `merged`, so its stale files
-    # survive the write. Drop those directories explicitly.
-    merged_parts = {
-        tuple(r[c] for c in partition_by)
-        for r in merged.select(*partition_by).distinct().collect()
-    }
+    # Swap each touched partition in. A touched partition absent from the
+    # written output was emptied by a key move — its live dir moves to
+    # backup and is never replaced, which deletes it atomically.
+    bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
+    shutil.rmtree(bakroot, ignore_errors=True)
+    os.makedirs(bakroot)
     for p in parts:
-        key = tuple(p[c] for c in partition_by)
-        if key not in merged_parts:
-            d = os.path.join(
-                sink_path,
-                *[f"{c}={_hive_part_value(v)}" for c, v in zip(partition_by, key)],
-            )
-            shutil.rmtree(d, ignore_errors=True)
+        rel = os.path.join(*[f"{c}={_hive_part_value(p[c])}" for c in partition_by])
+        live = os.path.join(sink_path, rel)
+        new = os.path.join(out, rel)
+        if os.path.exists(live):
+            bak = os.path.join(bakroot, rel)
+            os.makedirs(os.path.dirname(bak), exist_ok=True)
+            os.rename(live, bak)  # old stays recoverable until new lands
+        if os.path.exists(new):
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(new, live)
+    shutil.rmtree(bakroot, ignore_errors=True)  # delete backups last
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_partitioned(sink_path: str) -> None:
+    """Restore partitions stranded mid-swap by a crashed partitioned
+    upsert: any leaf directory under the backup root whose live twin is
+    missing moves back; partitions already swapped (live exists) keep the
+    new data. Per-partition atomicity means the restored sink mixes old
+    and new partitions after a crash, but never a half-written one, and
+    replaying the same delta converges."""
+    bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
+    if not os.path.isdir(bakroot):
+        return
+    leaves = [
+        dirpath
+        for dirpath, dirnames, _ in os.walk(bakroot)
+        if dirpath != bakroot and not dirnames
+    ]
+    for bak in leaves:
+        rel = os.path.relpath(bak, bakroot)
+        live = os.path.join(sink_path, rel)
+        if not os.path.exists(live):
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.rename(bak, live)
+    shutil.rmtree(bakroot, ignore_errors=True)
 
 
 # Characters Spark/Hive percent-escape in partition directory names

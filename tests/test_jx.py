@@ -314,6 +314,154 @@ def test_edges_range_domain_unaligned(qb, duck):
     )
 
 
+def test_edges_time_domain_unaligned_max(qb, duck):
+    """Aligned min but mid-month max: the domain is right-open at max, so
+    rows with val >= max must NOT leak into the partial final bucket (the
+    fast date_trunc path used to key 1996-06-25 to 1996-06-01, a real grid
+    member here)."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "m",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-01",
+                        "max": "1996-06-20",
+                        "interval": "1 MONTH",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT s AS m
+                      FROM generate_series(TIMESTAMP '1996-01-01',
+                                           TIMESTAMP '1996-06-01',
+                                           INTERVAL 1 MONTH) t(s))
+           SELECT g.m, COUNT(o.o_orderdate) AS n
+           FROM g LEFT JOIN orders o
+             ON o.o_orderdate >= g.m
+            AND o.o_orderdate < LEAST(g.m + INTERVAL 1 MONTH,
+                                      TIMESTAMP '1996-06-20')
+           GROUP BY 1""",
+    )
+
+
+def test_edges_time_domain_unaligned_max_general(qb, duck):
+    """Multi-unit interval AND non-aligned max: the general sequence path's
+    largest-boundary-below key used to sweep val >= max into the partial
+    final bucket [1996-05-01, 1996-06-20)."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "b",
+                    "value": "o_orderdate",
+                    "domain": {
+                        "type": "time",
+                        "min": "1996-01-01",
+                        "max": "1996-06-20",
+                        "interval": "2 MONTH",
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT s AS b
+                      FROM generate_series(TIMESTAMP '1996-01-01',
+                                           TIMESTAMP '1996-05-01',
+                                           INTERVAL 2 MONTH) t(s))
+           SELECT g.b, COUNT(o.o_orderdate) AS n
+           FROM g LEFT JOIN orders o
+             ON o.o_orderdate >= g.b
+            AND o.o_orderdate < LEAST(g.b + INTERVAL 2 MONTH,
+                                      TIMESTAMP '1996-06-20')
+           GROUP BY 1""",
+    )
+
+
+def test_edges_range_domain_unaligned_max(qb, duck):
+    """Range domain whose max is not width-aligned: values >= max used to
+    key into the partial final bucket's start (a real grid member) instead
+    of falling out of the right-open domain."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_totalprice",
+                    "domain": {
+                        "type": "range",
+                        "min": 0,
+                        "max": 210000,
+                        "interval": 50000,
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    compare(
+        out,
+        duck,
+        """WITH g AS (SELECT t.k * CAST(50000 AS DOUBLE) AS bucket
+                      FROM generate_series(0, 4) t(k)),
+                a AS (SELECT floor(o_totalprice / CAST(50000 AS DOUBLE))
+                             * CAST(50000 AS DOUBLE) AS bucket,
+                             COUNT(*) AS n
+                      FROM orders
+                      WHERE o_totalprice >= 0 AND o_totalprice < 210000
+                      GROUP BY 1)
+           SELECT g.bucket, COALESCE(a.n, 0) AS n
+           FROM g LEFT JOIN a USING (bucket)""",
+    )
+
+
+def test_edges_out_of_domain_allow_nulls_overflow(qb, spark, sf_dir):
+    """With allowNulls, out-of-domain values join the overflow bucket —
+    the same treatment a set domain gives values not in its partition list
+    — instead of leaking into the partial final bucket or vanishing."""
+    out = qb.run(
+        {
+            "from": "orders",
+            "edges": [
+                {
+                    "name": "bucket",
+                    "value": "o_totalprice",
+                    "domain": {
+                        "type": "range",
+                        "min": 0,
+                        "max": 210000,
+                        "interval": 50000,
+                        "allowNulls": True,
+                    },
+                }
+            ],
+            "select": [{"name": "n", "aggregate": "count"}],
+        }
+    )
+    rows = {r["bucket"]: r["n"] for r in out.collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    outside = orders.where(
+        (F.col("o_totalprice") >= 210000) | (F.col("o_totalprice") < 0)
+    ).count()
+    assert outside > 0  # the data must actually exercise the overflow
+    assert rows["<null>"] == outside
+    assert sum(rows.values()) == orders.count()
+
+
 def test_select_star_and_dot(spark):
     """Upstream wildcard selects: '*' flattens to all leaf columns (deep
     paths escaped), '.' yields the whole document as a struct."""

@@ -368,6 +368,30 @@ def test_upsert_bool_partition_cleanup_and_crash_recovery(spark, tmp_path):
     shutil.rmtree(sink2 + ".upsert_bak", ignore_errors=True)
 
 
+def test_upsert_partitioned_crash_recovery(spark, tmp_path):
+    """Partitioned swap crash window: a partition renamed aside into the
+    backup root whose replacement never landed must be restored on the
+    next run (per-partition atomicity: every partition fully old or fully
+    new, never half-written or lost)."""
+    sink = str(tmp_path / "pcsink")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (3, "c", 3)], ["id", "v", "p"]
+    )
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    assert not os.path.exists(sink + ".upsert_bak_parts")  # clean exit
+
+    # simulate a crash mid-swap: p=2 moved aside, new dir never landed
+    bakroot = sink + ".upsert_bak_parts"
+    os.makedirs(bakroot)
+    os.rename(os.path.join(sink, "p=2"), os.path.join(bakroot, "p=2"))
+
+    inc = spark.createDataFrame([(1, "A", 1)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+    got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "A", 1), (2, "b", 2), (3, "c", 3)}  # p=2 restored
+    assert not os.path.exists(bakroot)
+
+
 def test_run_incremental_partitioned_sink(spark, tmp_path):
     """Cron-contract loop with a partitioned sink: each run rewrites only
     the partitions its delta touches, the watermark advances, and a rerun
