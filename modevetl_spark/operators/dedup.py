@@ -82,6 +82,88 @@ def minhash_signatures(
     )
 
 
+#: Modulus of the engine-portable affine MinHash family (2^31 - 1).
+#: Constants are sized so every intermediate stays < 2^63: a_i < P and
+#: h0 < 2^32, so a_i*h0 + b_i <= ~9.22e18 < 2^63-1 — safe in Spark's
+#: wrapping AND DuckDB's overflow-checked bigint arithmetic.
+MINHASH_P = 2147483647
+
+
+def minhash_band_keys_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash LSH band keys from the md5 affine family — the
+    engine-portable twin of the xxhash64 path, letting a DuckDB oracle
+    replay the ENTIRE signature/banding computation (Spark
+    ``conv(substr(md5(s),1,8),16,10)`` == DuckDB
+    ``('0x'||substr(md5(s),1,8))::BIGINT``, then
+    mh_i = (a_i*h0 + b_i) mod P with a_i, b_i derived from i).
+
+    Same plan shape as :func:`minhash_signatures`: explode shingles, hash
+    each string once, fan out k permutation rows, one codegen'd hash-agg
+    with map-side combine computes all mins, then one agg per (doc, band)
+    folds the band key. Returns (id_col, band, band_key).
+    """
+    p = MINHASH_P
+    sh = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_n))).alias(
+            "s"
+        ),
+    )
+    h0 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
+    hs = sh.select(
+        id_col,
+        h0.alias("h0"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1)).cast("array<bigint>")).alias("i"),
+    )
+    a_i = (F.lit(2654435761) * (F.col("i") + 1)) % p
+    b_i = (F.lit(40503) * (F.col("i") + 7)) % p
+    mins = (
+        hs.withColumn("mh", (a_i * F.col("h0") + b_i) % p)
+        .groupBy(id_col, "i")
+        .agg(F.min("mh").alias("mh"))
+        .withColumn("band", (F.col("i") / (k // bands)).cast("bigint"))
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+        lambda x: x["mh"].cast("string"),
+    )
+    return mins.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws("-", ordered)).alias("band_key")
+    )
+
+
+def minhash_candidates_md5(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via md5-family MinHash
+    LSH — identical banded self-join shape to :func:`minhash_candidates`,
+    but every hash is reproducible in DuckDB SQL so downstream queries can
+    be oracle-graded end to end. Use the xxhash64 variant when portability
+    isn't needed: one JVM-intrinsic hash per shingle beats md5-hex +
+    string slicing + base-16 conv."""
+    bk = minhash_band_keys_md5(docs, id_col, text_col, shingle_n, k, bands)
+    a = bk.withColumnRenamed(id_col, "id_a")
+    b = bk.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     """Split a signature into ``bands`` hashes of ``rows`` elements each ->
     array<struct<band_id int, band_hash bigint>>."""
@@ -159,19 +241,37 @@ def jaccard_pairs(
     )
 
 
-def simhash_bits(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_bits(
+    docs: DataFrame, id_col: str, text_col: str, hash_family: str = "xxhash64"
+) -> DataFrame:
     """SimHash: explode tokens, hash each once, then 64 conditional sums
     (one aggregation pass; each sum is sign(+1/-1) of a hash bit weighted
-    by token multiplicity)."""
+    by token multiplicity).
+
+    ``hash_family='md5'`` draws bit j from the md5 hex digest instead
+    (nibble j//4, bit j%4) — slower than the xxhash64 JVM intrinsic but
+    byte-reproducible in DuckDB SQL (``('0x'||substr(md5(tok),1+j//4,1))
+    ::INT``), which upgrades simhash queries from rows-only to
+    oracle-graded."""
     tok = spread(docs).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_family == "md5":
+        tok = tok.withColumn("h", F.md5("tok"))
+
+        def bit(j: int) -> Column:
+            nib = F.conv(F.substring(F.col("h"), 1 + j // 4, 1), 16, 10).cast("int")
+            return F.shiftright(nib, j % 4).bitwiseAND(F.lit(1))
+
+    else:
+        tok = tok.withColumn("h", F.xxhash64("tok"))
+
+        def bit(j: int) -> Column:
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))
+
     bit_sums = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{j}")
+            F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}")
             for j in range(64)
         ]
     )
@@ -187,11 +287,19 @@ def simhash_bits(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates: equal 16-bit chunk => possible Hamming<=3 pair
-    (pigeonhole over 4 chunks), verified with bit_count."""
-    sh = simhash_bits(docs, id_col, text_col)
+    (pigeonhole over 4 chunks), verified with bit_count. LOSSLESS for
+    max_hamming <= 3: 3 differing bits touch at most 3 of the 4 chunks,
+    so every qualifying pair shares an equal chunk — the banded join
+    returns exactly the all-pairs Hamming<=3 result (which is what the
+    md5-family oracle computes, brute-force, to grade this)."""
+    sh = simhash_bits(docs, id_col, text_col, hash_family)
     chunks = sh.select(
         id_col,
         "simhash",
