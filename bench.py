@@ -5,8 +5,10 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Each query is executed to completion (count + a cheap full materialization
 via write to noop-like count) with a warm session; JVM startup is excluded
 per BASELINE.md. Reported per-query wall is the best of
-$SPARK_GRAFT_BENCH_RUNS (default 2) warm runs — single-shot timings on a
-shared box swing ±30% with unrelated load.
+$SPARK_GRAFT_BENCH_RUNS (default 3) warm runs — single-shot timings on a
+shared box swing ±30% with unrelated load. The JSON line carries the
+1-minute load average at start and end so a noisy-neighbor run is
+recognizable in the recorded artifact.
 """
 
 from __future__ import annotations
@@ -48,11 +50,12 @@ def main() -> None:
     # warm up the JVM / parquet footer caches on a trivial action
     spark.range(1000).count()
 
+    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
-    # best-of-2 per query: single-shot walls on this shared box swing
+    # best-of-3 per query: single-shot walls on this shared box swing
     # ±30% with unrelated load (measured 26 s vs 41 s totals minutes
-    # apart); the min of two warm runs is the stable throughput figure
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # apart); the min of three warm runs is the stable throughput figure
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in names:
         fn = queries[name]
         best = None
@@ -78,6 +81,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_1m_start": load_start,
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "runs_per_query": n_runs,
             }
         )
     )

@@ -88,16 +88,17 @@ _GRADED_R2 = frozenset(
     }
 )
 
-# Keys whose implementation changed in round 3 (directly, or through a
-# shared operator), pinned into the grading window regardless of prior
-# green rows: the md5-family dedup switch (q_dedup_*hash/corpus,
-# q_minhash_signatures refactor) and the jx edge-key domain clamp
-# (everything flowing through QB._run_edges).
+# Keys whose implementation or oracle changed in round 3 (directly, or
+# through a shared operator), pinned into the grading window regardless
+# of prior green rows: the md5-family dedup switch (q_dedup_*hash/corpus,
+# q_minhash_signatures refactor), the jx edge-key domain clamp
+# (everything flowing through QB._run_edges), and the newly oracle-gated
+# LSH top-k.
 _CHANGED_R3 = frozenset(
     {
         "q_dedup_minhash", "q_dedup_simhash", "q_dedup_corpus",
         "q_minhash_signatures", "q_jx_cube", "q_jx_computed_edge",
-        "q_jx_named_dimension",
+        "q_jx_named_dimension", "q_sim_topk_lsh",
     }
 )
 

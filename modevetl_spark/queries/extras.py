@@ -66,7 +66,12 @@ def math_sig_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A7 scale path: mergeable sketches (HLL cardinality, KLL-style
     quantiles) — single-pass, bounded memory, shuffle-partial-friendly.
-    Accuracy vs exact is asserted in tests/test_operators.py."""
+
+    ROWS-ONLY BY DESIGN: Spark's HLL++/KLL internals are engine-specific,
+    so no SQL oracle can reproduce the estimates bit-for-bit; accuracy vs
+    the exact answers is asserted in tests/test_operators.py instead, and
+    the exact twins (q_agg_distinct_count, q_agg_median) are hash-graded.
+    """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

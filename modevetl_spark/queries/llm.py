@@ -347,10 +347,79 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
-@q("q_sim_topk_lsh")  # rows-only: approximate recall by design
+def _lsh_topk_oracle(k: int = 5, n_bits: int = 6, n_tables: int = 4, dim: int = 64) -> str:
+    """DuckDB replay of lsh_topk: the hyperplanes are deterministic Python
+    floats, so they embed as SQL literals and the oracle recomputes the
+    SAME buckets (sign of plane dot), candidate union, and rounded-cosine
+    top-k. Recall < 1 vs exact search doesn't matter — the oracle runs the
+    same approximation, so equality is exact (the only parity risk is a
+    sign flip on a dot within 1 ulp of 0, never observed; the recall-floor
+    unit test separately bounds quality vs ground truth)."""
+    from modevetl_spark.operators.similarity import hyperplanes
+
+    tables = [hyperplanes(dim, n_bits, seed=7 + 13 * t) for t in range(n_tables)]
+
+    def bucket(col: str, t: int) -> str:
+        bits = []
+        for j, p in enumerate(tables[t]):
+            arr = "[" + ", ".join(repr(x) for x in p) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {arr})"
+                f" >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    q_buckets = ",\n       ".join(
+        f"{bucket('embedding', t)} AS b{t}" for t in range(n_tables)
+    )
+    c_buckets = ",\n       ".join(
+        f"{bucket('embedding', t)} AS b{t}" for t in range(n_tables)
+    )
+    cand_union = "\n    UNION ALL\n    ".join(
+        f"SELECT q.query_id, c.neighbor_id FROM qs q JOIN cs c ON q.b{t} = c.b{t}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH qs AS (
+    SELECT vec_id AS query_id, embedding AS q_vec,
+       {q_buckets}
+    FROM embeddings WHERE vec_id < 20
+),
+cs AS (
+    SELECT vec_id AS neighbor_id, embedding AS c_vec,
+       {c_buckets}
+    FROM embeddings
+),
+cand AS (
+    SELECT DISTINCT query_id, neighbor_id FROM (
+    {cand_union}
+    ) WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM (
+    SELECT cand.query_id, cand.neighbor_id,
+           ROUND(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                        CAST(c.c_vec AS DOUBLE[])), 6)
+               AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(q.q_vec AS DOUBLE[]),
+                                                     CAST(c.c_vec AS DOUBLE[])),
+                              6) DESC,
+                        cand.neighbor_id
+           ) AS rn
+    FROM cand
+    JOIN qs q ON q.query_id = cand.query_id
+    JOIN cs c ON c.neighbor_id = cand.neighbor_id
+) WHERE rn <= {k}
+"""
+
+
+@q("q_sim_topk_lsh", oracle_sql=_lsh_topk_oracle())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 scale path: random-hyperplane LSH bucketing; equi-join on bucket
-    replaces the cross join (recall < 1 by design -> rows-only check)."""
+    replaces the cross join. The deterministic hyperplanes embed into the
+    oracle as literals, so DuckDB replays the identical approximation and
+    the result is fully hash-graded despite recall < 1 vs exact search."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
@@ -359,8 +428,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_sim_topk_ivf")  # rows-only: approximate recall by design
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 scale path #2: inverted-file (IVF) index — Lloyd-trained cells,
-    probe nprobe cells per query via broadcast equi-join (recall < 1 by
-    design -> rows-only check; recall floor unit-tested)."""
+    probe nprobe cells per query via broadcast equi-join.
+
+    ROWS-ONLY BY DESIGN: the centroids come from Lloyd iterations over a
+    bounded driver sample, so they depend on the dataset — unlike the LSH
+    hyperplanes they cannot be embedded into a static SQL oracle. Quality
+    is bounded by the recall-floor unit test (tests/test_operators.py)
+    and the scoring math is hash-graded via q_sim_topk."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, nlist=16, nprobe=4)
@@ -671,8 +745,12 @@ def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 scale path: embedding near-dup pairs blocked by IVF cell
     instead of a label column — all-pairs cosine becomes per-cell
-    self-joins (n^2/nlist with balanced cells). Planted-duplicate recall
-    is unit-tested; q_dedup_embedding oracle-grades the scoring math."""
+    self-joins (n^2/nlist with balanced cells).
+
+    ROWS-ONLY BY DESIGN: cell assignments depend on data-trained Lloyd
+    centroids (see q_sim_topk_ivf), so no static SQL twin exists.
+    Planted-duplicate recall is unit-tested; q_dedup_embedding
+    oracle-grades the identical scoring math on exact blocking."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     return ivf_neardup_pairs(e, threshold=0.2, nlist=8)
@@ -730,8 +808,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("q_pack_budget")  # rows-only: per-partition greedy has no SQL twin
 def pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 [EXT]: token-budget batch packing — documents greedily packed
-    into ~4096-token bins per partition (bins never span executors;
-    invariants unit-tested)."""
+    into ~4096-token bins per partition (bins never span executors).
+
+    ROWS-ONLY BY DESIGN: bin assignment is a per-partition greedy fold —
+    sequential state with no SQL equivalent; the invariants that matter
+    (no bin over budget, every doc packed exactly once, bins contiguous
+    per partition) are unit-tested in tests/test_operators.py."""
     prep(spark)
     from modevetl_spark.operators.sampling import pack_by_budget
     from modevetl_spark.operators.text import tokens

@@ -246,6 +246,73 @@ def test_chunk_spans_edges(spark):
         chunk_spans(F.col("toks"), 5, 5)
 
 
+def test_closure_hub_salting_spreads_reducer_load(spark):
+    """Adversarial-skew gate for the closure's salted frontier-edge join
+    (SCALING.md's power-law claim, now measured): on a graph where one hub
+    ancestor dominates the frontier, the unsalted join funnels every hub
+    row through one reducer, while salt_hot_hubs spreads them across salt
+    replicas. Gated on max rows per reducer partition — the deterministic
+    task-input metric — because wall-time on this box swings 2-3x with
+    neighbor load. AQE is off, as it is inside the closure loop, so the
+    post-shuffle partition ids are the real reducer assignment."""
+    from modevetl_spark.operators.closure import _frontier_edge_join
+
+    # power-law frontier: 1.5M rows point at hub ancestor 0, 0.5M at a
+    # uniform tail of 1000 mids; edge set has one parent per mid
+    n_hub, n_tail, mids = 1_500_000, 500_000, 1_000
+    frontier = spark.range(n_hub + n_tail).select(
+        F.col("id").alias("node"),
+        F.when(F.col("id") < n_hub, F.lit(0))
+        .otherwise(F.col("id") % mids + 1)
+        .alias("__mid"),
+    )
+    edges = spark.range(mids + 1).select(
+        F.col("id").alias("__mid"), (F.col("id") + 10_000_000).alias("dst")
+    )
+
+    # force the shuffle join the closure faces at 100 TB (a real edge set
+    # is far past broadcast size; here it's 1001 rows and would broadcast,
+    # which has no skew problem to measure) — explicit broadcast hints
+    # inside adaptive_salted_join's hot-map lookup still apply
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def max_reducer_rows(df):
+            return (
+                df.withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+
+        plain = _frontier_edge_join(
+            frontier, edges, False, "node", 25_000, 64
+        )
+        salted = _frontier_edge_join(
+            frontier, edges, True, "node", 25_000, 64
+        )
+        assert plain.count() == salted.count() == n_hub + n_tail
+        plain_max = max_reducer_rows(plain)
+        salted_max = max_reducer_rows(salted)
+        # unsalted: the whole 1.5M-row hub lands on one reducer
+        assert plain_max >= n_hub
+        # salted: the hub spreads over ~60 salt keys of ~25k rows each;
+        # multiple salt keys still hash into the same reducer (the test
+        # session runs 8 shuffle partitions), so the gate is the collapse
+        # of the hottest task's input relative to the unsalted funnel,
+        # not the per-salt ideal. Deterministic: fixed hash, fixed
+        # partition count, no sampling.
+        assert salted_max <= n_hub // 3
+        assert salted_max * 3 < plain_max
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
 def test_salted_join_rejects_outer_hows(spark, sf_dir):
     """Unmatched dim rows would be emitted once per salt replica under
     right/full joins — the operator must refuse rather than multiply rows."""
