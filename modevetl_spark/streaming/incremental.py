@@ -34,7 +34,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,7 +110,10 @@ def upsert_parquet(
     else:
         merged = incoming
 
-    tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(sink_path) or ".")
+    # Same fixed staging path as the partitioned branch: swept on the next
+    # run instead of leaking a fresh mkdtemp per crashed attempt.
+    tmp = sink_path.rstrip("/") + ".upsert_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -188,9 +190,51 @@ def _upsert_partitioned(
     )
     merged = kept.unionByName(incoming.select(*existing.columns))
 
-    tmp = tempfile.mkdtemp(prefix="upsert_parts_", dir=os.path.dirname(sink_path) or ".")
+    # Fixed staging path (unique per sink, swept by _recover_partitioned)
+    # instead of mkdtemp: a crash mid-swap must not leak an unbounded
+    # trail of orphaned delta-sized directories across cron reruns.
+    tmp = sink_path.rstrip("/") + ".upsert_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     out = os.path.join(tmp, "data")
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
+
+    # Pre-flight: the swap addresses partition directories by the names
+    # _hive_part_value constructs. If Spark's own rendering of any staged
+    # partition diverges from ours (it trims fraction zeros in timestamps,
+    # uses Java float formatting, ...), addressing by constructed name
+    # would silently discard that partition's merged output — so verify
+    # every directory Spark just wrote is one we can address, and abort
+    # with ZERO sink mutation otherwise.
+    rels = {
+        tuple(p[c] for c in partition_by): os.path.join(
+            *[f"{c}={_hive_part_value(p[c])}" for c in partition_by]
+        )
+        for p in parts
+    }
+    staged = {
+        os.path.relpath(d, out)
+        for d, subdirs, _ in os.walk(out)
+        if d != out and not subdirs
+    }
+    unaddressable = staged - set(rels.values())
+    # The inverse direction guards emptied partitions: a touched partition
+    # absent from the staged output must be a collision home (it has
+    # existing rows), so its live dir must resolve — a miss means the
+    # constructed name diverges and the swap would leave its stale rows
+    # alive instead of deleting them.
+    stale_miss = [
+        rel
+        for rel in rels.values()
+        if rel not in staged and not os.path.exists(os.path.join(sink_path, rel))
+    ]
+    if unaddressable or stale_miss:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "partitioned upsert aborted (sink untouched): partition dirs "
+            f"{sorted(unaddressable) + sorted(stale_miss)} don't match the "
+            "constructed names — _hive_part_value diverges from Spark's "
+            "partition-path rendering for these values"
+        )
 
     # Swap each touched partition in. A touched partition absent from the
     # written output was emptied by a key move — its live dir moves to
@@ -198,8 +242,7 @@ def _upsert_partitioned(
     bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
     shutil.rmtree(bakroot, ignore_errors=True)
     os.makedirs(bakroot)
-    for p in parts:
-        rel = os.path.join(*[f"{c}={_hive_part_value(p[c])}" for c in partition_by])
+    for rel in rels.values():
         live = os.path.join(sink_path, rel)
         new = os.path.join(out, rel)
         if os.path.exists(live):
@@ -220,6 +263,10 @@ def _recover_partitioned(sink_path: str) -> None:
     new data. Per-partition atomicity means the restored sink mixes old
     and new partitions after a crash, but never a half-written one, and
     replaying the same delta converges."""
+    # A crashed run's staging dir is pure garbage (the swap either never
+    # started or is being rolled back below) — sweep it so crash-looping
+    # jobs don't accumulate delta-sized orphans.
+    shutil.rmtree(sink_path.rstrip("/") + ".upsert_tmp", ignore_errors=True)
     bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
     if not os.path.isdir(bakroot):
         return
@@ -245,12 +292,26 @@ _HIVE_ESCAPED = set('"#%\'*/:=?\\\x7f{[]^')
 def _hive_part_value(v) -> str:
     """Hive-style directory encoding of a partition value, matching what
     Spark actually writes: None -> the default-partition sentinel,
-    booleans lowercase ('p=true', not 'p=True'), and reserved characters
-    percent-escaped ('03:04' -> '03%3A04'). A plain str(v) here misses
-    those and the stale-partition cleanup silently deletes nothing."""
+    booleans lowercase ('p=true', not 'p=True'), timestamps with the
+    fraction's trailing zeros trimmed and no dot at micros=0
+    ('...00:00:00.5', not '...00:00:00.500000' — probed against Spark's
+    own partitionBy output), and reserved characters percent-escaped
+    ('03:04' -> '03%3A04'). A plain str(v) misses all of these; the swap
+    in _upsert_partitioned pre-validates constructed names against the
+    directories Spark actually staged and aborts on any residual
+    divergence rather than mis-addressing a partition."""
+    import datetime as _dt
+
     if v is None:
         return "__HIVE_DEFAULT_PARTITION__"
-    s = "true" if v is True else "false" if v is False else str(v)
+    if v is True or v is False:
+        s = "true" if v else "false"
+    elif isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+    else:
+        s = str(v)
     return "".join(
         f"%{ord(ch):02X}" if (ch in _HIVE_ESCAPED or ord(ch) < 32) else ch
         for ch in s

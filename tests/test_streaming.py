@@ -368,6 +368,57 @@ def test_upsert_bool_partition_cleanup_and_crash_recovery(spark, tmp_path):
     shutil.rmtree(sink2 + ".upsert_bak", ignore_errors=True)
 
 
+def test_upsert_timestamp_partition_values(spark, tmp_path):
+    """Review regression: Spark renders timestamp partition dirs with the
+    fraction's trailing zeros trimmed ('...00%3A00%3A00.5'), while
+    str(datetime) gives '.500000' — the per-partition swap used to miss
+    both the staged and the live dir and silently discard the merged
+    output. Also covers micros=0 (no dot) and an untrimmable fraction."""
+    import datetime as dt
+
+    sink = str(tmp_path / "tsink")
+    t5 = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    t0 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    t123 = dt.datetime(2024, 1, 3, 0, 0, 0, 123)
+    base = spark.createDataFrame(
+        [(1, "a", t5), (2, "b", t0), (3, "c", t123)], "id int, v string, ts timestamp"
+    )
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["ts"])
+    inc = spark.createDataFrame([(1, "UPDATED", t5)], "id int, v string, ts timestamp")
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["ts"])
+    got = {(r.id, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "UPDATED"), (2, "b"), (3, "c")}
+    # key moves out of the fractional-second partition: dir must vanish
+    inc2 = spark.createDataFrame([(1, "MOVED", t0)], "id int, v string, ts timestamp")
+    upsert_parquet(spark, inc2, sink, keys=["id"], partition_by=["ts"])
+    # partition values read back as strings (no timestamp dir inference
+    # in this session) — compare on Spark's trimmed rendering
+    got2 = {(r.id, r.v, str(r.ts)) for r in spark.read.parquet(sink).collect()}
+    assert got2 == {
+        (1, "MOVED", "2024-01-02 00:00:00"),
+        (2, "b", "2024-01-02 00:00:00"),
+        (3, "c", "2024-01-03 00:00:00.000123"),
+    }
+    assert not os.path.exists(os.path.join(sink, "ts=2024-01-01 00%3A00%3A00.5"))
+
+
+def test_upsert_staging_dir_swept(spark, tmp_path):
+    """A crash that strands the fixed staging dir must not leak it across
+    reruns — the next upsert sweeps it before staging anew."""
+    sink = str(tmp_path / "ssink")
+    base = spark.createDataFrame([(1, "a", 1)], ["id", "v", "p"])
+    upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
+    stale = sink + ".upsert_tmp"
+    os.makedirs(os.path.join(stale, "data", "p=9"))
+    with open(os.path.join(stale, "data", "p=9", "junk"), "w") as f:
+        f.write("x")
+    inc = spark.createDataFrame([(2, "b", 2)], ["id", "v", "p"])
+    upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
+    assert not os.path.exists(stale)
+    got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a", 1), (2, "b", 2)}
+
+
 def test_upsert_partitioned_crash_recovery(spark, tmp_path):
     """Partitioned swap crash window: a partition renamed aside into the
     backup root whose replacement never landed must be restored on the
