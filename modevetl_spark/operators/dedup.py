@@ -154,10 +154,16 @@ def minhash_candidates_md5(
     isn't needed: one JVM-intrinsic hash per shingle beats md5-hex +
     string slicing + base-16 conv."""
     bk = minhash_band_keys_md5(docs, id_col, text_col, shingle_n, k, bands)
-    a = bk.withColumnRenamed(id_col, "id_a")
-    b = bk.withColumnRenamed(id_col, "id_b")
+    return _banded_pairs(bk, id_col, ["band", "band_key"])
+
+
+def _banded_pairs(banded: DataFrame, id_col: str, band_cols: list[str]) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a banded self-join —
+    the shared tail of every LSH candidate generator."""
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnRenamed(id_col, "id_b")
     return (
-        a.join(b, on=["band", "band_key"])
+        a.join(b, on=band_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -207,14 +213,7 @@ def minhash_candidates(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
-    a = banded.withColumnRenamed(id_col, "id_a")
-    b = banded.withColumnRenamed(id_col, "id_b")
-    return (
-        a.join(b, on=["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return _banded_pairs(banded, id_col, ["band_id", "band_hash"])
 
 
 def jaccard_pairs(

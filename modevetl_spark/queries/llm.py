@@ -369,12 +369,10 @@ def _lsh_topk_oracle(k: int = 5, n_bits: int = 6, n_tables: int = 4, dim: int = 
             )
         return " + ".join(bits)
 
-    q_buckets = ",\n       ".join(
+    buckets = ",\n       ".join(
         f"{bucket('embedding', t)} AS b{t}" for t in range(n_tables)
     )
-    c_buckets = ",\n       ".join(
-        f"{bucket('embedding', t)} AS b{t}" for t in range(n_tables)
-    )
+    q_buckets = c_buckets = buckets
     cand_union = "\n    UNION ALL\n    ".join(
         f"SELECT q.query_id, c.neighbor_id FROM qs q JOIN cs c ON q.b{t} = c.b{t}"
         for t in range(n_tables)

@@ -66,6 +66,51 @@ def pull_newer(df: DataFrame, ts_col: str, watermark) -> DataFrame:
     return df.where(F.col(ts_col) > F.lit(watermark))
 
 
+def _null_safe_key_join(
+    left: DataFrame, incoming_keys: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Anti/semi join of ``left`` against the incoming key set with
+    NULL-safe key equality. A plain ``on=keys`` join never matches
+    NULL = NULL, so a null-keyed incoming row would fail to displace the
+    existing null-keyed row — replaying the same delta after a crash
+    would then add a duplicate per replay instead of converging, breaking
+    the idempotence the crash contract depends on."""
+    l, r = left.alias("__l"), incoming_keys.alias("__r")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+    return l.join(r, on=cond, how=how)
+
+
+def _staging_dir(sink_path: str) -> str:
+    """Per-run staging path: unique per process (concurrent runs cannot
+    sweep each other's live staging — a shared fixed path let an
+    overlapping cron run delete the staged output between write and swap,
+    which the swap then read as 'every partition emptied'), yet
+    recognizable (``<sink>.upsert_tmp.<pid>``) so :func:`_sweep_staging`
+    can remove a crashed run's leftovers once its pid is dead."""
+    return f"{sink_path.rstrip('/')}.upsert_tmp.{os.getpid()}"
+
+
+def _sweep_staging(sink_path: str) -> None:
+    """Remove staging dirs of dead runs (crashed before their own
+    cleanup). Live pids are left alone; a recycled pid at worst delays
+    the sweep until that pid exits."""
+    import glob
+
+    for d in glob.glob(sink_path.rstrip("/") + ".upsert_tmp.*"):
+        try:
+            pid = int(d.rsplit(".", 1)[-1])
+        except ValueError:
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid -> treat as alive
+
+
 def upsert_parquet(
     spark: SparkSession,
     incoming: DataFrame,
@@ -105,14 +150,16 @@ def upsert_parquet(
 
     if exists:
         existing = spark.read.parquet(sink_path)
-        kept = existing.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
+        kept = _null_safe_key_join(
+            existing, incoming.select(*keys).distinct(), keys, "left_anti"
+        )
         merged = kept.unionByName(incoming)
     else:
         merged = incoming
 
-    # Same fixed staging path as the partitioned branch: swept on the next
-    # run instead of leaking a fresh mkdtemp per crashed attempt.
-    tmp = sink_path.rstrip("/") + ".upsert_tmp"
+    # Per-run staging path (see _staging_dir); crashed runs' dirs are
+    # swept by _sweep_staging once their pids die.
+    tmp = _staging_dir(sink_path)
     shutil.rmtree(tmp, ignore_errors=True)
     writer = merged.write.mode("overwrite")
     if partition_by:
@@ -163,8 +210,12 @@ def _upsert_partitioned(
     # vs shuffle from the measured size.
     inc_parts = incoming.select(*partition_by).distinct()
     collide_parts = (
-        existing.select(*{*keys, *partition_by})
-        .join(incoming.select(*keys).distinct(), on=keys, how="left_semi")
+        _null_safe_key_join(
+            existing.select(*{*keys, *partition_by}),
+            incoming.select(*keys).distinct(),
+            keys,
+            "left_semi",
+        )
         .select(*partition_by)
         .distinct()
     )
@@ -185,15 +236,15 @@ def _upsert_partitioned(
     # Merge restricted to touched partitions; the filter on partition
     # columns prunes at the parquet-directory level, so untouched
     # partitions are never even read here.
-    kept = existing.where(touched).join(
-        incoming.select(*keys).distinct(), on=keys, how="left_anti"
+    kept = _null_safe_key_join(
+        existing.where(touched), incoming.select(*keys).distinct(), keys, "left_anti"
     )
     merged = kept.unionByName(incoming.select(*existing.columns))
 
-    # Fixed staging path (unique per sink, swept by _recover_partitioned)
-    # instead of mkdtemp: a crash mid-swap must not leak an unbounded
-    # trail of orphaned delta-sized directories across cron reruns.
-    tmp = sink_path.rstrip("/") + ".upsert_tmp"
+    # Per-run staging path: unique per process so an overlapping run's
+    # sweep can never remove it mid-swap; crashed runs' dirs are removed
+    # by _sweep_staging once their pids die (no unbounded leak).
+    tmp = _staging_dir(sink_path)
     shutil.rmtree(tmp, ignore_errors=True)
     out = os.path.join(tmp, "data")
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
@@ -216,6 +267,16 @@ def _upsert_partitioned(
         for d, subdirs, _ in os.walk(out)
         if d != out and not subdirs
     }
+    # parts nonempty implies incoming is nonempty, and incoming rows always
+    # survive the merge — so at least one staged dir must exist. An empty
+    # walk means the staging dir vanished out from under us (external
+    # interference); proceeding would read every touched partition as
+    # "emptied" and delete live data while reporting success.
+    if not staged:
+        raise RuntimeError(
+            f"partitioned upsert aborted (sink untouched): staging dir {out} "
+            "is empty or missing after a non-empty merge was written"
+        )
     unaddressable = staged - set(rels.values())
     # The inverse direction guards emptied partitions: a touched partition
     # absent from the staged output must be a collision home (it has
@@ -264,9 +325,10 @@ def _recover_partitioned(sink_path: str) -> None:
     and new partitions after a crash, but never a half-written one, and
     replaying the same delta converges."""
     # A crashed run's staging dir is pure garbage (the swap either never
-    # started or is being rolled back below) — sweep it so crash-looping
-    # jobs don't accumulate delta-sized orphans.
-    shutil.rmtree(sink_path.rstrip("/") + ".upsert_tmp", ignore_errors=True)
+    # started or is being rolled back below) — sweep dead-pid leftovers so
+    # crash-looping jobs don't accumulate delta-sized orphans. Live pids'
+    # staging is never touched.
+    _sweep_staging(sink_path)
     bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
     if not os.path.isdir(bakroot):
         return

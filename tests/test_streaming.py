@@ -7,6 +7,7 @@ idempotent upsert, batch/stream result parity, stateful dedup."""
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 import pytest
@@ -403,20 +404,51 @@ def test_upsert_timestamp_partition_values(spark, tmp_path):
 
 
 def test_upsert_staging_dir_swept(spark, tmp_path):
-    """A crash that strands the fixed staging dir must not leak it across
-    reruns — the next upsert sweeps it before staging anew."""
+    """A crashed run's staging dir (dead pid suffix) must be swept by the
+    next run; a LIVE run's staging dir must never be touched — a shared
+    fixed staging path once let an overlapping cron run delete the staged
+    output mid-swap, which read as 'every partition emptied'."""
+    import subprocess
+
     sink = str(tmp_path / "ssink")
     base = spark.createDataFrame([(1, "a", 1)], ["id", "v", "p"])
     upsert_parquet(spark, base, sink, keys=["id"], partition_by=["p"])
-    stale = sink + ".upsert_tmp"
-    os.makedirs(os.path.join(stale, "data", "p=9"))
-    with open(os.path.join(stale, "data", "p=9", "junk"), "w") as f:
-        f.write("x")
+
+    proc = subprocess.Popen(["true"])  # a pid guaranteed dead after wait
+    proc.wait()
+    dead = f"{sink}.upsert_tmp.{proc.pid}"
+    os.makedirs(os.path.join(dead, "data", "p=9"))
+    live = f"{sink}.upsert_tmp.1"  # pid 1 is always alive (init)
+    os.makedirs(os.path.join(live, "data", "p=8"))
+
     inc = spark.createDataFrame([(2, "b", 2)], ["id", "v", "p"])
     upsert_parquet(spark, inc, sink, keys=["id"], partition_by=["p"])
-    assert not os.path.exists(stale)
+    assert not os.path.exists(dead)  # dead run's leftovers removed
+    assert os.path.exists(live)  # concurrent run's staging untouched
+    shutil.rmtree(live, ignore_errors=True)
     got = {(r.id, r.v, r.p) for r in spark.read.parquet(sink).collect()}
     assert got == {(1, "a", 1), (2, "b", 2)}
+
+
+def test_upsert_null_key_replay_converges(spark, tmp_path):
+    """Replay idempotence with NULL keys: a plain on=keys anti-join never
+    matches NULL = NULL, so replaying a delta with a null-keyed row used
+    to duplicate it per replay — breaking the crash contract's 'replay
+    the same delta and converge'. Both branches must use null-safe key
+    equality."""
+    for partition_by, name in [(None, "nk_flat"), (["p"], "nk_part")]:
+        sink = str(tmp_path / name)
+        base = spark.createDataFrame(
+            [(1, "a", 1), (None, "n", 2)], "id int, v string, p int"
+        )
+        upsert_parquet(spark, base, sink, keys=["id"], partition_by=partition_by)
+        inc = spark.createDataFrame(
+            [(None, "N2", 3), (1, "A", 1)], "id int, v string, p int"
+        )
+        for _ in range(2):  # apply, then replay the same delta
+            upsert_parquet(spark, inc, sink, keys=["id"], partition_by=partition_by)
+        got = {(r.id, r.v) for r in spark.read.parquet(sink).collect()}
+        assert got == {(1, "A"), (None, "N2")}, name
 
 
 def test_upsert_partitioned_crash_recovery(spark, tmp_path):
