@@ -139,3 +139,17 @@ def test_doc_chunks_no_python_no_extra_shuffle(spark, sf_dir):
     # formatted explain lists every node twice (tree + detail): count the
     # numbered detail entries, one per physical Exchange node
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 1, p
+
+
+def test_null_safe_key_join_stays_equi(spark):
+    """The upsert's null-safe key joins must compile to hash/sort-merge
+    equi-joins (Catalyst rewrites <=> into coalesce/isnull equi-keys) —
+    a BroadcastNestedLoopJoin here would make every incremental run
+    O(sink x delta) at 100 TB."""
+    from modevetl_spark.streaming.incremental import _null_safe_key_join
+
+    a = spark.range(1000).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    b = spark.range(100).select(F.col("id").alias("k"))
+    for how in ("left_anti", "left_semi"):
+        p = plan(_null_safe_key_join(a, b, ["k"], how))
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
