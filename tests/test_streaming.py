@@ -430,6 +430,45 @@ def test_upsert_staging_dir_swept(spark, tmp_path):
     assert got == {(1, "a", 1), (2, "b", 2)}
 
 
+def test_hive_part_value_matches_spark_rendering(spark, tmp_path):
+    """Differential gate: _hive_part_value must reproduce the directory
+    names Spark's partitionBy actually writes, across the value shapes
+    that diverge from plain str() — escapes, empty string, booleans,
+    fractional timestamps, and Java double formatting. Any future
+    divergence trips this test instead of the swap's runtime abort."""
+    import datetime as dt
+
+    from modevetl_spark.streaming.incremental import _hive_part_value
+
+    cases = [
+        ("s", "a b"), ("s", "a:b"), ("s", "a%b"), ("s", "a#b"), ("s", "a=b"),
+        ("s", "a,b"), ("s", "café"), ("s", "a\tb"), ("s", "-x"), ("s", "0.5"),
+        ("s", ""), ("s", None),
+        ("d", -0.5), ("d", 1e-7), ("d", 600000.0), ("d", float("nan")),
+        ("d", 1e20), ("d", 0.0005), ("d", 12345678.0), ("d", 0.001),
+        ("t", dt.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+        ("t", dt.datetime(2024, 1, 1, 0, 0, 0)),
+        ("b", True), ("b", False),
+        ("i", -7), ("i", 0),
+        ("dt", dt.date(2024, 1, 2)),
+    ]
+    schemas = {"s": "string", "d": "double", "t": "timestamp", "b": "boolean",
+               "i": "int", "dt": "date"}
+    for kind in schemas:
+        vals = [v for k, v in cases if k == kind]
+        if not vals:
+            continue
+        base = str(tmp_path / f"hp_{kind}")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)],
+            f"id int, p {schemas[kind]}",
+        )
+        df.write.mode("overwrite").partitionBy("p").parquet(base)
+        written = {d for d in os.listdir(base) if d.startswith("p=")}
+        expected = {f"p={_hive_part_value(v)}" for v in vals}
+        assert written == expected, (kind, written ^ expected)
+
+
 def test_upsert_null_key_replay_converges(spark, tmp_path):
     """Replay idempotence with NULL keys: a plain on=keys anti-join never
     matches NULL = NULL, so replaying a delta with a null-keyed row used
