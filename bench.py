@@ -35,6 +35,7 @@ HEADLINE = [
     "q_text_tfidf",
     "q_jx_cube",
     "q_skew_salted_agg",
+    "q_tpch_shipping_priority",
 ]
 
 

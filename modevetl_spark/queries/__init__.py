@@ -88,27 +88,46 @@ _GRADED_R2 = frozenset(
     }
 )
 
-# Keys whose implementation or oracle changed in round 3 (directly, or
-# through a shared operator), pinned into the grading window regardless
-# of prior green rows: the md5-family dedup switch (q_dedup_*hash/corpus,
-# q_minhash_signatures refactor), the jx edge-key domain clamp
-# (everything flowing through QB._run_edges), and the newly oracle-gated
-# LSH top-k.
-_CHANGED_R3 = frozenset(
+# The 50 keys CORRECTNESS_r03 graded (all 50 full rows+schema+hash
+# passes, zero errors — including the newly oracle-gated md5-family
+# dedup/LSH queries).
+_GRADED_R3 = frozenset(
     {
-        "q_dedup_minhash", "q_dedup_simhash", "q_dedup_corpus",
-        "q_minhash_signatures", "q_jx_cube", "q_jx_computed_edge",
-        "q_jx_named_dimension", "q_sim_topk_lsh",
+        "q_agg_basic", "q_agg_collect_set", "q_agg_conditional",
+        "q_agg_distinct_count", "q_agg_geomean", "q_agg_median",
+        "q_agg_moments", "q_agg_percentile", "q_bucket_duration",
+        "q_bucket_numeric", "q_cube_allow_nulls", "q_cube_default_domain",
+        "q_cube_dense", "q_cube_time", "q_dedup_corpus", "q_dedup_minhash",
+        "q_dedup_simhash", "q_distinct_rows", "q_except",
+        "q_filter_compound", "q_flagship_revenue_cube", "q_graph_closure",
+        "q_groupby_multi", "q_incremental_pull", "q_join_anti",
+        "q_join_asof", "q_join_inner", "q_join_left", "q_join_multi",
+        "q_join_range", "q_join_semi", "q_join_theta", "q_jx_computed_edge",
+        "q_jx_cube", "q_jx_named_dimension", "q_minhash_signatures",
+        "q_rollup", "q_scan_project", "q_select_computed", "q_sim_topk_lsh",
+        "q_snapshot_diff", "q_sort_limit", "q_sort_multi",
+        "q_topk_per_group", "q_union", "q_window_cumsum",
+        "q_window_lag_lead", "q_window_moving_avg", "q_window_percent_rank",
+        "q_window_rank",
     }
 )
 
+# Keys whose implementation or oracle changed in round 4 (directly, or
+# through a shared operator) — pinned into the grading window regardless
+# of prior green rows.
+_CHANGED_R4 = frozenset()
+
+_ALL_GRADED = _GRADED_R1 | _GRADED_R2 | _GRADED_R3
+
 
 def _grading_priority(key: str) -> int:
-    if key in _CHANGED_R3 or (key not in _GRADED_R1 and key not in _GRADED_R2):
+    if key in _CHANGED_R4 or key not in _ALL_GRADED:
         return 0  # changed or new: must be graded this round
-    if key in _GRADED_R1:
-        return 1  # stale green (graded against round-1 code)
-    return 2  # fresh green
+    if key in _GRADED_R3:
+        return 3  # freshest evidence, emitted last
+    if key in _GRADED_R2:
+        return 2  # graded round 2
+    return 1  # graded only in round 1 — stalest green, rotate first
 
 
 def _load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -280,3 +280,69 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: Q.distinct / unique rows."""
     prep(spark)
     return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+_MODE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_rows
+FROM (
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY COUNT(*) DESC,
+                                       o_orderpriority DESC) AS rn
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+"""
+
+
+@q("q_agg_mode", oracle_sql=_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+: per-group mode (most frequent value) with a DETERMINISTIC
+    tie-break (highest value wins). Spark's built-in ``F.mode`` is
+    explicitly non-deterministic on ties, so this uses the max-of-struct
+    idiom instead: count per (group, value), then ``max(struct(cnt, value))``
+    — an ordinary two-level hash aggregate with map-side partials, no
+    window, no sort. At 100 TB both aggregations shuffle only distinct
+    (group, value) pairs."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = cnt.groupBy("o_orderstatus").agg(
+        F.max(F.struct("cnt", "o_orderpriority")).alias("m")
+    )
+    return top.select(
+        "o_orderstatus",
+        F.col("m.o_orderpriority").alias("mode_priority"),
+        F.col("m.cnt").alias("n_rows"),
+    )
+
+
+_STRING_AGG_ORACLE = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@q("q_agg_string_agg", oracle_sql=_STRING_AGG_ORACLE)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+: ordered string aggregation (LISTAGG / string_agg) — distinct
+    values per group, sorted, joined with a separator. Spark has no
+    ordered string_agg aggregate, but ``collect_set`` + ``array_sort`` +
+    ``array_join`` is semantically identical and keeps the ordering
+    deterministic regardless of shuffle order. collect_set partials merge
+    map-side; only distinct values travel, so group payload is bounded by
+    domain cardinality, not row count."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+    )

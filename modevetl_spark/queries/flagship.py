@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modevetl_spark.functions.compat import money, sql_dsum_money
+from modevetl_spark.functions.compat import dsum_money, money, sql_dsum_money
 from modevetl_spark.operators.cube import densify, time_domain
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
@@ -98,3 +98,60 @@ def flagship_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["r_name", "order_month"],
         fill={"revenue": F.lit(0.0), "n_items": F.lit(0).cast("long")},
     )
+
+
+_CUTOFF = "1998-06-01"
+
+_SHIP_PRIORITY_ORACLE = f"""
+SELECT l_orderkey,
+       {sql_dsum_money('revenue')},
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_CUTOFF}'
+  AND l_shipdate  > TIMESTAMP '{_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@q("q_tpch_shipping_priority", oracle_sql=_SHIP_PRIORITY_ORACLE)
+def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: the TPC-H Q3 shape — selective dimension filter, two big-table
+    joins, grouped revenue, global top-10. The plan we want at 100 TB:
+
+    - customer filtered to one segment projects down to c_custkey only and
+      is broadcast (explicitly — the filter hides its size from stats);
+      orders never shuffles for that join.
+    - orders⋈lineitem is the one real shuffle, on l_orderkey/o_orderkey —
+      both filters are pushed into the parquet scans first.
+    - the grouped aggregate reuses the orderkey shuffle (group key starts
+      with l_orderkey), and the final ORDER BY..LIMIT executes as
+      TakeOrderedAndProject, never a global sort.
+    """
+    prep(spark)
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit(_CUTOFF))
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit(_CUTOFF))
+    )
+    j = li.join(
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum_money("l_extendedprice", "l_discount").alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
+    ).limit(10)

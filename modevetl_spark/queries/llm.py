@@ -1028,3 +1028,117 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return minhash_band_keys_md5(d, shingle_n=3, k=16, bands=4)
+
+
+_NORMALIZE_ORACLE = r"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+)
+SELECT doc_id,
+       norm_text,
+       md5(norm_text) AS norm_hash,
+       CASE WHEN norm_text = '' THEN 0
+            ELSE len(regexp_split_to_array(norm_text, ' ')) END AS n_tokens
+FROM n
+"""
+
+
+@q("q_text_normalize", oracle_sql=_NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: C4-style text normalization — lowercase, collapse internal
+    whitespace runs, trim — plus the md5 of the normalized form (the key a
+    downstream exact-dedup pass would group on, so normalize→dedup compose
+    without re-reading text). Pure per-row JVM string expressions: no
+    shuffle, no UDF, whole-stage codegen'd; at 100 TB this is scan-speed."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    out = d.select("doc_id", norm.alias("norm_text"))
+    return out.select(
+        "doc_id",
+        "norm_text",
+        F.md5("norm_text").alias("norm_hash"),
+        F.when(F.col("norm_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("norm_text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+_SPANS_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) >= 8 THEN
+               list_distinct(list_transform(
+                   range(1, len(tk) - 6),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                        || tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5]
+                        || ' ' || tk[i+6] || ' ' || tk[i+7]))
+           ELSE [] END AS sh
+    FROM t
+),
+g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+df AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY gram),
+hit AS (
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM g JOIN df USING (gram)
+    WHERE df.n_docs > 1
+    GROUP BY g.doc_id
+)
+SELECT s.doc_id,
+       len(s.sh) AS n_grams,
+       COALESCE(hit.n_shared_grams, 0) AS n_shared_grams,
+       ROUND(CAST(COALESCE(hit.n_shared_grams, 0) AS DOUBLE)
+             / len(s.sh), 6) AS shared_ratio
+FROM s LEFT JOIN hit USING (doc_id)
+WHERE len(s.sh) > 0
+"""
+
+
+@q("q_dedup_spans", oracle_sql=_SPANS_ORACLE)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+: cross-document duplicated-span ratio — the Dolma/CCNet-style
+    "duplicate paragraph" signal, built on word 8-gram spans (distinct per
+    doc): for each doc, what fraction of its spans also appear in at least
+    one OTHER doc. Complements q_text_repetition (within-doc) and
+    q_decontaminate (vs a benchmark set).
+
+    Plan shape: explode distinct spans → hash-agg span doc-frequency →
+    equi-join back on span → per-doc count. Both the agg and the join key
+    on the span hash, so the exploded relation shuffles once and the join
+    is co-partitioned; no window, no all-pairs. At 100 TB, spans seen once
+    (the vast majority) collapse map-side in the docfreq partial agg."""
+    prep(spark)
+    from modevetl_spark.operators.text import word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 8)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    g = base.select("doc_id", F.explode("sh").alias("gram"))
+    docfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    hits = (
+        g.join(docfreq.where(F.col("n_docs") > 1), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    per_doc = base.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+    out = per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+        F.round(
+            F.coalesce("n_shared_grams", F.lit(0)).cast("double") / F.col("n_grams"),
+            6,
+        ).alias("shared_ratio"),
+    )
+    return out

@@ -198,3 +198,34 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("o_orderstatus", "o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+_NTILE_ORACLE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+"""
+
+
+@q("q_window_ntile", oracle_sql=_NTILE_ORACLE)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+: NTILE bucketing — equi-depth quartiles of order value within
+    each priority class. The ORDER BY carries o_orderkey as a tie-break so
+    bucket assignment is deterministic across engines and shuffle orders.
+    Scale note: ntile needs the full partition ordered — fine here because
+    the window key (priority) has tiny cardinality but wide partitions are
+    sorted spill-safely by Spark's external sorter; for a quantile-bucket
+    over the WHOLE table at 100 TB use q_agg_approx_sketches percentiles
+    instead of a single-partition window."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )

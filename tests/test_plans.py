@@ -153,3 +153,33 @@ def test_null_safe_key_join_stays_equi(spark):
     for how in ("left_anti", "left_semi"):
         p = plan(_null_safe_key_join(a, b, ["k"], how))
         assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    """TPC-H Q3 shape: the segment-filtered customer side rides as a
+    broadcast (orders never shuffles for it), date filters reach the
+    parquet scans, and the global top-10 is TakeOrderedAndProject — not a
+    global sort."""
+    p = plan(_Q["q_tpch_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    pushed = p.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("]")[0] for seg in pushed[1:]), p
+    assert any("l_shipdate" in seg.split("]")[0] for seg in pushed[1:]), p
+
+
+def test_dedup_spans_single_gram_shuffle_key(spark, sf_dir):
+    """The span docfreq agg and the span join both key on gram: the plan
+    must show partial aggregation (map-side collapse of the singleton-span
+    majority) and no cartesian/NLJ anywhere."""
+    p = plan(_Q["q_dedup_spans"](spark, sf_dir))
+    assert "partial_" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_agg_mode_is_two_hash_aggregates(spark, sf_dir):
+    """Deterministic mode must stay a pure hash-agg pipeline — no window,
+    no sort (the max-of-struct idiom)."""
+    p = plan(_Q["q_agg_mode"](spark, sf_dir))
+    assert "Window" not in p
+    assert "HashAggregate" in p
