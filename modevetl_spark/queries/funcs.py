@@ -86,7 +86,7 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DATE_ORACLE = """
-SELECT date_trunc('quarter', o_orderdate) AS order_quarter,
+SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
        CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS due_date,
        CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS order_week,

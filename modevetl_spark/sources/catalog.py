@@ -32,17 +32,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
+    # Newer testdata drops isAdjustedToUTC on its µs timestamps, which
+    # Spark 4 surfaces as TIMESTAMP_NTZ; the engine (and the DuckDB
+    # oracle, which reads them as plain TIMESTAMP) works in session-UTC
+    # TIMESTAMP everywhere, so pin inference off before the read.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if table == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return _normalize_ts(_load_events(spark, sf_dir))
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (value-preserving under
+    the UTC session timezone) so downstream `unix_micros`/`window`/interval
+    arithmetic sees one timestamp flavor regardless of how the parquet
+    writer flagged its timestamps."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    truncate to a µs timestamp with *integer* division (a double division
-    at ~1.7e18 ns would lose µs precision past 2^53). DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` truncates identically in oracle SQL.
+    """Historical testdata wrote events.ts as TIMESTAMP(NANOS), which
+    Spark 4 refuses to read as a timestamp ([PARQUET_TYPE_ILLEGAL]); read
+    nanos as long and truncate to a µs timestamp with *integer* division
+    (a double division at ~1.7e18 ns would lose µs precision past 2^53).
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` truncates identically in oracle
+    SQL. Current testdata is already µs; the shim is then a no-op.
     """
     from pyspark.sql import functions as F
 

@@ -62,7 +62,33 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _check_temporal_flavor(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    """The driver hashes python reprs, where datetime.date and
+    datetime.datetime never compare equal — but pandas coerces both to
+    datetime64, so `compare` alone can't see a DATE-vs-TIMESTAMP drift
+    (DuckDB's date_trunc returns DATE at day-or-coarser precision while
+    Spark's returns TIMESTAMP; caught live in q_date_trunc_agg round 4).
+    Assert the declared column flavors agree before value comparison."""
+    res = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+    duck_types = {d[0]: str(d[1]).upper() for d in res.description}
+    for f in spark_df.schema.fields:
+        dt = duck_types.get(f.name)
+        if dt is None:
+            continue
+        s = f.dataType.simpleString()
+        if s.startswith("timestamp") and dt == "DATE":
+            raise AssertionError(
+                f"column {f.name!r}: spark {s} vs duckdb DATE — add a "
+                f"CAST(... AS TIMESTAMP) to the oracle"
+            )
+        if s == "date" and dt.startswith("TIMESTAMP"):
+            raise AssertionError(
+                f"column {f.name!r}: spark date vs duckdb {dt} — cast one side"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    _check_temporal_flavor(spark_df, con, sql)
     sp = _normalize(spark_df.toPandas())
     dk = _normalize(con.execute(sql).df())
     assert list(sp.columns) == list(dk.columns), (
