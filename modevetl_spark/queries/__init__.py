@@ -30,6 +30,7 @@ _MODULES = [
     "extras",
     "reshape",
     "pipeline",
+    "analytics",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,

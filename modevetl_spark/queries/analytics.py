@@ -1,0 +1,364 @@
+"""Round-4 analytics + pipeline breadth: TPC-H Q1 pricing summary,
+event funnel, retention cohorts, log2 length histogram, per-source quota
+sampling, token-distribution entropy. All oracle-gated.
+
+Float discipline: every aggregated double goes through the decimal-exact
+compat layer (``functions/compat.py``) or is a per-row deterministic
+expression rounded before an exact decimal sum — the driver's value-hash
+demands bit-identical doubles, and Spark/DuckDB ``log2`` already differ
+by 1 ulp on ~28% of rationals (measured), so no raw float ever reaches
+an order-sensitive aggregate here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.functions.compat import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+DEC = "decimal(18,6)"
+
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       {sql_dsum("l_quantity", "sum_qty")},
+       {sql_dsum("l_extendedprice", "sum_base_price")},
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+                  AS DOUBLE), 2) AS sum_charge,
+       {sql_davg("l_quantity", "avg_qty")},
+       {sql_davg("l_extendedprice", "avg_price")},
+       {sql_davg("l_discount", "avg_disc")},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@q("q_tpch_pricing_summary", oracle_sql=_Q1_ORACLE)
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: TPC-H Q1 pricing summary report — the canonical wide
+    multi-measure scan→agg. One shuffle on a 6-value group key with full
+    map-side partial aggregation; the shipdate filter and 7-column
+    projection push to the parquet scan. The (1-disc)*(1+tax) factor is
+    computed in double (deterministic per-row, exact decimal value has
+    ≤4 dp so the nearest double is far from any 6-dp rounding boundary)
+    then cast to decimal for the exact order-insensitive sum."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    charge_factor = (
+        (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
+    ).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC)
+                    * (F.lit(1) - F.col("l_discount")).cast(DEC)
+                ).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC) * charge_factor).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*) FROM s3
+) ORDER BY ord
+"""
+
+
+@q("q_funnel_conversion", oracle_sql=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: strictly-ordered conversion funnel (view → click → purchase,
+    each step after the previous user's step time) — the product-analytics
+    staple the reference's dashboard queries fed.
+
+    Scale shape: three hash aggs + two joins, all keyed on user_id — one
+    partitioning reused end-to-end (co-partitioned, no re-shuffle of the
+    fact table beyond the per-stage filters, which push to the scan). The
+    stage-count union is three 1-row aggregates."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(s1, 1, "view")
+        .unionAll(stage(s2, 2, "view>click"))
+        .unionAll(stage(s3, 3, "view>click>purchase"))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP))
+                               AS TIMESTAMP)) // 7 AS BIGINT) AS week_offset
+    FROM events e JOIN firsts f USING (user_id)
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_week, week_offset
+"""
+
+
+@q("q_retention_cohorts", oracle_sql=_RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: weekly retention cohorts — users bucketed by first-seen week,
+    counted once per (cohort, week-offset) of later activity.
+
+    Scale shape: one agg for first-seen, a user_id-co-partitioned join
+    back to the fact, a distinct on (user, cohort, offset), and a final
+    bounded-key agg. The firsts side is |users| rows — broadcast-eligible
+    and AQE picks that at runtime."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_HISTOGRAM_ORACLE = f"""
+WITH b AS (
+    SELECT n_chars, length(bin(n_chars)) AS nbits
+    FROM documents WHERE n_chars > 0
+)
+SELECT CAST(1 AS BIGINT) << (nbits - 1) AS bucket_lo,
+       (CAST(1 AS BIGINT) << nbits) - 1 AS bucket_hi,
+       COUNT(*) AS n_docs,
+       {sql_davg("n_chars", "avg_chars")}
+FROM b
+GROUP BY nbits
+"""
+
+
+@q("q_length_histogram", oracle_sql=_HISTOGRAM_ORACLE)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: power-of-two document-length histogram (corpus profiling /
+    chunk-size planning). The bucket is the integer bit-length of
+    n_chars — computed on the binary string representation so both
+    engines stay integer-exact (floor(log2(x)) in floats misbuckets
+    exact powers of two). Shuffle key is ~30 buckets."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    nbits = F.length(F.conv(F.col("n_chars").cast("string"), 10, 2))
+    return (
+        d.select("n_chars", nbits.alias("nbits"))
+        .groupBy("nbits")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+        )
+        .select(
+            # PySpark's shiftleft() only takes a python-int bit count;
+            # the SQL form accepts a column expression.
+            F.expr("shiftleft(CAST(1 AS BIGINT), nbits - 1)").alias("bucket_lo"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), nbits) - 1").alias("bucket_hi"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+
+
+_QUOTA_ORACLE = """
+SELECT source, doc_id, rn FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+"""
+
+
+@q("q_domain_quota_sample", oracle_sql=_QUOTA_ORACLE)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: per-source quota sampling — keep at most K docs per source,
+    chosen by a deterministic keyed hash (the per-domain cap step of a
+    crawl-mix recipe; same pure-function-of-key discipline as
+    q_sample_hash, so the sample is partition- and rerun-invariant).
+
+    Scale shape: one shuffle on source for the window; for skewed domain
+    histograms the WindowGroupLimit pushdown keeps per-partition state at
+    K rows. No global sort."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+_ENTROPY_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           SUM(CAST(ROUND(c * log2(CAST(c AS DOUBLE)), 9)
+                    AS DECIMAL(18,9))) AS s
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(log2(CAST(n_tokens AS DOUBLE))
+             - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
+FROM per_doc
+"""
+
+
+@q("q_token_entropy", oracle_sql=_ENTROPY_ORACLE)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+: per-document unigram Shannon entropy (low-entropy docs are
+    boilerplate/spam; a C4/Gopher-family quality signal), via
+    H = log2(n) − (Σ c·log2 c)/n.
+
+    Float discipline: Spark and DuckDB log2 differ by 1 ulp on ~28% of
+    rationals (measured), so each c·log2(c) term is rounded to 9 dp and
+    accumulated as an exact decimal — the sum is association-free and the
+    final 6-dp round absorbs the sub-1e-9 per-term residue. Scale shape:
+    explode → (doc,token) hash agg with map-side combine → per-doc agg;
+    both shuffles are hash-partitioned, no window, no UDF."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(
+        F.col("c") * F.log2(F.col("c").cast("double")), 9
+    ).cast("decimal(18,9)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("s").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )

@@ -183,3 +183,41 @@ def test_agg_mode_is_two_hash_aggregates(spark, sf_dir):
     p = plan(_Q["q_agg_mode"](spark, sf_dir))
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_pricing_summary_pushdown_and_partial(spark, sf_dir):
+    """TPC-H Q1 shape: the shipdate filter and 7-column projection reach
+    the parquet scan, and the wide agg combines map-side — one bounded
+    shuffle at any scale."""
+    p = plan(_Q["q_tpch_pricing_summary"](spark, sf_dir))
+    pushed = p.split("PushedFilters")
+    assert any("l_shipdate" in seg.split("]")[0] for seg in pushed[1:]), p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+    assert "partial_" in p
+
+
+def test_domain_quota_uses_window_group_limit(spark, sf_dir):
+    """Per-source quota: the rn<=K filter must push into the window as
+    WindowGroupLimit so per-partition state stays K rows even on a skewed
+    domain histogram."""
+    p = plan(_Q["q_domain_quota_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_funnel_joins_broadcast_no_smj(spark, sf_dir):
+    """Funnel stage joins key on user_id with tiny per-user aggregates on
+    the build side — they must ride as broadcasts, never a sort-merge of
+    the fact table."""
+    p = plan(_Q["q_funnel_conversion"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_token_entropy_jvm_only_partial_agg(spark, sf_dir):
+    """Entropy is explode -> two hash aggs: map-side combine on the
+    (doc,token) agg and no Python anywhere in the plan."""
+    p = plan(_Q["q_token_entropy"](spark, sf_dir))
+    assert "partial_" in p
+    assert "Python" not in p
