@@ -362,3 +362,161 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@q("q_event_transitions", oracle_sql=_TRANSITIONS_ORACLE)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: event-type transition matrix (first-order Markov counts over
+    per-user event sequences, event_id tie-break for determinism) — the
+    path-analysis primitive behind sankey/flow dashboards.
+
+    Scale shape: one shuffle on user_id for the lag window, then a hash
+    agg whose key domain is |event_types|² (bounded). The window carries
+    two narrow columns."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+    SELECT event_type,
+           COUNT(value) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(value), 6) AS mean,
+           ROUND(sqrt(
+               (CAST(SUM(CAST(value AS DECIMAL(18,6))
+                         * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(value))
+               / COUNT(value)), 6) AS std
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mean) / s.std, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE e.value IS NOT NULL
+"""
+
+
+@q("q_zscore_normalize", oracle_sql=_ZSCORE_ORACLE)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: per-group z-score normalization (feature scaling before
+    training). Group mean and population std come from decimal-exact
+    Σx / Σx² (order-insensitive), rounded to 6 dp BEFORE the per-row
+    (x−mean)/std — so every engine computes the identical double per row.
+
+    Scale shape: one bounded-key agg, then the |groups|-row stats table
+    broadcasts back onto the fact — no second fact shuffle."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast(DEC)
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.sum(v).cast("double") / F.count("value"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(v * v).cast("double")
+                    - F.sum(v).cast("double")
+                    * F.sum(v).cast("double")
+                    / F.count("value")
+                )
+                / F.count("value")
+            ),
+            6,
+        ).alias("std"),
+    )
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
+        )
+    )
+
+
+_WINSORIZE_ORACLE = """
+WITH bounds AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.05), 6) AS lo,
+           ROUND(quantile_cont(value, 0.95), 6) AS hi
+    FROM events GROUP BY event_type
+),
+clipped AS (
+    SELECT e.event_type,
+           CASE WHEN e.value < b.lo THEN 1 ELSE 0 END AS is_lo,
+           CASE WHEN e.value > b.hi THEN 1 ELSE 0 END AS is_hi,
+           LEAST(GREATEST(e.value, b.lo), b.hi) AS cv
+    FROM events e JOIN bounds b USING (event_type)
+    WHERE e.value IS NOT NULL
+)
+SELECT event_type,
+       CAST(SUM(is_lo) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(is_hi) AS BIGINT) AS n_clipped_hi,
+       ROUND(CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE), 2)
+           AS winsorized_sum
+FROM clipped GROUP BY event_type
+"""
+
+
+@q("q_winsorize", oracle_sql=_WINSORIZE_ORACLE)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: winsorized statistics — clip each group's values at its exact
+    [P5, P95] (outlier taming before aggregation; percentile bounds
+    rounded to 6 dp so both engines clip against identical doubles, then
+    the clipped sum is decimal-exact).
+
+    Scale shape: exact per-group percentile is one shuffle (the 100 TB
+    swap is percentile_approx, same plan otherwise); the bounds table is
+    |groups| rows and broadcasts back — the fact never shuffles twice."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clipped = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") < F.col("lo")).cast("long").alias("is_lo"),
+            (F.col("value") > F.col("hi")).cast("long").alias("is_hi"),
+            F.least(F.greatest("value", F.col("lo")), F.col("hi")).alias("cv"),
+        )
+    )
+    return clipped.groupBy("event_type").agg(
+        F.sum("is_lo").alias("n_clipped_lo"),
+        F.sum("is_hi").alias("n_clipped_hi"),
+        F.round(F.sum(F.col("cv").cast(DEC)).cast("double"), 2).alias(
+            "winsorized_sum"
+        ),
+    )

@@ -221,3 +221,13 @@ def test_token_entropy_jvm_only_partial_agg(spark, sf_dir):
     p = plan(_Q["q_token_entropy"](spark, sf_dir))
     assert "partial_" in p
     assert "Python" not in p
+
+
+def test_zscore_winsorize_stats_broadcast(spark, sf_dir):
+    """Group-stats normalization joins a |groups|-row stats table back
+    onto the fact — must broadcast; the fact shuffles at most once (the
+    stats agg), never for the join."""
+    for key in ("q_zscore_normalize", "q_winsorize"):
+        p = plan(_Q[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in p, key
+        assert "SortMergeJoin" not in p, key
