@@ -188,3 +188,13 @@ def doc_fingerprint(text: Column | str, shingle_n: int = 4) -> Column:
     return F.when(
         F.size(sh) > 0, F.array_min(F.transform(sh, lambda s: F.md5(s)))
     ).otherwise(F.md5(F.concat_ws(" ", toks)))
+
+
+def distinct_stopword_count(toks: Column) -> Column:
+    """Number of distinct stopwords present (Gopher's 'contains at least
+    N stopwords' hard-filter signal; per-type, unlike stopword_ratio's
+    per-token fraction)."""
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ).cast("long")

@@ -21,6 +21,7 @@ from modevetl_spark.functions.compat import (
     sql_davg,
     sql_dsum,
 )
+from modevetl_spark.operators.text import tokens
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -337,12 +338,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shuffles are hash-partitioned, no window, no UDF."""
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-        ).alias("tok"),
-    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     term = F.round(
         F.col("c") * F.log2(F.col("c").cast("double")), 9
@@ -408,13 +404,13 @@ WITH stats AS (
            COUNT(value) AS n,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(value), 6) AS mean,
-           ROUND(sqrt(
+           ROUND(sqrt(greatest(
                (CAST(SUM(CAST(value AS DECIMAL(18,6))
                          * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                 - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                   * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                   / COUNT(value))
-               / COUNT(value)), 6) AS std
+               / COUNT(value), 0)), 6) AS std
     FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
@@ -439,15 +435,22 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.round(F.sum(v).cast("double") / F.count("value"), 6).alias("mean"),
+        # greatest(·, 0) clamps the catastrophic-cancellation residue a
+        # constant-valued group leaves after the double casts (~-1e-18):
+        # DuckDB's sqrt raises on negatives while Spark returns NaN, so
+        # without the clamp the oracle errors instead of comparing.
         F.round(
             F.sqrt(
-                (
-                    F.sum(v * v).cast("double")
-                    - F.sum(v).cast("double")
-                    * F.sum(v).cast("double")
-                    / F.count("value")
+                F.greatest(
+                    (
+                        F.sum(v * v).cast("double")
+                        - F.sum(v).cast("double")
+                        * F.sum(v).cast("double")
+                        / F.count("value")
+                    )
+                    / F.count("value"),
+                    F.lit(0.0),
                 )
-                / F.count("value")
             ),
             6,
         ).alias("std"),

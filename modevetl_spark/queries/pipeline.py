@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modevetl_spark.operators.text import EN_STOPWORDS, tokens, word_shingles
+from modevetl_spark.operators.text import (
+    EN_STOPWORDS,
+    distinct_stopword_count,
+    mean_token_len,
+    tokens,
+    word_shingles,
+)
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -124,7 +130,8 @@ WITH t AS (
 m AS (
     SELECT doc_id,
            len(toks) AS n_words,
-           ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+           ROUND(CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))),
+                               0)
                       AS DOUBLE) / greatest(len(toks), 1), 6)
                AS mean_word_len,
            ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
@@ -143,6 +150,7 @@ SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
        (n_words BETWEEN 5 AND 100000
         AND mean_word_len BETWEEN 2 AND 12
         AND frac_alpha_words >= 0.7
+        AND n_distinct_stopwords >= 2
         AND symbol_ratio <= 0.1) AS keep
 FROM m
 """
@@ -151,30 +159,23 @@ FROM m
 @q("q_quality_filter", oracle_sql=_QUALITY_FILTER_ORACLE)
 def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3+: Gopher/C4-style HARD quality filters (word count bounds, mean
-    word length, alphabetic-word fraction, stopword presence, symbol
+    word length, alphabetic-word fraction, ≥2 distinct stopwords, symbol
     ratio) plus the combined keep decision — the boolean complement of
-    q_text_quality's soft score. Row-local, shuffle-free."""
+    q_text_quality's soft score. Row-local, shuffle-free. Tokenless docs
+    get mean_word_len 0 on both engines (the oracle COALESCEs DuckDB's
+    NULL list_sum([]))."""
     prep(spark)
     d = load(spark, sf_dir, "documents")
     toks = tokens("text")
     n_words = F.size(toks)
     denom = F.greatest(n_words, F.lit(1))
-    mean_wl = F.round(
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
-        ).cast("double")
-        / denom,
-        6,
-    )
+    mean_wl = F.round(mean_token_len(toks), 6)
     frac_alpha = F.round(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
         / denom,
         6,
     )
-    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.size(
-        F.array_distinct(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    ).cast("long")
+    n_stop = distinct_stopword_count(toks)
     lo = F.lower(F.col("text"))
     symbol_ratio = F.round(
         F.length(F.regexp_replace(lo, r"[a-z0-9\s]", "")).cast("double")
@@ -193,6 +194,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").between(5, 100000)
         & F.col("mean_word_len").between(2, 12)
         & (F.col("frac_alpha_words") >= 0.7)
+        & (F.col("n_distinct_stopwords") >= 2)
         & (F.col("symbol_ratio") <= 0.1)
     )
     return m.withColumn("keep", keep)

@@ -32,11 +32,6 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; known: {TABLES}")
-    # Newer testdata drops isAdjustedToUTC on its µs timestamps, which
-    # Spark 4 surfaces as TIMESTAMP_NTZ; the engine (and the DuckDB
-    # oracle, which reads them as plain TIMESTAMP) works in session-UTC
-    # TIMESTAMP everywhere, so pin inference off before the read.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if table == "events":
         return _normalize_ts(_load_events(spark, sf_dir))
     return _normalize_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))

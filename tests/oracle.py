@@ -62,15 +62,13 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-def _check_temporal_flavor(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+def _check_temporal_flavor(spark_df, duck_types: dict[str, str]) -> None:
     """The driver hashes python reprs, where datetime.date and
     datetime.datetime never compare equal — but pandas coerces both to
     datetime64, so `compare` alone can't see a DATE-vs-TIMESTAMP drift
     (DuckDB's date_trunc returns DATE at day-or-coarser precision while
     Spark's returns TIMESTAMP; caught live in q_date_trunc_agg round 4).
     Assert the declared column flavors agree before value comparison."""
-    res = con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
-    duck_types = {d[0]: str(d[1]).upper() for d in res.description}
     for f in spark_df.schema.fields:
         dt = duck_types.get(f.name)
         if dt is None:
@@ -88,9 +86,11 @@ def _check_temporal_flavor(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
-    _check_temporal_flavor(spark_df, con, sql)
+    cur = con.execute(sql)
+    duck_types = {d[0]: str(d[1]).upper() for d in cur.description}
+    _check_temporal_flavor(spark_df, duck_types)
     sp = _normalize(spark_df.toPandas())
-    dk = _normalize(con.execute(sql).df())
+    dk = _normalize(cur.df())
     assert list(sp.columns) == list(dk.columns), (
         f"schema mismatch: spark={list(sp.columns)} duckdb={list(dk.columns)}"
     )
