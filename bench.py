@@ -36,6 +36,8 @@ HEADLINE = [
     "q_jx_cube",
     "q_skew_salted_agg",
     "q_tpch_shipping_priority",
+    "q_token_entropy",
+    "q_funnel_conversion",
 ]
 
 
