@@ -370,3 +370,81 @@ def dedup_corpus(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, on=id_col, how="left_anti")
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Persistable LSH index over a corpus: one (id, band_id, band_hash)
+    row per document band. Write it out partitioned/bucketed by
+    (band_id, band_hash) and incremental batches join against it without
+    ever recomputing the corpus — the 100 TB daily-delta pattern (the
+    full-corpus self-join re-pays O(corpus) signature compute every run;
+    the index makes each run O(delta) compute + one equi-join).
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, shingle_n, k)
+    return sig.select(
+        id_col,
+        F.explode(
+            lsh_bands(
+                F.array(*[F.col(f"m{i}") for i in range(k)]),
+                bands,
+                rows_per_band,
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-duplicate candidates for an incremental batch against a
+    persisted LSH index (plus within-batch pairs), WITHOUT touching the
+    historical corpus text.
+
+    Returns ``(pairs, new_index_rows)``:
+
+    - ``pairs`` — (id_a, id_b) with id_a < id_b, the union of
+      batch-vs-index collisions and batch-internal collisions. Because
+      banding is a pure function of the text, this equals the pairs a
+      full-corpus :func:`minhash_candidates` run would emit restricted to
+      pairs touching the batch (equivalence pytest-gated).
+    - ``new_index_rows`` — the batch's band rows; after downstream
+      verification/canonicalization, append the survivors' rows to the
+      stored index (bounding index growth to canonical docs).
+
+    Scale shape: signature compute is O(|batch|); the index probe is one
+    equi-join on (band_id, band_hash) — the batch side is delta-sized so
+    AQE broadcasts it, and the index side prunes to matching buckets when
+    stored bucketed on the join key. No corpus re-scan, no self-join of
+    the index with itself.
+    """
+    new_rows = build_minhash_index(
+        new_docs, id_col, text_col, shingle_n, k, bands
+    )
+    idx = index.select(
+        F.col(id_col).alias("_old_id"), "band_id", "band_hash"
+    )
+    vs_index = (
+        new_rows.join(idx, on=["band_id", "band_hash"])
+        .where(F.col("_old_id") != F.col(id_col))
+        .select(
+            F.least(F.col("_old_id"), F.col(id_col)).alias("id_a"),
+            F.greatest(F.col("_old_id"), F.col(id_col)).alias("id_b"),
+        )
+        .distinct()
+    )
+    within = _banded_pairs(new_rows, id_col, ["band_id", "band_hash"])
+    return vs_index.unionByName(within).distinct(), new_rows

@@ -1142,3 +1142,60 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shared_ratio"),
     )
     return out
+
+
+_DEDUP_INCR_ORACLE = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT p.id_a, p.id_b,
+       ROUND(CAST(p.n_inter AS DOUBLE)
+             / (sa.n + sb.n - p.n_inter), 6) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+WHERE (p.id_a % 5 = 0 OR p.id_b % 5 = 0)
+  AND CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+"""
+
+
+@q("q_dedup_incremental", oracle_sql=_DEDUP_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+: incremental near-dup — an arriving batch (doc_id % 5 == 0)
+    dedups against a PERSISTED band-key index of the prior corpus plus
+    itself, never recomputing corpus signatures. Banding is a pure
+    function of the text, so the result provably equals the full-corpus
+    recompute restricted to batch-touching pairs — which is exactly what
+    the oracle computes (equivalence also pytest-gated on the xxhash64
+    fast path: test_incremental_minhash_equals_full_recompute).
+
+    Scale shape: O(|batch|) signature compute; one (band, band_key)
+    equi-join against the stored index (batch side broadcasts under AQE;
+    a bucketed index prunes to colliding buckets); within-batch pairs
+    from the batch's own tiny self-join. The 100 TB daily-delta pattern.
+    """
+    from modevetl_spark.operators.dedup import (
+        _banded_pairs,
+        minhash_band_keys_md5,
+    )
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    batch = d.where(F.col("doc_id") % 5 == 0)
+    index = minhash_band_keys_md5(corpus, shingle_n=3, k=16, bands=4)
+    new_rows = minhash_band_keys_md5(batch, shingle_n=3, k=16, bands=4)
+    vs_index = (
+        new_rows.join(
+            index.select(
+                F.col("doc_id").alias("_old_id"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
+        .select(
+            F.least("_old_id", "doc_id").alias("id_a"),
+            F.greatest("_old_id", "doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    within = _banded_pairs(new_rows, "doc_id", ["band", "band_key"])
+    pairs = vs_index.unionByName(within).distinct()
+    return jaccard_pairs(d, pairs, shingle_n=3).where(F.col("jaccard") >= 0.5)

@@ -590,3 +590,43 @@ def test_review2_fix_regressions(spark, sf_dir):
             ).count()
             == plain
         )
+
+
+def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
+    """The persisted-index incremental path must emit EXACTLY the pairs a
+    full-corpus LSH run emits, restricted to pairs touching the batch —
+    banding is a pure function of the text, so there is no approximation
+    gap between the daily-delta pattern and the recompute."""
+    from modevetl_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_candidates,
+        minhash_candidates,
+    )
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+
+    index = build_minhash_index(corpus)
+    inc_pairs, new_rows = incremental_minhash_candidates(batch, index)
+
+    full = minhash_candidates(docs)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    expected = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    got = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
+    assert got == expected
+
+    # the batch's index rows carry the same schema as the stored index,
+    # so survivors append without reshaping
+    assert new_rows.columns == index.columns
+
+    # and the index probe must stay an equi-join — no nested-loop blowup
+    from tests.test_plans import plan
+
+    p = plan(inc_pairs)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
