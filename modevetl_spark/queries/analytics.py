@@ -523,3 +523,129 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winsorized_sum"
         ),
     )
+
+
+_COHESION_ORACLE = """
+WITH e AS (
+    SELECT vec_id, label, CAST(u.pos AS BIGINT) AS pos,
+           ROUND(CAST(embedding[u.pos] AS DOUBLE), 7) AS v
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos) u
+),
+cent AS (
+    SELECT label, pos,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,7))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM e GROUP BY label, pos
+),
+cnorm AS (
+    SELECT label,
+           CAST(SUM(CAST(ROUND(c * c, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS c2
+    FROM cent GROUP BY label
+),
+per_vec AS (
+    SELECT e.vec_id, e.label,
+           CAST(SUM(CAST(ROUND(e.v * cent.c, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS dot,
+           CAST(SUM(CAST(ROUND(e.v * e.v, 12) AS DECIMAL(28,12)))
+                AS DOUBLE) AS e2
+    FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+    GROUP BY e.vec_id, e.label
+),
+cos AS (
+    SELECT p.label,
+           ROUND(p.dot / sqrt(p.e2 * n.c2), 6) AS cos_c
+    FROM per_vec p JOIN cnorm n USING (label)
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       (SELECT ROUND(sqrt(c2), 6) FROM cnorm WHERE cnorm.label = cos.label)
+           AS centroid_norm,
+       ROUND(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_cos,
+       MIN(cos_c) AS min_cos
+FROM cos
+GROUP BY label
+"""
+
+
+@q("q_embedding_cohesion", oracle_sql=_COHESION_ORACLE)
+def embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: per-label cluster cohesion — centroid L2 norm plus mean/min
+    cosine of members to their centroid (low cohesion flags mislabeled or
+    multi-modal clusters before they poison an IVF index whose cells
+    assume tight clusters).
+
+    Float discipline: float32 components round to 7 dp (beyond float
+    precision, so lossless) and every sum — centroid components, dot
+    products, squared norms, cosine means — is a per-term-rounded DECIMAL
+    accumulation, association-free across partitioning. Scale shape:
+    explode to (vec,pos) rows; centroid agg keys are |labels|×dims
+    (bounded); the 640-row centroid broadcasts back; per-vec dot is a
+    hash agg on vec_id. No window, no Python, no all-pairs."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        # DuckDB's WITH ORDINALITY is 1-based; posexplode is 0-based
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double"), 7).alias("v"),
+    )
+    cent = e.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    d12 = "decimal(28,12)"
+    cnorm = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 12).cast(d12))
+        .cast("double")
+        .alias("c2")
+    )
+    per_vec = (
+        e.join(F.broadcast(cent), on=["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("c"), 12).cast(d12))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.round(F.col("v") * F.col("v"), 12).cast(d12))
+            .cast("double")
+            .alias("e2"),
+        )
+    )
+    cos = per_vec.join(F.broadcast(cnorm), "label").select(
+        "label",
+        F.round(F.col("dot") / F.sqrt(F.col("e2") * F.col("c2")), 6).alias(
+            "cos_c"
+        ),
+    )
+    return (
+        cos.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("cos_c").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cos"),
+            F.min("cos_c").alias("min_cos"),
+        )
+        .join(
+            F.broadcast(
+                cnorm.select(
+                    "label", F.round(F.sqrt("c2"), 6).alias("centroid_norm")
+                )
+            ),
+            "label",
+        )
+        .select("label", "n_vecs", "centroid_norm", "mean_cos", "min_cos")
+    )
