@@ -630,3 +630,47 @@ def test_incremental_minhash_equals_full_recompute(spark, sf_dir):
 
     p = plan(inc_pairs)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_index_bucketed_probe_no_index_exchange(spark, sf_dir):
+    """The persisted LSH index, stored bucketed on band_hash, must be
+    probe-able without re-shuffling the index side — at 100 TB the index
+    is corpus-sized and an Exchange over it per batch would dominate the
+    run. The delta-sized batch side is the only thing that moves."""
+    from modevetl_spark.operators.dedup import build_minhash_index
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.sources.formats import write_bucketed
+    from tests.test_plans import plan
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    write_bucketed(
+        build_minhash_index(corpus),
+        "lsh_index_b",
+        ["band_hash"],
+        4,
+        sort_cols=["band_hash"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = build_minhash_index(batch).withColumnRenamed(
+            "doc_id", "new_id"
+        )
+        joined = spark.table("lsh_index_b").join(
+            probe, on=["band_hash"]
+        )
+        p = plan(joined)
+        assert "SortMergeJoin" in p
+        tree = p.split("(1) Scan")[0]
+        # the index branch (SortMergeJoin -> ... -> bucketed scan) must be
+        # Exchange-free; the delta-sized batch side is allowed to shuffle
+        assert "lsh_index_b" in tree
+        index_branch = tree[tree.index("SortMergeJoin") : tree.index("lsh_index_b")]
+        assert "Exchange" not in index_branch, tree
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS lsh_index_b")
