@@ -414,7 +414,8 @@ WITH stats AS (
     FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
-       ROUND((e.value - s.mean) / s.std, 6) AS z
+       CASE WHEN s.std > 0
+            THEN ROUND((e.value - s.mean) / s.std, 6) END AS z
 FROM events e JOIN stats s USING (event_type)
 WHERE e.value IS NOT NULL
 """
@@ -461,7 +462,12 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round((F.col("value") - F.col("mean")) / F.col("std"), 6).alias("z"),
+            # constant-valued group -> std 0 -> z undefined: NULL on both
+            # engines (Spark ANSI raises on /0 where DuckDB yields NULL)
+            F.when(
+                F.col("std") > 0,
+                F.round((F.col("value") - F.col("mean")) / F.col("std"), 6),
+            ).alias("z"),
         )
     )
 
@@ -555,15 +561,17 @@ per_vec AS (
 ),
 cos AS (
     SELECT p.label,
-           ROUND(p.dot / sqrt(p.e2 * n.c2), 6) AS cos_c
+           CASE WHEN p.e2 > 0 AND n.c2 > 0
+                THEN ROUND(p.dot / sqrt(p.e2 * n.c2), 6) END AS cos_c
     FROM per_vec p JOIN cnorm n USING (label)
 )
 SELECT label,
        COUNT(*) AS n_vecs,
        (SELECT ROUND(sqrt(c2), 6) FROM cnorm WHERE cnorm.label = cos.label)
            AS centroid_norm,
-       ROUND(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS mean_cos,
+       CASE WHEN COUNT(cos_c) > 0
+            THEN ROUND(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(cos_c), 6) END AS mean_cos,
        MIN(cos_c) AS min_cos
 FROM cos
 GROUP BY label
@@ -622,20 +630,27 @@ def embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e2"),
         )
     )
+    # cosine is undefined for a zero vector or a degenerate (zero-norm)
+    # centroid: emit NULL — DuckDB's x/0.0 is NULL but Spark's ANSI mode
+    # raises, so the guard must be explicit on both engines
     cos = per_vec.join(F.broadcast(cnorm), "label").select(
         "label",
-        F.round(F.col("dot") / F.sqrt(F.col("e2") * F.col("c2")), 6).alias(
-            "cos_c"
-        ),
+        F.when(
+            (F.col("e2") > 0) & (F.col("c2") > 0),
+            F.round(F.col("dot") / F.sqrt(F.col("e2") * F.col("c2")), 6),
+        ).alias("cos_c"),
     )
     return (
         cos.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum(F.col("cos_c").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            F.when(
+                F.count("cos_c") > 0,
+                F.round(
+                    F.sum(F.col("cos_c").cast(DEC)).cast("double")
+                    / F.count("cos_c"),
+                    6,
+                ),
             ).alias("mean_cos"),
             F.min("cos_c").alias("min_cos"),
         )

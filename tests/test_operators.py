@@ -674,3 +674,55 @@ def test_incremental_index_bucketed_probe_no_index_exchange(spark, sf_dir):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql("DROP TABLE IF EXISTS lsh_index_b")
+
+
+def test_token_entropy_closed_forms(spark):
+    """Entropy sanity against closed forms: all-identical tokens -> 0;
+    n distinct uniform tokens -> log2(n)."""
+    import math
+
+    from modevetl_spark.queries.analytics import token_entropy
+
+    rows = [
+        (1, "aa aa aa aa"),          # H = 0
+        (2, "a b c d"),              # H = log2(4) = 2
+        (3, "x x y y"),              # H = 1
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r.entropy
+            for r in token_entropy(spark, d).collect()
+        }
+    assert out[1] == 0.0
+    assert abs(out[2] - 2.0) < 1e-6
+    assert abs(out[3] - 1.0) < 1e-6
+
+
+def test_embedding_cohesion_closed_forms(spark):
+    """Identical unit vectors in a label -> centroid norm 1, cosine 1;
+    two opposite vectors -> centroid is the zero-ish vector."""
+    import tempfile
+
+    from modevetl_spark.queries.analytics import embedding_cohesion
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 1),
+        (4, [0.0, -1.0, 0.0, 0.0], 1),
+        (5, [0.0, 0.6, 0.8, 0.0], 2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = {r.label: r for r in embedding_cohesion(spark, d).collect()}
+    assert out[0].centroid_norm == 1.0 and out[0].mean_cos == 1.0
+    # degenerate (zero-norm centroid) cluster: flagged, cosine undefined
+    assert out[1].centroid_norm == 0.0 and out[1].mean_cos is None
+    assert out[2].centroid_norm == 1.0 and out[2].n_vecs == 1
