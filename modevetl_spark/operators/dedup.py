@@ -448,3 +448,50 @@ def incremental_minhash_candidates(
     )
     within = _banded_pairs(new_rows, id_col, ["band_id", "band_hash"])
     return vs_index.unionByName(within).distinct(), new_rows
+
+
+def run_dedup_incremental(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> int:
+    """One run of the standing near-dup job: probe the stored LSH index
+    with an arriving batch, append the new candidate pairs, append the
+    batch's band rows to the index. Returns the number of new pairs.
+
+    Invariant (pytest-gated): after any batch split of a corpus, the
+    union of every run's pairs equals the full-corpus
+    :func:`minhash_candidates` pair set — each pair (a, b) surfaces on
+    the run where the later of the two docs arrives.
+
+    The index and pair stores are append-only parquet: each run writes
+    only O(batch) rows. A crashed run can leave a partial append — rerun
+    and read with ``.distinct()`` (pairs and band rows are both
+    idempotent under duplication). Downstream, verify pairs with
+    :func:`jaccard_pairs` against a doc store and collapse clusters with
+    :func:`dedup_corpus` — candidates need no historical text, so this
+    loop never re-reads the corpus.
+    """
+    import os
+
+    if os.path.exists(index_path):
+        index = spark.read.parquet(index_path).distinct()
+        pairs, new_rows = incremental_minhash_candidates(
+            batch_docs, index, id_col, text_col, shingle_n, k, bands
+        )
+    else:
+        new_rows = build_minhash_index(
+            batch_docs, id_col, text_col, shingle_n, k, bands
+        )
+        pairs = _banded_pairs(new_rows, id_col, ["band_id", "band_hash"])
+    n = pairs.count()
+    if n:
+        pairs.write.mode("append").parquet(pairs_path)
+    new_rows.write.mode("append").parquet(index_path)
+    return n

@@ -726,3 +726,31 @@ def test_embedding_cohesion_closed_forms(spark):
     # degenerate (zero-norm centroid) cluster: flagged, cosine undefined
     assert out[1].centroid_norm == 0.0 and out[1].mean_cos is None
     assert out[2].centroid_norm == 1.0 and out[2].n_vecs == 1
+
+
+def test_run_dedup_incremental_batches_equal_full(spark, sf_dir, tmp_path):
+    """Feeding the corpus through the standing incremental job in three
+    arrival batches must reproduce the full-corpus LSH pair set exactly —
+    each pair surfaces on the run where its later doc arrives."""
+    from modevetl_spark.operators.dedup import (
+        minhash_candidates,
+        run_dedup_incremental,
+    )
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "dup_pairs")
+    total = 0
+    for m in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == m)
+        total += run_dedup_incremental(
+            spark, batch, index_path, pairs_path
+        )
+    full = {(r.id_a, r.id_b) for r in minhash_candidates(docs).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_path).distinct().collect()
+    }
+    assert got == full
+    assert total == len(got)
