@@ -46,9 +46,15 @@ def dsum(col: Column | str, places: int = 2) -> Column:
 
 def davg(col: Column | str, places: int = 6) -> Column:
     """Exact-sum average: decimal sum cast to double, divided by count,
-    rounded (same 1-ulp rationale as :func:`dsum`)."""
+    rounded (same 1-ulp rationale as :func:`dsum`). NULL for an all-NULL
+    group — Spark's ANSI mode raises on the 0-count division where
+    DuckDB's ``SUM/COUNT`` quietly yields NULL, so the guard must be
+    explicit (same lesson as the z-score zero-std case)."""
     c = _c(col)
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), places)
+    return F.when(
+        F.count(c) > 0,
+        F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), places),
+    )
 
 
 def money(price: Column | str, discount: Column | str) -> Column:

@@ -754,3 +754,17 @@ def test_run_dedup_incremental_batches_equal_full(spark, sf_dir, tmp_path):
     }
     assert got == full
     assert total == len(got)
+
+
+def test_davg_all_null_group_is_null(spark):
+    """compat.davg must yield NULL (not an ANSI DIVIDE_BY_ZERO error) for
+    a group whose every value is NULL — DuckDB's SUM/COUNT twin quietly
+    returns NULL there, and the engines must agree."""
+    from modevetl_spark.functions.compat import davg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "g string, v double"
+    )
+    out = {r.g: r.avg for r in df.groupBy("g").agg(davg("v").alias("avg")).collect()}
+    assert out["a"] == 2.0
+    assert out["b"] is None
