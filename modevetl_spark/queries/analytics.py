@@ -433,27 +433,35 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = load(spark, sf_dir, "events")
     v = F.col("value").cast(DEC)
+    # count("value")-based divisions guard on >0: an all-NULL group would
+    # raise under Spark ANSI where DuckDB's SUM/COUNT yields NULL
     stats = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.round(F.sum(v).cast("double") / F.count("value"), 6).alias("mean"),
+        F.when(
+            F.count("value") > 0,
+            F.round(F.sum(v).cast("double") / F.count("value"), 6),
+        ).alias("mean"),
         # greatest(·, 0) clamps the catastrophic-cancellation residue a
         # constant-valued group leaves after the double casts (~-1e-18):
         # DuckDB's sqrt raises on negatives while Spark returns NaN, so
         # without the clamp the oracle errors instead of comparing.
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (
-                        F.sum(v * v).cast("double")
-                        - F.sum(v).cast("double")
-                        * F.sum(v).cast("double")
-                        / F.count("value")
+        F.when(
+            F.count("value") > 0,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.sum(v * v).cast("double")
+                            - F.sum(v).cast("double")
+                            * F.sum(v).cast("double")
+                            / F.count("value")
+                        )
+                        / F.count("value"),
+                        F.lit(0.0),
                     )
-                    / F.count("value"),
-                    F.lit(0.0),
-                )
+                ),
+                6,
             ),
-            6,
         ).alias("std"),
     )
     return (
