@@ -131,6 +131,9 @@ _CHANGED_R4 = frozenset(
         "q_snapshot_diff", "q_cube_time", "q_bucket_duration",
         "q_date_trunc_agg", "q_join_asof", "q_join_range",
         "q_gapfill_ffill", "q_window_moving_avg",
+        # davg grew an all-NULL-group guard (value-identical on current
+        # data, changed plan) and geomean gained the same guard inline
+        "q_agg_basic", "q_agg_geomean",
     }
 )
 
