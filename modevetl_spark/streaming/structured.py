@@ -201,3 +201,56 @@ def run_foreach_batch_upsert(
         .start()
         .awaitTermination()
     )
+
+
+def documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source document stream (one micro-batch per arriving file
+    with ``maxFilesPerTrigger=1``) — the ingest side of the streaming
+    dedup job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def run_streaming_dedup(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+) -> None:
+    """Structured Streaming face of the standing near-dup job: every
+    micro-batch of documents probes the persisted LSH index, appends its
+    new candidate pairs, and appends its band rows
+    (operators/dedup.py run_dedup_incremental). The checkpoint makes the
+    loop restartable; each micro-batch stays O(batch) — the corpus is
+    only ever touched through the index equi-join."""
+    from modevetl_spark.operators.dedup import run_dedup_incremental
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        run_dedup_incremental(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            pairs_path,
+            **dedup_kwargs,
+        )
+
+    (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+        .awaitTermination()
+    )

@@ -557,3 +557,38 @@ def test_run_incremental_partitioned_sink(spark, tmp_path):
         )
         == 0
     )
+
+
+def test_streaming_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """The Structured Streaming dedup job (file-per-micro-batch arrivals
+    through foreachBatch) must reproduce the full-corpus LSH pair set —
+    the streaming twin of the batch-loop equivalence gate."""
+    from modevetl_spark.operators.dedup import minhash_candidates
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.streaming.structured import (
+        documents_stream,
+        run_streaming_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = str(tmp_path / "arrivals")
+    for m in range(3):
+        docs.where(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(arrivals)
+
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "pairs")
+    run_streaming_dedup(
+        documents_stream(spark, arrivals),
+        index_path,
+        pairs_path,
+        str(tmp_path / "ckpt"),
+    )
+
+    full = {(r.id_a, r.id_b) for r in minhash_candidates(docs).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(pairs_path).distinct().collect()
+    }
+    assert got == full
