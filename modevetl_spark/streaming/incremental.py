@@ -248,7 +248,21 @@ def _upsert_partitioned(
     shutil.rmtree(tmp, ignore_errors=True)
     out = os.path.join(tmp, "data")
     merged.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
+    _swap_touched_partitions(sink_path, tmp, out, parts, partition_by)
 
+
+def _swap_touched_partitions(
+    sink_path: str,
+    tmp: str,
+    out: str,
+    parts: list[dict],
+    partition_by: list[str],
+    allow_empty_staging: bool = False,
+) -> None:
+    """Shared swap tail for partition-scoped rewrites (upsert + delete):
+    pre-flight addressability checks, then per-partition rename-aside
+    swap. ``allow_empty_staging`` is for delete, where every touched
+    partition may legitimately end up empty (all rows removed)."""
     # Pre-flight: the swap addresses partition directories by the names
     # _hive_part_value constructs. If Spark's own rendering of any staged
     # partition diverges from ours (it trims fraction zeros in timestamps,
@@ -267,12 +281,14 @@ def _upsert_partitioned(
         for d, subdirs, _ in os.walk(out)
         if d != out and not subdirs
     }
-    # parts nonempty implies incoming is nonempty, and incoming rows always
-    # survive the merge — so at least one staged dir must exist. An empty
-    # walk means the staging dir vanished out from under us (external
-    # interference); proceeding would read every touched partition as
-    # "emptied" and delete live data while reporting success.
-    if not staged:
+    # In upsert, parts nonempty implies incoming is nonempty, and incoming
+    # rows always survive the merge — so at least one staged dir must
+    # exist. An empty walk means the staging dir vanished out from under
+    # us (external interference); proceeding would read every touched
+    # partition as "emptied" and delete live data while reporting success.
+    # (Delete passes allow_empty_staging: an all-rows-removed batch
+    # legitimately stages nothing.)
+    if not staged and not allow_empty_staging:
         raise RuntimeError(
             f"partitioned upsert aborted (sink untouched): staging dir {out} "
             "is empty or missing after a non-empty merge was written"
@@ -448,3 +464,84 @@ def run_incremental(
             new_mark = new_mark.isoformat(sep=" ")
         wm.write(new_mark)
     return n
+
+
+def delete_parquet(
+    spark: SparkSession,
+    victims: DataFrame,
+    sink_path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Idempotent id-keyed DELETE from a parquet sink — the
+    right-to-be-forgotten counterpart of :func:`upsert_parquet` (remove
+    every row whose key appears in ``victims``).
+
+    Partitioned sink: only partitions owning a matching key are rewritten
+    (located by the same column-pruned semi-join probe as upsert), each
+    swapped in with the rename-aside crash contract; a partition emptied
+    by the delete is removed. Untouched partitions stay byte-identical —
+    a forget request is O(partitions hit), not O(sink).
+
+    Unpartitioned sink: anti-join rewrite with the whole-sink rename-aside
+    swap. Deleting every remaining row leaves an empty-but-valid directory
+    only if the write emits a schema-bearing file; prefer the partitioned
+    layout for sinks that can empty entirely.
+    """
+    backup = sink_path.rstrip("/") + ".upsert_bak"
+    if not os.path.exists(sink_path) and os.path.exists(backup):
+        os.rename(backup, sink_path)
+    _recover_partitioned(sink_path)
+    if not os.path.exists(sink_path):
+        return
+
+    existing = spark.read.parquet(sink_path)
+    victim_keys = victims.select(*keys).distinct()
+
+    if partition_by:
+        parts = [
+            r.asDict()
+            for r in _null_safe_key_join(
+                existing.select(*{*keys, *partition_by}),
+                victim_keys,
+                keys,
+                "left_semi",
+            )
+            .select(*partition_by)
+            .distinct()
+            .collect()
+        ]
+        if not parts:
+            return
+
+        def part_pred(p: dict) -> Column:
+            cond = F.lit(True)
+            for c in partition_by:
+                cond = cond & (F.col(c).eqNullSafe(F.lit(p[c])))
+            return cond
+
+        touched = part_pred(parts[0])
+        for p in parts[1:]:
+            touched = touched | part_pred(p)
+        kept = _null_safe_key_join(
+            existing.where(touched), victim_keys, keys, "left_anti"
+        )
+        tmp = _staging_dir(sink_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = os.path.join(tmp, "data")
+        kept.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
+        _swap_touched_partitions(
+            sink_path, tmp, out, parts, partition_by, allow_empty_staging=True
+        )
+        return
+
+    kept = _null_safe_key_join(existing, victim_keys, keys, "left_anti")
+    tmp = _staging_dir(sink_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = os.path.join(tmp, "data")
+    kept.write.mode("overwrite").parquet(out)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(sink_path, backup)
+    os.rename(out, sink_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)

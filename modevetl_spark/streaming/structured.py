@@ -20,6 +20,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema; reuse the batch reader's (post ns->us conversion the
     stream sees the same µs timestamps)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin NTZ inference off BEFORE deriving the schema: the current
+    # testdata's µs timestamps carry no isAdjustedToUTC flag, and a
+    # TIMESTAMP_NTZ event-time column is rejected by withWatermark
+    # ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Without this, the stream
+    # only worked if some earlier caller had already run queries.prep()
+    # on the session — an order dependence, not a contract.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source requires a directory; glob-filter to the one
     # table file inside the sf dir

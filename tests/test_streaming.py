@@ -592,3 +592,52 @@ def test_streaming_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(pairs_path).distinct().collect()
     }
     assert got == full
+
+
+def test_delete_parquet_partition_scoped(spark, tmp_path):
+    """Keyed delete rewrites ONLY partitions owning a victim key;
+    untouched partitions stay byte-identical, and a fully-emptied
+    partition directory is removed."""
+    from modevetl_spark.streaming.incremental import delete_parquet
+
+    sink = str(tmp_path / "sink")
+    rows = [(i, f"p{i % 3}", i * 10.0) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, part string, v double")
+    df.write.partitionBy("part").parquet(sink)
+    before_p2 = _part_files(sink, "part=p2")
+
+    # victims: every id in p0 (empties it), plus one id from p1
+    victims = spark.createDataFrame(
+        [(i,) for i in range(0, 30, 3)] + [(1,)], "id long"
+    )
+    delete_parquet(spark, victims, sink, ["id"], ["part"])
+
+    got = spark.read.parquet(sink)
+    assert got.where(F.col("id") % 3 == 0).count() == 0
+    assert got.where(F.col("id") == 1).count() == 0
+    assert got.count() == 30 - 10 - 1
+    # p0 emptied -> directory gone
+    import os
+
+    assert not os.path.exists(os.path.join(sink, "part=p0"))
+    # p2 untouched byte-for-byte
+    assert _part_files(sink, "part=p2") == before_p2
+
+    # idempotent: replaying the same forget request changes nothing
+    delete_parquet(spark, victims, sink, ["id"], ["part"])
+    assert spark.read.parquet(sink).count() == 19
+
+
+def test_delete_parquet_unpartitioned_and_null_keys(spark, tmp_path):
+    """Unpartitioned delete via the whole-sink swap; a NULL victim key
+    matches the NULL-keyed row (null-safe join, same contract as upsert)."""
+    from modevetl_spark.streaming.incremental import delete_parquet
+
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (4, "d")], "id long, v string"
+    ).write.parquet(sink)
+    victims = spark.createDataFrame([(2,), (None,)], "id long")
+    delete_parquet(spark, victims, sink, ["id"])
+    got = {r.v for r in spark.read.parquet(sink).collect()}
+    assert got == {"a", "d"}
