@@ -545,3 +545,102 @@ def delete_parquet(
     os.rename(out, sink_path)
     shutil.rmtree(backup, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    sink_path: str,
+    partition_by: list[str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Small-file compaction for a sink that incremental upserts/deletes
+    have fragmented — the maintenance third of the sink lifecycle.
+
+    Partitioned: each partition with more than ``min_files`` data files
+    is rewritten to ceil(bytes/target) files through the same
+    rename-aside swap as upsert/delete (crash leaves the partition fully
+    old or fully new; untouched partitions stay byte-identical).
+    Unpartitioned: whole-sink rewrite under the same contract. Returns
+    the number of partitions (or 1 for the whole sink) compacted.
+
+    At 100 TB this runs as a periodic job over hot partitions only — the
+    per-partition file census is filesystem metadata, no data read; the
+    rewrite reads each fragmented partition once.
+    """
+    import math
+
+    _recover_partitioned(sink_path)
+    if not os.path.exists(sink_path):
+        return 0
+
+    def census(d: str) -> tuple[int, int]:
+        n, size = 0, 0
+        for root, _, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += 1
+                    size += os.path.getsize(os.path.join(root, f))
+        return n, size
+
+    if not partition_by:
+        n_files, size = census(sink_path)
+        if n_files <= min_files:
+            return 0
+        existing = spark.read.parquet(sink_path)
+        tmp = _staging_dir(sink_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = os.path.join(tmp, "data")
+        existing.repartition(
+            max(1, math.ceil(size / target_file_bytes))
+        ).write.mode("overwrite").parquet(out)
+        backup = sink_path.rstrip("/") + ".upsert_bak"
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(sink_path, backup)
+        os.rename(out, sink_path)
+        shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 1
+
+    # partitioned: census each leaf partition directory
+    fragmented: list[tuple[str, int]] = []  # (rel_path, n_target_files)
+    for root, subdirs, files in os.walk(sink_path):
+        if subdirs or root == sink_path:
+            continue
+        rel = os.path.relpath(root, sink_path)
+        if ".upsert" in rel:
+            continue
+        n_files, size = census(root)
+        if n_files > min_files:
+            fragmented.append(
+                (rel, max(1, math.ceil(size / target_file_bytes)))
+            )
+    if not fragmented:
+        return 0
+
+    tmp = _staging_dir(sink_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = os.path.join(tmp, "data")
+    # Rewrite each fragmented partition: read just that directory (no
+    # full-sink scan), coalesce to the target file count, stage under the
+    # same hive-style relative path the swap addresses.
+    for rel, n_target in fragmented:
+        part_df = spark.read.parquet(os.path.join(sink_path, rel))
+        part_df.coalesce(n_target).write.mode("overwrite").parquet(
+            os.path.join(out, rel)
+        )
+
+    bakroot = sink_path.rstrip("/") + ".upsert_bak_parts"
+    shutil.rmtree(bakroot, ignore_errors=True)
+    os.makedirs(bakroot)
+    for rel, _ in fragmented:
+        live = os.path.join(sink_path, rel)
+        new = os.path.join(out, rel)
+        bak = os.path.join(bakroot, rel)
+        os.makedirs(os.path.dirname(bak), exist_ok=True)
+        os.rename(live, bak)
+        os.makedirs(os.path.dirname(live), exist_ok=True)
+        os.rename(new, live)
+    shutil.rmtree(bakroot, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(fragmented)

@@ -641,3 +641,56 @@ def test_delete_parquet_unpartitioned_and_null_keys(spark, tmp_path):
     delete_parquet(spark, victims, sink, ["id"])
     got = {r.v for r in spark.read.parquet(sink).collect()}
     assert got == {"a", "d"}
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    """Compaction rewrites only fragmented partitions (fewer files, same
+    rows); partitions already at the file target stay byte-identical."""
+    import os
+
+    from modevetl_spark.streaming.incremental import compact_parquet
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(i, f"p{i % 2}", float(i)) for i in range(20)],
+        "id long, part string, v double",
+    )
+    base.repartition("part").write.partitionBy("part").parquet(sink)
+    # fragment p0 with single-file appends (data-file schema excludes the
+    # partition column); leave p1 untouched
+    for i in range(4):
+        spark.createDataFrame(
+            [(100 + i, float(i))], "id long, v double"
+        ).coalesce(1).write.mode("append").parquet(os.path.join(sink, "part=p0"))
+    before = spark.read.parquet(sink).orderBy("id").collect()
+    before_p1 = _part_files(sink, "part=p1")
+
+    def nfiles(p):
+        return len(
+            [f for f in os.listdir(os.path.join(sink, p)) if f.endswith(".parquet")]
+        )
+
+    assert nfiles("part=p0") > 2
+    n = compact_parquet(spark, sink, ["part"], min_files=2)
+    assert n == 1  # only p0 was fragmented
+    assert nfiles("part=p0") == 1
+    assert _part_files(sink, "part=p1") == before_p1
+    after = spark.read.parquet(sink).orderBy("id").collect()
+    assert after == before
+    # idempotent: nothing left to compact
+    assert compact_parquet(spark, sink, ["part"], min_files=2) == 0
+
+
+def test_compact_parquet_unpartitioned(spark, tmp_path):
+    from modevetl_spark.streaming.incremental import compact_parquet
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "id long, v double")
+    df.repartition(8).write.parquet(sink)
+    before = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    assert compact_parquet(spark, sink) == 1
+    import os
+
+    n_files = len([f for f in os.listdir(sink) if f.endswith(".parquet")])
+    assert n_files == 1
+    assert {tuple(r) for r in spark.read.parquet(sink).collect()} == before
