@@ -194,25 +194,13 @@ def minhash_candidates(
     k: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH."""
-    rows = k // bands
-    sig = minhash_signatures(docs, id_col, text_col, shingle_n, k)
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_hash")
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash LSH.
+
+    Banding goes through :func:`build_minhash_index` — the SAME rows the
+    persisted-index incremental path stores — so the incremental-equals-
+    full equivalence is true by construction, not by parallel
+    implementations staying in sync."""
+    banded = build_minhash_index(docs, id_col, text_col, shingle_n, k, bands)
     return _banded_pairs(banded, id_col, ["band_id", "band_hash"])
 
 
@@ -481,7 +469,11 @@ def run_dedup_incremental(
     import os
 
     if os.path.exists(index_path):
-        index = spark.read.parquet(index_path).distinct()
+        # No .distinct() on the index: that would shuffle the
+        # corpus-sized store every run. Duplicate band rows from a crash
+        # replay only produce duplicate join matches, which the pair
+        # output's own distinct already collapses.
+        index = spark.read.parquet(index_path)
         pairs, new_rows = incremental_minhash_candidates(
             batch_docs, index, id_col, text_col, shingle_n, k, bands
         )
@@ -490,8 +482,17 @@ def run_dedup_incremental(
             batch_docs, id_col, text_col, shingle_n, k, bands
         )
         pairs = _banded_pairs(new_rows, id_col, ["band_id", "band_hash"])
-    n = pairs.count()
-    if n:
-        pairs.write.mode("append").parquet(pairs_path)
-    new_rows.write.mode("append").parquet(index_path)
+    # cache: new_rows feeds the pair DAG, the pair count, the pair write,
+    # and its own write — without it the batch's signature computation
+    # runs three times
+    new_rows = new_rows.cache()
+    pairs = pairs.cache()
+    try:
+        n = pairs.count()
+        if n:
+            pairs.write.mode("append").parquet(pairs_path)
+        new_rows.write.mode("append").parquet(index_path)
+    finally:
+        pairs.unpersist()
+        new_rows.unpersist()
     return n

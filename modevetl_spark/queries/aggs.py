@@ -70,12 +70,9 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     ln_sum = F.sum(F.log(F.col("l_quantity")).cast("decimal(38,20)")).cast("double")
     return li.groupBy("l_returnflag").agg(
-        # all-NULL-group guard: Spark ANSI raises on the 0-count division
-        # where DuckDB's SUM/COUNT yields NULL (same class as compat.davg)
-        F.when(
-            F.count("l_quantity") > 0,
-            F.round(F.exp(ln_sum / F.count("l_quantity")), 6),
-        ).alias("geomean_qty")
+        # no 0-count guard needed: the l_quantity > 0 filter means every
+        # group is formed from non-null rows, so COUNT >= 1 structurally
+        F.round(F.exp(ln_sum / F.count("l_quantity")), 6).alias("geomean_qty")
     )
 
 

@@ -82,6 +82,33 @@ def _null_safe_key_join(
     return l.join(r, on=cond, how=how)
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True if any .parquet data file exists under ``path`` — a sink
+    fully emptied by deletes has only markers left, and schema inference
+    over it would fail."""
+    for _, _, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def _touched_predicate(parts: list[dict], partition_by: list[str]) -> Column:
+    """NULL-safe predicate selecting exactly the given partitions —
+    shared by the upsert and delete partition-scoped rewrites so the
+    partition-addressing logic cannot diverge between them."""
+
+    def part_pred(p: dict) -> Column:
+        cond = F.lit(True)
+        for c in partition_by:
+            cond = cond & (F.col(c).eqNullSafe(F.lit(p[c])))
+        return cond
+
+    touched = part_pred(parts[0])
+    for p in parts[1:]:
+        touched = touched | part_pred(p)
+    return touched
+
+
 def _staging_dir(sink_path: str) -> str:
     """Per-run staging path: unique per process (concurrent runs cannot
     sweep each other's live staging — a shared fixed path let an
@@ -223,15 +250,7 @@ def _upsert_partitioned(
     if not parts:
         return
 
-    def part_pred(p: dict) -> Column:
-        cond = F.lit(True)
-        for c in partition_by:
-            cond = cond & (F.col(c).eqNullSafe(F.lit(p[c])))
-        return cond
-
-    touched = part_pred(parts[0])
-    for p in parts[1:]:
-        touched = touched | part_pred(p)
+    touched = _touched_predicate(parts, partition_by)
 
     # Merge restricted to touched partitions; the filter on partition
     # columns prunes at the parquet-directory level, so untouched
@@ -484,15 +503,16 @@ def delete_parquet(
     a forget request is O(partitions hit), not O(sink).
 
     Unpartitioned sink: anti-join rewrite with the whole-sink rename-aside
-    swap. Deleting every remaining row leaves an empty-but-valid directory
-    only if the write emits a schema-bearing file; prefer the partitioned
-    layout for sinks that can empty entirely.
+    swap. A sink with no parquet files left (a previous delete emptied it
+    entirely) is treated as empty: the call converges as a no-op instead
+    of failing schema inference, so forget-request replays stay
+    idempotent even after total deletion.
     """
     backup = sink_path.rstrip("/") + ".upsert_bak"
     if not os.path.exists(sink_path) and os.path.exists(backup):
         os.rename(backup, sink_path)
     _recover_partitioned(sink_path)
-    if not os.path.exists(sink_path):
+    if not os.path.exists(sink_path) or not _has_parquet_files(sink_path):
         return
 
     existing = spark.read.parquet(sink_path)
@@ -514,24 +534,30 @@ def delete_parquet(
         if not parts:
             return
 
-        def part_pred(p: dict) -> Column:
-            cond = F.lit(True)
-            for c in partition_by:
-                cond = cond & (F.col(c).eqNullSafe(F.lit(p[c])))
-            return cond
-
-        touched = part_pred(parts[0])
-        for p in parts[1:]:
-            touched = touched | part_pred(p)
         kept = _null_safe_key_join(
-            existing.where(touched), victim_keys, keys, "left_anti"
+            existing.where(_touched_predicate(parts, partition_by)),
+            victim_keys,
+            keys,
+            "left_anti",
         )
         tmp = _staging_dir(sink_path)
         shutil.rmtree(tmp, ignore_errors=True)
         out = os.path.join(tmp, "data")
         kept.write.mode("overwrite").partitionBy(*partition_by).parquet(out)
+        # Empty staging is legitimate ONLY when the write completed and
+        # genuinely produced nothing (the delete emptied every touched
+        # partition) — witnessed by Spark's _SUCCESS marker. If the
+        # marker is missing, something external destroyed the staging
+        # dir after the write; the swap would then delete live
+        # partitions including surviving rows, so the vanished-staging
+        # guard stays armed.
         _swap_touched_partitions(
-            sink_path, tmp, out, parts, partition_by, allow_empty_staging=True
+            sink_path,
+            tmp,
+            out,
+            parts,
+            partition_by,
+            allow_empty_staging=os.path.exists(os.path.join(out, "_SUCCESS")),
         )
         return
 
@@ -570,6 +596,13 @@ def compact_parquet(
     """
     import math
 
+    # Same crash-recovery preamble as upsert/delete: a crash between the
+    # unpartitioned swap's two renames leaves the sink absent with its
+    # backup intact — restore it first, or this run (and every reader)
+    # would see the sink as missing while reporting success.
+    backup = sink_path.rstrip("/") + ".upsert_bak"
+    if not os.path.exists(sink_path) and os.path.exists(backup):
+        os.rename(backup, sink_path)
     _recover_partitioned(sink_path)
     if not os.path.exists(sink_path):
         return 0
