@@ -1,0 +1,96 @@
+"""Link-graph centrality ([EXT] — rounds out the graph family next to
+transitive closure and connected components): PageRank over an edge
+list, the crawl-seed / URL-prioritization signal a large-scale web-data
+pipeline ranks domains with.
+
+Plain DataFrame ops (GraphFrames-free): each iteration is one join from
+ranks onto edges (co-partitioned on the source key) plus one hash
+aggregation of contributions on the destination key. Dangling-node mass
+(pages with no out-links) is collected as ONE scalar per iteration —
+bounded driver traffic — and redistributed uniformly, keeping the rank
+vector a probability distribution. Lineage is truncated per round with
+``localCheckpoint`` like the closure loop, so 20 iterations don't build
+a 20-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 15,
+) -> DataFrame:
+    """-> (node, rank); ranks sum to 1 over all nodes.
+
+    Standard damped PageRank with uniform teleport and uniform dangling
+    redistribution, fixed iteration count (O(diameter)-ish convergence;
+    15 iterations is within ~1e-4 of the fixpoint for typical link
+    graphs). At 100 TB the per-iteration shape is one shuffle keyed on
+    src (the ranks join — co-partitioned with the edge list if the edges
+    are pre-partitioned on src) and one keyed on dst (the contribution
+    agg with map-side combine); the only driver traffic is one scalar
+    per iteration.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().cache()
+    verts = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = verts.count()
+    if n == 0:
+        e.unpersist()
+        verts.unpersist()
+        return verts.select("node", F.lit(0.0).alias("rank"))
+
+    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    ranks = verts.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    teleport = (1.0 - damping) / n
+
+    for _ in range(iterations):
+        linked = ranks.join(out_deg, ranks.node == out_deg.s, "inner").select(
+            "node", "rank", "out_deg"
+        )
+        contribs = (
+            e.join(linked, e.s == linked.node)
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s_in"))
+        )
+        # dangling mass: rank held by nodes with no out-links — one scalar
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        share = damping * dangling / n
+        ranks = (
+            verts.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("s_in"), F.lit(0.0))
+                    + F.lit(share)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    verts.unpersist()
+    out_deg.unpersist()
+    return ranks

@@ -202,3 +202,32 @@ def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "n_users_events").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@q("q_graph_pagerank")  # rows-only: iterative float fixpoint — per-iteration
+# rank sums are order-sensitive doubles with no DuckDB twin; correctness is
+# pinned by closed-form unit tests (2-cycle symmetry, rank conservation,
+# hub dominance) in tests/test_operators.py::test_pagerank_closed_forms
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/L2+: PageRank centrality over the binary-tree partkey graph
+    (same deterministic edge list as q_graph_closure) — the crawl-seed /
+    URL-prioritization ranking of a web-scale data pipeline. Returns the
+    top 50 nodes by rank with ranks rounded for stability.
+
+    Scale shape per iteration: one src-keyed join (co-partitioned when
+    the edge list is pre-partitioned on src), one dst-keyed contribution
+    agg with map-side combine, one scalar collect for dangling mass."""
+    from modevetl_spark.operators.graph import pagerank
+
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=10)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(50)
+    )

@@ -768,3 +768,23 @@ def test_davg_all_null_group_is_null(spark):
     out = {r.g: r.avg for r in df.groupBy("g").agg(davg("v").alias("avg")).collect()}
     assert out["a"] == 2.0
     assert out["b"] is None
+
+
+def test_pagerank_closed_forms(spark):
+    """PageRank sanity against closed forms: a 2-cycle splits rank
+    evenly; ranks always sum to 1; a hub pointed at by everyone
+    dominates; dangling mass is redistributed (no rank leaks)."""
+    from modevetl_spark.operators.graph import pagerank
+
+    # two-node cycle: symmetric -> 0.5 / 0.5 exactly at any damping
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r = {x.node: x.rank for x in pagerank(cyc).collect()}
+    assert abs(r[1] - 0.5) < 1e-9 and abs(r[2] - 0.5) < 1e-9
+
+    # star with dangling center: 1..4 -> 0; 0 has no out-links
+    star = spark.createDataFrame([(i, 0) for i in range(1, 5)], ["src", "dst"])
+    rs = {x.node: x.rank for x in pagerank(star, iterations=30).collect()}
+    assert abs(sum(rs.values()) - 1.0) < 1e-6  # probability distribution
+    assert rs[0] > max(rs[i] for i in range(1, 5))  # hub dominates
+    leaves = [rs[i] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-9  # symmetric leaves tie
