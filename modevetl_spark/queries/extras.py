@@ -231,3 +231,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "node")
         .limit(50)
     )
+
+
+_DEGREES_ORACLE = """
+WITH edges AS (
+    SELECT p_partkey AS src,
+           (p_partkey * p_partkey) % 97 AS dst
+    FROM part WHERE p_partkey >= 2
+),
+deg AS (
+    SELECT dst AS node, COUNT(*) AS in_degree
+    FROM edges GROUP BY dst
+)
+SELECT in_degree, COUNT(*) AS n_nodes
+FROM deg
+GROUP BY in_degree
+"""
+
+
+@q("q_graph_degrees", oracle_sql=_DEGREES_ORACLE)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9+: in-degree distribution of the edge graph — the power-law
+    detector that decides whether closure/pagerank need hub salting
+    (SCALING.md's skew story starts from exactly this histogram).
+
+    Scale shape: two bounded hash aggs (node, then degree), both with
+    map-side combine; no joins, no windows."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * F.col("p_partkey")) % 97).alias("dst"),
+    )
+    deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_nodes"))
