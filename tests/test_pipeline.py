@@ -110,3 +110,38 @@ def test_dedup_chunk_encode_pack_pipeline(spark, sf_dir):
     )
     assert over.count() == 0  # only single-doc bins may exceed the budget
     assert packed.count() == enc.count()  # every chunk landed in a bin
+
+
+def test_quality_gate_and_redaction_front_end(spark, sf_dir):
+    """Round-4 front-end stages compose with the dedup pipeline: hard
+    quality filters gate the corpus, PII redaction touches every doc,
+    and the gated corpus flows into near-dup removal unchanged."""
+    from modevetl_spark.queries.pipeline import pii_redact, quality_filter
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    qf = quality_filter(spark, sf_dir).select("doc_id", "keep")
+    kept = docs.join(qf.where(F.col("keep")), "doc_id")
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_docs
+
+    red = pii_redact(spark, sf_dir)
+    # the deterministic synthetic contact line guarantees every doc has
+    # at least one email and one phone match, and the redacted form
+    # differs from raw (md5 can't equal a hash of text containing PII)
+    assert red.count() == n_docs
+    assert red.where(
+        (F.col("n_emails") == 0) | (F.col("n_phones") == 0)
+    ).count() == 0
+
+    # gated corpus flows into the dedup stage with ids intact
+    cands = minhash_candidates(kept, shingle_n=3, k=16, bands=4)
+    pairs = jaccard_pairs(kept, cands, shingle_n=3).where(
+        F.col("jaccard") >= 0.8
+    )
+    survivors = dedup_corpus(kept, pairs)
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_kept
+    # survivors are a subset of the quality-kept ids
+    assert survivors.join(kept, "doc_id", "left_anti").count() == 0
