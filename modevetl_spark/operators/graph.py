@@ -18,6 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modevetl_spark.operators.closure import _tuned_shuffle
+
+
+def partkey_tree_edges(part: DataFrame) -> DataFrame:
+    """The repo's deterministic synthetic hierarchy: binary-tree parent
+    edges over partkeys (child k -> parent k div 2). Shared by
+    q_graph_closure and q_graph_pagerank so 'same edge list' is true by
+    construction, not by copy-paste."""
+    return part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -51,46 +64,53 @@ def pagerank(
         return verts.select("node", F.lit(0.0).alias("rank"))
 
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
-    ranks = verts.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
     teleport = (1.0 - damping) / n
 
-    for _ in range(iterations):
-        linked = ranks.join(out_deg, ranks.node == out_deg.s, "inner").select(
-            "node", "rank", "out_deg"
-        )
-        contribs = (
-            e.join(linked, e.s == linked.node)
-            .select(
-                F.col("d").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s_in"))
-        )
-        # dangling mass: rank held by nodes with no out-links — one scalar
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        share = damping * dangling / n
-        ranks = (
-            verts.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce(F.col("s_in"), F.lit(0.0))
-                    + F.lit(share)
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    e.unpersist()
-    verts.unpersist()
-    out_deg.unpersist()
+    # unpersist on EVERY exit (closure-loop convention): a task failure
+    # mid-iteration must not leak the cached edge set for the session's
+    # life. _tuned_shuffle sizes the loop's shuffle width to the rank
+    # frame and parks AQE for the iterations, same as the closure loop.
+    try:
+        ranks = verts.select(
+            "node", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
+        with _tuned_shuffle(e, n):
+            for _ in range(iterations):
+                linked = ranks.join(
+                    out_deg, ranks.node == out_deg.s, "inner"
+                ).select("node", "rank", "out_deg")
+                contribs = (
+                    e.join(linked, e.s == linked.node)
+                    .select(
+                        F.col("d").alias("node"),
+                        (F.col("rank") / F.col("out_deg")).alias("c"),
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("c").alias("s_in"))
+                )
+                # dangling mass: rank on nodes with no out-links — one scalar
+                dangling = (
+                    ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
+                    .agg(F.sum("rank"))
+                    .collect()[0][0]
+                    or 0.0
+                )
+                share = damping * dangling / n
+                ranks = (
+                    verts.join(contribs, "node", "left")
+                    .select(
+                        "node",
+                        (
+                            F.lit(teleport)
+                            + F.lit(damping)
+                            * F.coalesce(F.col("s_in"), F.lit(0.0))
+                            + F.lit(share)
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+    finally:
+        e.unpersist()
+        verts.unpersist()
+        out_deg.unpersist()
     return ranks

@@ -134,6 +134,9 @@ _CHANGED_R4 = frozenset(
         # davg grew an all-NULL-group guard (value-identical on current
         # data, changed plan) and geomean gained the same guard inline
         "q_agg_basic", "q_agg_geomean",
+        # edge construction now routes through the shared
+        # partkey_tree_edges builder (value-identical)
+        "q_graph_closure",
     }
 )
 

@@ -217,15 +217,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per iteration: one src-keyed join (co-partitioned when
     the edge list is pre-partitioned on src), one dst-keyed contribution
     agg with map-side combine, one scalar collect for dangling mass."""
-    from modevetl_spark.operators.graph import pagerank
+    from modevetl_spark.operators.graph import pagerank, partkey_tree_edges
 
     prep(spark)
     part = load(spark, sf_dir, "part")
-    edges = part.where(F.col("p_partkey") >= 2).select(
-        F.col("p_partkey").alias("src"),
-        F.expr("p_partkey div 2").alias("dst"),
-    )
-    ranks = pagerank(edges, iterations=10)
+    ranks = pagerank(partkey_tree_edges(part), iterations=10)
     return (
         ranks.select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
@@ -251,9 +247,13 @@ GROUP BY in_degree
 
 @q("q_graph_degrees", oracle_sql=_DEGREES_ORACLE)
 def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9+: in-degree distribution of the edge graph — the power-law
-    detector that decides whether closure/pagerank need hub salting
-    (SCALING.md's skew story starts from exactly this histogram).
+    """J9+: in-degree distribution — the skew histogram a user runs on
+    an edge list BEFORE choosing a closure/pagerank salting strategy.
+    This query demonstrates it on a deliberately hub-skewed
+    quadratic-residue graph (~97 hubs absorbing all edges), NOT the
+    uniform binary tree q_graph_closure/q_graph_pagerank traverse —
+    on that tree the same histogram shows in-degree <= 2 and salting
+    off is the right call.
 
     Scale shape: two bounded hash aggs (node, then degree), both with
     map-side combine; no joins, no windows."""

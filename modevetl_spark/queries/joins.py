@@ -165,10 +165,11 @@ def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: transitive closure fixpoint (``hierarchy.py``), semi-naive
     iteration; oracle via DuckDB WITH RECURSIVE."""
     prep(spark)
+    from modevetl_spark.operators.graph import partkey_tree_edges
+
     part = load(spark, sf_dir, "part")
-    edges = part.where(F.col("p_partkey") >= 2).select(
-        F.col("p_partkey").alias("node"),
-        F.expr("p_partkey div 2").alias("ancestor"),
+    edges = partkey_tree_edges(part).select(
+        F.col("src").alias("node"), F.col("dst").alias("ancestor")
     )
     closure = transitive_closure(edges, src="node", dst="ancestor")
     return closure.groupBy("ancestor").agg(

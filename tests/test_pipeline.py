@@ -128,12 +128,29 @@ def test_quality_gate_and_redaction_front_end(spark, sf_dir):
 
     red = pii_redact(spark, sf_dir)
     # the deterministic synthetic contact line guarantees every doc has
-    # at least one email and one phone match, and the redacted form
-    # differs from raw (md5 can't equal a hash of text containing PII)
+    # at least one email and one phone match
     assert red.count() == n_docs
     assert red.where(
         (F.col("n_emails") == 0) | (F.col("n_phones") == 0)
     ).count() == 0
+    # and redaction actually rewrote the text: the redacted md5 never
+    # equals the md5 of the raw augmented body
+    raw_body_md5 = F.md5(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or phone 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        )
+    )
+    raw = docs.select("doc_id", raw_body_md5.alias("raw_md5"))
+    assert (
+        red.join(raw, "doc_id")
+        .where(F.col("redacted_md5") == F.col("raw_md5"))
+        .count()
+        == 0
+    )
 
     # gated corpus flows into the dedup stage with ids intact
     cands = minhash_candidates(kept, shingle_n=3, k=16, bands=4)
