@@ -11,6 +11,15 @@ bounded driver traffic — and redistributed uniformly, keeping the rank
 vector a probability distribution. Lineage is truncated per round with
 ``localCheckpoint`` like the closure loop, so 20 iterations don't build
 a 20-deep plan.
+
+Float discipline (same as q_token_entropy / q_embedding_cohesion): every
+order-sensitive sum — the per-destination contribution aggregate and the
+dangling-mass scalar — goes through round-to-9dp + DECIMAL(18,9), so the
+accumulation is association-free and each iteration is a deterministic
+function of the previous rank vector. That makes the whole fixed-
+iteration run bit-replayable by an external engine (the DuckDB oracle
+unrolls the identical recurrence), at a cost of ~1e-9 per-iteration
+quantization — far below the 1e-4 fixpoint gap of the iteration budget.
 """
 
 from __future__ import annotations
@@ -39,7 +48,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 15,
 ) -> DataFrame:
-    """-> (node, rank); ranks sum to 1 over all nodes.
+    """-> (node, rank); ranks sum to ~1 over all nodes (9dp quantized).
 
     Standard damped PageRank with uniform teleport and uniform dangling
     redistribution, fixed iteration count (O(diameter)-ish convergence;
@@ -49,6 +58,19 @@ def pagerank(
     are pre-partitioned on src) and one keyed on dst (the contribution
     agg with map-side combine); the only driver traffic is one scalar
     per iteration.
+
+    SIMPLE-GRAPH semantics: parallel edges collapse via ``distinct()``
+    before out-degrees are counted, so edge multiplicity does NOT weight
+    the transition probabilities (multigraph engines like GraphFrames
+    differ on multi-edge inputs). This matches how the engine feeds it —
+    dedup'd link lists — and is a documented choice, not an accident.
+
+    Determinism contract: contributions are rounded to 9dp and summed as
+    DECIMAL(18,9) (exact, order-free); the dangling scalar uses the same
+    decimal sum; each new rank is re-rounded to 9dp. A 9dp-rounded
+    double survives a double→DECIMAL(18,9) cast exactly (|x|·2⁻⁵³ ≪
+    0.5e-9 for ranks ≤ 1), so every iteration is reproducible to the
+    bit by any IEEE-754 engine applying the same recurrence.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().cache()
     verts = (
@@ -72,7 +94,7 @@ def pagerank(
     # frame and parks AQE for the iterations, same as the closure loop.
     try:
         ranks = verts.select(
-            "node", F.lit(1.0 / n).alias("rank")
+            "node", F.round(F.lit(1.0 / n), 9).alias("rank")
         ).localCheckpoint(eager=True)
         with _tuned_shuffle(e, n):
             for _ in range(iterations):
@@ -83,28 +105,34 @@ def pagerank(
                     e.join(linked, e.s == linked.node)
                     .select(
                         F.col("d").alias("node"),
-                        (F.col("rank") / F.col("out_deg")).alias("c"),
+                        # per-edge term rounded, then decimal-summed: the
+                        # aggregate is exact whatever the shuffle order
+                        F.round(F.col("rank") / F.col("out_deg"), 9)
+                        .cast("decimal(18,9)")
+                        .alias("c"),
                     )
                     .groupBy("node")
-                    .agg(F.sum("c").alias("s_in"))
+                    .agg(F.sum("c").cast("double").alias("s_in"))
                 )
-                # dangling mass: rank on nodes with no out-links — one scalar
-                dangling = (
+                # dangling mass: rank on nodes with no out-links — one
+                # scalar, decimal-summed so fetch order can't move it
+                drow = (
                     ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
-                    .agg(F.sum("rank"))
+                    .agg(F.sum(F.col("rank").cast("decimal(18,9)")))
                     .collect()[0][0]
-                    or 0.0
                 )
+                dangling = float(drow) if drow is not None else 0.0
                 share = damping * dangling / n
                 ranks = (
                     verts.join(contribs, "node", "left")
                     .select(
                         "node",
-                        (
+                        F.round(
                             F.lit(teleport)
                             + F.lit(damping)
                             * F.coalesce(F.col("s_in"), F.lit(0.0))
-                            + F.lit(share)
+                            + F.lit(share),
+                            9,
                         ).alias("rank"),
                     )
                     .localCheckpoint(eager=True)

@@ -204,15 +204,71 @@ def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_graph_pagerank")  # rows-only: iterative float fixpoint — per-iteration
-# rank sums are order-sensitive doubles with no DuckDB twin; correctness is
-# pinned by closed-form unit tests (2-cycle symmetry, rank conservation,
-# hub dominance) in tests/test_operators.py::test_pagerank_closed_forms
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    """Unrolls operators/graph.pagerank's recurrence into chained CTEs —
+    one per iteration, fixed count, so no recursive-CTE feature risk.
+
+    Bit-for-bit replay relies on the operator's float discipline: every
+    order-sensitive sum is round-to-9dp + DECIMAL(18,9) (exact), every
+    scalar expression is the same left-associated IEEE double tree in
+    both engines (`1.0 - 0.85` is written as arithmetic, never the
+    literal `0.15`, because 1.0-0.85 is 0.15000000000000002 in binary).
+    """
+    sql = ["""WITH edges AS (
+    SELECT DISTINCT p_partkey AS src, p_partkey // 2 AS dst
+    FROM part WHERE p_partkey >= 2
+),
+outd AS MATERIALIZED (SELECT src AS s, COUNT(*) AS out_deg FROM edges GROUP BY src),
+verts AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+nv AS (SELECT COUNT(*) AS cnt FROM verts),
+r0 AS MATERIALIZED (
+    SELECT v.node, ROUND(CAST(1.0 AS DOUBLE) / nv.cnt, 9) AS rank
+    FROM verts v CROSS JOIN nv
+)"""]
+    step = """r{k} AS MATERIALIZED (
+    SELECT v.node,
+           ROUND((CAST(1.0 AS DOUBLE) - 0.85e0) / nv.cnt
+                 + 0.85e0 * COALESCE(c.s_in, 0.0e0)
+                 + 0.85e0 * d.dm / nv.cnt, 9) AS rank
+    FROM verts v
+    CROSS JOIN nv
+    CROSS JOIN (
+        SELECT COALESCE(CAST(SUM(CAST(r.rank AS DECIMAL(18,9))) AS DOUBLE),
+                        0.0e0) AS dm
+        FROM r{p} r
+        WHERE NOT EXISTS (SELECT 1 FROM outd o WHERE o.s = r.node)
+    ) d
+    LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(ROUND(r.rank / o.out_deg, 9) AS DECIMAL(18,9)))
+                    AS DOUBLE) AS s_in
+        FROM edges e
+        JOIN r{p} r ON r.node = e.src
+        JOIN outd o ON o.s = e.src
+        GROUP BY e.dst
+    ) c ON c.node = v.node
+)"""
+    for k in range(1, iterations + 1):
+        sql.append(step.format(k=k, p=k - 1))
+    return ",\n".join(sql) + f"""
+SELECT node, ROUND(rank, 8) AS rank
+FROM r{iterations}
+ORDER BY rank DESC, node
+LIMIT 50"""
+
+
+@q("q_graph_pagerank", oracle_sql=_pagerank_oracle_sql(iterations=10))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9/L2+: PageRank centrality over the binary-tree partkey graph
     (same deterministic edge list as q_graph_closure) — the crawl-seed /
     URL-prioritization ranking of a web-scale data pipeline. Returns the
     top 50 nodes by rank with ranks rounded for stability.
+
+    Oracle-gated since r5: the operator's 9dp-decimal sum discipline
+    makes the fixed-10-iteration run a deterministic recurrence, which
+    `_pagerank_oracle_sql` unrolls CTE-per-iteration in DuckDB; the
+    closed-form unit tests (2-cycle symmetry, rank conservation, hub
+    dominance) still pin the math independently.
 
     Scale shape per iteration: one src-keyed join (co-partitioned when
     the edge list is pre-partitioned on src), one dst-keyed contribution
