@@ -493,10 +493,15 @@ QUALIFY ROW_NUMBER() OVER (
 @q("q_text_tfidf", oracle_sql=_TFIDF_ORACLE)
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: TF-IDF top-3 terms per document (smoothed idf). The DF table is
-    tiny (vocabulary) -> broadcast back onto the exploded TF rows."""
+    tiny (vocabulary) -> broadcast back onto the exploded TF rows.
+
+    The corpus size joins the DAG as a broadcast ONE-ROW aggregate
+    (no separate .count() action): the count-only branch prunes to zero
+    columns, so at 100 TB it reads parquet footers, not the corpus, and
+    the query is a single job."""
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
-    n_docs = d.count()
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -504,12 +509,15 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     tfidf = F.round(
-        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        6,
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
         tf.where(F.col("doc_id") < 100)
         .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(nd))
         .select("doc_id", "tok", tfidf.alias("tfidf"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
