@@ -811,15 +811,34 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
-@q("q_pack_budget")  # rows-only: per-partition greedy has no SQL twin
+_PACK_BUDGET_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+)
+SELECT COUNT(*) AS n_docs_packed,
+       COUNT(DISTINCT doc_id) AS n_distinct_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       TRUE AS no_overfull_bins
+FROM t
+"""
+
+
+@q("q_pack_budget", oracle_sql=_PACK_BUDGET_ORACLE)
 def pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5 [EXT]: token-budget batch packing — documents greedily packed
     into ~4096-token bins per partition (bins never span executors).
 
-    ROWS-ONLY BY DESIGN: bin assignment is a per-partition greedy fold —
-    sequential state with no SQL equivalent; the invariants that matter
-    (no bin over budget, every doc packed exactly once, bins contiguous
-    per partition) are unit-tested in tests/test_operators.py."""
+    INVARIANT-ORACLE (upgraded from rows-only in r5): the bin layout is
+    a per-partition greedy fold with no SQL twin, but its contract IS
+    checkable: every document packed exactly once and token mass
+    conserved (both recomputed exactly by the oracle from `documents`),
+    plus `no_overfull_bins` — a bin may exceed the 4096 budget only when
+    it holds a single oversized document. A packing bug (dropped or
+    duplicated doc, bloated bin) breaks the hash; per-bin contiguity
+    stays unit-tested in tests/test_operators.py."""
     prep(spark)
     from modevetl_spark.operators.sampling import pack_by_budget
     from modevetl_spark.operators.text import tokens
@@ -828,9 +847,25 @@ def pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
     packed = pack_by_budget(d, "n_tokens", budget=4096, n_partitions=8)
-    return packed.groupBy("bin_id").agg(
+    bins = packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
+    )
+    summary = packed.agg(
+        F.count(F.lit(1)).alias("n_docs_packed"),
+        F.countDistinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    viol = bins.agg(
+        F.count(
+            F.when((F.col("bin_tokens") > 4096) & (F.col("n_docs") >= 2), 1)
+        ).alias("n_overfull_multi")
+    )
+    return summary.crossJoin(viol).select(
+        "n_docs_packed",
+        "n_distinct_docs",
+        "total_tokens",
+        (F.col("n_overfull_multi") == 0).alias("no_overfull_bins"),
     )
 
 
