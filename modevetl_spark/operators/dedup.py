@@ -409,9 +409,14 @@ def incremental_minhash_candidates(
       banding is a pure function of the text, this equals the pairs a
       full-corpus :func:`minhash_candidates` run would emit restricted to
       pairs touching the batch (equivalence pytest-gated).
-    - ``new_index_rows`` — the batch's band rows; after downstream
-      verification/canonicalization, append the survivors' rows to the
-      stored index (bounding index growth to canonical docs).
+    - ``new_index_rows`` — the batch's band rows. The standing job
+      (:func:`run_dedup_incremental`) appends ALL of them to the stored
+      index — indexing every arriving doc is what keeps the
+      full-recompute equivalence invariant true (a doc judged duplicate
+      today must still collide with tomorrow's near-copies). A caller
+      that instead wants an index bounded to canonical docs may filter
+      to survivors before appending, accepting that dropped docs stop
+      generating future pairs.
 
     Scale shape: signature compute is O(|batch|); the index probe is one
     equi-join on (band_id, band_hash) — the batch side is delta-sized so
@@ -450,25 +455,38 @@ def run_dedup_incremental(
     bands: int = 4,
 ) -> int:
     """One run of the standing near-dup job: probe the stored LSH index
-    with an arriving batch, append the new candidate pairs, append the
-    batch's band rows to the index. Returns the number of new pairs.
+    with an arriving batch, append the new candidate pairs, append ALL
+    of the batch's band rows to the index. Returns the number of new
+    pairs.
 
     Invariant (pytest-gated): after any batch split of a corpus, the
     union of every run's pairs equals the full-corpus
     :func:`minhash_candidates` pair set — each pair (a, b) surfaces on
-    the run where the later of the two docs arrives.
+    the run where the later of the two docs arrives. Indexing every
+    arriving doc (not just dedup survivors) is REQUIRED for this
+    invariant; see :func:`incremental_minhash_candidates`.
 
     The index and pair stores are append-only parquet: each run writes
     only O(batch) rows. A crashed run can leave a partial append — rerun
     and read with ``.distinct()`` (pairs and band rows are both
-    idempotent under duplication). Downstream, verify pairs with
-    :func:`jaccard_pairs` against a doc store and collapse clusters with
-    :func:`dedup_corpus` — candidates need no historical text, so this
-    loop never re-reads the corpus.
-    """
-    import os
+    idempotent under duplication). Re-ingesting an id with CHANGED text
+    appends the new band rows while the superseded ones remain, so the
+    old content keeps generating candidate pairs; bound that staleness
+    by periodically rewriting the index for re-ingested ids
+    (``delete_parquet(spark, changed_ids, index_path, [id_col])`` before
+    the run) — candidate pairs are verification inputs, so stale rows
+    cost extra verify work, never a wrong final answer. Downstream,
+    verify pairs with :func:`jaccard_pairs` against a doc store and
+    collapse clusters with :func:`dedup_corpus` — candidates need no
+    historical text, so this loop never re-reads the corpus.
 
-    if os.path.exists(index_path):
+    Both stores are addressed through the Hadoop-FS seam
+    (:mod:`modevetl_spark.sources.fs`), so ``s3a://`` / ``hdfs://``
+    paths work unmodified.
+    """
+    from modevetl_spark.sources.fs import fs_exists
+
+    if fs_exists(spark, index_path):
         # No .distinct() on the index: that would shuffle the
         # corpus-sized store every run. Duplicate band rows from a crash
         # replay only produce duplicate join matches, which the pair

@@ -102,14 +102,16 @@ def hierarchy_job_incremental(
         F.expr("p_partkey div 2").alias("ancestor"),
         F.col("p_partkey").alias("modified_seq"),
     )
-    wm = Watermark(state_path)
+    wm = Watermark(state_path, spark=spark)
     mark = wm.read()
     # Replay safety: the delta merge is NOT idempotent, so a stale/lost
     # state file must not re-add already-counted nodes. Like the reference
     # (which asks the ES sink for its max modified_ts), derive a second
     # mark from the sink itself and take the max — a replayed batch then
     # pulls nothing.
-    if os.path.exists(sink_path):
+    from modevetl_spark.sources.fs import fs_exists
+
+    if fs_exists(spark, sink_path):
         sink_mark = (
             spark.read.parquet(sink_path).agg(SF.max("max_node")).collect()[0][0]
         )

@@ -1,0 +1,94 @@
+"""Filesystem seam for the standing jobs (watermark state, LSH index /
+pair stores): existence and small-state I/O routed through the Hadoop
+FileSystem API whenever a path carries a scheme, so the same job code
+runs unmodified against ``s3a://`` / ``hdfs://`` / ``file:`` URIs — a
+100 TB deployment's stores live on an object store, where
+``os.path.exists`` is silently always-False and would reset every
+incremental job to a cold start.
+
+Scheme-less paths keep the plain ``os`` fast path: no JVM round-trip,
+and `Watermark` stays constructible without a SparkSession (its
+pre-Spark callers read the mark before building the session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+
+def has_scheme(path: str) -> bool:
+    """True for URI-style paths (``s3a://…``, ``hdfs://…``, ``file:/…``)
+    that must go through a Hadoop FileSystem, False for plain OS paths."""
+    if path.startswith("file:"):
+        return True
+    head = path.split("/", 1)[0]
+    return head.endswith(":") and len(head) > 2 or "://" in path
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark: SparkSession | None, path: str) -> bool:
+    """Existence check that follows the path's scheme. With no scheme
+    (or no session to reach the JVM) it is exactly ``os.path.exists``."""
+    if spark is None or not has_scheme(path):
+        return os.path.exists(path)
+    fs, hpath = _fs_and_path(spark, path)
+    return fs.exists(hpath)
+
+
+def read_json_state(spark: SparkSession | None, path: str):
+    """Small JSON state file -> dict, or None if absent."""
+    if spark is None or not has_scheme(path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        data = bytearray()
+        buf_cls = spark._jvm.java.io.BufferedReader
+        reader = buf_cls(spark._jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        line = reader.readLine()
+        while line is not None:
+            data.extend((line + "\n").encode("utf-8"))
+            line = reader.readLine()
+        return json.loads(bytes(data).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def write_json_state(spark: SparkSession | None, path: str, obj) -> None:
+    """Write small JSON state via tmp-then-rename. On HDFS the rename is
+    atomic; on object stores it is copy+delete — acceptable for a
+    single-writer watermark (the job serializes its own runs), and the
+    tmp suffix keeps a crashed half-write from ever being read as state.
+    """
+    payload = json.dumps(obj)
+    if spark is None or not has_scheme(path):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return
+    fs, hpath = _fs_and_path(spark, path)
+    tmp_path = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp_path, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    fs.rename(tmp_path, hpath)

@@ -40,23 +40,29 @@ from pyspark.sql import functions as F
 
 
 class Watermark:
-    """Durable high-water mark (epoch micros or any orderable scalar)."""
+    """Durable high-water mark (epoch micros or any orderable scalar).
 
-    def __init__(self, path: str):
+    State I/O goes through :mod:`modevetl_spark.sources.fs`: a scheme-
+    less path stays plain local JSON (no SparkSession needed), while a
+    URI path (``s3a://…/state.json``, ``file:/…``) routes through the
+    Hadoop FileSystem of the provided session — the standing jobs keep
+    their watermark next to the sink on the object store at 100 TB.
+    """
+
+    def __init__(self, path: str, spark: SparkSession | None = None):
         self.path = path
+        self.spark = spark
 
     def read(self, default=None):
-        if not os.path.exists(self.path):
-            return default
-        with open(self.path) as f:
-            return json.load(f)["watermark"]
+        from modevetl_spark.sources.fs import read_json_state
+
+        state = read_json_state(self.spark, self.path)
+        return default if state is None else state["watermark"]
 
     def write(self, value) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"watermark": value}, f)
-        os.replace(tmp, self.path)
+        from modevetl_spark.sources.fs import write_json_state
+
+        write_json_state(self.spark, self.path, {"watermark": value})
 
 
 def pull_newer(df: DataFrame, ts_col: str, watermark) -> DataFrame:
@@ -170,7 +176,12 @@ def upsert_parquet(
         os.rename(backup, sink_path)
     _recover_partitioned(sink_path)
 
-    exists = os.path.exists(sink_path)
+    # A sink emptied by deletes keeps markers (_SUCCESS) but no data
+    # files — schema inference over it raises UNABLE_TO_INFER_SCHEMA and
+    # every later run keeps failing. Treat it as nonexistent (mirror of
+    # delete_parquet's guard); the swap below still rename-asides the
+    # marker-only dir.
+    exists = os.path.exists(sink_path) and _has_parquet_files(sink_path)
     if exists and partition_by:
         _upsert_partitioned(spark, incoming, sink_path, keys, partition_by)
         return
@@ -470,7 +481,7 @@ def run_incremental(
     ``partition_by`` to keep the sink partitioned and each run's rewrite
     scoped to the partitions the delta touches — the layout that keeps a
     daily job O(day), not O(history)."""
-    wm = Watermark(state_path)
+    wm = Watermark(state_path, spark=spark)
     pending = pull_newer(source, ts_col, wm.read())
     n = pending.count()
     if n == 0:

@@ -694,3 +694,69 @@ def test_compact_parquet_unpartitioned(spark, tmp_path):
     n_files = len([f for f in os.listdir(sink) if f.endswith(".parquet")])
     assert n_files == 1
     assert {tuple(r) for r in spark.read.parquet(sink).collect()} == before
+
+
+def test_watermark_hadoop_fs_uri(spark, tmp_path):
+    """file: URI watermark routes through the Hadoop FileSystem — the
+    object-store seam: os.path.exists is always False on a URI, so a
+    pass here proves the state I/O never touches os.path."""
+    uri = "file:" + str(tmp_path / "state.json")
+    wm = Watermark(uri, spark=spark)
+    assert wm.read() is None
+    wm.write("2024-01-15 00:00:00")
+    assert wm.read() == "2024-01-15 00:00:00"
+    wm.write("2024-02-01 00:00:00")  # overwrite advances (delete+rename)
+    assert wm.read() == "2024-02-01 00:00:00"
+    assert not os.path.exists(uri)  # the raw URI is NOT a local path
+
+
+def test_fs_exists_scheme_routing(spark, tmp_path):
+    from modevetl_spark.sources.fs import fs_exists, has_scheme
+
+    p = tmp_path / "x.parquet"
+    p.write_text("stub")
+    assert has_scheme("file:" + str(p))
+    assert has_scheme("s3a://bucket/key")
+    assert not has_scheme(str(p))
+    assert not has_scheme("relative/path/data.parquet")
+    assert fs_exists(spark, str(p))
+    assert fs_exists(spark, "file:" + str(p))
+    assert not fs_exists(spark, "file:" + str(tmp_path / "missing"))
+    assert fs_exists(None, str(p))  # no-session local fallback
+
+
+def test_upsert_after_total_delete(spark, tmp_path):
+    """A sink emptied by delete_parquet (markers left, zero data files)
+    must behave as nonexistent for the next upsert instead of failing
+    parquet schema inference forever."""
+    from modevetl_spark.streaming.incremental import delete_parquet
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    upsert_parquet(spark, df, sink, keys=["id"])
+    delete_parquet(spark, df.select("id"), sink, keys=["id"])
+    # sink dir may remain with only markers; the next upsert must succeed
+    upsert_parquet(spark, df, sink, keys=["id"])
+    got = {(r.id, r.v) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_dedup_incremental_uri_paths(spark, tmp_path):
+    """The standing dedup job runs against file: URIs end-to-end —
+    the index-existence probe and both appends go through Hadoop FS."""
+    from modevetl_spark.operators.dedup import run_dedup_incremental
+
+    idx = "file:" + str(tmp_path / "lsh_index")
+    prs = "file:" + str(tmp_path / "pairs")
+    docs1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    docs2 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    assert run_dedup_incremental(spark, docs1, idx, prs) == 0
+    assert run_dedup_incremental(spark, docs2, idx, prs) == 1
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(prs).collect()}
+    assert pairs == {(1, 2)}
