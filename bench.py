@@ -38,6 +38,8 @@ HEADLINE = [
     "q_tpch_shipping_priority",
     "q_token_entropy",
     "q_funnel_conversion",
+    "q_dedup_incremental",
+    "q_graph_pagerank",
 ]
 
 

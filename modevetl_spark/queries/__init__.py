@@ -114,43 +114,64 @@ _GRADED_R3 = frozenset(
     }
 )
 
-# Keys whose implementation or oracle changed in round 4 (directly, or
-# through a shared operator) — pinned into the grading window regardless
-# of prior green rows.
-# This round the driver regenerated the testdata: events.ts (previously
-# TIMESTAMP(NANOS)), l_shipdate, and o_orderdate are now plain-µs
-# timestamps without isAdjustedToUTC, which Spark 4 would infer as
-# TIMESTAMP_NTZ. catalog.load() now pins NTZ inference off, so every
-# timestamp-consuming query takes a changed read path — pin the ones whose
-# semantics lean on the timestamp flavor (event-time windows, watermark
-# pull, CDC diff, time cubes, as-of/range joins, calendar truncation).
-_CHANGED_R4 = frozenset(
+# The 50 keys CORRECTNESS_r04 graded (49 full rows+schema+hash passes;
+# q_graph_pagerank was the declared rows-only entry, since upgraded).
+_GRADED_R4 = frozenset(
     {
-        "q_events_tumbling", "q_events_sliding", "q_events_session",
-        "q_events_dedup", "q_events_session_terminal", "q_incremental_pull",
-        "q_snapshot_diff", "q_cube_time", "q_bucket_duration",
-        "q_date_trunc_agg", "q_join_asof", "q_join_range",
-        "q_gapfill_ffill", "q_window_moving_avg",
-        # davg grew an all-NULL-group guard (value-identical on current
-        # data, changed plan) and geomean gained the same guard inline
-        "q_agg_basic", "q_agg_geomean",
-        # edge construction now routes through the shared
-        # partkey_tree_edges builder (value-identical)
-        "q_graph_closure",
+        "q_tpch_shipping_priority", "q_incremental_pull", "q_snapshot_diff",
+        "q_agg_basic", "q_agg_geomean", "q_agg_mode", "q_agg_string_agg",
+        "q_cube_time", "q_bucket_duration", "q_graph_closure",
+        "q_join_range", "q_join_asof", "q_window_moving_avg",
+        "q_window_ntile", "q_date_trunc_agg", "q_events_tumbling",
+        "q_events_sliding", "q_events_session", "q_events_dedup",
+        "q_events_session_terminal", "q_text_normalize", "q_dedup_spans",
+        "q_dedup_incremental", "q_graph_pagerank", "q_graph_degrees",
+        "q_gapfill_ffill", "q_pii_redact", "q_ngram_topk",
+        "q_quality_filter", "q_embedding_norms", "q_tpch_pricing_summary",
+        "q_funnel_conversion", "q_retention_cohorts", "q_length_histogram",
+        "q_domain_quota_sample", "q_token_entropy", "q_event_transitions",
+        "q_zscore_normalize", "q_winsorize", "q_embedding_cohesion",
+        "q_intersect", "q_string_funcs", "q_regex_extract", "q_math_round",
+        "q_null_default", "q_json_extract", "q_array_explode",
+        "q_map_counts", "q_leaves", "q_dedup_exact",
     }
 )
 
-_ALL_GRADED = _GRADED_R1 | _GRADED_R2 | _GRADED_R3
+# Keys whose implementation or oracle changed in round 5 — pinned into
+# the grading window regardless of prior green rows:
+#   q_graph_pagerank       rows-only -> full oracle (decimal-exact
+#                          iteration replay) + operator float discipline
+#   q_text_tfidf           n_docs folded into the DAG (single job)
+#   q_agg_approx_sketches  rows-only -> bounds oracle (new output schema)
+#   q_pack_budget          rows-only -> invariant oracle (new schema)
+#   q_incremental_pull     Watermark state I/O now routes through the
+#                          Hadoop-FS seam (same values, changed path)
+_CHANGED_R5 = frozenset(
+    {
+        "q_graph_pagerank", "q_text_tfidf", "q_agg_approx_sketches",
+        "q_pack_budget", "q_incremental_pull",
+    }
+)
+
+
+def _freshest_round(key: str) -> int:
+    for rnd, graded in (
+        (4, _GRADED_R4),
+        (3, _GRADED_R3),
+        (2, _GRADED_R2),
+        (1, _GRADED_R1),
+    ):
+        if key in graded:
+            return rnd
+    return 0  # never graded
 
 
 def _grading_priority(key: str) -> int:
-    if key in _CHANGED_R4 or key not in _ALL_GRADED:
+    if key in _CHANGED_R5 or _freshest_round(key) == 0:
         return 0  # changed or new: must be graded this round
-    if key in _GRADED_R3:
-        return 3  # freshest evidence, emitted last
-    if key in _GRADED_R2:
-        return 2  # graded round 2
-    return 1  # graded only in round 1 — stalest green, rotate first
+    # Older evidence rotates through the window first; the freshest
+    # cohort is emitted last.
+    return _freshest_round(key)
 
 
 def _load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
