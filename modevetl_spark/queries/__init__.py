@@ -146,10 +146,13 @@ _GRADED_R4 = frozenset(
 #   q_pack_budget          rows-only -> invariant oracle (new schema)
 #   q_incremental_pull     Watermark state I/O now routes through the
 #                          Hadoop-FS seam (same values, changed path)
+#   q_sim_topk_ivf         rows-only -> bounds oracle (exact-top1 rows +
+#   q_dedup_embedding_ivf  recall/subset verdicts; new output schemas)
 _CHANGED_R5 = frozenset(
     {
         "q_graph_pagerank", "q_text_tfidf", "q_agg_approx_sketches",
-        "q_pack_budget", "q_incremental_pull",
+        "q_pack_budget", "q_incremental_pull", "q_sim_topk_ivf",
+        "q_dedup_embedding_ivf",
     }
 )
 

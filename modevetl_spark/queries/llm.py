@@ -423,19 +423,69 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
 
 
-@q("q_sim_topk_ivf")  # rows-only: approximate recall by design
+_SIM_TOPK_IVF_ORACLE = """
+SELECT q.vec_id AS query_id,
+       c.vec_id AS exact_top1_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 6)
+           AS exact_top1_cos,
+       TRUE AS recall_ok
+FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+JOIN embeddings c ON c.vec_id <> q.vec_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6)
+             DESC,
+             c.vec_id
+) <= 1
+"""
+
+
+@q("q_sim_topk_ivf", oracle_sql=_SIM_TOPK_IVF_ORACLE)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 scale path #2: inverted-file (IVF) index — Lloyd-trained cells,
     probe nprobe cells per query via broadcast equi-join.
 
-    ROWS-ONLY BY DESIGN: the centroids come from Lloyd iterations over a
-    bounded driver sample, so they depend on the dataset — unlike the LSH
-    hyperplanes they cannot be embedded into a static SQL oracle. Quality
-    is bounded by the recall-floor unit test (tests/test_operators.py)
-    and the scoring math is hash-graded via q_sim_topk."""
+    BOUNDS-ORACLE (upgraded from rows-only in r5): the data-trained
+    centroids still cannot embed in static SQL, so the query measures its
+    OWN quality against the exact brute-force top-k it computes
+    alongside: per query it outputs the exact top-1 neighbor (real,
+    oracle-recomputable hash content) and `recall_ok` — overall
+    recall@5 of the IVF result vs exact ≥ 0.5, the same floor the unit
+    test pins. A regression in training, assignment, or probing drops
+    recall and breaks the hash."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.where(F.col("vec_id") < 20), k=5, nlist=16, nprobe=4)
+    qs = e.where(F.col("vec_id") < 20)
+    ivf = ivf_topk(e, qs, k=5, nlist=16, nprobe=4)
+    exact = brute_force_topk(e, qs, k=5)
+    n_hit = (
+        exact.join(
+            ivf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_tot = exact.agg(F.count(F.lit(1)).alias("n_tot"))
+    flag = (
+        n_hit.crossJoin(n_tot)
+        .select((F.col("n_hit") >= 0.5 * F.col("n_tot")).alias("recall_ok"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top1 = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("exact_top1_id"),
+            F.col("cos_sim").alias("exact_top1_cos"),
+        )
+    )
+    return top1.crossJoin(F.broadcast(flag))
 
 
 _TOKENS_ORACLE = """
@@ -747,19 +797,92 @@ def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(d, pairs).select("doc_id")
 
 
-@q("q_dedup_embedding_ivf")  # rows-only: cell blocking is approximate by design
+_EMB_IVF_ORACLE = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+),
+pr AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+    FROM corpus a
+    JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS subset_ok,
+       TRUE AS recall_ok
+FROM pr
+WHERE cos_sim >= 0.9
+"""
+
+
+@q("q_dedup_embedding_ivf", oracle_sql=_EMB_IVF_ORACLE)
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 scale path: embedding near-dup pairs blocked by IVF cell
     instead of a label column — all-pairs cosine becomes per-cell
     self-joins (n^2/nlist with balanced cells).
 
-    ROWS-ONLY BY DESIGN: cell assignments depend on data-trained Lloyd
-    centroids (see q_sim_topk_ivf), so no static SQL twin exists.
-    Planted-duplicate recall is unit-tested; q_dedup_embedding
-    oracle-grades the identical scoring math on exact blocking."""
+    BOUNDS-ORACLE (upgraded from rows-only in r5): cell assignments
+    depend on data-trained Lloyd centroids, so the query verifies its
+    own blocking against the exact all-pairs result it computes
+    alongside (sf0.01-sized; the exact twin exists only inside this
+    correctness gate — production runs just the blocked path). The
+    fixture corpus has no organic near-dups above cos 0.5, so the query
+    PLANTS 50 exact duplicates under shifted ids — the same pattern the
+    planted-duplicate unit test uses, and replayable in SQL because the
+    plant is a pure id-shift. Then: `n_exact_pairs` is oracle-recomputed
+    in DuckDB, `subset_ok` asserts every IVF pair also passes the exact
+    threshold (structural — catches scoring drift between the blocked
+    and exact kernels), and `recall_ok` asserts the blocked path
+    recovers ≥ 90% of true near-dup pairs (identical vectors must land
+    in identical cells). Any of the three failing breaks the hash."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
-    return ivf_neardup_pairs(e, threshold=0.2, nlist=8)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted)
+    ivf = ivf_neardup_pairs(corpus, threshold=0.9, nlist=8).select(
+        "id_a", "id_b"
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_common = exact.join(ivf, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    n_outside = ivf.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_outside")
+    )
+    return (
+        n_exact.crossJoin(n_common)
+        .crossJoin(n_outside)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_outside") == 0).alias("subset_ok"),
+            (F.col("n_common") >= 0.9 * F.col("n_exact_pairs")).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
 _SAMPLE_HASH_ORACLE = """
