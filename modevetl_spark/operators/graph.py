@@ -6,11 +6,11 @@ pipeline ranks domains with.
 Plain DataFrame ops (GraphFrames-free): each iteration is one join from
 ranks onto edges (co-partitioned on the source key) plus one hash
 aggregation of contributions on the destination key. Dangling-node mass
-(pages with no out-links) is collected as ONE scalar per iteration —
-bounded driver traffic — and redistributed uniformly, keeping the rank
-vector a probability distribution. Lineage is truncated per round with
-``localCheckpoint`` like the closure loop, so 20 iterations don't build
-a 20-deep plan.
+(pages with no out-links) is a broadcast ONE-ROW aggregate inside the
+iteration's DAG — no driver collect at all — redistributed uniformly,
+keeping the rank vector a probability distribution. Lineage is
+truncated per round with ``localCheckpoint`` like the closure loop, so
+20 iterations don't build a 20-deep plan.
 
 Float discipline (same as q_token_entropy / q_embedding_cohesion): every
 order-sensitive sum — the per-destination contribution aggregate and the
@@ -56,8 +56,9 @@ def pagerank(
     graphs). At 100 TB the per-iteration shape is one shuffle keyed on
     src (the ranks join — co-partitioned with the edge list if the edges
     are pre-partitioned on src) and one keyed on dst (the contribution
-    agg with map-side combine); the only driver traffic is one scalar
-    per iteration.
+    agg with map-side combine); the dangling-mass scalar rides the same
+    job as a broadcast one-row aggregate, so there is no per-iteration
+    driver traffic beyond the checkpoint bookkeeping.
 
     SIMPLE-GRAPH semantics: parallel edges collapse via ``distinct()``
     before out-degrees are counted, so edge multiplicity does NOT weight
@@ -114,24 +115,31 @@ def pagerank(
                     .groupBy("node")
                     .agg(F.sum("c").cast("double").alias("s_in"))
                 )
-                # dangling mass: rank on nodes with no out-links — one
-                # scalar, decimal-summed so fetch order can't move it
-                drow = (
+                # dangling mass: rank on nodes with no out-links — a
+                # broadcast ONE-ROW aggregate inside the DAG (no collect:
+                # one job per iteration, not two), decimal-summed so
+                # fetch order can't move it
+                dang = (
                     ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
-                    .agg(F.sum(F.col("rank").cast("decimal(18,9)")))
-                    .collect()[0][0]
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("rank").cast("decimal(18,9)")).cast(
+                                "double"
+                            ),
+                            F.lit(0.0),
+                        ).alias("dm")
+                    )
                 )
-                dangling = float(drow) if drow is not None else 0.0
-                share = damping * dangling / n
                 ranks = (
                     verts.join(contribs, "node", "left")
+                    .crossJoin(F.broadcast(dang))
                     .select(
                         "node",
                         F.round(
                             F.lit(teleport)
                             + F.lit(damping)
                             * F.coalesce(F.col("s_in"), F.lit(0.0))
-                            + F.lit(share),
+                            + F.lit(damping) * F.col("dm") / F.lit(n),
                             9,
                         ).alias("rank"),
                     )
