@@ -87,6 +87,13 @@ def pagerank(
         return verts.select("node", F.lit(0.0).alias("rank"))
 
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+    # out-degree is loop-invariant: attach it to the edge list ONCE, so
+    # each iteration runs a single src-keyed join instead of two
+    e_deg = (
+        e.join(out_deg.withColumnRenamed("s", "s2"), e.s == F.col("s2"))
+        .select("s", "d", "out_deg")
+        .cache()
+    )
     teleport = (1.0 - damping) / n
 
     # unpersist on EVERY exit (closure-loop convention): a task failure
@@ -99,11 +106,8 @@ def pagerank(
         ).localCheckpoint(eager=True)
         with _tuned_shuffle(e, n):
             for _ in range(iterations):
-                linked = ranks.join(
-                    out_deg, ranks.node == out_deg.s, "inner"
-                ).select("node", "rank", "out_deg")
                 contribs = (
-                    e.join(linked, e.s == linked.node)
+                    e_deg.join(ranks, e_deg.s == ranks.node)
                     .select(
                         F.col("d").alias("node"),
                         # per-edge term rounded, then decimal-summed: the
@@ -149,4 +153,5 @@ def pagerank(
         e.unpersist()
         verts.unpersist()
         out_deg.unpersist()
+        e_deg.unpersist()
     return ranks
