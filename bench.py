@@ -40,6 +40,7 @@ HEADLINE = [
     "q_funnel_conversion",
     "q_dedup_incremental",
     "q_graph_pagerank",
+    "q_tpch_local_supplier",
 ]
 
 

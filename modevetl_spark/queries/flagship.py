@@ -155,3 +155,75 @@ def tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(
         F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey")
     ).limit(10)
+
+
+_Q5_START, _Q5_STOP = "1996-01-01", "1997-01-01"
+
+_LOCAL_SUPPLIER_ORACLE = f"""
+SELECT n_name,
+       {sql_dsum_money('revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{_Q5_START}'
+  AND o_orderdate <  TIMESTAMP '{_Q5_STOP}'
+GROUP BY n_name
+"""
+
+
+@q("q_tpch_local_supplier", oracle_sql=_LOCAL_SUPPLIER_ORACLE)
+def tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: the TPC-H Q5 shape — local supplier volume. Six tables, one
+    non-key correlation (customer and supplier must share a nation), a
+    region filter that reaches the fact only THROUGH the supplier
+    dimension, and a 25-key revenue rollup. The hardest join-planning
+    shape in the registry.
+
+    The plan we want at 100 TB:
+
+    - region ⋈ nation collapses to a broadcast ~5-row nation filter;
+      supplier (with nationkey) broadcasts onto the fact.
+    - customer projects to (custkey, nationkey) and broadcasts onto the
+      year-filtered orders — orders never shuffles for it; the
+      c_nationkey = s_nationkey correlation is evaluated as part of the
+      supplier broadcast join, never as a post-join filter on a wider
+      intermediate.
+    - lineitem ⋈ orders on the order key is the ONE fact shuffle (at
+      100 TB a year of orders is not broadcastable); the 25-nation
+      aggregate collapses map-side before its bounded-key exchange.
+    - the orderdate range filter pushes into the orders parquet scan.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit(_Q5_START)))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit(_Q5_STOP)))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nr = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    j = (
+        li.join(
+            o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        dsum_money("l_extendedprice", "l_discount").alias("revenue")
+    )

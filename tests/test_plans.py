@@ -231,3 +231,18 @@ def test_zscore_winsorize_stats_broadcast(spark, sf_dir):
         p = plan(_Q[key](spark, sf_dir))
         assert "BroadcastHashJoin" in p, key
         assert "SortMergeJoin" not in p, key
+
+
+def test_local_supplier_plan_shape(spark, sf_dir):
+    """TPC-H Q5 shape: every dimension (customer, supplier, the
+    region-filtered nation) rides as a broadcast, both selective filters
+    reach their parquet scans, and at test scale the whole six-table join
+    needs exactly one shuffle Exchange (the 25-nation aggregate)."""
+    p = plan(_Q["q_tpch_local_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = p.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("]")[0] for seg in pushed[1:]), p
+    assert any("EqualTo(r_name,ASIA)" in seg.split("]")[0] for seg in pushed[1:]), p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Exchange (") <= 1, tree
