@@ -227,3 +227,55 @@ def tpch_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(
         dsum_money("l_extendedprice", "l_discount").alias("revenue")
     )
+
+
+_LARGE_VOLUME_ORACLE = """
+WITH big AS (
+    SELECT l_orderkey, SUM(l_quantity) AS qty_total
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, qty_total
+FROM orders
+JOIN big      ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@q("q_tpch_large_volume", oracle_sql=_LARGE_VOLUME_ORACLE)
+def tpch_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: the TPC-H Q18 shape — large-volume customers, i.e. a HAVING
+    aggregate subquery driving the main join. The registry's other TPC-H
+    shapes filter with predicates; this one filters with an AGGREGATE,
+    the pattern behind every "entities whose rollup exceeds X" report.
+
+    The plan we want at 100 TB: the quantity rollup and the orders join
+    both key on the order key, so the aggregate's shuffle partitioning is
+    reused by the join (co-partitioned, no second fact shuffle); the
+    HAVING collapses the build side to the rare heavy orders, customer
+    broadcasts, and the top-20 is TakeOrderedAndProject. l_quantity is
+    integral, so its double sum is exact under any accumulation order —
+    no decimal pipeline needed on the HAVING boundary."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_total"))
+        .where(F.col("qty_total") > 300)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "qty_total"
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )

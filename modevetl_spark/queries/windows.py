@@ -229,3 +229,50 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS n_orders_30d,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+                  AS DOUBLE), 2) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@q("q_window_range_frame", oracle_sql=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 value-range variant: the reference's ``range: {min, max}`` is a
+    VALUE frame, not a row frame — trailing 30-day order count and spend
+    per customer, frame bounds measured in epoch seconds.
+
+    Value frames need no tiebreaker: peers (equal order dates) are all
+    in-frame by definition in both engines, so ties are deterministic by
+    construction. The spend sum rides the decimal pipeline like every
+    windowed float aggregate here.
+
+    Scale shape: one shuffle on the partition key, then a sorted
+    single-pass frame scan per partition — identical to a row frame."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").withColumn(
+        "ord_sec", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ord_sec")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double"),
+            2,
+        ).alias("spend_30d"),
+    )
