@@ -261,3 +261,52 @@ def run_streaming_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def attribution_join(
+    stream: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """T10 [EXT] stream-stream interval join: every purchase joined to the
+    same user's clicks in the preceding hour — last-touch attribution,
+    the canonical two-stream join of an event pipeline. The reference has
+    no streaming engine; this is the idiomatic Spark form, and the ONE
+    Structured Streaming join topology (stream x stream with state on
+    both sides) the wrapper family didn't yet cover.
+
+    Both sides carry watermarks and the join condition bounds click_ts to
+    [buy_ts - window, buy_ts], so each side's state store evicts rows
+    once the other side's watermark passes the bound — bounded state, the
+    requirement for an unbounded run. Batch/stream parity is pinned in
+    tests/test_streaming.py (Spark guarantees inner-join parity; the
+    batch twin is the same join expression over the static frame).
+    """
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    buys = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        .withWatermark("buy_ts", watermark_delay)
+    )
+    return buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("buy_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select("user_id", "buy_id", "buy_ts", "click_id", "click_ts")

@@ -760,3 +760,41 @@ def test_dedup_incremental_uri_paths(spark, tmp_path):
     assert run_dedup_incremental(spark, docs2, idx, prs) == 1
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(prs).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_attribution_join_stream_batch_parity(spark, sf_dir, tmp_path):
+    """T10 stream-stream interval join: the streaming attribution result
+    (purchase x preceding-hour clicks per user) must equal the identical
+    join over the static frame."""
+    from modevetl_spark.streaming.structured import attribution_join
+
+    stream = events_stream(spark, sf_dir)
+    out = attribution_join(stream)
+    sink = str(tmp_path / "attr")
+    run_to_sink(out, sink, str(tmp_path / "ckpt"))
+    got = {
+        (r.user_id, r.buy_id, r.click_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    want = {
+        (r.user_id, r.buy_id, r.click_id)
+        for r in b.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("buy_ts"))
+            & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
