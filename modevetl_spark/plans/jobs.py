@@ -208,3 +208,39 @@ def reviews_job(
         keys=["day", "user_id"],
         state_path=state_path,
     )
+
+
+def dedup_job(
+    spark: SparkSession, sf_dir: str, sink_path: str, state_path: str
+) -> int:
+    """Standing near-dup job as a cron tick: pull documents newer than
+    the stored mark (doc_id is the fixture's arrival order), probe the
+    persisted LSH index under the sink with just that delta, append the
+    new candidate pairs and the batch's band rows, advance the mark.
+
+    Each tick is O(|delta|) compute + one (band, band_key) equi-join
+    against the index — the corpus is never re-read (see
+    operators/dedup.run_dedup_incremental for the equivalence
+    invariant). Index and pair stores live under ``sink_path`` and are
+    addressed through the Hadoop-FS seam, so the job runs unmodified
+    with an object-store sink."""
+    import os
+
+    from modevetl_spark.operators.dedup import run_dedup_incremental
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wm = Watermark(state_path, spark=spark)
+    pending = pull_newer(docs, "doc_id", wm.read())
+    n = pending.count()
+    if n == 0:
+        return 0
+    run_dedup_incremental(
+        spark,
+        pending,
+        os.path.join(sink_path, "lsh_index"),
+        os.path.join(sink_path, "pairs"),
+    )
+    new_mark = pending.agg(F.max("doc_id")).collect()[0][0]
+    if new_mark is not None:
+        wm.write(new_mark)
+    return n

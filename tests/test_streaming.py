@@ -143,7 +143,7 @@ def test_jobs_cli_settings_file(sf_dir, tmp_path):
         cmd, cwd=repo, capture_output=True, text=True, timeout=300
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
-    assert out2.stdout.count("rows=0") == 2  # watermark advanced -> no-op
+    assert out2.stdout.count("rows=0") == 3  # watermark advanced -> no-op
 
 
 def test_reviews_job(spark, sf_dir, tmp_path):
@@ -798,3 +798,17 @@ def test_attribution_join_stream_batch_parity(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_job_incremental(spark, sf_dir, tmp_path):
+    """The standing dedup job as a cron tick: first run indexes the
+    corpus; rerun is a watermark no-op; the index store exists."""
+    from modevetl_spark.plans.jobs import dedup_job
+
+    sink = str(tmp_path / "dedup")
+    state = str(tmp_path / "dedup_state.json")
+    n = dedup_job(spark, sf_dir, sink, state)
+    assert n > 0
+    assert os.path.isdir(os.path.join(sink, "lsh_index"))
+    assert spark.read.parquet(os.path.join(sink, "lsh_index")).count() > 0
+    assert dedup_job(spark, sf_dir, sink, state) == 0
