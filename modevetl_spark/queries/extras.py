@@ -373,3 +373,60 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("in_degree")
     )
     return deg.groupBy("in_degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_AGG_STATE_ORACLE = """
+SELECT o_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE), 2)
+           AS total_spend,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@q("q_agg_incremental_state", oracle_sql=_AGG_STATE_ORACLE)
+def agg_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4 rewrite-proof: incremental aggregate-state maintenance
+    (operators/aggstate.py) graded against the plain single-shot GROUP BY
+    oracle. The query slices orders into three date batches, merges each
+    into a fresh on-disk state store tick by tick (partial-agg -> touched
+    -key semi-probe -> merge -> partition-scoped upsert), then returns
+    the final state — which must hash-equal recomputing the aggregate
+    over all of history in one pass. This is the materialized-view
+    maintenance pattern that keeps a daily 100 TB rollup O(delta)."""
+    import tempfile
+
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    state = tempfile.mkdtemp(prefix="modevetl_aggstate_")
+    # mkdtemp creates the dir; the merge path treats an empty dir as a
+    # fresh store via the has-parquet-files guard
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_spend": ("sum", "o_totalprice"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cuts = ["1997-01-01", "1999-01-01"]
+    slices = [
+        o.where(F.col("o_orderdate") < cuts[0]),
+        o.where(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ),
+        o.where(F.col("o_orderdate") >= cuts[1]),
+    ]
+    for s in slices:
+        merge_aggregate_state(spark, s, state, ["o_custkey"], measures)
+    got = spark.read.parquet(state)
+    return got.select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("total_spend").cast("double"), 2).alias("total_spend"),
+        "first_order",
+        "last_order",
+    )

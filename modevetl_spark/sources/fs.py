@@ -44,6 +44,26 @@ def fs_exists(spark: SparkSession | None, path: str) -> bool:
     return fs.exists(hpath)
 
 
+def fs_has_parquet_files(spark: SparkSession | None, path: str) -> bool:
+    """True if any .parquet data file exists under ``path``. The right
+    'does this store exist' test for parquet sinks: a just-created empty
+    dir or a sink emptied by deletes has no data files, and reading it
+    fails schema inference."""
+    if spark is None or not has_scheme(path):
+        for _, _, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def read_json_state(spark: SparkSession | None, path: str):
     """Small JSON state file -> dict, or None if absent."""
     if spark is None or not has_scheme(path):

@@ -812,3 +812,58 @@ def test_dedup_job_incremental(spark, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(sink, "lsh_index"))
     assert spark.read.parquet(os.path.join(sink, "lsh_index")).count() > 0
     assert dedup_job(spark, sf_dir, sink, state) == 0
+
+
+def test_aggregate_state_merge_equals_full_recompute(spark, sf_dir, tmp_path):
+    """operators/aggstate: merging three date-sliced deltas of orders
+    must land exactly on the single-shot group-by of the whole table —
+    counts, decimal-exact sums, min and max."""
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    state = str(tmp_path / "aggstate")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "total_spend": ("sum", "o_totalprice"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    cuts = ["1997-01-01", "1999-01-01"]
+    slices = [
+        o.where(F.col("o_orderdate") < cuts[0]),
+        o.where(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ),
+        o.where(F.col("o_orderdate") >= cuts[1]),
+    ]
+    for s in slices:
+        merge_aggregate_state(spark, s, state, ["o_custkey"], measures)
+
+    got = spark.read.parquet(state)
+    want = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,9)"))
+        .cast("decimal(28,9)")
+        .alias("total_spend"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want.select(*got.columns)).count() == 0
+
+
+def test_aggregate_state_empty_delta_noop(spark, sf_dir, tmp_path):
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    state = str(tmp_path / "aggstate2")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    measures = {"n_orders": ("count", "o_orderkey")}
+    assert merge_aggregate_state(
+        spark, o, state, ["o_custkey"], measures
+    ) > 0
+    before = {(r.o_custkey, r.n_orders) for r in spark.read.parquet(state).collect()}
+    assert merge_aggregate_state(
+        spark, o.where(F.lit(False)), state, ["o_custkey"], measures
+    ) == 0
+    after = {(r.o_custkey, r.n_orders) for r in spark.read.parquet(state).collect()}
+    assert before == after
