@@ -27,6 +27,15 @@ scan, never a full rewrite). The unpartitioned fallback rewrites the
 whole sink through the same rename-aside swap. Both paths leave every
 partition either fully old or fully new at any crash point, with
 backup-restore recovery on the next run.
+
+Object-store boundary (honest): watermark state, existence probes, and
+every READ path go through :mod:`modevetl_spark.sources.fs` and accept
+``s3a://``/``hdfs://`` URIs. The upsert/delete SWAP itself relies on
+atomic directory rename, which object stores don't provide — on a
+lakehouse the managed-table MERGE (Delta/Iceberg, jars absent in this
+container) replaces exactly this layer; on HDFS the rename contract
+holds as-is. The swap is deliberately the one local-semantics component,
+isolated behind ``upsert_parquet`` / ``delete_parquet``.
 """
 
 from __future__ import annotations
