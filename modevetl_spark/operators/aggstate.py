@@ -83,9 +83,18 @@ def merge_aggregate_state(
     {count, sum, min, max}. The stored schema is (keys..., out_cols...);
     `count` is stored as a BIGINT, `sum` as DECIMAL(28,9).
     """
-    from modevetl_spark.sources.fs import fs_has_parquet_files
+    from modevetl_spark.sources.fs import fs_has_parquet_files, has_scheme
     from modevetl_spark.streaming.incremental import upsert_parquet
 
+    if has_scheme(state_path):
+        # the underlying upsert swap is an atomic DIRECTORY RENAME —
+        # local/HDFS semantics; an object-store state store needs the
+        # managed-table MERGE layer instead. Fail loudly rather than
+        # half-work (probe/read would succeed, the swap would not).
+        raise NotImplementedError(
+            "merge_aggregate_state requires a local-FS state store; "
+            "use a lakehouse MERGE for object-store state"
+        )
     partial = delta_partials(delta, keys, measures).cache()
     try:
         n_touched = partial.count()
@@ -93,10 +102,17 @@ def merge_aggregate_state(
             return 0
         # data-aware existence: a just-created empty dir is a fresh store
         if fs_has_parquet_files(spark, state_path):
-            state = spark.read.parquet(state_path)
-            touched_state = state.join(
-                partial.select(*keys).distinct(), on=keys, how="left_semi"
+            from modevetl_spark.streaming.incremental import (
+                _null_safe_key_join,
             )
+
+            state = spark.read.parquet(state_path)
+            # NULL-safe probe: a plain on=keys semi-join never matches
+            # NULL = NULL, so a nullable group key's stored row would be
+            # dropped from the merge and its history silently reset
+            touched_state = _null_safe_key_join(
+                state, partial.select(*keys).distinct(), keys, "left_semi"
+            ).select(*state.columns)
             merge_aggs = [
                 _merge_expr(out, fn) for out, (fn, _) in measures.items()
             ]

@@ -474,15 +474,17 @@ def run_dedup_incremental(
     old content keeps generating candidate pairs; bound that staleness
     by periodically rewriting the index for re-ingested ids
     (``delete_parquet(spark, changed_ids, index_path, [id_col])`` before
-    the run) — candidate pairs are verification inputs, so stale rows
+    the run — note delete_parquet's swap is local/HDFS-rename, so on an
+    object store bound the staleness by a periodic index rewrite
+    instead) — candidate pairs are verification inputs, so stale rows
     cost extra verify work, never a wrong final answer. Downstream,
     verify pairs with :func:`jaccard_pairs` against a doc store and
     collapse clusters with :func:`dedup_corpus` — candidates need no
     historical text, so this loop never re-reads the corpus.
 
-    Both stores are addressed through the Hadoop-FS seam
-    (:mod:`modevetl_spark.sources.fs`), so ``s3a://`` / ``hdfs://``
-    paths work unmodified.
+    The existence probe and both appends go through the Hadoop-FS seam /
+    Spark writers, so ``s3a://`` / ``hdfs://`` store paths work
+    unmodified for the probe-and-append loop itself.
     """
     from modevetl_spark.sources.fs import fs_exists
 

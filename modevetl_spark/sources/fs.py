@@ -35,10 +35,24 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _require_session(spark: SparkSession | None, path: str) -> bool:
+    """True -> use Hadoop FS. A scheme'd path with no session is a hard
+    error: silently falling back to os.path would recreate the exact
+    always-False / cold-start bug this seam exists to fix."""
+    if not has_scheme(path):
+        return False
+    if spark is None:
+        raise ValueError(
+            f"path {path!r} has a filesystem scheme but no SparkSession "
+            "was provided to reach the Hadoop FileSystem API"
+        )
+    return True
+
+
 def fs_exists(spark: SparkSession | None, path: str) -> bool:
-    """Existence check that follows the path's scheme. With no scheme
-    (or no session to reach the JVM) it is exactly ``os.path.exists``."""
-    if spark is None or not has_scheme(path):
+    """Existence check that follows the path's scheme. With no scheme it
+    is exactly ``os.path.exists``."""
+    if not _require_session(spark, path):
         return os.path.exists(path)
     fs, hpath = _fs_and_path(spark, path)
     return fs.exists(hpath)
@@ -49,7 +63,7 @@ def fs_has_parquet_files(spark: SparkSession | None, path: str) -> bool:
     'does this store exist' test for parquet sinks: a just-created empty
     dir or a sink emptied by deletes has no data files, and reading it
     fails schema inference."""
-    if spark is None or not has_scheme(path):
+    if not _require_session(spark, path):
         for _, _, files in os.walk(path):
             if any(f.endswith(".parquet") for f in files):
                 return True
@@ -65,15 +79,24 @@ def fs_has_parquet_files(spark: SparkSession | None, path: str) -> bool:
 
 
 def read_json_state(spark: SparkSession | None, path: str):
-    """Small JSON state file -> dict, or None if absent."""
-    if spark is None or not has_scheme(path):
+    """Small JSON state file -> dict, or None if absent.
+
+    JVM-path crash recovery: the writer's delete-live-then-rename leaves
+    a window where only the fully-written ``.tmp`` exists — recover from
+    it (the tmp is always complete before the live file is deleted; a
+    crash mid-tmp-write leaves the live file intact and the tmp
+    ignored)."""
+    if not _require_session(spark, path):
         if not os.path.exists(path):
             return None
         with open(path) as f:
             return json.load(f)
     fs, hpath = _fs_and_path(spark, path)
     if not fs.exists(hpath):
-        return None
+        tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        if not fs.exists(tmp):
+            return None
+        hpath = tmp
     stream = fs.open(hpath)
     try:
         data = bytearray()
@@ -91,11 +114,13 @@ def read_json_state(spark: SparkSession | None, path: str):
 def write_json_state(spark: SparkSession | None, path: str, obj) -> None:
     """Write small JSON state via tmp-then-rename. On HDFS the rename is
     atomic; on object stores it is copy+delete — acceptable for a
-    single-writer watermark (the job serializes its own runs), and the
-    tmp suffix keeps a crashed half-write from ever being read as state.
+    single-writer watermark (the job serializes its own runs). The
+    Hadoop rename cannot overwrite, so the live file is deleted first;
+    the crash window between delete and rename is closed on the READ
+    side (read_json_state falls back to the fully-written tmp).
     """
     payload = json.dumps(obj)
-    if spark is None or not has_scheme(path):
+    if not _require_session(spark, path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

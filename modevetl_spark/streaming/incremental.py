@@ -100,11 +100,11 @@ def _null_safe_key_join(
 def _has_parquet_files(path: str) -> bool:
     """True if any .parquet data file exists under ``path`` — a sink
     fully emptied by deletes has only markers left, and schema inference
-    over it would fail."""
-    for _, _, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+    over it would fail. Delegates to the FS seam's single implementation
+    (local branch: this module's sinks are local/HDFS-rename stores)."""
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    return fs_has_parquet_files(None, path)
 
 
 def _touched_predicate(parts: list[dict], partition_by: list[str]) -> Column:

@@ -268,12 +268,14 @@ def attribution_join(
     attribution_window: str = "1 hour",
     watermark_delay: str = "2 hours",
 ) -> DataFrame:
-    """T10 [EXT] stream-stream interval join: every purchase joined to the
-    same user's clicks in the preceding hour — last-touch attribution,
-    the canonical two-stream join of an event pipeline. The reference has
-    no streaming engine; this is the idiomatic Spark form, and the ONE
-    Structured Streaming join topology (stream x stream with state on
-    both sides) the wrapper family didn't yet cover.
+    """T10 [EXT] stream-stream interval join: every purchase joined to
+    ALL of the same user's clicks in the preceding hour — the attribution
+    CANDIDATE set (last-touch is a max(click_ts)-per-purchase reduction
+    on top of this output; emitting candidates keeps the stream join
+    append-mode). The canonical two-stream join of an event pipeline; the
+    reference has no streaming engine, and this is the ONE Structured
+    Streaming join topology (stream x stream with state on both sides)
+    the wrapper family didn't yet cover.
 
     Both sides carry watermarks and the join condition bounds click_ts to
     [buy_ts - window, buy_ts], so each side's state store evicts rows

@@ -788,3 +788,13 @@ def test_pagerank_closed_forms(spark):
     assert rs[0] > max(rs[i] for i in range(1, 5))  # hub dominates
     leaves = [rs[i] for i in range(1, 5)]
     assert max(leaves) - min(leaves) < 1e-9  # symmetric leaves tie
+
+
+def test_pagerank_unquantized_mode(spark):
+    """quantize_dp=None: no rounding floor (the web-scale path) — the
+    2-cycle still splits rank evenly and conserves total mass."""
+    from modevetl_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r = {x.node: x.rank for x in pagerank(cyc, quantize_dp=None).collect()}
+    assert abs(r[1] - 0.5) < 1e-12 and abs(r[2] - 0.5) < 1e-12

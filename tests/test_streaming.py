@@ -867,3 +867,65 @@ def test_aggregate_state_empty_delta_noop(spark, sf_dir, tmp_path):
     ) == 0
     after = {(r.o_custkey, r.n_orders) for r in spark.read.parquet(state).collect()}
     assert before == after
+
+
+def test_aggregate_state_null_keys(spark, tmp_path):
+    """A NULL group key's history must survive merges — the probe join
+    is null-safe (a plain on=keys semi-join would drop the stored NULL
+    row and silently reset its accumulators)."""
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    state = str(tmp_path / "nullstate")
+    m = {"n": ("count", "v"), "total": ("sum", "v")}
+    d1 = spark.createDataFrame(
+        [(None, 10.0), (None, 20.0), ("a", 1.0)], "k string, v double"
+    )
+    d2 = spark.createDataFrame([(None, 5.0)], "k string, v double")
+    merge_aggregate_state(spark, d1, state, ["k"], m)
+    merge_aggregate_state(spark, d2, state, ["k"], m)
+    rows = {
+        (r.k, r.n, float(r.total))
+        for r in spark.read.parquet(state).collect()
+    }
+    assert rows == {(None, 3, 35.0), ("a", 1, 1.0)}
+
+
+def test_fs_scheme_without_session_raises(tmp_path):
+    """A scheme'd path with no session must fail loudly — a silent
+    os.path fallback would recreate the always-False cold-start bug."""
+    import pytest as _pytest
+
+    from modevetl_spark.sources.fs import fs_exists, read_json_state
+
+    with _pytest.raises(ValueError, match="scheme"):
+        fs_exists(None, "s3a://bucket/state.json")
+    with _pytest.raises(ValueError, match="scheme"):
+        read_json_state(None, "hdfs://nn/state.json")
+
+
+def test_aggregate_state_rejects_object_store_path(spark, tmp_path):
+    import pytest as _pytest
+
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    d = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with _pytest.raises(NotImplementedError):
+        merge_aggregate_state(
+            spark, d, "s3a://bucket/state", ["k"], {"n": ("count", "v")}
+        )
+
+
+def test_watermark_crash_window_recovers_from_tmp(spark, tmp_path):
+    """JVM-path writer crash between delete(live) and rename(tmp->live):
+    the reader recovers the fully-written tmp instead of cold-starting."""
+    uri = "file:" + str(tmp_path / "state.json")
+    wm = Watermark(uri, spark=spark)
+    wm.write("2024-01-15 00:00:00")
+    # simulate the crash window: live deleted, tmp present
+    import json as _json
+
+    (tmp_path / "state.json.tmp").write_text(
+        _json.dumps({"watermark": "2024-02-01 00:00:00"})
+    )
+    os.remove(tmp_path / "state.json")
+    assert wm.read() == "2024-02-01 00:00:00"
