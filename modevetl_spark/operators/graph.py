@@ -85,43 +85,55 @@ def pagerank(
     casts differ across engines at the last digit). The graded query
     keeps the replayable default on its 10⁴–10⁵-node fixture graph.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().cache()
-    verts = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
-        .cache()
-    )
-    n = verts.count()
-    if n == 0:
-        e.unpersist()
-        verts.unpersist()
-        return verts.select("node", F.lit(0.0).alias("rank"))
+    # Size the shuffle width to the edge list BEFORE the setup shuffles
+    # run (distinct, vertex union, out-degree, degree join): on a
+    # small-to-medium graph those four shuffles at the session's
+    # full-table width cost more than the iterations themselves
+    # (measured ~2.5 s of a 6.7 s sf0.1 run). edges.count() is a narrow
+    # scan, no shuffle.
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges.select(
+            F.col(src).cast("long").alias("node"), F.lit(0.0).alias("rank")
+        )
 
     dec = "decimal(18,9)" if quantize_dp is not None else "decimal(38,18)"
 
     def _q(col):
         return F.round(col, quantize_dp) if quantize_dp is not None else col
 
-    out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
-    # out-degree is loop-invariant: attach it to the edge list ONCE, so
-    # each iteration runs a single src-keyed join instead of two
-    e_deg = (
-        e.join(out_deg.withColumnRenamed("s", "s2"), e.s == F.col("s2"))
-        .select("s", "d", "out_deg")
-        .cache()
-    )
-    teleport = (1.0 - damping) / n
+    with _tuned_shuffle(edges, n_edges):
+        e = (
+            edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+            .distinct()
+            .cache()
+        )
+        verts = (
+            e.select(F.col("s").alias("node"))
+            .union(e.select(F.col("d").alias("node")))
+            .distinct()
+            .cache()
+        )
+        n = verts.count()
+        out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+        # out-degree is loop-invariant: attach it to the edge list ONCE,
+        # so each iteration runs a single src-keyed join instead of two
+        e_deg = (
+            e.join(out_deg.withColumnRenamed("s", "s2"), e.s == F.col("s2"))
+            .select("s", "d", "out_deg")
+            .cache()
+        )
+        teleport = (1.0 - damping) / n
 
-    # unpersist on EVERY exit (closure-loop convention): a task failure
-    # mid-iteration must not leak the cached edge set for the session's
-    # life. _tuned_shuffle sizes the loop's shuffle width to the rank
-    # frame and parks AQE for the iterations, same as the closure loop.
-    try:
-        ranks = verts.select(
-            "node", _q(F.lit(1.0 / n)).alias("rank")
-        ).localCheckpoint(eager=True)
-        with _tuned_shuffle(e, n):
+        # unpersist on EVERY exit (closure-loop convention): a task
+        # failure mid-iteration must not leak the cached edge set for
+        # the session's life. _tuned_shuffle sizes the whole build's
+        # shuffle width to the graph and parks AQE, same reasoning as
+        # the closure loop.
+        try:
+            ranks = verts.select(
+                "node", _q(F.lit(1.0 / n)).alias("rank")
+            ).localCheckpoint(eager=True)
             for _ in range(iterations):
                 contribs = (
                     e_deg.join(ranks, e_deg.s == ranks.node)
@@ -163,9 +175,9 @@ def pagerank(
                     )
                     .localCheckpoint(eager=True)
                 )
-    finally:
-        e.unpersist()
-        verts.unpersist()
-        out_deg.unpersist()
-        e_deg.unpersist()
+        finally:
+            e.unpersist()
+            verts.unpersist()
+            out_deg.unpersist()
+            e_deg.unpersist()
     return ranks
