@@ -193,9 +193,13 @@ def transitive_closure(
 def _closure_doubling(
     edges: DataFrame, src: str, dst: str, max_iterations: int
 ) -> DataFrame:
-    closure = edges.select(src, dst).distinct().localCheckpoint(eager=True)
-    n = closure.count()
-    with _tuned_shuffle(edges, n):
+    # narrow count BEFORE any shuffle so the initial distinct runs at the
+    # tuned width too (same setup-width lesson as pagerank: the session's
+    # full-table width wastes task overhead on a small edge list)
+    n_edges = edges.count()
+    with _tuned_shuffle(edges, n_edges):
+        closure = edges.select(src, dst).distinct().localCheckpoint(eager=True)
+        n = closure.count()
         for _ in range(max_iterations):
             doubled = (
                 closure.withColumnRenamed(dst, "__mid")
