@@ -207,3 +207,70 @@ def test_string_scalars_match_python(str_df, expr):
     got = [r.out for r in str_df.select(to_col(expr).alias("out")).collect()]
     want = [py_eval_str(expr, t) for t in STR_VALUES]
     assert got == want, (expr, got, want)
+
+
+# ---- aggregate-state maintenance property (operators/aggstate.py) ----
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["k1", "k2", "k3"])),
+        st.integers(-1000, 1000),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=rows_strategy, n_ticks=st.integers(1, 4), data=st.data())
+def test_aggstate_any_split_equals_full(spark, tmp_path_factory, rows, n_ticks, data):
+    """Any split of any row set into 1-4 ticks merges to exactly the
+    single-shot group-by — counts, exact integer-valued sums, min/max —
+    including NULL group keys."""
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+
+    tick_of = [
+        data.draw(st.integers(0, n_ticks - 1), label=f"tick_{i}")
+        for i in range(len(rows))
+    ]
+    state = str(tmp_path_factory.mktemp("aggstate") / "state")
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k string, v double"
+    )
+    measures = {
+        "n": ("count", "v"),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    for t in range(n_ticks):
+        idx = [i for i, tk in enumerate(tick_of) if tk == t]
+        delta = spark.createDataFrame(
+            [(rows[i][0], float(rows[i][1])) for i in idx] or [],
+            "k string, v double",
+        )
+        merge_aggregate_state(spark, delta, state, ["k"], measures)
+    got = {
+        (r.k, r.n, float(r.total), r.lo, r.hi)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.k, r.n, float(r.total), r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum(F.col("v").cast("decimal(28,9)"))
+            .cast("decimal(28,9)")
+            .alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
