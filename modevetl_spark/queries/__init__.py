@@ -31,6 +31,7 @@ _MODULES = [
     "reshape",
     "pipeline",
     "analytics",
+    "warehouse",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,

@@ -246,3 +246,70 @@ def test_local_supplier_plan_shape(spark, sf_dir):
     assert any("EqualTo(r_name,ASIA)" in seg.split("]")[0] for seg in pushed[1:]), p
     tree = p.split("(1) Scan")[0]
     assert tree.count("- Exchange (") <= 1, tree
+
+
+def test_order_priority_streams_fact(spark, sf_dir):
+    """TPC-H Q4 shape: the date-sliced orders side broadcasts so the
+    EXISTS probe streams lineitem through a broadcast-hash join — no
+    sort-merge, no cartesian; only matched keys reach the distinct."""
+    p = plan(_Q["q_tpch_order_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = p.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("]")[0] for seg in pushed[1:]), p
+
+
+def test_volume_shipping_all_dims_broadcast(spark, sf_dir):
+    """TPC-H Q7 shape: both dimension chains (supplier->nation and
+    customer->order->nation) collapse to broadcasts; the shipdate slice
+    reaches the fact scan; the fact never shuffles before the final
+    bounded-key aggregate."""
+    p = plan(_Q["q_tpch_volume_shipping"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    pushed = p.split("PushedFilters")
+    assert any("l_shipdate" in seg.split("]")[0] for seg in pushed[1:]), p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Exchange (") <= 1, tree
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD-2 build: both windows and the change filter key on user_id —
+    the whole interval build must run on ONE hash exchange (the second
+    window reuses the first's partitioning and sort)."""
+    p = plan(_Q["q_scd2_dimension"](spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Exchange (") == 1, tree
+    assert tree.count("- Window (") == 2, tree
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Sequential Poisson sampling: integer priority per row + global
+    top-k must plan as TakeOrderedAndProject with zero exchanges — each
+    partition keeps only its local candidates."""
+    p = plan(_Q["q_sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Exchange (") == 0, tree
+    assert "Python" not in p
+
+
+def test_session_paths_group_limit_and_shared_exchange(spark, sf_dir):
+    """Path mining: the first-5 filter pushes into the window as
+    WindowGroupLimit (partial before the exchange), and the path regroup
+    reuses the window's (user_id, day) partitioning — two exchanges
+    total (the second moves only distinct path strings)."""
+    p = plan(_Q["q_session_paths"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "TakeOrderedAndProject" in p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Exchange (") == 2, tree
+
+
+def test_mad_medians_broadcast(spark, sf_dir):
+    """MAD: the ~3-row medians table joins back as a broadcast; the
+    fact shuffles only into percentile state, never for the join."""
+    p = plan(_Q["q_agg_mad"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -1,0 +1,115 @@
+"""Semantic gates for the round-5 warehouse operators: SCD-2 interval
+invariants, weighted-sampling bias, Q4 semi-join equivalence, path
+shape. Oracle hashes prove value parity; these prove the *contracts*."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from modevetl_spark.queries import all_queries
+
+_Q = all_queries()
+
+
+def test_scd2_intervals_tile_and_alternate(spark, sf_dir):
+    out = _Q["q_scd2_dimension"](spark, sf_dir).cache()
+    try:
+        # exactly one open (current) interval per user
+        open_rows = (
+            out.where(F.col("effective_to").isNull())
+            .groupBy("user_id")
+            .count()
+        )
+        assert open_rows.where(F.col("count") != 1).count() == 0
+        # intervals tile: next version's effective_from == this effective_to
+        a = out.alias("a")
+        b = out.alias("b")
+        seams = a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.version") == F.col("a.version") + 1),
+        )
+        assert (
+            seams.where(
+                F.col("a.effective_to") != F.col("b.effective_from")
+            ).count()
+            == 0
+        )
+        # consecutive versions always change state (that's what SCD-2 rows are)
+        assert seams.where(F.col("a.state") == F.col("b.state")).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_scd2_replay_idempotent(spark, sf_dir):
+    """Running the build twice over the same log yields identical rows —
+    the reference's replay contract (upsert wins, same result)."""
+    a = _Q["q_scd2_dimension"](spark, sf_dir)
+    b = _Q["q_scd2_dimension"](spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """Sequential Poisson sampling must overrepresent heavy docs: the
+    kept set's mean weight exceeds the corpus mean weight."""
+    from modevetl_spark.sources.catalog import load
+
+    kept = _Q["q_sample_weighted"](spark, sf_dir)
+    corpus_mean = (
+        load(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    kept_mean = kept.agg(F.avg("n_chars")).first()[0]
+    assert kept_mean > corpus_mean
+
+
+def test_order_priority_equals_semi_join_form(spark, sf_dir):
+    """The broadcast inner+distinct rewrite must equal the literal
+    left-semi formulation (the plan differs; the relation must not)."""
+    from modevetl_spark.sources.catalog import load
+
+    got = _Q["q_tpch_order_priority"](spark, sf_dir)
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    semi = (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    assert got.exceptAll(semi).count() == 0 and semi.exceptAll(got).count() == 0
+
+
+def test_session_paths_shape(spark, sf_dir):
+    out = _Q["q_session_paths"](spark, sf_dir)
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 5
+        assert all(
+            s in {"error", "view", "click", "signup", "purchase"}
+            for s in steps
+        )
+    # ranking is by count desc
+    counts = [r["n_user_days"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_mad_bounded_by_range(spark, sf_dir):
+    """MAD <= half the value range, and >= 0; median within min/max."""
+    from modevetl_spark.sources.catalog import load
+
+    li = load(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi")
+    ).first()
+    for r in _Q["q_agg_mad"](spark, sf_dir).collect():
+        assert rng["lo"] <= r["median_qty"] <= rng["hi"]
+        assert 0 <= r["mad_qty"] <= (rng["hi"] - rng["lo"]) / 2
