@@ -41,6 +41,8 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_graph_pagerank",
     "q_tpch_local_supplier",
+    "q_tpch_volume_shipping",
+    "q_scd2_dimension",
 ]
 
 

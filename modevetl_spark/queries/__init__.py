@@ -32,6 +32,7 @@ _MODULES = [
     "pipeline",
     "analytics",
     "warehouse",
+    "retrieval",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,

@@ -382,3 +382,192 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_qty"),
         )
     )
+
+
+# --- Chi-square independence audit (event_type x day-of-week) -----------
+
+_CHI2_ORACLE = """
+WITH cell AS (
+    SELECT event_type,
+           CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+           COUNT(*) AS observed
+    FROM events GROUP BY 1, 2
+),
+j AS (
+    SELECT event_type, dow, observed,
+           CAST(SUM(observed) OVER (PARTITION BY event_type)
+                * SUM(observed) OVER (PARTITION BY dow) AS DOUBLE)
+           / SUM(observed) OVER () AS expected
+    FROM cell
+)
+SELECT event_type, dow, observed,
+       ROUND(expected, 6) AS expected,
+       ROUND((CAST(observed AS DOUBLE) - expected)
+             * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+           AS contribution,
+       ROUND(CAST(SUM(CAST(ROUND((CAST(observed AS DOUBLE) - expected)
+                                 * (CAST(observed AS DOUBLE) - expected)
+                                 / expected, 9) AS DECIMAL(18,9)))
+                      OVER () AS DOUBLE), 6) AS chi2_total
+FROM j
+"""
+
+
+@q("q_stats_chi2", oracle_sql=_CHI2_ORACLE)
+def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10++: chi-square independence audit of event_type × day-of-week —
+    the distribution-drift check a data pipeline runs before trusting a
+    newly ingested slice (is activity mix independent of weekday?).
+    Emits the full contingency table with per-cell contributions and the
+    chi-square statistic.
+
+    Float discipline: expected = (row·col)/n is one exact double
+    division of exact integers; each contribution is a per-row
+    expression; the chi2 total is per-term round-to-9dp + DECIMAL(18,9)
+    (association-free — the q_token_entropy rule for order-sensitive
+    sums).
+
+    Plan shape: ONE (type,dow) hash agg with map-side combine touches
+    the fact; row/column margins and the grand total are window sums
+    over the 35-row contingency table itself — the fact table scans
+    exactly once, margins never re-aggregate it."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_n = F.sum("observed").over(Window.partitionBy("event_type"))
+    col_n = F.sum("observed").over(Window.partitionBy("dow"))
+    n = F.sum("observed").over(Window.partitionBy())
+    j = cell.select(
+        "event_type",
+        "dow",
+        "observed",
+        ((row_n * col_n).cast("double") / n).alias("expected_raw"),
+    )
+    contrib = (
+        (F.col("observed").cast("double") - F.col("expected_raw"))
+        * (F.col("observed").cast("double") - F.col("expected_raw"))
+        / F.col("expected_raw")
+    )
+    w_all = Window.partitionBy()
+    return j.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.round("expected_raw", 6).alias("expected"),
+        F.round(contrib, 6).alias("contribution"),
+        F.round(
+            F.sum(F.round(contrib, 9).cast("decimal(18,9)"))
+            .over(w_all)
+            .cast("double"),
+            6,
+        ).alias("chi2_total"),
+    )
+
+
+# --- Linear-interpolation gap fill (time-series densify) ----------------
+
+_INTERP_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+    SELECT user_id, CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+),
+g AS (
+    SELECT grid.user_id, grid.day, d.v
+    FROM grid LEFT JOIN daily d ON d.user_id = grid.user_id AND d.day = grid.day
+),
+f AS (
+    SELECT user_id, day, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+    FROM g
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       ROUND(COALESCE(v,
+                      pv + (nv - pv) * (CAST(day - pd AS DOUBLE)
+                                        / CAST(nd - pd AS DOUBLE))), 6)
+           AS value_filled,
+       v IS NOT NULL AS observed
+FROM f
+"""
+
+
+@q("q_gapfill_interp", oracle_sql=_INTERP_ORACLE)
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+/T2+: linear-interpolation gap fill — densify each user's
+    daily metric to a full day grid and fill missing days by linear
+    interpolation between the neighboring observed days (the numeric
+    companion of q_gapfill_ffill's last-observation-carried-forward).
+    Grid edges are always observed (the grid spans each user's own
+    min..max observed day), so every gap is interior.
+
+    Determinism: daily sums are decimal-exact then 6-dp rounded; the
+    interpolation `pv + (nv-pv) * (Δdays/Δspan)` is three exact IEEE
+    ops on rounded inputs — bit-identical in any engine.
+
+    Plan shape: one (user,day) hash agg, a per-user min/max agg whose
+    sequence explode is narrow, one co-keyed left join, and one window
+    exchange on user_id serving all four frame-bounded accumulations.
+    At 100 TB the grid is |users|·|days| — generated, never scanned."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = g.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    )
+    return f.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round(F.coalesce("v", interp), 6).alias("value_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )

