@@ -19,7 +19,7 @@ DuckDB oracle must reproduce the value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.operators._util import spread
@@ -516,3 +516,111 @@ def run_dedup_incremental(
         pairs.unpersist()
         new_rows.unpersist()
     return n
+
+
+def global_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    partitions: int | None = None,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Scalable global row-number by ``key_cols`` — the single-partition
+    global window is the classic scale-killer, so this computes the same
+    total order with range partitioning: repartitionByRange on the keys
+    (plus whatever tie-breaker the caller folded into them), a
+    per-partition row_number, and a broadcast join of the cumulative
+    partition offsets (|partitions| rows — the only tiny global step).
+
+    The caller's key set must be a total order (include a unique id);
+    repartitionByRange may split equal range keys across partitions, and
+    the tie-breaker keeps the cross-partition order deterministic.
+
+    Implementation detail that keeps it ONE data shuffle: after the
+    range exchange the rows are sorted within partitions, so
+    monotonically_increasing_id (partitionId·2³³ + in-partition offset)
+    is already order-consistent — splitting it back into (pid, local
+    offset) gives per-partition dense ranks with NO window (a window on
+    the partition id would force a second, hash exchange). Only the
+    |partitions|-row offset table goes through a tiny global window."""
+    parts = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(
+        parts, *[F.col(c) for c in key_cols]
+    ).sortWithinPartitions(*[F.col(c) for c in key_cols])
+    local = ranged.withColumn("_mid", F.monotonically_increasing_id()).select(
+        "*",
+        F.shiftright("_mid", 33).alias("_pid"),
+        (F.col("_mid") % F.lit(1 << 33)).alias("_lrn"),
+    )
+    # cumulative offset per partition id: |partitions| rows, so the
+    # single-partition window here is bounded by config, not by data
+    offs = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            rank_col, (F.col("_lrn") + F.col("_off") + 1).cast("bigint")
+        )
+        .drop("_pid", "_lrn", "_mid")
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    key: Column,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate generation — the third
+    blocking family next to MinHash-LSH and SimHash banding: sort the
+    corpus by a locality-preserving key, compare each record only with
+    its ``window`` successors in that order. Classic record-linkage
+    blocking (Hernández & Stolfo's merge/purge); recall depends on the
+    key clustering true duplicates, precision is restored by the exact
+    verify the caller applies to the emitted pairs.
+
+    Returns (rn, id, toks) ranked rows joined into candidate pairs
+    (id_a, toks_a, id_b, toks_b) via w equi-joins on the global rank
+    (offset explode — co-partitioned on rn, no boundary cases, no
+    single-partition window: global_rank is range-partitioned)."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        key.alias("_k"),
+        F.array_distinct(tokens(text_col)).alias("_toks"),
+    )
+    # the self-join consumes the ranked relation twice — checkpoint so
+    # the range exchange + rank assignment run once (the closure-loop
+    # convention; at cluster scale this is a persist to local disk)
+    ranked = (
+        global_rank(base, ["_k", "_id"])
+        .select("rn", "_id", "_toks")
+        .localCheckpoint(eager=True)
+    )
+    offs = ranked.select(
+        "rn",
+        F.col("_id").alias("id_a"),
+        F.col("_toks").alias("toks_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window)
+        ).alias("_rn_b"),
+    )
+    right = ranked.select(
+        F.col("rn").alias("_rn_b"),
+        F.col("_id").alias("id_b"),
+        F.col("_toks").alias("toks_b"),
+    )
+    return offs.join(right, "_rn_b").select("id_a", "toks_a", "id_b", "toks_b")

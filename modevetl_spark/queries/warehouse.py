@@ -571,3 +571,201 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("v", interp), 6).alias("value_filled"),
         F.col("v").isNotNull().alias("observed"),
     )
+
+
+# --- Rolling 7-day active users (WAU) -----------------------------------
+
+_WAU_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS a FROM events),
+days AS (SELECT DISTINCT a AS day FROM ud),
+contrib AS (
+    SELECT DISTINCT user_id,
+           CAST(UNNEST(generate_series(a, a + INTERVAL 6 DAY,
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM ud
+)
+SELECT CAST(day AS TIMESTAMP) AS day, COUNT(*) AS wau_7d
+FROM contrib
+WHERE day IN (SELECT day FROM days)
+GROUP BY 1
+"""
+
+
+@q("q_rolling_active_users", oracle_sql=_WAU_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+/A7+: trailing 7-day distinct active users per day (rolling
+    WAU) — the engagement metric every events pipeline reports. Distinct
+    count over a sliding window has no direct window-function form;
+    the scalable exact rewrite is contribution explode: each (user,
+    activity-day) contributes that user to the 7 days it keeps them
+    active, distinct collapses multi-active users, one bounded hash agg
+    counts.
+
+    Plan shape: distinct (user, day) pairs (the only fact-sized
+    shuffle), ×7 narrow explode, second distinct, ~|days| -key count
+    agg; the observed-days filter broadcasts. At 100 TB the explode
+    factor is the window length — linear, partition-local, no global
+    window anywhere."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("a")).distinct()
+    days = ud.select(F.col("a").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("a"), F.date_add("a", 6))).alias("day"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy(F.col("day").cast("timestamp").alias("day"))
+        .agg(F.count(F.lit(1)).alias("wau_7d"))
+    )
+
+
+# --- Rule-based validation / quarantine report --------------------------
+
+_VALIDATE_ORACLE = """
+WITH agg AS (
+    SELECT COUNT(*) AS total,
+        SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v1,
+        SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1990-01-01'
+                           AND o_orderdate < TIMESTAMP '2005-01-01')
+                 THEN 1 ELSE 0 END) AS v2,
+        SUM(CASE WHEN NOT (o_orderstatus IN ('P', 'O', 'F'))
+                 THEN 1 ELSE 0 END) AS v3,
+        SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                 THEN 1 ELSE 0 END) AS v4,
+        SUM(CASE WHEN NOT (o_custkey IS NOT NULL AND o_custkey > 0)
+                 THEN 1 ELSE 0 END) AS v5,
+        SUM(CASE WHEN NOT (o_totalprice <= 300000) THEN 1 ELSE 0 END) AS v6
+    FROM orders
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       ROUND(CAST(n_violations AS DOUBLE) / total, 6) AS violation_rate
+FROM (
+    SELECT 'totalprice_positive' AS rule, v1 AS n_violations, total FROM agg
+    UNION ALL SELECT 'orderdate_in_range', v2, total FROM agg
+    UNION ALL SELECT 'status_known', v3, total FROM agg
+    UNION ALL SELECT 'priority_format', v4, total FROM agg
+    UNION ALL SELECT 'custkey_positive', v5, total FROM agg
+    UNION ALL SELECT 'totalprice_le_300k', v6, total FROM agg
+)
+"""
+
+
+@q("q_validate_rules", oracle_sql=_VALIDATE_ORACLE)
+def validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+/P3+: rule-based data validation report — the quality gate an
+    ingestion pipeline runs before accepting a batch (the quarantine
+    counterpart keeps the violating rows; this emits per-rule violation
+    counts and rates). Six declarative rules over orders, including one
+    (the 300k price cap) that actually fires on the fixture.
+
+    Plan shape: every rule is a conditional sum in ONE scan + one
+    single-row aggregate; the per-rule rows come from a stack (unpivot)
+    of that row — adding a rule adds a column, never a pass. At 100 TB
+    this is the cheapest possible full-table audit: one map-side-
+    combined agg."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+
+    def viol(cond):
+        return F.sum(F.when(~cond, 1).otherwise(0))
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("total"),
+        viol(F.col("o_totalprice") > 0).alias("v1"),
+        viol(
+            (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2005-01-01").cast("timestamp"))
+        ).alias("v2"),
+        viol(F.col("o_orderstatus").isin("P", "O", "F")).alias("v3"),
+        viol(F.col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")).alias("v4"),
+        viol(
+            F.col("o_custkey").isNotNull() & (F.col("o_custkey") > 0)
+        ).alias("v5"),
+        viol(F.col("o_totalprice") <= 300000).alias("v6"),
+    )
+    stacked = agg.selectExpr(
+        "stack(6, "
+        "'totalprice_positive', v1, "
+        "'orderdate_in_range', v2, "
+        "'status_known', v3, "
+        "'priority_format', v4, "
+        "'custkey_positive', v5, "
+        "'totalprice_le_300k', v6) AS (rule, n_violations)",
+        "total",
+    )
+    return stacked.select(
+        "rule",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("total"), 6
+        ).alias("violation_rate"),
+    )
+
+
+# --- Sorted-neighborhood near-dup blocking ------------------------------
+
+_SNM_ORACLE = """
+WITH t AS (
+    SELECT doc_id, substr(lower(text), 1, 32) AS k,
+           list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                     x -> x <> '')) AS toks
+    FROM documents
+),
+r AS (
+    SELECT doc_id, toks,
+           ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rn
+    FROM t
+),
+p AS (
+    SELECT a.doc_id AS aid, b.doc_id AS bid,
+           len(list_intersect(a.toks, b.toks)) AS ni,
+           len(a.toks) AS na, len(b.toks) AS nb
+    FROM r a
+    JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
+)
+SELECT LEAST(aid, bid) AS id_a,
+       GREATEST(aid, bid) AS id_b,
+       ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS jaccard
+FROM p
+WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.3
+"""
+
+
+@q("q_dedup_snm", oracle_sql=_SNM_ORACLE)
+def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+: sorted-neighborhood (merge/purge) near-dup blocking — the
+    third candidate-generation family next to MinHash-LSH banding and
+    SimHash chunks: sort by a locality-preserving key (the first 32
+    chars of the normalized text), compare each doc only with its 5
+    successors, verify with exact token Jaccard ≥ 0.3. Recall comes
+    from the key ordering (prefix-identical near-dups are adjacent);
+    precision from the exact verify — the same contract as the LSH
+    paths, with a sort instead of a hash family.
+
+    Scale shape: the global rank is NOT a single-partition window —
+    operators/dedup.global_rank range-partitions on the key and
+    reconciles per-partition row numbers with broadcast cumulative
+    offsets; the w candidate joins are equi-joins on the rank
+    (offset explode), co-partitioned, no boundary cases."""
+    from modevetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        d, F.substring(F.lower("text"), 1, 32), window=5
+    )
+    ni = F.size(F.array_intersect("toks_a", "toks_b"))
+    na, nb = F.size("toks_a"), F.size("toks_b")
+    jac = ni.cast("double") / (na + nb - ni)
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_j"),
+        )
+        .where(F.col("_j") >= 0.3)
+        .drop("_j")
+    )

@@ -352,3 +352,31 @@ def test_rrf_corpus_not_shuffled_for_scoring(spark, sf_dir):
     assert "Python" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_validate_rules_single_pass(spark, sf_dir):
+    """Validation: all rules fold into one scan + one single-row agg
+    (stack unpivots the row); no joins, no second pass."""
+    p = plan(_Q["q_validate_rules"](spark, sf_dir))
+    assert p.count("(1) Scan") == 1
+    tree = p.split("(1) Scan")[0]
+    assert "Join" not in tree, tree
+    assert "partial_" in p
+
+
+def test_rolling_wau_no_global_window(spark, sf_dir):
+    """WAU: the sliding distinct is contribution-explode + hash aggs —
+    no window at all, no cartesian, observed-days filter broadcast."""
+    p = plan(_Q["q_rolling_active_users"](spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert "Window" not in tree, tree
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_snm_no_python_no_cartesian(spark, sf_dir):
+    """SNM: candidate joins are rank equi-joins (offset explode), the
+    verify is JVM array intersection — no Python, no cartesian."""
+    p = plan(_Q["q_dedup_snm"](spark, sf_dir))
+    assert "Python" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

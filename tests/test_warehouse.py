@@ -180,3 +180,88 @@ def test_rrf_agrees_with_both_rankers_on_top1(spark, sf_dir):
         1 for qid, nid in cos_top1.items() if top1.get(qid, (0, None))[1] == nid
     )
     assert agree >= len(cos_top1) / 2
+
+
+def test_global_rank_equals_single_partition_window(spark, sf_dir):
+    """The range-partitioned rank must equal the (non-scalable) global
+    window row_number on the same total order, for any partition count."""
+    from pyspark.sql import Window
+    from modevetl_spark.operators.dedup import global_rank
+    from modevetl_spark.sources.catalog import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 32).alias("k")
+    )
+    w = Window.orderBy("k", "doc_id")
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in d.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    for parts in (2, 7):
+        got = {
+            r["doc_id"]: r["rn"]
+            for r in global_rank(d, ["k", "doc_id"], partitions=parts).collect()
+        }
+        assert got == want, parts
+
+
+def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
+    """No window runs over the data: the only Window node is the
+    |partitions|-row offset table; the data shuffle is a single range
+    exchange."""
+    from modevetl_spark.operators.dedup import global_rank
+    from modevetl_spark.sources.catalog import load
+    from tests.test_plans import plan
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring(F.lower("text"), 1, 32).alias("k")
+    )
+    p = plan(global_rank(d, ["k", "doc_id"], partitions=8))
+    assert "rangepartitioning" in p
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("- Window (") == 1, tree
+
+
+def test_snm_finds_planted_near_dups(spark, sf_dir):
+    """SNM must recover prefix-identical near-duplicates: every emitted
+    pair really has Jaccard >= 0.3, and the blocking finds at least one
+    of the corpus's exact-duplicate pairs (identical text sorts
+    adjacent by construction)."""
+    out = _Q["q_dedup_snm"](spark, sf_dir).cache()
+    try:
+        assert out.count() > 0
+        assert out.where(F.col("jaccard") < 0.3).count() == 0
+        assert out.where(F.col("id_a") >= F.col("id_b")).count() == 0
+        assert out.where(F.col("jaccard") >= 0.999999).count() > 0
+    finally:
+        out.unpersist()
+
+
+def test_validate_rules_finds_fixture_issues(spark, sf_dir):
+    """The validator must surface the fixture's real defects: bad
+    custkeys exist, the 300k cap fires, and rates stay in [0,1]."""
+    rows = {r["rule"]: r for r in _Q["q_validate_rules"](spark, sf_dir).collect()}
+    assert rows["custkey_positive"]["n_violations"] > 0
+    assert rows["totalprice_le_300k"]["n_violations"] > 0
+    for r in rows.values():
+        assert 0.0 <= r["violation_rate"] <= 1.0
+
+
+def test_rolling_wau_bounds(spark, sf_dir):
+    """WAU(d) is at least DAU(d) and at most total users; the trailing
+    window only ever adds users."""
+    from modevetl_spark.sources.catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n_users = ev.select("user_id").distinct().count()
+    for r in _Q["q_rolling_active_users"](spark, sf_dir).collect():
+        d = r["day"].date()
+        assert dau[d] <= r["wau_7d"] <= n_users
