@@ -769,3 +769,197 @@ def dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_j") >= 0.3)
         .drop("_j")
     )
+
+
+# --- Conversion lag quantiles (first view -> first purchase) ------------
+
+_CONVERT_ORACLE = """
+WITH fv AS (
+    SELECT user_id, MIN(ts) AS first_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase, MAX(f.first_view) AS first_view
+    FROM events e JOIN fv f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= f.first_view
+    GROUP BY e.user_id
+),
+lags AS (
+    SELECT CAST(FLOOR(epoch(first_purchase)) AS BIGINT)
+           - CAST(FLOOR(epoch(first_view)) AS BIGINT) AS lag_sec
+    FROM fp
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(lag_sec, 0.25), 6) AS p25_sec,
+       ROUND(quantile_cont(lag_sec, 0.50), 6) AS p50_sec,
+       ROUND(quantile_cont(lag_sec, 0.90), 6) AS p90_sec
+FROM lags
+"""
+
+
+@q("q_time_to_convert", oracle_sql=_CONVERT_ORACLE)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+: conversion-lag distribution — seconds from a user's first
+    view to their first subsequent purchase, summarized as exact
+    quantiles. The latency companion of q_funnel_conversion (which
+    counts who converts; this measures how fast).
+
+    Plan shape: two user-keyed hash aggs sharing the user_id join key
+    (the firsts table is broadcast-eligible), lag arithmetic on epoch
+    integers, one global percentile agg over |converted users| rows.
+    100 TB swap: percentile_approx, same plan."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(fv), "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_purchase"),
+            F.max("first_view").alias("first_view"),
+        )
+    )
+    lags = fp.select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("lag_sec")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lag_sec", F.lit(0.25)), 6).alias("p25_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.50)), 6).alias("p50_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.90)), 6).alias("p90_sec"),
+    )
+
+
+# --- Deterministic A/B split + two-proportion z-test --------------------
+
+_AB_ORACLE = """
+WITH assign AS (
+    SELECT user_id,
+           CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000'
+                THEN 'A' ELSE 'B' END AS grp
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+conv AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 200
+),
+g AS (
+    SELECT a.grp,
+           COUNT(*) AS n_users,
+           SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+    FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+    GROUP BY a.grp
+),
+w AS (
+    SELECT
+        MAX(CASE WHEN grp = 'A' THEN n_users END) AS n_a,
+        MAX(CASE WHEN grp = 'A' THEN n_conv END) AS conv_a,
+        MAX(CASE WHEN grp = 'B' THEN n_users END) AS n_b,
+        MAX(CASE WHEN grp = 'B' THEN n_conv END) AS conv_b
+    FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+       ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1.0 AS DOUBLE)
+                           - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (CAST(1.0 AS DOUBLE) / n_a
+                           + CAST(1.0 AS DOUBLE) / n_b)), 6)
+       END AS z_score
+FROM w
+"""
+
+
+@q("q_stats_ab_test", oracle_sql=_AB_ORACLE)
+def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+++: deterministic A/B experiment summary — users split 50/50
+    by content hash (the repo's md5-bucket idiom: assignment survives
+    retries, repartitioning, and re-runs), conversion = any purchase
+    event, compared with the two-proportion pooled z-test.
+
+    Determinism: counts are exact integers; the z statistic is a fixed
+    tree of exact IEEE ops (divisions, one correctly-rounded sqrt) so
+    both engines agree to the bit before the 6-dp round.
+
+    Plan shape: distinct users (one fact-keyed shuffle), broadcast
+    semi-ish left join of the tiny converter set, 2-key hash agg, then
+    a single-row pivot. The z-test itself costs nothing at any scale —
+    the fact is touched twice (assignment + converters), both prunable
+    to (user_id, event_type)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+                < "8000",
+                "A",
+            )
+            .otherwise("B")
+            .alias("grp"),
+        )
+    )
+    conv = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    g = (
+        assign.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_conv"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "A", F.col("n_conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "B", F.col("n_conv"))).alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("conv_a").cast("double") / F.col("n_a")
+        - F.col("conv_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    n_conv_tot = F.col("conv_a") + F.col("conv_b")
+    n_tot = F.col("n_a") + F.col("n_b")
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(F.col("conv_a").cast("double") / F.col("n_a"), 6).alias(
+            "rate_a"
+        ),
+        F.round(F.col("conv_b").cast("double") / F.col("n_b"), 6).alias(
+            "rate_b"
+        ),
+        # z undefined when the pooled rate is 0 or 1 (ANSI division guard)
+        F.when(
+            (n_conv_tot > 0) & (n_conv_tot < n_tot), F.round(z, 6)
+        ).alias("z_score"),
+    )

@@ -380,3 +380,20 @@ def test_snm_no_python_no_cartesian(spark, sf_dir):
     p = plan(_Q["q_dedup_snm"](spark, sf_dir))
     assert "Python" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_time_to_convert_firsts_broadcast(spark, sf_dir):
+    """Conversion lag: the per-user firsts table joins back as a
+    broadcast; no sort-merge of the fact."""
+    p = plan(_Q["q_time_to_convert"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ab_test_partial_aggs(spark, sf_dir):
+    """A/B summary: both user rollups combine map-side; converters ride
+    as a broadcast; nothing cartesian."""
+    p = plan(_Q["q_stats_ab_test"](spark, sf_dir))
+    assert "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

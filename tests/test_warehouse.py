@@ -265,3 +265,41 @@ def test_rolling_wau_bounds(spark, sf_dir):
     for r in _Q["q_rolling_active_users"](spark, sf_dir).collect():
         d = r["day"].date()
         assert dau[d] <= r["wau_7d"] <= n_users
+
+
+def test_time_to_convert_quantiles_ordered(spark, sf_dir):
+    r = _Q["q_time_to_convert"](spark, sf_dir).first()
+    assert r["n_converted"] > 0
+    assert 0 <= r["p25_sec"] <= r["p50_sec"] <= r["p90_sec"]
+
+
+def test_ab_test_consistency(spark, sf_dir):
+    from modevetl_spark.sources.catalog import load
+
+    r = _Q["q_stats_ab_test"](spark, sf_dir).first()
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    if r["z_score"] is not None:
+        # z sign must agree with the rate difference
+        assert (r["z_score"] > 0) == (r["rate_a"] > r["rate_b"]) or r[
+            "z_score"
+        ] == 0
+
+
+def test_ab_assignment_is_partition_invariant(spark, sf_dir):
+    """The md5 split must not change under repartitioning — re-run the
+    query with a different session shuffle width and compare counts."""
+    a = _Q["q_stats_ab_test"](spark, sf_dir).first()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = _Q["q_stats_ab_test"](spark, sf_dir).first()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert (a["n_a"], a["conv_a"], a["n_b"], a["conv_b"]) == (
+        b["n_a"],
+        b["conv_a"],
+        b["n_b"],
+        b["conv_b"],
+    )
