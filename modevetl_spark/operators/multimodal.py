@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -73,3 +74,69 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Manufacture an opaque binary payload column from text (the fixtures
     carry no real media; the bytes are opaque to everything downstream)."""
     return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+    ]
+)
+
+
+def _thumb(w: int, h: int, max_side: int = 64) -> tuple[int, int]:
+    """Aspect-preserving resize to a max_side bounding box — integer
+    arithmetic only, so the oracle replays it exactly."""
+    if w >= h:
+        return max_side, max(1, (h * max_side) // w)
+    return max(1, (w * max_side) // h), max_side
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling + resize over a binary video payload — the
+    UDTF-shaped multimodal stage (one input row fans out to its sampled
+    frames). The decode is the same deterministic stub as
+    ``extract_features`` (frame count from payload length, frame
+    "content" as md5(doc_id:frame_idx)); production swaps in pyav
+    keyframe extraction and a real thumbnailer — schema, batching, and
+    fan-out shape stay identical.
+
+    Scale notes: mapInPandas streams Arrow batches and emits a
+    DIFFERENT row count than it consumes (the UDTF contract); payloads
+    are projected away before anything shuffles, and the fan-out factor
+    is bounded by frames/every."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes, tws, ths = [], [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                w, h, n_frames = _fake_features(p if p is not None else b"")
+                tw, th = _thumb(w, h)
+                for fi in range(0, n_frames, every):
+                    ids.append(int(did))
+                    idxs.append(fi)
+                    hashes.append(
+                        hashlib.md5(f"{did}:{fi}".encode()).hexdigest()
+                    )
+                    tws.append(tw)
+                    ths.append(th)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                    "thumb_w": pd.Series(tws, dtype="int64"),
+                    "thumb_h": pd.Series(ths, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -963,3 +963,53 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_conv_tot > 0) & (n_conv_tot < n_tot), F.round(z, 6)
         ).alias("z_score"),
     )
+
+
+# --- Multimodal frame sampling (UDTF-shaped mapInPandas) ----------------
+
+_FRAMES_ORACLE = """
+WITH f AS (
+    SELECT doc_id,
+           length(text) % 640 + 1 AS w,
+           length(text) % 480 + 1 AS h,
+           length(text) % 7 + 1 AS nf
+    FROM documents
+),
+t AS (
+    SELECT doc_id, nf,
+           CASE WHEN w >= h THEN 64 ELSE GREATEST(1, (w * 64) // h) END AS tw,
+           CASE WHEN w >= h THEN GREATEST(1, (h * 64) // w) ELSE 64 END AS th
+    FROM f
+)
+SELECT doc_id,
+       CAST(UNNEST(range(0, nf, 2)) AS BIGINT) AS frame_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':'
+           || CAST(UNNEST(range(0, nf, 2)) AS VARCHAR)) AS frame_md5,
+       CAST(tw AS BIGINT) AS thumb_w,
+       CAST(th AS BIGINT) AS thumb_h
+FROM t
+"""
+
+
+@q("q_multimodal_frames", oracle_sql=_FRAMES_ORACLE)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+/U3: video frame sampling + thumbnail resize through
+    Arrow-batched mapInPandas with FAN-OUT (one payload row → its
+    sampled frames — the UDTF contract a real keyframe extractor
+    needs). Decode stubbed deterministically (operators/multimodal.py
+    sample_frames): frame count from payload length, frame content as
+    md5(doc:idx), aspect-preserving integer thumbnail math — all
+    SQL-replayable, so even the Python fan-out stage is hash-graded.
+
+    Scale shape: payloads never shuffle (features derived in the map
+    stage, payload projected away); output size is rows × nf/every,
+    bounded; Arrow batch memory capped by maxRecordsPerBatch."""
+    from modevetl_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+    from modevetl_spark.operators._util import spread
+
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    return sample_frames(with_binary_payload(d), every=2)

@@ -303,3 +303,31 @@ def test_ab_assignment_is_partition_invariant(spark, sf_dir):
         b["n_b"],
         b["conv_b"],
     )
+
+
+def test_frame_sampling_fanout_shape(spark, sf_dir):
+    """Frame sampler: every doc emits ceil(nf/2) frames with even
+    indices below its frame count; thumbs stay in the 64-box with
+    aspect order preserved."""
+    from modevetl_spark.sources.catalog import load
+
+    out = _Q["q_multimodal_frames"](spark, sf_dir).cache()
+    try:
+        n_docs = load(spark, sf_dir, "documents").count()
+        per_doc = out.groupBy("doc_id").count()
+        assert per_doc.count() == n_docs  # every doc has >=1 frame (idx 0)
+        assert out.where(F.col("frame_idx") % 2 != 0).count() == 0
+        assert (
+            out.where(
+                (F.col("thumb_w") > 64)
+                | (F.col("thumb_h") > 64)
+                | (F.col("thumb_w") < 1)
+                | (F.col("thumb_h") < 1)
+            ).count()
+            == 0
+        )
+        assert out.where(
+            (F.col("thumb_w") != 64) & (F.col("thumb_h") != 64)
+        ).count() == 0  # one side always hits the box
+    finally:
+        out.unpersist()
