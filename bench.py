@@ -43,6 +43,7 @@ HEADLINE = [
     "q_tpch_local_supplier",
     "q_tpch_volume_shipping",
     "q_scd2_dimension",
+    "q_dedup_snm",
 ]
 
 

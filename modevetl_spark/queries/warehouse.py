@@ -1013,3 +1013,100 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
     return sample_frames(with_binary_payload(d), every=2)
+
+
+# --- Triangle count / global clustering coefficient ---------------------
+
+_TRIANGLES_ORACLE = """
+WITH e AS (
+    SELECT p_partkey AS src, p_partkey + 1 AS dst FROM part
+    UNION
+    SELECT p_partkey AS src, p_partkey + 2 AS dst FROM part
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+deg AS (
+    SELECT node, COUNT(*) AS d
+    FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+    GROUP BY node
+),
+wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       w.n_wedges,
+       ROUND(CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges, 6)
+           AS global_clustering
+FROM tri t CROSS JOIN wed w
+"""
+
+
+@q("q_graph_triangles", oracle_sql=_TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9++: triangle count + global clustering coefficient — the graph
+    cohesion metric next to degrees/components/PageRank/closure. Runs
+    on a deterministic circulant graph (partkey → partkey+1 and +2, so
+    every consecutive triple closes a triangle) with the canonical
+    oriented-edge algorithm: edges stored src<dst ONCE, a 2-path join
+    on the middle vertex, a closing-edge equi-join — each triangle
+    counted exactly once, no direction explosion.
+
+    Scale shape: two vertex-keyed equi-joins with map-side-combined
+    degree aggs; at web scale the standard hardening is degree
+    orientation (point each edge at its higher-degree endpoint) so
+    per-vertex fan-out is bounded by sqrt(m) — same joins, re-keyed;
+    hub salting (operators/skew.py) composes if the degree histogram
+    (q_graph_degrees) says so. Wedge count is exact integer arithmetic
+    (d·(d-1)/2); the clustering coefficient is one exact division."""
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    e = (
+        p.select(
+            F.col("p_partkey").alias("src"),
+            (F.col("p_partkey") + 1).alias("dst"),
+        )
+        .union(
+            p.select(
+                F.col("p_partkey").alias("src"),
+                (F.col("p_partkey") + 2).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a2"), F.col("dst").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("CAST(d * (d - 1) AS BIGINT) div 2"))
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges"),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

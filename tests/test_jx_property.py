@@ -274,3 +274,36 @@ def test_aggstate_any_split_equals_full(spark, tmp_path_factory, rows, n_ticks, 
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=3),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_rank_any_data_any_width(spark, keys, parts):
+    """global_rank must reproduce enumerate(sorted(...)) for arbitrary
+    key multisets (duplicates included) at any partition count — the
+    range-exchange + offset reconciliation can never skip or repeat a
+    rank."""
+    from modevetl_spark.operators.dedup import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    got = {
+        r["id"]: r["rn"]
+        for r in global_rank(df, ["k", "id"], partitions=parts).collect()
+    }
+    want = {
+        i: rank + 1
+        for rank, (k, i) in enumerate(sorted((k, i) for i, k in rows))
+    }
+    assert got == want

@@ -75,6 +75,7 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         "q_udf_scalar",
         "q_udaf_grouped",
         "q_multimodal_features",
+        "q_multimodal_frames",  # UDTF-shaped mapInPandas fan-out (declared)
         "q_pack_budget",  # per-partition greedy packing is applyInPandas
     }
     for name in sorted(set(_Q) - udf_queries):

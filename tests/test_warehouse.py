@@ -331,3 +331,16 @@ def test_frame_sampling_fanout_shape(spark, sf_dir):
         ).count() == 0  # one side always hits the box
     finally:
         out.unpersist()
+
+
+def test_triangles_closed_form(spark, sf_dir):
+    """The circulant graph (k->k+1, k->k+2 over N contiguous partkeys)
+    closes one triangle per consecutive triple (k, k+1, k+2) whose
+    middle edge exists, i.e. N-1 triangles on N contiguous parts."""
+    from modevetl_spark.sources.catalog import load
+
+    n_parts = load(spark, sf_dir, "part").count()
+    r = _Q["q_graph_triangles"](spark, sf_dir).first()
+    assert r["n_triangles"] == n_parts - 1
+    assert r["n_wedges"] > 0
+    assert 0 < r["global_clustering"] <= 1
