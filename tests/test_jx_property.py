@@ -307,3 +307,74 @@ def test_global_rank_any_data_any_width(spark, keys, parts):
         for rank, (k, i) in enumerate(sorted((k, i) for i, k in rows))
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=999),  # seconds offset
+            st.sampled_from(["a", "b", "c"]),         # state
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_scd2_invariants_on_random_logs(spark, log):
+    """SCD-2 interval build on arbitrary change logs: intervals tile,
+    consecutive states differ, exactly one open interval per user, and
+    the first interval starts at the user's first event."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (eid, base + dt.timedelta(seconds=off), uid, state)
+        for eid, (uid, off, state) in enumerate(log)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st_df = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    ch = st_df.where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+    out = ch.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    ).collect()
+
+    per_user: dict = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    firsts = {}
+    for eid, (uid, off, state) in enumerate(log):
+        t = base + dt.timedelta(seconds=off)
+        if uid not in firsts or (t, eid) < firsts[uid]:
+            firsts[uid] = (t, eid)
+    for uid, rows_u in per_user.items():
+        rows_u.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows_u] == list(
+            range(1, len(rows_u) + 1)
+        )
+        assert rows_u[0]["effective_from"] == firsts[uid][0]
+        opens = [r for r in rows_u if r["effective_to"] is None]
+        assert len(opens) == 1 and opens[0] is rows_u[-1]
+        for a, b in zip(rows_u, rows_u[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["state"] != b["state"]
