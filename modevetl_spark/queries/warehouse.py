@@ -197,26 +197,10 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over it (the second sort collapses: the change filter
     preserves order). No joins; at 100 TB this scales as a pure keyed
     shuffle of the change columns only."""
+    from modevetl_spark.operators.scd2 import scd2_build
+
     prep(spark)
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    st = ev.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "ts",
-        "event_id",
-        F.lag("event_type").over(
-            Window.partitionBy("user_id").orderBy("ts", "event_id")
-        ).alias("prev"),
-    )
-    ch = st.where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
-    return ch.select(
-        "user_id",
-        "state",
-        F.col("ts").alias("effective_from"),
-        F.lead("ts").over(w).alias("effective_to"),
-        F.row_number().over(w).cast("long").alias("version"),
-    )
+    return scd2_build(load(spark, sf_dir, "events"))
 
 
 # --- Sequential Poisson weighted sampling (integer-exact) ---------------
@@ -1109,4 +1093,37 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("global_clustering"),
         )
+    )
+
+
+@q("q_scd2_incremental", oracle_sql=_SCD2_ORACLE)
+def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4++/A14++: incremental SCD-2 maintenance graded against the
+    single-shot build oracle — the events log is sliced into three
+    date batches, each merged O(delta) into a fresh on-disk interval
+    store (operators/scd2.py: only touched users' OPEN tails rebuild;
+    closed intervals are never read or rewritten), and the final store
+    must hash-equal building the dimension from all of history at once.
+    The materialized-dimension twin of q_agg_incremental_state."""
+    import tempfile
+
+    from modevetl_spark.operators.scd2 import merge_scd2_state
+
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    cuts = ["2024-01-11", "2024-01-21"]
+    slices = [
+        ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        ev.where(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    store = tempfile.mkdtemp(prefix="scd2_state_")
+    for s in slices:
+        merge_scd2_state(spark, s, store)
+    out = spark.read.parquet(store)
+    return out.select(
+        "user_id", "state", "effective_from", "effective_to", "version"
     )

@@ -378,3 +378,61 @@ def test_scd2_invariants_on_random_logs(spark, log):
         for a, b in zip(rows_u, rows_u[1:]):
             assert a["effective_to"] == b["effective_from"]
             assert a["state"] != b["state"]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),    # user
+            st.integers(min_value=0, max_value=99),   # seconds offset
+            st.sampled_from(["a", "b", "c"]),         # state
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_ticks=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_scd2_incremental_any_time_split_equals_full(
+    spark, tmp_path_factory, log, n_ticks, data
+):
+    """Any WATERMARK-ORDERED split of a change log into 1-4 ticks merges
+    to exactly the single-shot SCD-2 build (the aggstate equivalence
+    contract, for interval state). Cuts are drawn on the event-id order
+    of the time-sorted log so ticks respect the append-only contract."""
+    import datetime as dt
+
+    from modevetl_spark.operators.scd2 import merge_scd2_state, scd2_build
+
+    base = dt.datetime(2024, 1, 1)
+    rows = sorted(
+        (
+            (base + dt.timedelta(seconds=off), eid, uid, state)
+            for eid, (uid, off, state) in enumerate(log)
+        )
+    )
+    cuts = sorted(
+        data.draw(st.integers(0, len(rows)), label=f"cut_{i}")
+        for i in range(n_ticks - 1)
+    )
+    bounds = [0, *cuts, len(rows)]
+    schema = "ts timestamp, event_id long, user_id long, event_type string"
+    state = str(tmp_path_factory.mktemp("scd2") / "state")
+    for t in range(len(bounds) - 1):
+        tick = rows[bounds[t] : bounds[t + 1]]
+        merge_scd2_state(spark, spark.createDataFrame(tick or [], schema), state)
+    full = scd2_build(spark.createDataFrame(rows, schema))
+    got = {
+        (r.user_id, r.state, r.effective_from, r.effective_to, r.version)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r.user_id, r.state, r.effective_from, r.effective_to, r.version)
+        for r in full.collect()
+    }
+    assert got == want
