@@ -1127,3 +1127,103 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "state", "effective_from", "effective_to", "version"
     )
+
+
+# --- Vocabulary build + ordered token-id encoding (graded) --------------
+
+_VOCAB_ORACLE = """
+WITH tf AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS token,
+           generate_subscripts(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           t -> t <> ''), 1) AS pos
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS freq FROM tf GROUP BY token),
+vocab AS (
+    SELECT token,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+               AS token_id
+    FROM counts
+    QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, token) <= 50
+)
+SELECT t.doc_id,
+       array_to_string(list(COALESCE(v.token_id, -1) ORDER BY t.pos), ',')
+           AS token_ids_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tf t
+LEFT JOIN vocab v ON v.token = t.token
+WHERE t.doc_id < 50
+GROUP BY t.doc_id
+"""
+
+
+@q("q_vocab_encode", oracle_sql=_VOCAB_ORACLE)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3++ (graded form of the r2 unit-only operator pair): build a
+    frequency-ranked 50-token vocabulary over the corpus, then encode
+    each document's token stream as an ORDERED id array (OOV = -1) —
+    the tokenizer-vocab step before training, with token order
+    preserved through posexplode positions.
+
+    Plan shape: one explode→hash-agg for counts, TakeOrdered truncation
+    BEFORE the ranking window (the window task sees ≤50 rows at any
+    corpus size), broadcast vocab join onto the position-exploded docs,
+    one per-doc regroup."""
+    from modevetl_spark.operators.text import build_vocab, encode_tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    vocab = build_vocab(d, "text", max_size=50)
+    enc = encode_tokens(d.where(F.col("doc_id") < 50), "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("token_ids_csv"),
+        "n_tokens",
+    )
+
+
+# --- Train/val/test split assignment audit (graded) ---------------------
+
+_SPLIT_ORACLE = """
+WITH b AS (
+    SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < '199a' THEN 'test'
+            WHEN bucket < 'e666' THEN 'train'
+            ELSE 'val' END AS split,
+       COUNT(*) AS n_docs
+FROM b
+GROUP BY 1
+"""
+
+
+@q("q_split_assign", oracle_sql=_SPLIT_ORACLE)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+++ (graded form of the r2 unit-only hash_split): deterministic
+    train/val/test assignment audit — 80/10/10 by content hash of the
+    doc id (operators/sampling.hash_split: disjoint md5-bucket
+    intervals in sorted-name order, so 'test' owns [0000,199a),
+    'train' [199a,e666), 'val' the rest — exactly the literals the
+    oracle replays). Counts per split; the assignment is a pure
+    function of the key, so this report is identical on any cluster,
+    any partitioning, any retry.
+
+    Plan shape: one scan, one ≤3-key hash agg with map-side combine."""
+    from modevetl_spark.operators.sampling import hash_split
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    parts = hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    out = None
+    for name, df in sorted(parts.items()):
+        piece = df.select(F.lit(name).alias("split"), "doc_id")
+        out = piece if out is None else out.unionByName(piece)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -344,3 +344,32 @@ def test_triangles_closed_form(spark, sf_dir):
     assert r["n_triangles"] == n_parts - 1
     assert r["n_wedges"] > 0
     assert 0 < r["global_clustering"] <= 1
+
+
+def test_vocab_encode_roundtrip(spark, sf_dir):
+    """Encoded streams: id count equals token count, ids are in
+    [-1, 49], and the most frequent corpus token encodes as id 0."""
+    from modevetl_spark.operators.text import build_vocab, tokens
+    from modevetl_spark.sources.catalog import load
+
+    d = load(spark, sf_dir, "documents")
+    out = _Q["q_vocab_encode"](spark, sf_dir).collect()
+    for r in out:
+        ids = [int(x) for x in r["token_ids_csv"].split(",")]
+        assert len(ids) == r["n_tokens"]
+        assert all(-1 <= i <= 49 for i in ids)
+    top = build_vocab(d, "text", max_size=1).first()
+    assert top["token_id"] == 0 and top["freq"] > 0
+
+
+def test_split_assign_partition_and_disjointness(spark, sf_dir):
+    """Split counts cover every doc exactly once and track 80/10/10
+    within binomial noise."""
+    from modevetl_spark.sources.catalog import load
+
+    rows = {r["split"]: r["n_docs"] for r in _Q["q_split_assign"](spark, sf_dir).collect()}
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(rows.values()) == n
+    assert abs(rows["train"] / n - 0.8) < 0.1
+    assert abs(rows["val"] / n - 0.1) < 0.07
+    assert abs(rows["test"] / n - 0.1) < 0.07
