@@ -1227,3 +1227,88 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = df.select(F.lit(name).alias("split"), "doc_id")
         out = piece if out is None else out.unionByName(piece)
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- Join-matrix completions: full outer + bag set ops ------------------
+
+_FULL_OUTER_ORACLE = """
+SELECT COALESCE(c.c_custkey, oc.o_custkey) AS custkey,
+       c.c_name,
+       CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_orders,
+       CASE WHEN c.c_custkey IS NULL THEN 'orphan_order'
+            WHEN oc.o_custkey IS NULL THEN 'no_orders'
+            ELSE 'matched' END AS side
+FROM customer c
+FULL JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1) oc
+  ON oc.o_custkey = c.c_custkey
+"""
+
+
+@q("q_join_full_outer", oracle_sql=_FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+ (completes the join matrix): FULL OUTER customer × order
+    rollup — customers with no orders keep a 0 count, and orders whose
+    custkey matches no customer would surface as 'orphan_order' (this
+    fixture has full referential integrity — q_validate_rules' 12
+    custkey-0 flags are a business-rule violation, and customer 0
+    exists — so the orphan side is exercised by the pytest on synthetic
+    frames). The reconciliation report both sides of an ETL handoff
+    run.
+
+    Plan shape: the order rollup is a bounded-key hash agg; full outer
+    cannot broadcast (both sides produce unmatched rows) so it shuffles
+    both inputs on the key once — exactly the minimum."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "orphan_order")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("side"),
+    )
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@q("q_except_all", oracle_sql=_EXCEPT_ALL_ORACLE)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+ (bag semantics): EXCEPT ALL — multiplicity-aware difference
+    (a key occurring 5 times minus 2 keeps 3 rows), which is what
+    frontier bookkeeping needs when duplicates carry meaning. Planner
+    rewrites to a counted anti-form; no distinct collapse."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(op)
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@q("q_intersect_all", oracle_sql=_INTERSECT_ALL_ORACLE)
+def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5+ (bag semantics): INTERSECT ALL — min-multiplicity overlap."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(op)

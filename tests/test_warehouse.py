@@ -373,3 +373,63 @@ def test_split_assign_partition_and_disjointness(spark, sf_dir):
     assert abs(rows["train"] / n - 0.8) < 0.1
     assert abs(rows["val"] / n - 0.1) < 0.07
     assert abs(rows["test"] / n - 0.1) < 0.07
+
+
+def test_full_outer_reconciliation_invariants(spark, sf_dir):
+    """Customer-side rows cover every customer exactly once; order
+    counts reconcile with the orders table; no_orders rows carry 0."""
+    out = _Q["q_join_full_outer"](spark, sf_dir).cache()
+    try:
+        from modevetl_spark.sources.catalog import load
+
+        n_cust = load(spark, sf_dir, "customer").count()
+        n_orders = load(spark, sf_dir, "orders").count()
+        sides = {
+            r["side"]: r["n"]
+            for r in out.groupBy("side").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sides.get("matched", 0) + sides.get("no_orders", 0) == n_cust
+        assert out.agg(F.sum("n_orders")).first()[0] == n_orders
+        assert out.where((F.col("side") == "no_orders") & (F.col("n_orders") != 0)).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_full_outer_shape_on_orphan_frames(spark):
+    """The orphan path itself, on synthetic frames: an order key with no
+    customer and a customer with no orders must both surface."""
+    c = spark.createDataFrame([(1, "a"), (2, "b")], ["c_custkey", "c_name"])
+    oc = spark.createDataFrame([(2, 5), (9, 1)], ["o_custkey", "n"])
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "full").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "orphan_order")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("side"),
+    )
+    got = {(r["custkey"], r["n_orders"], r["side"]) for r in j.collect()}
+    assert got == {(1, 0, "no_orders"), (2, 5, "matched"), (9, 1, "orphan_order")}
+
+
+def test_bag_set_ops_multiplicity(spark, sf_dir):
+    """EXCEPT ALL keeps max(0, m_left - m_right) copies per key;
+    INTERSECT ALL keeps min(m_left, m_right) — check against counted
+    aggregation."""
+    from modevetl_spark.sources.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    lm = {
+        r["o_custkey"]: r["n"]
+        for r in o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rm = {
+        r["o_custkey"]: r["n"]
+        for r in o.where(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    exp_except = sum(max(0, n - rm.get(k, 0)) for k, n in lm.items())
+    exp_inter = sum(min(n, rm.get(k, 0)) for k, n in lm.items())
+    assert _Q["q_except_all"](spark, sf_dir).count() == exp_except
+    assert _Q["q_intersect_all"](spark, sf_dir).count() == exp_inter
