@@ -157,6 +157,11 @@ _CHANGED_R5 = frozenset(
         "q_dedup_embedding_ivf",
     }
 )
+# Keys ADDED in round 5 (warehouse/retrieval waves, SCD-2, graph
+# triangles, multimodal frames, vocab/split grading, join-matrix
+# completions) need no explicit pin: they appear in no _GRADED_R* set,
+# so _freshest_round() returns 0 and they sort into the priority-0
+# cohort automatically.
 
 
 def _freshest_round(key: str) -> int:
