@@ -8,6 +8,7 @@ module is that front door for the Spark engine:
     python -m modevetl_spark.jobs hierarchy --settings settings.json
     python -m modevetl_spark.jobs reviews   --settings settings.json
     python -m modevetl_spark.jobs dedup     --settings settings.json
+    python -m modevetl_spark.jobs scd2      --settings settings.json
     python -m modevetl_spark.jobs all       --settings settings.json
 
 Settings schema (JSON)::
@@ -39,13 +40,19 @@ import sys
 
 from pyspark.sql import SparkSession
 
-from modevetl_spark.plans.jobs import dedup_job, hierarchy_job, reviews_job
+from modevetl_spark.plans.jobs import (
+    dedup_job,
+    hierarchy_job,
+    reviews_job,
+    scd2_job,
+)
 from modevetl_spark.session import get_spark
 
 JOBS = {
     "hierarchy": hierarchy_job,
     "reviews": reviews_job,
     "dedup": dedup_job,
+    "scd2": scd2_job,
 }
 
 

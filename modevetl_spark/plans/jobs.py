@@ -251,3 +251,43 @@ def dedup_job(
         return stats.n
     finally:
         pending.unpersist()
+
+
+def scd2_job(
+    spark: SparkSession, sf_dir: str, sink_path: str, state_path: str
+) -> int:
+    """Standing SCD-2 dimension maintenance as a cron tick: pull events
+    newer than the stored mark (event_id — the fixture's arrival order,
+    ts-monotone by construction), merge them O(delta) into the persisted
+    interval store under the sink (operators/scd2.merge_scd2_state —
+    only touched users' open tails rebuild), advance the mark.
+
+    The watermark pull guarantees the merge's append-only contract
+    (batch events never predate the open interval they extend), and a
+    crashed tick that merged-but-didn't-advance replays only the one
+    delta — merge is deterministic, so the keyed upsert rewrites the
+    same rows (convergent, though the tick itself is not idempotent
+    under arbitrary replays of OLDER data)."""
+    import os
+
+    from modevetl_spark.operators.scd2 import merge_scd2_state
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    wm = Watermark(state_path, spark=spark)
+    pending = pull_newer(events, "event_id", wm.read()).cache()
+    try:
+        stats = pending.agg(
+            F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mark")
+        ).collect()[0]
+        if stats.n == 0:
+            return 0
+        merge_scd2_state(
+            spark, pending, os.path.join(sink_path, "scd2_dimension")
+        )
+        if stats.mark is not None:
+            wm.write(stats.mark)
+        return stats.n
+    finally:
+        pending.unpersist()

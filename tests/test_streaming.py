@@ -143,7 +143,7 @@ def test_jobs_cli_settings_file(sf_dir, tmp_path):
         cmd, cwd=repo, capture_output=True, text=True, timeout=300
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
-    assert out2.stdout.count("rows=0") == 3  # watermark advanced -> no-op
+    assert out2.stdout.count("rows=0") == 4  # watermark advanced -> no-op
 
 
 def test_reviews_job(spark, sf_dir, tmp_path):
@@ -929,3 +929,26 @@ def test_watermark_crash_window_recovers_from_tmp(spark, tmp_path):
     )
     os.remove(tmp_path / "state.json")
     assert wm.read() == "2024-02-01 00:00:00"
+
+
+def test_scd2_job_incremental(spark, sf_dir, tmp_path):
+    """The standing SCD-2 job as a cron tick: first run builds the
+    interval store, rerun is a watermark no-op, and the store equals
+    the single-shot build over the same events."""
+    from modevetl_spark.operators.scd2 import scd2_build
+    from modevetl_spark.plans.jobs import scd2_job
+
+    sink = str(tmp_path / "scd2")
+    state = str(tmp_path / "scd2_state.json")
+    n = scd2_job(spark, sf_dir, sink, state)
+    assert n > 0
+    assert scd2_job(spark, sf_dir, sink, state) == 0
+    got = spark.read.parquet(os.path.join(sink, "scd2_dimension"))
+    want = scd2_build(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
