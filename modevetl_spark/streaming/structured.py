@@ -312,3 +312,33 @@ def attribution_join(
         ),
         "inner",
     ).select("user_id", "buy_id", "buy_ts", "click_id", "click_ts")
+
+
+def run_streaming_scd2(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    **scd2_kwargs,
+) -> None:
+    """Structured Streaming face of the standing SCD-2 job: every
+    micro-batch of change events merges O(batch) into the persisted
+    interval store (operators/scd2.merge_scd2_state — only touched
+    users' open tails rebuild). The stream's ordering IS the watermark
+    contract: micro-batches arrive in source order, so batch events
+    never predate the open intervals they extend; the checkpoint makes
+    the loop restartable at batch granularity."""
+    from modevetl_spark.operators.scd2 import merge_scd2_state
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        merge_scd2_state(
+            batch_df.sparkSession, batch_df, state_path, **scd2_kwargs
+        )
+
+    (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+        .awaitTermination()
+    )

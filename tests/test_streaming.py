@@ -952,3 +952,65 @@ def test_scd2_job_incremental(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_scd2_equals_full_build(spark, sf_dir, tmp_path):
+    """The Structured Streaming SCD-2 job (one micro-batch per arriving
+    time-slice file) must land exactly on the single-shot interval
+    build — the streaming twin of the job-tick equivalence gate."""
+    import time
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from modevetl_spark.operators.scd2 import scd2_build
+    from modevetl_spark.streaming.structured import run_streaming_scd2
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+    )
+    cuts = ["2024-01-11", "2024-01-21"]
+    slices = [
+        ev.where(F.col("ts") < F.lit(cuts[0]).cast("timestamp")),
+        ev.where(
+            (F.col("ts") >= F.lit(cuts[0]).cast("timestamp"))
+            & (F.col("ts") < F.lit(cuts[1]).cast("timestamp"))
+        ),
+        ev.where(F.col("ts") >= F.lit(cuts[1]).cast("timestamp")),
+    ]
+    arrivals = str(tmp_path / "arrivals")
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(arrivals)
+        time.sleep(0.05)  # distinct mtimes -> oldest-first batch order
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals)
+    )
+    store = str(tmp_path / "scd2_store")
+    run_streaming_scd2(stream, store, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(store)
+    want = scd2_build(ev)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
