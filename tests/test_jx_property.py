@@ -436,3 +436,53 @@ def test_scd2_incremental_any_time_split_equals_full(
         for r in full.collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=5000), min_size=5, max_size=40
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_sequential_poisson_priority_is_layout_invariant(
+    spark, weights, parts, k
+):
+    """The u/w priority and the bottom-k selection are pure functions of
+    (id, weight): any repartitioning yields the identical sample, and
+    the priorities match an exact python replay of the integer
+    arithmetic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    u32 = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    sel = (
+        df.repartition(parts)
+        .select("id", "w", (u32 * F.lit(1000000)).alias("_n"))
+        .select("id", "w", F.expr("_n div w").alias("priority"))
+        .orderBy("priority", "id")
+        .limit(k)
+    )
+    got = [(r["id"], r["priority"]) for r in sel.collect()]
+    want = sorted(
+        (
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                * 1000000
+            )
+            // w,
+            i,
+        )
+        for i, w in rows
+    )[:k]
+    assert got == [(i, p) for p, i in want]
