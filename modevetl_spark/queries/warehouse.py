@@ -1312,3 +1312,146 @@ def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.intersectAll(op)
+
+
+# --- Trailing-window anomaly detection (daily revenue) ------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT day, revenue,
+           ROUND(AVG(revenue) OVER t, 6) AS trail_mean,
+           ROUND(GREATEST(
+               AVG(revenue * revenue) OVER t
+               - (AVG(revenue) OVER t) * (AVG(revenue) OVER t),
+               0.0e0), 6) AS trail_var,
+           COUNT(*) OVER t AS n_trail
+    FROM daily
+    WINDOW t AS (ORDER BY day ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, revenue, trail_mean,
+       ROUND((revenue - trail_mean) / SQRT(trail_var), 6) AS z
+FROM w
+WHERE n_trail >= 7 AND trail_var > 0
+  AND ABS((revenue - trail_mean) / SQRT(trail_var)) > 2.0e0
+"""
+
+
+@q("q_anomaly_days", oracle_sql=_ANOMALY_ORACLE)
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+++++/W1++: trailing-window anomaly detection — days whose
+    revenue sits more than 2 trailing standard deviations from the
+    previous 14 days' mean (at least 7 prior days required). The
+    monitoring query a pipeline runs over its own output volumes to
+    catch upstream breakage.
+
+    Determinism: daily revenue is decimal-exact then 2-dp rounded, the
+    trailing mean/variance are windowed averages of those rounded
+    doubles, themselves rounded to 6 dp before the z computation
+    (variance clamped at 0 for constant windows — DuckDB sqrt raises on
+    the -1e-18 cancellation residue where Spark returns NaN); z is then
+    a fixed tree of exact IEEE ops.
+
+    Scale shape: one bounded-key (day) hash agg over the fact, then a
+    single-partition window over |days| rows — bounded by the calendar,
+    not the data; at 100 TB partition the window by month and stitch,
+    or keep it: ~3650 rows/decade is driver-trivial."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            2,
+        ).alias("revenue")
+    )
+    t = Window.orderBy("day").rowsBetween(-14, -1)
+    w = daily.select(
+        "day",
+        "revenue",
+        F.round(F.avg("revenue").over(t), 6).alias("trail_mean"),
+        F.round(
+            F.greatest(
+                F.avg(F.col("revenue") * F.col("revenue")).over(t)
+                - F.avg("revenue").over(t) * F.avg("revenue").over(t),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("trail_var"),
+        F.count(F.lit(1)).over(t).alias("n_trail"),
+    )
+    z = (F.col("revenue") - F.col("trail_mean")) / F.sqrt("trail_var")
+    return (
+        w.where((F.col("n_trail") >= 7) & (F.col("trail_var") > 0))
+        .where(F.abs(z) > 2.0)
+        .select("day", "revenue", "trail_mean", F.round(z, 6).alias("z"))
+    )
+
+
+# --- Market-basket co-occurrence (co-purchased part pairs) --------------
+
+_COPURCHASE_ORACLE = """
+WITH pp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM pp a
+    JOIN pp b
+      ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@q("q_copurchase_pairs", oracle_sql=_COPURCHASE_ORACLE)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1++++/J8+: market-basket co-occurrence — the top 20 part pairs
+    appearing in the same order, the support count behind association
+    rules and co-purchase recommenders.
+
+    Scale shape: pairs are generated INSIDE each order's part array
+    (sorted collect_set → JVM higher-order i<j expansion), never by a
+    fact self-join — per-order work is quadratic in basket size (small
+    and bounded: ~4 lineitems/order here; cap baskets in the rare
+    pathological case), total work linear in orders. One orderkey
+    shuffle for the baskets, one pair-keyed hash agg with map-side
+    combine, TakeOrdered top-20."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.size(F.col("parts"))
+                ),
+                lambda y: F.struct(
+                    x.alias("part_a"), y.alias("part_b")
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -398,3 +398,13 @@ def test_ab_test_partial_aggs(spark, sf_dir):
     assert "partial_" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_copurchase_no_fact_self_join(spark, sf_dir):
+    """Co-occurrence pairs come from in-basket array expansion — the
+    fact never self-joins; one basket shuffle + one pair agg +
+    TakeOrdered."""
+    p = plan(_Q["q_copurchase_pairs"](spark, sf_dir))
+    assert "Join" not in p.split("(1) Scan")[0]
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p

@@ -433,3 +433,28 @@ def test_bag_set_ops_multiplicity(spark, sf_dir):
     exp_inter = sum(min(n, rm.get(k, 0)) for k, n in lm.items())
     assert _Q["q_except_all"](spark, sf_dir).count() == exp_except
     assert _Q["q_intersect_all"](spark, sf_dir).count() == exp_inter
+
+
+def test_anomaly_days_z_threshold(spark, sf_dir):
+    out = _Q["q_anomaly_days"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["z"]) > 2.0
+        assert (r["revenue"] > r["trail_mean"]) == (r["z"] > 0)
+
+
+def test_copurchase_pairs_canonical_and_supported(spark, sf_dir):
+    """Pairs are canonical (a < b), counts positive and descending, and
+    the top pair's support is confirmed by a direct self-join count."""
+    from modevetl_spark.sources.catalog import load
+
+    rows = _Q["q_copurchase_pairs"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["part_a"] < r["part_b"] for r in rows)
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True) and counts[-1] >= 1
+    top = rows[0]
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.where(F.col("l_partkey") == top["part_a"]).select("l_orderkey")
+    b = li.where(F.col("l_partkey") == top["part_b"]).select("l_orderkey")
+    assert a.intersect(b).count() == top["n_orders"]
