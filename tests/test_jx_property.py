@@ -486,3 +486,75 @@ def test_sequential_poisson_priority_is_layout_invariant(
         for i, w in rows
     )[:k]
     assert got == [(i, p) for p, i in want]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day offset
+            st.integers(min_value=-50, max_value=50), # value
+        ),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gapfill_interp_linearity_on_random_series(spark, series):
+    """Interpolated days must sit exactly on the line between their
+    neighboring observed days — replay the windowed build on arbitrary
+    integer series and check every gap against a python interpolation."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(days=d), float(v)) for d, v in sorted(series)
+    ]
+    daily = spark.createDataFrame(rows, "user_id long, day date, v double")
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    g = grid.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    od = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = g.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(od, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(od, ignorenulls=True).over(wn).alias("nd"),
+    )
+    filled = {
+        r["day"]: (
+            r["v"]
+            if r["v"] is not None
+            else r["pv"]
+            + (r["nv"] - r["pv"])
+            * ((r["day"] - r["pd"]).days / (r["nd"] - r["pd"]).days)
+        )
+        for r in f.collect()
+    }
+    obs = {base + dt.timedelta(days=d): float(v) for d, v in sorted(series)}
+    days = sorted(obs)
+    for lo, hi in zip(days, days[1:]):
+        for step in range(1, (hi - lo).days):
+            d = lo + dt.timedelta(days=step)
+            frac = step / (hi - lo).days
+            want = obs[lo] + (obs[hi] - obs[lo]) * frac
+            assert abs(filled[d] - want) < 1e-9, d
+    for d, v in obs.items():
+        assert filled[d] == v
