@@ -33,6 +33,7 @@ _MODULES = [
     "analytics",
     "warehouse",
     "retrieval",
+    "reports",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
