@@ -1,0 +1,124 @@
+"""Deterministic Lloyd k-means over an embedding column ([EXT] — the
+corpus-curation clustering step: topic bucketing, domain balancing,
+stratified eval splits all start from "cluster the embeddings").
+
+Plain DataFrame ops, fixed iteration count, and the repo's float
+discipline end-to-end, so the whole run is a deterministic recurrence an
+external engine can replay exactly (the same contract as
+operators/graph.pagerank):
+
+- squared-distance terms are rounded to 12dp and summed as
+  DECIMAL(38,12) — exact, order-free (embedding components are |x|<1,
+  so a 12dp-rounded double survives the decimal cast losslessly);
+- the argmin compares those exact decimals, ties broken by cluster id;
+- centroid means are decimal-exact sums divided by the member count and
+  rounded to ``quantize_dp`` (9dp default) — the davg shape.
+
+Scale shape per iteration: the assignment is a broadcast cross join
+with the k-row centroid table folded per-row (no explode, no shuffle —
+the fact streams); the update explodes members to (cluster, dim, x)
+triples whose partial aggregation collapses each task to k×dims rows
+BEFORE the exchange, so the shuffle carries partitions×k×dims rows, not
+the corpus. No driver collect anywhere; the centroid table stays a
+DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,12)"
+
+
+def dec_fold_sum(arr: Column) -> Column:
+    """Exact (decimal) left fold of an array of DECIMAL(38,12) terms —
+    associativity-free by exactness, so any evaluation order agrees."""
+    return F.aggregate(
+        arr, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC)
+    )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Exact-decimal squared L2 distance between two double arrays:
+    each (x-y)^2 term is one correctly-rounded IEEE multiply of one
+    correctly-rounded subtract — bit-identical in any engine — rounded
+    to 12dp and summed exactly."""
+    terms = F.zip_with(
+        a, b, lambda x, y: F.round((x - y) * (x - y), 12).cast(_DEC)
+    )
+    return dec_fold_sum(terms)
+
+
+def _assign(emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """-> (id, vec, cluster, d): nearest centroid per row, d the exact
+    decimal squared distance, ties to the smaller cluster id (the
+    lexicographic struct-min)."""
+    j = emb.crossJoin(F.broadcast(cent))
+    dc = F.struct(
+        sq_dist(F.col(vec_col), F.col("cv")).alias("d"),
+        F.col("cluster").alias("cluster"),
+    )
+    picked = (
+        j.select(id_col, vec_col, dc.alias("dc"))
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"), F.first(vec_col).alias(vec_col))
+    )
+    return picked.select(
+        id_col,
+        vec_col,
+        F.col("m.cluster").alias("cluster"),
+        F.col("m.d").alias("d"),
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 4,
+    iterations: int = 2,
+    quantize_dp: int = 9,
+) -> DataFrame:
+    """-> (id, cluster, dist): Lloyd's algorithm, ``iterations`` full
+    assign+update rounds then a final assignment, centroids seeded from
+    the rows with ``id_col`` < k (deterministic, collect-free).
+
+    An empty cluster simply drops out of the mean table (k shrinks) —
+    acceptable for curation workloads; seed-respawn policies belong to
+    the caller. dist is the final squared distance rounded to 8dp.
+    """
+    cent = emb.where(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("cv")
+    )
+    for _ in range(iterations):
+        memb = _assign(emb, cent, id_col, vec_col)
+        triples = memb.select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+        )
+        means = (
+            triples.groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("x"), 12).cast(_DEC)).alias("s"),
+                F.count("x").alias("n"),
+            )
+            .select(
+                "cluster",
+                "pos",
+                F.round(
+                    F.col("s").cast("double") / F.col("n"), quantize_dp
+                ).alias("m"),
+            )
+        )
+        cent = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda t: t.m,
+            ).alias("cv")
+        )
+    final = _assign(emb, cent, id_col, vec_col)
+    return final.select(
+        id_col,
+        "cluster",
+        F.round(F.col("d").cast("double"), 8).alias("dist"),
+    )

@@ -34,6 +34,7 @@ _MODULES = [
     "warehouse",
     "retrieval",
     "reports",
+    "ml",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
