@@ -24,7 +24,7 @@ inputs to a correctly-rounded IEEE division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.functions.compat import (
@@ -603,3 +603,107 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
         ).alias("totacctbal"),
     )
+
+
+# --- TPC-H Q6 shape: forecast revenue change ----------------------------
+
+_Q6_ORACLE = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@q("q_tpch_forecast_revenue", oracle_sql=_Q6_ORACLE)
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: TPC-H Q6 shape — revenue that would be recovered by
+    eliminating small-quantity discounts in a year. The purest
+    scan-dominated query in the suite: one table, three conjunctive
+    predicates, one sum.
+
+    Plan shape: ALL three predicates reach the parquet scan as pushed
+    filters (plan-gated), the projection prunes to the two money
+    columns, and the whole query is scan → partial agg → one-row final
+    agg — zero joins, one exchange carrying one row per task. This is
+    the query where columnar pruning + predicate pushdown IS the
+    performance story: at 100 TB it reads two columns of the row
+    groups the shipdate/discount/quantity statistics can't exclude,
+    nothing else."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * F.col("l_discount").cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("forecast_revenue")
+    )
+
+
+# --- TPC-H Q15 shape: top supplier(s) by period revenue -----------------
+
+_Q15_ORACLE = f"""
+WITH srev AS (
+    SELECT l_suppkey AS supplier_no, {sql_dsum_money("total_revenue")}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN srev r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM srev)
+"""
+
+
+@q("q_tpch_top_supplier", oracle_sql=_Q15_ORACLE)
+def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: TPC-H Q15 shape — the supplier(s) achieving the maximum
+    quarterly revenue: an aggregate feeding a scalar-max subquery that
+    filters the same aggregate (the classic view-reuse query). Unlike a
+    LIMIT 1 this keeps ALL argmax ties, which is why it is not just
+    q_sort_limit again.
+
+    Plan shape: the quarter slice aggregates once on suppkey (the only
+    fact-sized exchange); the scalar max is a one-row aggregate OVER
+    THAT RESULT broadcast-cross-joined back onto it — Catalyst would
+    re-scan the fact for the subquery if written naively (no CTE reuse
+    after pruning — the Q21 lesson), so the revenue relation is reused
+    through a window-free self-reference on the agg output, which at
+    supplier-cardinality is cheap at any scale. Supplier names
+    broadcast onto the surviving row(s). The 2dp-rounded revenue makes
+    the max comparison engine-exact."""
+    prep(spark)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    srev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum_money("l_extendedprice", "l_discount").alias("total_revenue")
+    )
+    # max over the supplier-cardinality agg as a window with no re-scan:
+    # one extra exchange-free pass over the tiny relation
+    best = srev.withColumn(
+        "mx", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(
+        F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "total_revenue")

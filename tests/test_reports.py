@@ -147,3 +147,27 @@ def test_dormant_customers_contract(spark, sf_dir):
     # avg_bal here is the unrounded float; the query rounds to 6dp — the
     # boundary can move by at most the customers within 1e-6 of the mean
     assert abs(total - expect) <= 1
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6's whole story: every predicate in PushedFilters, projection
+    pruned to the money columns, zero joins."""
+    p = plan(_Q["q_tpch_forecast_revenue"](spark, sf_dir))
+    assert "Join" not in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and all(
+        s in pushed[0] for s in ("l_shipdate", "l_discount", "l_quantity")
+    ), pushed
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_top_supplier_keeps_ties_and_single_fact_scan(spark, sf_dir):
+    """The scalar-max subquery must not trigger a second fact scan, and
+    argmax ties must all survive (the difference from LIMIT 1)."""
+    p = plan(_Q["q_tpch_top_supplier"](spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 2  # lineitem once + supplier
+    out = _Q["q_tpch_top_supplier"](spark, sf_dir).collect()
+    assert len(out) >= 1
+    assert len({r.total_revenue for r in out}) == 1  # all rows at the max
