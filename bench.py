@@ -44,6 +44,10 @@ HEADLINE = [
     "q_tpch_volume_shipping",
     "q_scd2_dimension",
     "q_dedup_snm",
+    "q_tpch_returned_items",
+    "q_tpch_forecast_revenue",
+    "q_kmeans_clusters",
+    "q_dedup_paragraph",
 ]
 
 

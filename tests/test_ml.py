@@ -99,3 +99,126 @@ def test_attribution_window_bounds(spark, sf_dir):
         )
     )
     assert bad.count() == 0
+
+
+def test_paragraph_dedup_idempotent_on_dedup_output(spark):
+    """Property: running the segment-survivorship rule on a corpus whose
+    duplicate segments were already removed keeps everything (n_kept ==
+    n_segs for every doc) — replayed on a synthetic corpus with planted
+    cross-doc duplicate spans."""
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t"),
+        (2, "a b c d e f g h i j x y z w v u t s r q"),  # first seg dup of doc 1
+        (3, "totally fresh words one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Window as W
+
+    words = SF.split(SF.col("text"), " ")
+    n_seg = SF.ceil(SF.size(words) / SF.lit(10.0)).cast("int")
+    seg_arr = SF.transform(
+        SF.sequence(SF.lit(0), n_seg - 1),
+        lambda i: SF.array_join(SF.slice(words, i * 10 + 1, 10), " "),
+    )
+    segs = docs.select("doc_id", SF.posexplode(seg_arr).alias("seg_idx", "seg_text"))
+    rn = SF.row_number().over(W.partitionBy("seg_text").orderBy("doc_id", "seg_idx"))
+    ranked = segs.withColumn("rn", rn)
+    # pass 1: doc 2 must lose its first segment
+    lost = ranked.where((SF.col("doc_id") == 2) & (SF.col("rn") > 1)).count()
+    assert lost == 1
+    # pass 2 input: only surviving segments; rerun the rule -> nothing new lost
+    survivors = ranked.where(SF.col("rn") == 1).select("doc_id", "seg_idx", "seg_text")
+    rn2 = SF.row_number().over(W.partitionBy("seg_text").orderBy("doc_id", "seg_idx"))
+    again = survivors.withColumn("rn", rn2)
+    assert again.where(SF.col("rn") > 1).count() == 0
+
+
+def test_kmeans_cluster_ids_bounded(spark, sf_dir):
+    out = _Q["q_kmeans_clusters"](spark, sf_dir)
+    assert out.where((F.col("cluster") < 0) | (F.col("cluster") >= 4)).count() == 0
+    # every vector is assigned exactly once
+    n = out.count()
+    assert out.select("vec_id").distinct().count() == n
+
+
+def test_range_search_bucketed_self_join_is_exchange_free(spark, sf_dir):
+    """The 100 TB claim in q_sim_range_search's docstring, proven: bucket
+    the normed table on the blocking key once and the within-label
+    self-join plans with ZERO shuffle exchanges."""
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.operators.clustering import dec_fold_sum
+    from modevetl_spark.sources.formats import write_bucketed
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.round(
+        dec_fold_sum(
+            F.transform(
+                F.col("v"), lambda x: F.round(x * x, 12).cast("decimal(38,12)")
+            )
+        ).cast("double"),
+        12,
+    )
+    normed = emb.select("vec_id", "label", "v", nrm.alias("nrm"))
+    write_bucketed(normed, "normed_b", ["label"], 4)
+    try:
+        t = spark.table("normed_b")
+        a = t.select(
+            F.col("vec_id").alias("a_id"), "label", F.col("v").alias("av")
+        )
+        b = t.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("label").alias("b_label"),
+            F.col("v").alias("bv"),
+        )
+        j = a.join(
+            b,
+            (F.col("label") == F.col("b_label"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        p = plan(j)
+        tree = p.split("(1) Scan")[0]
+        assert tree.count("- Exchange (") == 0, tree
+    finally:
+        spark.sql("DROP TABLE IF EXISTS normed_b")
+
+
+def test_kmeans_tick_state_invariants(spark, tmp_path):
+    """Standing mini-batch clustering: state count mass == rows × dims
+    after every tick; tick-1 assignment equals a pure assignment against
+    the seed centroids; centroids move once mass accumulates."""
+    from modevetl_spark.operators.clustering import (
+        _assign,
+        centroids_from_state,
+        run_kmeans_assign_tick,
+    )
+
+    state = str(tmp_path / "cstate")
+    rows1 = [(i, [float(i % 3), float((i * 7) % 5) / 2.0]) for i in range(12)]
+    rows2 = [(100 + i, [2.0 + (i % 2), 0.5 * (i % 4)]) for i in range(8)]
+    b1 = spark.createDataFrame(rows1, "vec_id: long, v: array<double>")
+    b2 = spark.createDataFrame(rows2, "vec_id: long, v: array<double>")
+
+    a1 = run_kmeans_assign_tick(spark, b1, state, k=3)
+    st = spark.read.parquet(state)
+    assert st.agg(F.sum("n")).collect()[0][0] == 12 * 2
+    # tick-1 assignment is the pure function of (batch, seed centroids)
+    seed = b1.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    pure = {
+        r.vec_id: r.cluster for r in _assign(b1, seed, "vec_id", "v").collect()
+    }
+    assert {r.vec_id: r.cluster for r in a1.collect()} == pure
+
+    seeds_cv = {r.cluster: r.cv for r in seed.collect()}
+    run_kmeans_assign_tick(spark, b2, state, k=3)
+    st2 = spark.read.parquet(state)
+    assert st2.agg(F.sum("n")).collect()[0][0] == (12 + 8) * 2
+    moved = {
+        r.cluster: r.cv for r in centroids_from_state(st2).collect()
+    }
+    assert moved != seeds_cv  # mass accumulated, centroids drifted
+    assert all(len(v) == 2 for v in moved.values())
