@@ -87,6 +87,16 @@ def kmeans_lloyd(
     An empty cluster simply drops out of the mean table (k shrinks) —
     acceptable for curation workloads; seed-respawn policies belong to
     the caller. dist is the final squared distance rounded to 8dp.
+
+    The plan is returned LAZY and uncached — measured at sf0.1 (2×2:
+    {corpus cache} × {eager materialization}), every managed-lifetime
+    variant lost: an in-function cache can only be released via an
+    eager materialization whose extra pass costs more than the cache
+    saves (3.9 s vs 2.2 s), and ReuseExchange already dedupes the
+    repeated assignment subtrees inside the single action. For MANY
+    iterations over a 100 TB corpus, cache the input yourself (MLlib's
+    pattern — the caller owns the lifetime this function can't):
+    ``emb = emb.cache(); kmeans_lloyd(emb, ...); emb.unpersist()``.
     """
     cent = emb.where(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("cv")
