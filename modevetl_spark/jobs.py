@@ -41,6 +41,7 @@ import sys
 from pyspark.sql import SparkSession
 
 from modevetl_spark.plans.jobs import (
+    curate_job,
     dedup_job,
     hierarchy_job,
     reviews_job,
@@ -53,6 +54,7 @@ JOBS = {
     "reviews": reviews_job,
     "dedup": dedup_job,
     "scd2": scd2_job,
+    "curate": curate_job,
 }
 
 

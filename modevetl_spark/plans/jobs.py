@@ -291,3 +291,105 @@ def scd2_job(
         return stats.n
     finally:
         pending.unpersist()
+
+
+def curate_transform(docs: DataFrame) -> DataFrame:
+    """The per-batch curation columns: token count, composite quality,
+    language score, content hash. Pure per-row built-ins — narrow, no
+    shuffle, 100 TB embarrassingly parallel."""
+    from modevetl_spark.operators.text import en_score, quality_score, tokens
+
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        F.round(en_score(toks), 6).alias("lang_score"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+def curate_job(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_path: str,
+    state_path: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> int:
+    """Standing corpus-curation job — the end-to-end training-data tick
+    a reference user would run nightly: watermark-pull new documents,
+    score them (tokens / quality / language), drop the low-quality
+    tail, EXACT-dedup against everything ever curated (persisted
+    content-hash store: one delta-sized anti-join — the corpus is never
+    re-read), append survivors to the curated sink and their hashes to
+    the seen-store, advance the mark. Returns survivors appended.
+
+    Dedup-across-ticks invariant (pytest-gated): for an id-ordered
+    arrival, ANY batch split of the corpus yields byte-identical
+    curated content to one single-shot run — first occurrence wins
+    within a batch (min doc_id per hash) and across batches (the
+    seen-store anti-join). A crashed tick that appended but didn't
+    advance the mark replays its delta: survivors' hashes are already
+    in the seen-store, so the replay appends nothing (the append itself
+    is convergent, not just the mark).
+
+    Scale shape per tick: one narrow scoring pass over the delta, one
+    hash-keyed within-batch reduction (delta-sized exchange), one
+    LEFT ANTI probe of the seen-store on the hash key — an anti join
+    must build on the store side, so at corpus scale this is a shuffled
+    hash-keyed join; bucket/partition the seen-store by a hash prefix
+    and the probe prunes to the delta's buckets (same layout note as
+    the LSH index). Two appends; everything through the Hadoop-FS seam
+    / Spark writers."""
+    import os
+
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wm = Watermark(state_path, spark=spark)
+    pending = pull_newer(docs, "doc_id", wm.read()).cache()
+    try:
+        stats = pending.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mark")
+        ).collect()[0]
+        if stats.n == 0:
+            return 0
+        scored = curate_transform(pending)
+        good = scored.where(
+            (F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+        )
+        # within-batch first occurrence per content hash
+        first = good.groupBy("text_md5").agg(
+            F.min("doc_id").alias("keep_id")
+        )
+        batch_unique = good.join(
+            first,
+            (good.text_md5 == first.text_md5)
+            & (good.doc_id == first.keep_id),
+        ).select(good["*"])
+        seen_path = os.path.join(sink_path, "seen_hashes")
+        if fs_has_parquet_files(spark, seen_path):
+            seen = spark.read.parquet(seen_path)
+            survivors = batch_unique.join(seen, "text_md5", "left_anti")
+        else:
+            survivors = batch_unique
+        survivors = survivors.cache()
+        try:
+            n_out = survivors.count()
+            if n_out:
+                survivors.write.mode("append").parquet(
+                    os.path.join(sink_path, "curated")
+                )
+                survivors.select("text_md5").write.mode("append").parquet(
+                    seen_path
+                )
+        finally:
+            survivors.unpersist()
+        if stats.mark is not None:
+            wm.write(stats.mark)
+        return n_out
+    finally:
+        pending.unpersist()

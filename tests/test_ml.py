@@ -222,3 +222,51 @@ def test_kmeans_tick_state_invariants(spark, tmp_path):
     }
     assert moved != seeds_cv  # mass accumulated, centroids drifted
     assert all(len(v) == 2 for v in moved.values())
+
+
+def test_curate_job_split_equivalence_and_replay(spark, tmp_path, sf_dir):
+    """Any batch split of an id-ordered corpus curates byte-identical
+    content to a single-shot run, and replaying a tick (crash between
+    append and mark advance) appends nothing new."""
+    import shutil
+    from modevetl_spark.plans.jobs import curate_job
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    # single-shot reference
+    sink1, st1 = str(tmp_path / "s1"), str(tmp_path / "w1.json")
+    n1 = curate_job(spark, sf_dir, sink1, st1)
+    assert n1 > 0
+    ref = {
+        r.text_md5
+        for r in spark.read.parquet(f"{sink1}/curated").select("text_md5").collect()
+    }
+
+    # two-batch run: slice the fixture by doc_id via a trimmed copy
+    half_dir = str(tmp_path / "half")
+    shutil.copytree(sf_dir, half_dir)
+    half = docs.where(F.col("doc_id") <= cut)
+    rows = half.collect()
+    spark.createDataFrame(rows, docs.schema).write.mode("overwrite").parquet(
+        f"{half_dir}/documents.parquet"
+    )
+    sink2, st2 = str(tmp_path / "s2"), str(tmp_path / "w2.json")
+    curate_job(spark, half_dir, sink2, st2)       # tick 1: first half
+    n_b2 = curate_job(spark, sf_dir, sink2, st2)  # tick 2: the rest
+    got = {
+        r.text_md5
+        for r in spark.read.parquet(f"{sink2}/curated").select("text_md5").collect()
+    }
+    assert got == ref
+
+    # replay: wipe the mark but keep the sink -> convergent no-op append
+    import os
+
+    os.remove(st2)
+    n_replay = curate_job(spark, sf_dir, sink2, st2)
+    assert n_replay == 0
+    got2 = spark.read.parquet(f"{sink2}/curated").count()
+    assert got2 == len(got)
+    assert n1 == len(ref) and n_b2 <= n1

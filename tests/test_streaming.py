@@ -143,7 +143,7 @@ def test_jobs_cli_settings_file(sf_dir, tmp_path):
         cmd, cwd=repo, capture_output=True, text=True, timeout=300
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
-    assert out2.stdout.count("rows=0") == 4  # watermark advanced -> no-op
+    assert out2.stdout.count("rows=0") == 5  # watermark advanced -> no-op
 
 
 def test_reviews_job(spark, sf_dir, tmp_path):
