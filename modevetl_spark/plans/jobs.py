@@ -343,10 +343,6 @@ def curate_job(
     and the probe prunes to the delta's buckets (same layout note as
     the LSH index). Two appends; everything through the Hadoop-FS seam
     / Spark writers."""
-    import os
-
-    from modevetl_spark.sources.fs import fs_has_parquet_files
-
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     wm = Watermark(state_path, spark=spark)
     pending = pull_newer(docs, "doc_id", wm.read()).cache()
@@ -356,40 +352,57 @@ def curate_job(
         ).collect()[0]
         if stats.n == 0:
             return 0
-        scored = curate_transform(pending)
-        good = scored.where(
-            (F.col("quality") >= min_quality)
-            & (F.col("n_tokens") >= min_tokens)
+        n_out = curate_batch(
+            spark, pending, sink_path, min_quality, min_tokens
         )
-        # within-batch first occurrence per content hash
-        first = good.groupBy("text_md5").agg(
-            F.min("doc_id").alias("keep_id")
-        )
-        batch_unique = good.join(
-            first,
-            (good.text_md5 == first.text_md5)
-            & (good.doc_id == first.keep_id),
-        ).select(good["*"])
-        seen_path = os.path.join(sink_path, "seen_hashes")
-        if fs_has_parquet_files(spark, seen_path):
-            seen = spark.read.parquet(seen_path)
-            survivors = batch_unique.join(seen, "text_md5", "left_anti")
-        else:
-            survivors = batch_unique
-        survivors = survivors.cache()
-        try:
-            n_out = survivors.count()
-            if n_out:
-                survivors.write.mode("append").parquet(
-                    os.path.join(sink_path, "curated")
-                )
-                survivors.select("text_md5").write.mode("append").parquet(
-                    seen_path
-                )
-        finally:
-            survivors.unpersist()
         if stats.mark is not None:
             wm.write(stats.mark)
         return n_out
     finally:
         pending.unpersist()
+
+
+def curate_batch(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    sink_path: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> int:
+    """One curation micro-batch over an already-delimited delta — the
+    shared core of :func:`curate_job` (watermark cadence) and
+    ``streaming.structured.run_streaming_curate`` (foreachBatch
+    cadence). Scores, filters, exact-dedups within the batch (min
+    doc_id per hash) and against the persisted seen-hash store, appends
+    survivors + hashes. Returns survivors appended."""
+    import os
+
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    scored = curate_transform(batch_docs)
+    good = scored.where(
+        (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    # within-batch first occurrence per content hash
+    first = good.groupBy("text_md5").agg(F.min("doc_id").alias("keep_id"))
+    batch_unique = good.join(
+        first,
+        (good.text_md5 == first.text_md5) & (good.doc_id == first.keep_id),
+    ).select(good["*"])
+    seen_path = os.path.join(sink_path, "seen_hashes")
+    if fs_has_parquet_files(spark, seen_path):
+        seen = spark.read.parquet(seen_path)
+        survivors = batch_unique.join(seen, "text_md5", "left_anti")
+    else:
+        survivors = batch_unique
+    survivors = survivors.cache()
+    try:
+        n_out = survivors.count()
+        if n_out:
+            survivors.write.mode("append").parquet(
+                os.path.join(sink_path, "curated")
+            )
+            survivors.select("text_md5").write.mode("append").parquet(seen_path)
+    finally:
+        survivors.unpersist()
+    return n_out

@@ -342,3 +342,34 @@ def run_streaming_scd2(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_curate(
+    stream: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    **curate_kwargs,
+) -> None:
+    """Structured Streaming face of the standing curation job: every
+    micro-batch of documents is scored, threshold-filtered, exact-
+    deduped within itself and against the persisted seen-hash store,
+    and appended (plans/jobs.curate_batch — the same core the watermark
+    job runs). The checkpoint makes the loop restartable at batch
+    granularity; replayed survivors are already in the seen-store, so a
+    crash replay appends nothing (convergent append, same guarantee as
+    the batch tick)."""
+    from modevetl_spark.plans.jobs import curate_batch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(
+            batch_df.sparkSession, batch_df, sink_path, **curate_kwargs
+        )
+
+    (
+        stream.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+        .awaitTermination()
+    )

@@ -270,3 +270,44 @@ def test_curate_job_split_equivalence_and_replay(spark, tmp_path, sf_dir):
     got2 = spark.read.parquet(f"{sink2}/curated").count()
     assert got2 == len(got)
     assert n1 == len(ref) and n_b2 <= n1
+
+
+def test_streaming_curate_matches_batch_job(spark, tmp_path, sf_dir):
+    """A file-per-slice document stream lands exactly on the single-shot
+    curate_job output (same curated hash set) — batch/stream symmetry
+    for the flagship pipeline."""
+    import shutil
+    from modevetl_spark.plans.jobs import curate_job
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.streaming.structured import run_streaming_curate
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    sink_b, st_b = str(tmp_path / "batch"), str(tmp_path / "wm.json")
+    n_batch = curate_job(spark, sf_dir, sink_b, st_b)
+    ref = {
+        r.text_md5
+        for r in spark.read.parquet(f"{sink_b}/curated").select("text_md5").collect()
+    }
+    assert n_batch == len(ref)
+
+    # stream source: two id-ordered slices written as separate files
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    lo = docs.where(F.col("doc_id") <= cut).collect()
+    hi = docs.where(F.col("doc_id") > cut).collect()
+    spark.createDataFrame(lo, docs.schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(hi, docs.schema).coalesce(1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sink_s = str(tmp_path / "stream_sink")
+    run_streaming_curate(stream, sink_s, str(tmp_path / "ckpt"))
+    got = {
+        r.text_md5
+        for r in spark.read.parquet(f"{sink_s}/curated").select("text_md5").collect()
+    }
+    assert got == ref
