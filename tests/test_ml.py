@@ -311,3 +311,50 @@ def test_streaming_curate_matches_batch_job(spark, tmp_path, sf_dir):
         for r in spark.read.parquet(f"{sink_s}/curated").select("text_md5").collect()
     }
     assert got == ref
+
+
+def test_sweep_concurrency_bounds(spark, sf_dir):
+    """Sweep-line sanity: n_active never negative, never exceeds the
+    number of users, and ends at zero after the last span closes."""
+    from modevetl_spark.sources.catalog import load
+
+    out = _Q["q_concurrent_users_sweep"](spark, sf_dir).cache()
+    try:
+        n_users = (
+            load(spark, sf_dir, "events").select("user_id").distinct().count()
+        )
+        assert out.where(F.col("n_active") < 0).count() == 0
+        assert out.agg(F.max("n_active")).collect()[0][0] <= n_users
+        last = out.orderBy(F.col("day").desc()).limit(1).collect()[0]
+        assert last.n_active == 0
+    finally:
+        out.unpersist()
+
+
+def test_levenshtein_pairs_verified_and_canonical(spark, sf_dir):
+    out = _Q["q_dedup_levenshtein"](spark, sf_dir).cache()
+    try:
+        assert out.where(F.col("a_id") >= F.col("b_id")).count() == 0
+        assert out.where(F.col("edit_dist") > 50).count() == 0
+        assert out.count() > 0  # the fixture's planted near-dups surface
+    finally:
+        out.unpersist()
+
+
+def test_inverted_index_head_matches_df(spark, sf_dir):
+    """posting_head holds min(df, 20) ids, ordered ascending."""
+    out = _Q["q_inverted_index"](spark, sf_dir).collect()
+    # fixture vocab can be under the 50-token cap at small sf
+    assert 0 < len(out) <= 50
+    for r in out:
+        ids = [int(x) for x in r.posting_head.split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r.df, 20)
+
+
+def test_bigram_surprisal_nonnegative(spark, sf_dir):
+    """-log2 P(w2|w1) >= 0 for every empirical probability, so no doc's
+    mean can be negative; docs shorter than 2 tokens don't appear."""
+    out = _Q["q_bigram_surprisal"](spark, sf_dir)
+    assert out.where(F.col("mean_surprisal") < 0).count() == 0
+    assert out.where(F.col("n_bigrams") < 1).count() == 0
