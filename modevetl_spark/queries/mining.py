@@ -317,3 +317,305 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal"
         ),
     )
+
+
+# --- co-purchase PMI lift (association strength) ------------------------
+
+_LIFT_ORACLE = """
+WITH pp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_baskets AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM pp),
+item AS (SELECT l_partkey, COUNT(*) AS c1 FROM pp GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c12
+    FROM pp a
+    JOIN pp b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(c12 AS BIGINT) AS c12,
+       ROUND(log2(CAST(n.n AS DOUBLE)) + log2(CAST(c12 AS DOUBLE))
+             - log2(CAST(ia.c1 AS DOUBLE)) - log2(CAST(ib.c1 AS DOUBLE)),
+             6) AS pmi
+FROM pairs
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n_baskets n
+WHERE c12 >= 2
+ORDER BY pmi DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@q("q_copurchase_lift", oracle_sql=_LIFT_ORACLE)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+ [EXT]: association STRENGTH on top of co-purchase support —
+    pointwise mutual information log2(N·c12/(c1·c2)) for pairs with
+    support ≥ 2, top 20. Raw support favors popular items; PMI surfaces
+    the pairs bought together far beyond chance (the association-rule /
+    recommender signal).
+
+    Float discipline: PMI is a ± chain of log2 over INTEGER counts
+    (engine-identical, the entropy lesson), rounded once at 6dp —
+    comparisons and the top-20 tie-break are then engine-exact.
+
+    Plan shape: identical base to q_copurchase_pairs (in-basket JVM
+    pair expansion, no fact self-join); item counts and the basket
+    total broadcast back onto the pair aggregate (pair-count-sized);
+    TakeOrdered top-20."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        pp.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") >= 2)
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= 2)
+    )
+    item = pp.groupBy(F.col("l_partkey").alias("ik")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    n_baskets = pp.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    lg = lambda c: F.log2(c.cast("double"))  # noqa: E731
+    return (
+        pairs.join(F.broadcast(item), F.col("part_a") == F.col("ik"))
+        .withColumnRenamed("c1", "c1a")
+        .drop("ik")
+        .join(F.broadcast(item), F.col("part_b") == F.col("ik"))
+        .withColumnRenamed("c1", "c1b")
+        .drop("ik")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                lg(F.col("n")) + lg(F.col("c12"))
+                - lg(F.col("c1a")) - lg(F.col("c1b")),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# --- running distinct (cumulative unique users) -------------------------
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+             AS first_day
+    FROM events GROUP BY user_id
+),
+per_day AS (
+    SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+@q("q_running_distinct", oracle_sql=_RUNNING_DISTINCT_ORACLE)
+def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+ [EXT]: cumulative distinct users by day — the growth curve.
+    The scale lesson IS the rewrite: a naive distinct-over-expanding-
+    window recounts the whole history per day; marking each user's
+    FIRST day (one user-keyed agg) turns it into new-users-per-day plus
+    a running sum over the bounded day-cardinality table (the same
+    bounded global window as the sweep-line query). The fact is touched
+    once."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).cast("long").alias("cum_users")
+    )
+
+
+# --- decile lift (score calibration table) ------------------------------
+
+_DECILE_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS spend,
+           MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+             AS urgent
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT *, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+    FROM spend
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(urgent) AS DOUBLE) / COUNT(*), 6) AS urgent_rate,
+       ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_spend
+FROM scored GROUP BY decile
+"""
+
+
+@q("q_decile_lift", oracle_sql=_DECILE_ORACLE)
+def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ [EXT]: the decile lift/calibration table — rank customers by
+    total spend, cut into NTILE(10) deciles, report each decile's size,
+    urgent-order rate and average spend. The standard "is the score
+    monotone in the outcome" eval for any ranking model.
+
+    Plan shape: one custkey aggregate builds (spend, outcome); the
+    global NTILE runs over the CUSTOMER-cardinality aggregate, not the
+    fact (same precedent as q_window_ntile; at 100 TB swap the single-
+    partition sort for operators/dedup.global_rank's range-partitioned
+    rank and derive deciles from rank·10/n). The decile rollup is 10
+    rows. Spend is decimal-rounded BEFORE ranking so the sort keys are
+    engine-exact; custkey breaks ties."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            2,
+        ).alias("spend"),
+        F.max(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("urgent"),
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    scored = spend.withColumn("decile", F.ntile(10).over(w))
+    return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum("urgent").cast("double") / F.count(F.lit(1)), 6
+        ).alias("urgent_rate"),
+        F.round(
+            F.sum(F.col("spend").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_spend"),
+    )
+
+
+# --- RFM segmentation ----------------------------------------------------
+
+_RFM_ORACLE = """
+WITH base AS (
+    SELECT o_custkey,
+           date_diff('day', MAX(o_orderdate),
+                     (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+           COUNT(*) AS frequency,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS monetary
+    FROM orders GROUP BY o_custkey
+),
+buckets AS (
+    SELECT o_custkey,
+           NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m,
+           monetary
+    FROM base
+)
+SELECT 'R' || CAST(r AS VARCHAR) || 'F' || CAST(f AS VARCHAR)
+         || 'M' || CAST(m AS VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE), 2)
+         AS total_monetary
+FROM buckets
+GROUP BY segment
+"""
+
+
+@q("q_customer_rfm", oracle_sql=_RFM_ORACLE)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ [EXT]: RFM segmentation — recency (days since last order,
+    vs the corpus max date), frequency, monetary quintiles, each cut
+    with NTILE(5), concatenated into the classic R#F#M# segment label,
+    with segment sizes and total spend (a decimal-exact sum — a
+    2-customer segment's AVERAGE can land on an exact .005 boundary
+    where the engines' final rounds split; the total cannot).
+
+    Plan shape: one custkey aggregate; the corpus max date is an in-DAG
+    broadcast one-row aggregate (no driver collect); the three NTILEs
+    share ONE customer-cardinality relation (three sorts of the same
+    small aggregate — at 100 TB each becomes a range-partitioned
+    global_rank, same note as q_decile_lift). Monetary is rounded
+    before ranking; custkey breaks every tie, so all three bucket
+    assignments are engine-exact."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("corpus_max"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("corpus_max", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
+    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+    buckets = base.select(
+        "o_custkey",
+        "monetary",
+        r.alias("r"),
+        f.alias("f"),
+        m.alias("m"),
+    )
+    return buckets.groupBy(
+        F.concat(
+            F.lit("R"), F.col("r").cast("string"),
+            F.lit("F"), F.col("f").cast("string"),
+            F.lit("M"), F.col("m").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.col("monetary").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total_monetary"),
+    )

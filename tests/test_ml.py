@@ -358,3 +358,65 @@ def test_bigram_surprisal_nonnegative(spark, sf_dir):
     out = _Q["q_bigram_surprisal"](spark, sf_dir)
     assert out.where(F.col("mean_surprisal") < 0).count() == 0
     assert out.where(F.col("n_bigrams") < 1).count() == 0
+
+
+def test_running_distinct_monotone_and_total(spark, sf_dir):
+    from modevetl_spark.sources.catalog import load
+
+    out = _Q["q_running_distinct"](spark, sf_dir).orderBy("day").collect()
+    cums = [r.cum_users for r in out]
+    assert cums == sorted(cums)
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert cums[-1] == n_users
+    assert sum(r.new_users for r in out) == n_users
+
+
+def test_decile_lift_partitions_customers(spark, sf_dir):
+    from modevetl_spark.sources.catalog import load
+
+    out = _Q["q_decile_lift"](spark, sf_dir).collect()
+    assert {r.decile for r in out} == set(range(1, 11))
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    for r in out:
+        assert 0.0 <= r.urgent_rate <= 1.0
+
+
+def test_rfm_segments_cover_all_customers(spark, sf_dir):
+    from modevetl_spark.sources.catalog import load
+
+    out = _Q["q_customer_rfm"](spark, sf_dir).collect()
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in out) == n_cust
+    import re
+
+    assert all(re.fullmatch(r"R[1-5]F[1-5]M[1-5]", r.segment) for r in out)
+
+
+def test_copurchase_lift_log_identity(spark, sf_dir):
+    """PMI recomputed here from raw counts must match the query's value
+    (log identity over integer counts is engine-stable)."""
+    import math
+
+    rows = _Q["q_copurchase_lift"](spark, sf_dir).collect()
+    if not rows:
+        return
+    from modevetl_spark.sources.catalog import load
+
+    pp = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = pp.select("l_orderkey").distinct().count()
+    c1 = {r.l_partkey: r.c for r in pp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows[:5]:
+        expect = (
+            math.log2(n) + math.log2(r.c12)
+            - math.log2(c1[r.part_a]) - math.log2(c1[r.part_b])
+        )
+        assert abs(r.pmi - expect) < 1e-5
