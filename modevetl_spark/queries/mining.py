@@ -619,3 +619,133 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("monetary").cast("decimal(18,6)")).cast("double"), 2
         ).alias("total_monetary"),
     )
+
+
+# --- discount elasticity (per-brand OLS slope) --------------------------
+
+_ELASTICITY_ORACLE = """
+WITH base AS (
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sx,
+           ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sy,
+           ROUND(CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
+                         * CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sxx,
+           ROUND(CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
+                         * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sxy
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+)
+SELECT p_brand, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope
+FROM base
+"""
+
+
+@q("q_discount_elasticity", oracle_sql=_ELASTICITY_ORACLE)
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ [EXT]: per-brand OLS slope of quantity on discount — the
+    one-pass simple-regression shape (elasticity screens, drift
+    detectors, trend fits all reduce to it).
+
+    Float discipline: the four power sums are decimal-exact and rounded
+    to 6dp BEFORE the slope formula, which is then a fixed tree of
+    exact IEEE ops (*, -, /) over bit-identical operands — with the
+    degenerate-variance guard explicit (Spark ANSI raises on the zero
+    division where DuckDB NULLs; the z-test lesson).
+
+    Plan shape: part's (partkey, brand) broadcasts onto the fact; ONE
+    hash aggregate computes all four sums with map-side combine —
+    single fact scan, single brand-keyed exchange of 4-number rows."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(18,6)"
+    x = F.col("l_discount").cast(dec)
+    y = F.col("l_quantity").cast(dec)
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(x).cast("double"), 6).alias("sx"),
+            F.round(F.sum(y).cast("double"), 6).alias("sy"),
+            F.round(F.sum(x * x).cast("double"), 6).alias("sxx"),
+            F.round(F.sum(x * y).cast("double"), 6).alias("sxy"),
+        )
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return base.select(
+        "p_brand",
+        "n",
+        F.when(
+            denom != 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom,
+                6,
+            ),
+        ).alias("slope"),
+    )
+
+
+# --- seasonal index (month-of-year demand normalization) ----------------
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS qty
+    FROM lineitem
+    GROUP BY 1
+),
+overall AS (
+    SELECT ROUND(CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_qty
+    FROM monthly
+)
+SELECT m.month, m.qty,
+       ROUND(m.qty / o.mean_qty, 6) AS seasonal_index
+FROM monthly m CROSS JOIN overall o
+"""
+
+
+@q("q_seasonal_index", oracle_sql=_SEASONAL_ORACLE)
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+/A10+ [EXT]: month-of-year seasonal index — each calendar
+    month's shipped quantity as a ratio to the mean month (>1 = high
+    season), the normalization behind de-seasonalized forecasting.
+
+    Plan shape: one fact scan into a 12-row month aggregate; the grand
+    mean is a one-row aggregate OVER THAT RESULT, broadcast-cross-
+    joined back (in-DAG, no driver collect, no fact re-scan — the
+    q_tpch_top_supplier pattern on an aggregate-of-aggregate). Ratios
+    divide two already-rounded doubles."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    monthly = li.groupBy(
+        F.month("l_shipdate").cast("long").alias("month")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("qty")
+    )
+    overall = monthly.agg(
+        F.round(
+            F.sum(F.col("qty").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_qty")
+    )
+    return monthly.crossJoin(F.broadcast(overall)).select(
+        "month",
+        "qty",
+        F.round(F.col("qty") / F.col("mean_qty"), 6).alias("seasonal_index"),
+    )

@@ -420,3 +420,32 @@ def test_copurchase_lift_log_identity(spark, sf_dir):
             - math.log2(c1[r.part_a]) - math.log2(c1[r.part_b])
         )
         assert abs(r.pmi - expect) < 1e-5
+
+
+def test_elasticity_matches_numpy_fit(spark, sf_dir):
+    """Slope recomputed with numpy's closed form on collected data for
+    one brand agrees to rounding tolerance."""
+    import numpy as np
+    from modevetl_spark.sources.catalog import load
+
+    rows = _Q["q_discount_elasticity"](spark, sf_dir).collect()
+    by_brand = {r.p_brand: r for r in rows}
+    brand = sorted(by_brand)[0]
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == brand)
+    d = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_discount", "l_quantity")
+        .collect()
+    )
+    x = np.array([r.l_discount for r in d])
+    y = np.array([r.l_quantity for r in d])
+    slope = np.polyfit(x, y, 1)[0]
+    assert abs(by_brand[brand].slope - slope) < 1e-3
+
+
+def test_seasonal_index_mean_is_one(spark, sf_dir):
+    out = _Q["q_seasonal_index"](spark, sf_dir).collect()
+    assert len(out) == 12
+    mean_idx = sum(r.seasonal_index for r in out) / len(out)
+    assert abs(mean_idx - 1.0) < 1e-4
