@@ -749,3 +749,176 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         F.round(F.col("qty") / F.col("mean_qty"), 6).alias("seasonal_index"),
     )
+
+
+# --- shingle containment (quote / subset detection) ---------------------
+
+_CONTAIN_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM toks, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+        WHERE i + 2 <= len(w)
+    )
+),
+disc AS (
+    SELECT s.doc_id, s.sh
+    FROM sh s JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d
+      ON d.sh = s.sh
+    WHERE d.df BETWEEN 2 AND 20
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM disc GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+    FROM disc a JOIN disc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+       ROUND(CAST(shared AS DOUBLE) / sa.n, 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = a_id
+WHERE ROUND(CAST(shared AS DOUBLE) / sa.n, 6) >= 0.5
+"""
+
+
+@q("q_text_containment", oracle_sql=_CONTAIN_ORACLE)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+ [EXT]: asymmetric shingle containment |A∩B|/|A| ≥ 0.5 over
+    DISCRIMINATIVE trigram shingles (document frequency 2..20) — the
+    quote/subset detector: symmetric Jaccard misses a short doc wholly
+    contained in a long one, containment is built for exactly that.
+
+    The df band is the semantics, not a shortcut: df=1 shingles can't
+    witness a pair, and df>20 shingles are corpus boilerplate whose
+    postings blow up the pair expansion (the documented hot-token
+    bound, same as the inverted-index head cap). Containment divides
+    two integers — one exact IEEE op, engine-identical.
+
+    Plan shape: shingles derive per-row (the zip_with builder — no
+    shuffle); one shingle-keyed agg computes df; the pair expansion is
+    an equi-self-join on the df-banded posting list (each shingle
+    contributes ≤ C(20,2) pairs); sizes broadcast back onto the
+    pair-count aggregate."""
+    prep(spark)
+    from modevetl_spark.operators.text import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("sh")
+        )
+        .distinct()
+    )
+    df_tab = sh.groupBy(F.col("sh").alias("d_sh")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    disc = (
+        sh.join(df_tab, F.col("sh") == F.col("d_sh"))
+        .where(F.col("df").between(2, 20))
+        .select("doc_id", "sh")
+    )
+    sz = disc.groupBy(F.col("doc_id").alias("s_doc")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = disc.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = disc.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = (
+        a.join(
+            b, (F.col("a_sh") == F.col("b_sh")) & (F.col("a_id") < F.col("b_id"))
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    out = inter.join(
+        F.broadcast(sz), F.col("a_id") == F.col("s_doc")
+    ).select(
+        "a_id",
+        "b_id",
+        "shared",
+        F.round(F.col("shared").cast("double") / F.col("n"), 6).alias(
+            "containment"
+        ),
+    )
+    return out.where(F.col("containment") >= 0.5)
+
+
+# --- trending tokens (corpus drift between halves) ----------------------
+
+_TRENDING_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+),
+med AS (SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS m FROM documents),
+counts AS (
+    SELECT tok,
+           CAST(SUM(CASE WHEN doc_id <= m THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN doc_id > m THEN 1 ELSE 0 END) AS BIGINT) AS c2
+    FROM toks CROSS JOIN med
+    GROUP BY tok
+)
+SELECT tok, c1, c2,
+       ROUND(log2(CAST(c2 + 1 AS DOUBLE)) - log2(CAST(c1 + 1 AS DOUBLE)), 6)
+         AS trend
+FROM counts
+WHERE c1 + c2 >= 10
+ORDER BY trend DESC, tok
+LIMIT 20
+"""
+
+
+@q("q_trending_tokens", oracle_sql=_TRENDING_ORACLE)
+def trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ [EXT]: corpus-drift detection — tokens whose frequency rises
+    most from the first half of the corpus (by doc id) to the second,
+    scored by the smoothed log ratio log2((c2+1)/(c1+1)), minimum total
+    frequency 10, top 20. The monitoring query of a continuously-
+    ingested corpus (topic shift, contamination onset, crawl drift).
+
+    Float discipline: the smoothed ratio is kept as a DIFFERENCE of
+    integer-argument log2 (engine-identical; never log2 of the
+    rational). The split point is an in-DAG broadcast scalar. One
+    explode → one token-keyed agg with both halves' counts as
+    conditional sums in the same pass — single fact scan, TakeOrdered
+    top-20."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    med = d.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("m"))
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = (
+        toks.crossJoin(F.broadcast(med))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("doc_id") > F.col("m"), 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    return (
+        counts.where(F.col("c1") + F.col("c2") >= 10)
+        .select(
+            "tok",
+            "c1",
+            "c2",
+            F.round(
+                F.log2((F.col("c2") + 1).cast("double"))
+                - F.log2((F.col("c1") + 1).cast("double")),
+                6,
+            ).alias("trend"),
+        )
+        .orderBy(F.desc("trend"), "tok")
+        .limit(20)
+    )

@@ -449,3 +449,42 @@ def test_seasonal_index_mean_is_one(spark, sf_dir):
     assert len(out) == 12
     mean_idx = sum(r.seasonal_index for r in out) / len(out)
     assert abs(mean_idx - 1.0) < 1e-4
+
+
+def test_containment_detects_planted_subset(spark):
+    """A doc that wholly contains another's discriminative shingles must
+    surface with containment 1.0 from the smaller side."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, base),  # second copy so shingles reach df>=2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    from modevetl_spark.queries.mining import text_containment
+    import tempfile, os, shutil
+
+    tmp = tempfile.mkdtemp()
+    try:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        out = text_containment(spark, tmp).collect()
+        pairs = {(r.a_id, r.b_id): r.containment for r in out}
+        assert pairs.get((1, 2)) == 1.0  # doc 1 fully inside doc 2
+        assert pairs.get((1, 4)) == 1.0
+        assert not any(3 in k for k in pairs)
+    finally:
+        shutil.rmtree(tmp)
+
+
+def test_trending_tokens_bounds(spark, sf_dir):
+    out = _Q["q_trending_tokens"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    trends = [r.trend for r in out]
+    assert trends == sorted(trends, reverse=True)
+    for r in out:
+        assert r.c1 + r.c2 >= 10
