@@ -922,3 +922,152 @@ def trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("trend"), "tok")
         .limit(20)
     )
+
+
+# --- revenue concentration (Gini / top-decile share) --------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS s
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i,
+           COUNT(*) OVER () AS n
+    FROM spend
+),
+agg AS (
+    SELECT MAX(n) AS n,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+           ROUND(CAST(SUM(CAST(i AS DECIMAL(18,0))
+                          * CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS weighted,
+           ROUND(CAST(SUM(CASE WHEN i > n - CAST(FLOOR(n / 10.0) AS BIGINT)
+                               THEN CAST(s AS DECIMAL(18,6)) END)
+                      AS DOUBLE), 2) AS top_decile
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(2.0 * weighted / (n * total)
+             - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini,
+       ROUND(top_decile / total, 6) AS top_decile_share
+FROM agg
+"""
+
+
+@q("q_revenue_gini", oracle_sql=_GINI_ORACLE)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+ [EXT]: revenue concentration — the Gini coefficient over
+    per-customer spend (rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on
+    the ascending-sorted spends) plus the top-decile customer share.
+    The whale-curve question every marketplace asks.
+
+    Float discipline: rank·spend products and both totals are decimal-
+    exact and 2dp-rounded before the closed-form expression, which is
+    then a fixed tree of exact IEEE ops. The rank runs over the
+    CUSTOMER-cardinality aggregate (global_rank swap at 100 TB, as
+    q_decile_lift); custkey breaks spend ties so ranks are engine-
+    exact. Single-row output."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            2,
+        ).alias("s")
+    )
+    w = Window.orderBy("s", "o_custkey")
+    ranked = spend.select(
+        "s", F.row_number().over(w).alias("i")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("total"),
+        F.round(
+            F.sum(
+                F.col("i").cast("decimal(18,0)")
+                * F.col("s").cast("decimal(18,6)")
+            ).cast("double"),
+            2,
+        ).alias("weighted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("i")
+                    > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
+                    F.col("s").cast("decimal(18,6)"),
+                )
+            ).cast("double"),
+            2,
+        ).alias("top_decile"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (F.col("n") * F.col("total"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_decile") / F.col("total"), 6).alias(
+            "top_decile_share"
+        ),
+    )
+
+
+# --- order inter-arrival statistics -------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(CAST(gap_days AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_gap,
+       CAST(median(gap_days) AS DOUBLE) AS median_gap,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap
+FROM seq WHERE gap_days IS NOT NULL
+"""
+
+
+@q("q_order_interarrival", oracle_sql=_INTERARRIVAL_ORACLE)
+def order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+/A5+ [EXT]: inter-arrival statistics — days between a
+    customer's consecutive orders (LAG over the per-customer order
+    sequence), summarized as count / exact mean / exact median / max.
+    The purchase-cadence input to churn and replenishment models.
+
+    Plan shape: one custkey-partitioned window computes the gaps (the
+    fact's only exchange); the summary is a one-row aggregate. Median
+    is exact (integer day gaps — both engines interpolate identically
+    on integers at the midpoint, and the .5 case is exactly
+    representable). Order-date ties break by orderkey so every gap is
+    engine-deterministic."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_gap"),
+        F.expr("percentile(gap_days, 0.5)").cast("double").alias("median_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )

@@ -488,3 +488,39 @@ def test_trending_tokens_bounds(spark, sf_dir):
     assert trends == sorted(trends, reverse=True)
     for r in out:
         assert r.c1 + r.c2 >= 10
+
+
+def test_gini_closed_forms(spark, tmp_path):
+    """Equal spends -> gini 0; one customer owns everything -> gini
+    approaches (n-1)/n."""
+    from modevetl_spark.queries.mining import revenue_gini
+    import datetime
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "o_orderkey: long, o_custkey: long, o_orderstatus: string,"
+            " o_totalprice: double, o_orderdate: timestamp,"
+            " o_orderpriority: string"
+        )
+        d = str(tmp_path / f"g{len(list(tmp_path.iterdir()))}")
+        import os
+
+        os.makedirs(d)
+        df.write.parquet(f"{d}/orders.parquet")
+        return revenue_gini(spark, d).collect()[0]
+
+    ts = datetime.datetime(2000, 1, 1)
+    equal = run([(i, i, "O", 100.0, ts, "1-URGENT") for i in range(10)])
+    assert abs(equal.gini) < 1e-6
+    skew = run(
+        [(0, 0, "O", 100000.0, ts, "1-URGENT")]
+        + [(i, i, "O", 0.01, ts, "1-URGENT") for i in range(1, 10)]
+    )
+    assert skew.gini > 0.85
+
+
+def test_interarrival_sane(spark, sf_dir):
+    r = _Q["q_order_interarrival"](spark, sf_dir).collect()[0]
+    assert r.n_gaps > 0
+    assert 0 <= r.median_gap <= r.max_gap
+    assert 0 <= r.mean_gap <= r.max_gap
