@@ -36,6 +36,7 @@ _MODULES = [
     "reports",
     "ml",
     "mining",
+    "diagnostics",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,

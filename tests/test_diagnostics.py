@@ -1,0 +1,135 @@
+"""Plan + semantic gates for the distribution-diagnostic shapes
+(`queries/diagnostics.py`). Oracle hashes prove value parity; these
+prove the physical plans and the edge-case semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from modevetl_spark.queries import all_queries
+from tests.test_plans import plan
+
+_Q = all_queries()
+
+# Oracle parity for all four keys rides test_contract.py's
+# every-registered-query differential sweep; these gates cover the plan
+# shapes and the edge-case semantics the oracle can't see.
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    """Observed shares partition the rows: sum(share) ≈ 1 and sum of
+    counts equals the filtered row count (no digit lost to string
+    slicing)."""
+    out = _Q["q_benford_digits"](spark, sf_dir).toPandas()
+    assert set(out["digit"]) <= set(range(1, 10))
+    assert abs(out["obs_share"].sum() - 1.0) < 1e-4
+    assert abs(out["benford_share"].sum() - 1.0) < 1e-4
+
+
+def test_benford_plan_single_fact_scan(spark, sf_dir):
+    """The share/chi2 margins ride a window over the 9-row aggregate —
+    the fact is scanned exactly once, and only o_totalprice is read."""
+    p = plan(_Q["q_benford_digits"](spark, sf_dir))
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    read_schema = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_totalprice" in read_schema and "o_orderkey" not in read_schema
+
+
+def test_ks_identical_samples_give_zero(spark, sf_dir):
+    """KS of a distribution against itself is 0 — replay the operator
+    body on a planted frame where both segments see the same values."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(v, seg) for v in [10, 20, 30, 40] for seg in (0, 1)],
+        "v long, is_a int",
+    )
+    per_value = df.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("a_cnt").over(w_cum).alias("cum_a"),
+        F.sum("b_cnt").over(w_cum).alias("cum_b"),
+        F.sum("a_cnt").over(w_all).alias("n_a"),
+        F.sum("b_cnt").over(w_all).alias("n_b"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            )
+        )
+    ).collect()[0][0]
+    assert d == 0.0
+
+
+def test_ks_plan_broadcasts_dim(spark, sf_dir):
+    p = plan(_Q["q_stats_ks_test"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_streaks_planted_runs(spark):
+    """Planted event days with known runs: user 1 has 4+2 consecutive
+    days (longest 4), user 2 has a tie of two 2-day runs — earliest
+    start must win."""
+    from pyspark.sql import Window
+
+    rows = []
+    # user 1: Jan 1-4 (streak 4), Jan 10-11 (streak 2)
+    for d in [1, 2, 3, 4, 10, 11]:
+        rows.append((1, datetime.date(2024, 1, d)))
+    # user 2: Jan 5-6 and Jan 20-21 (tie of 2) — earliest start wins
+    for d in [5, 6, 20, 21]:
+        rows.append((2, datetime.date(2024, 1, d)))
+    ev = spark.createDataFrame(rows, "user_id long, day date").distinct()
+    w_rn = Window.partitionBy("user_id").orderBy("day")
+    numbered = ev.select(
+        "user_id", "day", F.row_number().over(w_rn).cast("long").alias("rn")
+    )
+    islands = numbered.groupBy(
+        "user_id", F.date_sub("day", F.col("rn").cast("int")).alias("anchor")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    best = (
+        islands.withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .collect()
+    )
+    got = {r.user_id: (r.streak_days, r.streak_start) for r in best}
+    assert got[1] == (4, datetime.date(2024, 1, 1))
+    assert got[2] == (2, datetime.date(2024, 1, 5))
+
+
+def test_streaks_plan_no_global_window(spark, sf_dir):
+    """Both windows partition by user — no single-partition exchange of
+    the fact anywhere in the plan."""
+    p = plan(_Q["q_streak_islands"](spark, sf_dir))
+    assert "SinglePartition" not in p, p
+
+
+def test_spine_covers_every_calendar_day(spark, sf_dir):
+    """Spine arithmetic: sum(n_days) over months equals the inclusive
+    day span between min and max order date, and gaps = days − active."""
+    out = _Q["q_date_spine_coverage"](spark, sf_dir).toPandas()
+    from modevetl_spark.sources.catalog import load
+
+    lo, hi = (
+        load(spark, sf_dir, "orders")
+        .agg(F.min("o_orderdate").cast("date"), F.max("o_orderdate").cast("date"))
+        .collect()[0]
+    )
+    assert out["n_days"].sum() == (hi - lo).days + 1
+    assert (out["n_gap_days"] == out["n_days"] - out["n_active_days"]).all()
