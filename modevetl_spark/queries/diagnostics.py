@@ -706,3 +706,190 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     stream = d.select(F.explode(tokens("text")).alias("tok"))
     return heavy_hitters_exact(stream, "tok", k=30, denom=30)
+
+
+# --- HITS hubs/authorities (oracle-replayed iteration) ------------------
+
+
+def _hits_oracle_sql(iterations: int = 8) -> str:
+    """Unrolls operators/graph.hits's recurrence into chained CTEs, one
+    pair of half-steps per iteration — the q_graph_pagerank replay
+    pattern: every order-sensitive sum is ROUND-9dp + DECIMAL(18,9)
+    (exact), every scalar norm is itself a rounded decimal sum, so both
+    engines walk the identical IEEE double sequence."""
+    sql = ["""WITH edges AS (
+    SELECT DISTINCT p_partkey AS s, (p_partkey * p_partkey) % 97 AS d
+    FROM part WHERE p_partkey >= 2
+),
+verts AS MATERIALIZED (
+    SELECT s AS node FROM edges UNION SELECT d AS node FROM edges
+),
+nv AS (SELECT COUNT(*) AS cnt FROM verts),
+h0 AS MATERIALIZED (
+    SELECT v.node, ROUND(CAST(1.0 AS DOUBLE) / nv.cnt, 9) AS val
+    FROM verts v CROSS JOIN nv
+)"""]
+    step = """ink{k} AS MATERIALIZED (
+    SELECT e.d AS node,
+           ROUND(CAST(SUM(CAST(h.val AS DECIMAL(18,9))) AS DOUBLE), 9) AS v
+    FROM edges e JOIN h{p} h ON h.node = e.s GROUP BY e.d
+),
+sa{k} AS (
+    SELECT ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE), 9) AS norm
+    FROM ink{k}
+),
+a{k} AS MATERIALIZED (
+    SELECT vt.node, COALESCE(ROUND(i.v / sa{k}.norm, 9), 0.0e0) AS val
+    FROM verts vt CROSS JOIN sa{k} LEFT JOIN ink{k} i ON i.node = vt.node
+),
+outk{k} AS MATERIALIZED (
+    SELECT e.s AS node,
+           ROUND(CAST(SUM(CAST(a.val AS DECIMAL(18,9))) AS DOUBLE), 9) AS v
+    FROM edges e JOIN a{k} a ON a.node = e.d GROUP BY e.s
+),
+sh{k} AS (
+    SELECT ROUND(CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE), 9) AS norm
+    FROM outk{k}
+),
+h{k} AS MATERIALIZED (
+    SELECT vt.node, COALESCE(ROUND(o.v / sh{k}.norm, 9), 0.0e0) AS val
+    FROM verts vt CROSS JOIN sh{k} LEFT JOIN outk{k} o ON o.node = vt.node
+)"""
+    for k in range(1, iterations + 1):
+        sql.append(step.format(k=k, p=k - 1))
+    return ",\n".join(sql) + f"""
+SELECT a.node, a.val AS authority, h.val AS hub
+FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node
+ORDER BY authority DESC, a.node
+LIMIT 30"""
+
+
+@q("q_graph_hits", oracle_sql=_hits_oracle_sql(iterations=8))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9++ [EXT]: HITS hubs/authorities over the hub-skewed
+    quadratic-residue graph (the q_graph_degrees edge list, whose ~97
+    residue nodes are natural authorities) — top 30 nodes by authority.
+    The second oracle-replayed iterative graph algorithm next to
+    q_graph_pagerank, proving the decimal-iteration discipline
+    generalizes to mutually-recursive score vectors with per-step
+    normalization.
+
+    Plan/determinism: see :func:`modevetl_spark.operators.graph.hits` —
+    fixed 8 iterations, per-half-step L1 norms as broadcast one-row
+    aggregates, 9dp decimal discipline throughout; the oracle unrolls
+    the identical recurrence CTE-per-iteration. Scores are emitted
+    exactly as the iteration left them (already 9dp-quantized — no
+    output re-round, so no .5-boundary exposure).
+    """
+    from modevetl_spark.operators.graph import hits
+
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * F.col("p_partkey")) % 97).alias("dst"),
+    )
+    return (
+        hits(edges, iterations=8)
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(30)
+    )
+
+
+# --- interval-overlap join (bucketed, not theta) ------------------------
+
+_OVERLAP_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+             AS start_day,
+           CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE)
+             AS end_day
+    FROM events GROUP BY user_id
+)
+SELECT a.user_id AS a_id, b.user_id AS b_id,
+       CAST(date_diff('day',
+                      greatest(a.start_day, b.start_day),
+                      least(a.end_day, b.end_day)) + 1 AS BIGINT)
+         AS overlap_days
+FROM spans a JOIN spans b
+  ON a.user_id < b.user_id
+ AND a.start_day <= b.end_day
+ AND b.start_day <= a.end_day
+WHERE CAST(date_diff('day',
+                     greatest(a.start_day, b.start_day),
+                     least(a.end_day, b.end_day)) + 1 AS BIGINT) >= 30
+"""
+
+
+@q("q_join_interval_overlap", oracle_sql=_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+ [EXT]: interval-overlap self-join — pairs of users whose
+    activity spans overlap by 30+ days, with the exact overlap length.
+    Range joins cover point-in-interval (q_join_range) and as-of
+    (q_join_asof); this is the third range shape, interval×interval —
+    concurrent sessions, conflicting bookings, co-residency windows.
+
+    Plan shape — bucketed, never theta: each span explodes into the
+    MONTHS it covers (bounded by the calendar), candidate pairs come
+    from an equi-self-join on the month bucket (hash join, pruned by
+    the pair ordering inside the join condition), are deduped on the
+    pair key, and only then is the exact overlap computed and filtered.
+    A direct theta join (the oracle's formulation) is
+    BroadcastNestedLoop over all user pairs — quadratic in users; the
+    bucket join is linear in (span-months + true candidate pairs),
+    which is what survives at 100 TB. The plan gate asserts no
+    nested-loop/cartesian operator exists.
+
+    Determinism: pure date/integer arithmetic, no floats.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    spans = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("start_day"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("end_day"),
+    )
+    months = spans.select(
+        "user_id",
+        "start_day",
+        "end_day",
+        F.explode(
+            F.sequence(
+                F.trunc("start_day", "month"),
+                F.trunc("end_day", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    a = months.select(
+        F.col("user_id").alias("a_id"),
+        F.col("start_day").alias("a_start"),
+        F.col("end_day").alias("a_end"),
+        "m",
+    )
+    b = months.select(
+        F.col("user_id").alias("b_id"),
+        F.col("start_day").alias("b_start"),
+        F.col("end_day").alias("b_end"),
+        "m",
+    )
+    pairs = (
+        a.join(b, ["m"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    overlap = (
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        )
+        + 1
+    ).cast("long")
+    return (
+        pairs.where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_id", "b_id", overlap.alias("overlap_days"))
+        .where(F.col("overlap_days") >= 30)
+    )

@@ -193,6 +193,106 @@ def test_zipf_plan_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_hits_closed_form_star(spark):
+    """On a star graph (spokes → center) the center is the unique
+    authority (score 1) and every spoke an equal hub; the center's hub
+    score and spokes' authority scores are 0."""
+    from modevetl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(s, 0) for s in range(1, 6)], "src long, dst long"
+    )
+    out = {r.node: (r.authority, r.hub) for r in hits(edges, iterations=4).collect()}
+    assert out[0][0] == 1.0 and out[0][1] == 0.0
+    for s in range(1, 6):
+        assert out[s][0] == 0.0
+        assert abs(out[s][1] - 0.2) < 1e-9
+
+
+def test_hits_scores_are_l1_normalized(spark, sf_dir):
+    """Authority and hub vectors each sum to ~1 (9dp quantization
+    aside) over ALL nodes — checked on the full operator output, before
+    the query's top-30 cut."""
+    from modevetl_spark.operators.graph import hits
+
+    from modevetl_spark.sources.catalog import load
+
+    part = load(spark, sf_dir, "part")
+    edges = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        ((F.col("p_partkey") * F.col("p_partkey")) % 97).alias("dst"),
+    )
+    sums = (
+        hits(edges, iterations=3)
+        .agg(F.sum("authority").alias("sa"), F.sum("hub").alias("sh"))
+        .collect()[0]
+    )
+    assert abs(sums.sa - 1.0) < 1e-5
+    assert abs(sums.sh - 1.0) < 1e-5
+
+
+def test_interval_overlap_plan_no_nested_loop(spark, sf_dir):
+    """The overlap join must be the bucketed equi-join — a theta
+    formulation degrades to BroadcastNestedLoop/Cartesian, quadratic in
+    users."""
+    p = plan(_Q["q_join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_interval_overlap_planted_edges(spark):
+    """Planted spans: adjacent-but-disjoint spans that share a month
+    must NOT pair; truly overlapping spans must report the exact
+    inclusive overlap length."""
+    import datetime as _dt
+
+    rows = [
+        # u1: Jan 1-10; u2: Jan 20-31 (same month, disjoint)
+        (1, _dt.date(2024, 1, 1), _dt.date(2024, 1, 10)),
+        (2, _dt.date(2024, 1, 20), _dt.date(2024, 1, 31)),
+        # u3: Jan 5 - Feb 10 (overlaps u1 by 6 days: Jan 5-10)
+        (3, _dt.date(2024, 1, 5), _dt.date(2024, 2, 10)),
+    ]
+    spans = spark.createDataFrame(
+        rows, "user_id long, start_day date, end_day date"
+    )
+    months = spans.select(
+        "user_id", "start_day", "end_day",
+        F.explode(
+            F.sequence(
+                F.trunc("start_day", "month"),
+                F.trunc("end_day", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m"),
+    )
+    a = months.select(
+        F.col("user_id").alias("a_id"), F.col("start_day").alias("a_start"),
+        F.col("end_day").alias("a_end"), "m",
+    )
+    b = months.select(
+        F.col("user_id").alias("b_id"), F.col("start_day").alias("b_start"),
+        F.col("end_day").alias("b_end"), "m",
+    )
+    pairs = (
+        a.join(b, ["m"]).where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+        .where(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select(
+            "a_id", "b_id",
+            (F.datediff(F.least("a_end", "b_end"),
+                        F.greatest("a_start", "b_start")) + 1).alias("d"),
+        )
+        .collect()
+    )
+    got = {(r.a_id, r.b_id): r.d for r in pairs}
+    assert got == {(1, 3): 6, (2, 3): 12}
+
+
 def test_spine_covers_every_calendar_day(spark, sf_dir):
     """Spine arithmetic: sum(n_days) over months equals the inclusive
     day span between min and max order date, and gaps = days − active."""
