@@ -893,3 +893,300 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", overlap.alias("overlap_days"))
         .where(F.col("overlap_days") >= 30)
     )
+
+
+# --- Mann-Whitney U (rank-based two-sample test) ------------------------
+
+_MWU_ORACLE = """
+WITH labeled AS (
+    SELECT CAST(floor(o.o_totalprice) AS BIGINT) AS v,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is_a
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+per_value AS (
+    SELECT v,
+           CAST(SUM(is_a) AS BIGINT)     AS a_cnt,
+           CAST(SUM(1 - is_a) AS BIGINT) AS b_cnt
+    FROM labeled GROUP BY v
+),
+cum AS (
+    SELECT a_cnt, b_cnt, a_cnt + b_cnt AS t,
+           CAST(COALESCE(SUM(a_cnt + b_cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before,
+           CAST(SUM(a_cnt) OVER () AS BIGINT) AS n_a,
+           CAST(SUM(b_cnt) OVER () AS BIGINT) AS n_b
+    FROM per_value
+),
+sums AS (
+    SELECT n_a, n_b, n_a + n_b AS nn,
+           CAST(SUM(a_cnt * (2 * cum_before + t + 1)) AS BIGINT) AS r2a,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+    FROM cum GROUP BY n_a, n_b
+)
+SELECT n_a, n_b,
+       (CAST(r2a AS DOUBLE) - n_a * (n_a + 1)) / 2 AS u_stat,
+       ROUND(((CAST(r2a AS DOUBLE) - n_a * (n_a + 1)) / 2
+              - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                    * ((nn + 1) - CAST(tie3 AS DOUBLE) / (nn * (nn - 1)))),
+             9) AS z_score
+FROM sums
+"""
+
+
+@q("q_stats_mannwhitney", oracle_sql=_MWU_ORACLE)
+def stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+12 [EXT]: Mann-Whitney U — the rank-based (distribution-free)
+    two-sample test on the same BUILDING/MACHINERY split as the KS test:
+    KS compares ECDF shape, U compares stochastic ordering. Average
+    ranks for ties with the standard tie-corrected normal approximation.
+
+    Plan shape: identical to the KS pattern — broadcast dim join, one
+    hash aggregate to dollar-floored per-value counts, rank arithmetic
+    as running sums over the bounded per-value table.
+
+    Determinism: rank sums stay INTEGER throughout — the tied-rank
+    average (cum_before + (t+1)/2) is folded as the doubled integer
+    Σ a_cnt·(2·cum_before + t + 1), so no float ever enters an
+    order-sensitive aggregate; U, the tie term Σ(t³−t), and the z
+    denominator are a fixed exact-IEEE tree over those integers
+    (sqrt is correctly rounded), z rounded 9dp.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+    labeled = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_a"),
+    )
+    per_value = labeled.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    t = F.col("a_cnt") + F.col("b_cnt")
+    cum = per_value.select(
+        "a_cnt",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_before), F.lit(0)).cast("long").alias("cum_before"),
+        F.sum("a_cnt").over(w_all).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(w_all).cast("long").alias("n_b"),
+    )
+    sums = cum.groupBy("n_a", "n_b").agg(
+        F.sum(
+            F.col("a_cnt") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    nn = n_a + n_b
+    u = (F.col("r2a").cast("double") - n_a * (n_a + 1)) / 2
+    mu = n_a.cast("double") * n_b / 2
+    sigma = F.sqrt(
+        n_a.cast("double") * n_b / 12
+        * ((nn + 1) - F.col("tie3").cast("double") / (nn * (nn - 1)))
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        u.alias("u_stat"),
+        F.round((u - mu) / sigma, 9).alias("z_score"),
+    )
+
+
+# --- truncated EWMA over the daily revenue series -----------------------
+
+# alpha(1-alpha)^k for k = 0..9, shared python-float literals injected
+# into both engines (the Benford pattern) — neither engine exponentiates.
+_EWMA_ALPHA = 0.3
+_EWMA_W = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k for k in range(10)]
+_EWMA_WSUM = sum(_EWMA_W)  # fixed left-to-right fold, mirrored in SQL
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT day, revenue,
+           {", ".join(f"LAG(revenue, {k}) OVER (ORDER BY day) AS x{k}" for k in range(10))}
+    FROM daily
+)
+SELECT day, revenue,
+       ROUND(({" + ".join(f"CAST({w!r} AS DOUBLE) * x{k}" for k, w in enumerate(_EWMA_W))})
+             / CAST({_EWMA_WSUM!r} AS DOUBLE), 6) AS ewma_10d
+FROM lagged
+WHERE x9 IS NOT NULL
+"""
+
+
+@q("q_ewma_trunc", oracle_sql=_EWMA_ORACLE)
+def ewma_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1++ [EXT]: truncated exponentially-weighted moving average of
+    daily revenue — 10-observation horizon, α=0.3, weights renormalized
+    over the window. True EWMA is an infinite recurrence (not
+    SQL-expressible without recursion); the 10-lag truncation keeps
+    >97% of the mass ((1−α)¹⁰ ≈ 0.028) and makes it a pure window
+    expression. Emitted only where the horizon is full (first 9 days
+    skipped); lags are row-lags over the observed series (gap-agnostic
+    trailing-10-observations, documented).
+
+    Plan shape: daily totals are one bounded (calendar-keyed) hash
+    aggregate; the 10 lags ride ONE window pass over the day-cardinality
+    series (a single-partition window over calendar-bounded input — the
+    sweep-line justification).
+
+    Determinism: daily revenue is dsum-2dp (identical both engines);
+    weights are shared python-float literals; the weighted sum is a
+    FIXED left-to-right `+` chain over correctly-rounded products —
+    bit-identical without any decimal fold; final ROUND 6dp.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    from modevetl_spark.functions.compat import dsum
+
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    w = Window.orderBy("day")
+    lags = [F.lag("revenue", k).over(w).alias(f"x{k}") for k in range(10)]
+    lagged = daily.select("day", "revenue", *lags)
+    num = F.lit(_EWMA_W[0]) * F.col("x0")
+    for k in range(1, 10):
+        num = num + F.lit(_EWMA_W[k]) * F.col(f"x{k}")
+    return lagged.where(F.col("x9").isNotNull()).select(
+        "day",
+        "revenue",
+        F.round(num / F.lit(_EWMA_WSUM), 6).alias("ewma_10d"),
+    )
+
+
+# --- weighted median ----------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH pv AS (
+    SELECT l_returnflag,
+           CAST(floor(l_extendedprice) AS BIGINT) AS v,
+           CAST(SUM(l_quantity) AS BIGINT) AS wsum
+    FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+    SELECT l_returnflag, v, wsum,
+           CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_w,
+           CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT)
+             AS total_w
+    FROM pv
+)
+SELECT l_returnflag, MIN(v) AS w_median, MIN(total_w) AS total_weight
+FROM cum
+WHERE 2 * cum_w >= total_w
+GROUP BY l_returnflag
+"""
+
+
+@q("q_weighted_median", oracle_sql=_WMEDIAN_ORACLE)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5++ [EXT]: weighted median — the price point at which half the
+    QUANTITY mass sits at-or-below, per return flag (the lower weighted
+    median, 2·cum ≥ W). The inventory-weighted complement of the exact
+    row-median q_agg_median.
+
+    Plan shape: the fact collapses to dollar-floored (flag, value)
+    weight sums — bounded by flag × money domain; cumulative weight is
+    a flag-partitioned window over that bounded table; the median pick
+    is a min over the qualifying suffix. All integer arithmetic
+    (quantity weights sum as BIGINT) — no float discipline needed.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy(
+        "l_returnflag", F.floor("l_extendedprice").cast("long").alias("v")
+    ).agg(F.sum("l_quantity").cast("long").alias("wsum"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = pv.select(
+        "l_returnflag",
+        "v",
+        F.sum("wsum").over(w_cum).cast("long").alias("cum_w"),
+        F.sum("wsum").over(w_all).cast("long").alias("total_w"),
+    )
+    return (
+        cum.where(2 * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("w_median"),
+            F.min("total_w").alias("total_weight"),
+        )
+    )
+
+
+# --- 2-D skyline (Pareto frontier) --------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH pts AS (
+    SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+)
+SELECT price, size FROM pts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.price <= p.price AND q.size >= p.size
+      AND (q.price < p.price OR q.size > p.size)
+)
+"""
+
+
+@q("q_skyline_pareto", oracle_sql=_SKYLINE_ORACLE)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 [EXT]: 2-D skyline / Pareto frontier — parts not dominated on
+    (price ↓ better, size ↑ better): the multi-objective shortlist
+    operator (cheapest-for-its-size supplier choice, best
+    quality-per-cost corpus slice).
+
+    Plan shape — sweep, never the quadratic NOT EXISTS: distinct points
+    sort by (price asc, size desc); a point survives iff its size
+    strictly exceeds the running max size over all STRICTLY
+    better-priced predecessors. One sort of the deduped point set
+    (bounded by the attribute domain) replaces the oracle's
+    all-pairs anti-join — O(n log n) vs O(n²), the textbook 2-D skyline
+    sweep. The equal-price tie is handled by the sort itself: within a
+    price, only the largest size can beat the preceding-price max, and
+    later equal-price rows see it in the frame.
+
+    Determinism: pure compare/max logic on raw parquet values — no
+    arithmetic at all.
+    """
+    prep(spark)
+    pts = (
+        load(spark, sf_dir, "part")
+        .select(
+            F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+        )
+        .distinct()
+    )
+    w = Window.orderBy(F.col("price").asc(), F.col("size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prec_max = F.max("size").over(w)
+    return (
+        pts.withColumn("pm", prec_max)
+        .where(F.col("pm").isNull() | (F.col("size") > F.col("pm")))
+        .select("price", "size")
+    )

@@ -306,3 +306,101 @@ def test_spine_covers_every_calendar_day(spark, sf_dir):
     )
     assert out["n_days"].sum() == (hi - lo).days + 1
     assert (out["n_gap_days"] == out["n_days"] - out["n_active_days"]).all()
+
+
+def test_mannwhitney_symmetric_samples_z_zero(spark):
+    """Identical A/B samples ⇒ U = n_a·n_b/2 and z = 0 — replayed on the
+    operator's integer rank-fold over a planted frame."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(v, seg) for v in [10, 20, 30] for seg in (1, 0)], "v long, is_a int"
+    )
+    per_value = df.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    t = F.col("a_cnt") + F.col("b_cnt")
+    cum = per_value.select(
+        "a_cnt", t.alias("t"),
+        F.coalesce(F.sum(t).over(w_before), F.lit(0)).cast("long").alias("cb"),
+        F.sum("a_cnt").over(w_all).cast("long").alias("n_a"),
+        F.sum("b_cnt").over(w_all).cast("long").alias("n_b"),
+    )
+    row = cum.groupBy("n_a", "n_b").agg(
+        F.sum(F.col("a_cnt") * (2 * F.col("cb") + F.col("t") + 1)).alias("r2a")
+    ).collect()[0]
+    u = (row.r2a - row.n_a * (row.n_a + 1)) / 2
+    assert u == row.n_a * row.n_b / 2  # exactly mu ⇒ z = 0
+
+
+def test_ewma_bounded_by_trailing_window(spark, sf_dir):
+    """Normalized positive weights ⇒ the EWMA is a convex combination:
+    min(trailing 10 revenues) ≤ ewma ≤ max — checked row-by-row against
+    a pandas rolling replay."""
+    out = _Q["q_ewma_trunc"](spark, sf_dir).toPandas().sort_values("day")
+    lo = out["revenue"].rolling(10).min()
+    hi = out["revenue"].rolling(10).max()
+    chk = out.iloc[9:]
+    eps = 1e-6
+    assert (chk["ewma_10d"] >= lo.iloc[9:] - eps).all()
+    assert (chk["ewma_10d"] <= hi.iloc[9:] + eps).all()
+
+
+def test_weighted_median_mass_invariant(spark, sf_dir):
+    """At least half the quantity mass sits at-or-below the reported
+    median and at least half at-or-above, per group."""
+    import pandas as pd
+
+    from modevetl_spark.sources.catalog import load
+
+    med = {
+        r.l_returnflag: r.w_median
+        for r in _Q["q_weighted_median"](spark, sf_dir).collect()
+    }
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.floor("l_extendedprice").cast("long").alias("v"),
+            "l_quantity",
+        )
+        .toPandas()
+    )
+    for flag, g in li.groupby("l_returnflag"):
+        m, w = med[flag], g["l_quantity"].sum()
+        assert g.loc[g["v"] <= m, "l_quantity"].sum() * 2 >= w
+        assert g.loc[g["v"] >= m, "l_quantity"].sum() * 2 >= w
+
+
+def test_skyline_planted_dominance(spark):
+    """Planted points: (1,5) and (3,9) are the frontier; (2,5) is
+    dominated by (1,5) (same size, worse price), (3,8) by (3,9), and the
+    duplicate-collapsed (1,5) survives once."""
+    pts = spark.createDataFrame(
+        [(1.0, 5), (1.0, 5), (2.0, 5), (3.0, 9), (3.0, 8)],
+        "price double, size long",
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("price").asc(), F.col("size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    got = {
+        (r.price, r.size)
+        for r in pts.withColumn("pm", F.max("size").over(w))
+        .where(F.col("pm").isNull() | (F.col("size") > F.col("pm")))
+        .select("price", "size")
+        .collect()
+    }
+    assert got == {(1.0, 5), (3.0, 9)}
+
+
+def test_skyline_plan_has_no_join(spark, sf_dir):
+    """The sweep formulation must plan as sort+window over the deduped
+    points — zero join operators (the oracle's NOT EXISTS would be a
+    quadratic nested-loop)."""
+    p = plan(_Q["q_skyline_pareto"](spark, sf_dir))
+    assert "Join" not in p, p
