@@ -1190,3 +1190,233 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pm").isNull() | (F.col("size") > F.col("pm")))
         .select("price", "size")
     )
+
+
+# --- largest-remainder apportionment ------------------------------------
+
+_APPORTION_ORACLE = """
+WITH groups AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY source
+),
+shares AS (
+    SELECT source, c,
+           CAST(SUM(c) OVER () AS BIGINT) AS n,
+           CAST((1000 * c) // SUM(c) OVER () AS BIGINT) AS base,
+           CAST((1000 * c) % (SUM(c) OVER ()) AS BIGINT) AS rem
+    FROM groups
+),
+ranked AS (
+    SELECT source, c, base, rem,
+           CAST(1000 - SUM(base) OVER () AS BIGINT) AS leftover,
+           CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT)
+             AS rk
+    FROM shares
+)
+SELECT source, c AS n_docs, base,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS slots
+FROM ranked
+"""
+
+
+@q("q_apportion_slots", oracle_sql=_APPORTION_ORACLE)
+def apportion_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+/L2+6 [EXT]: largest-remainder apportionment — split a fixed
+    budget of 1000 sample slots across document sources exactly
+    proportionally: floor the ideal integer share, then hand the
+    leftover slots to the largest fractional remainders (ties by source
+    name). The quota-design step BEFORE q_domain_quota_sample runs —
+    Σslots = 1000 exactly, which naive per-group rounding cannot
+    guarantee.
+
+    Plan shape: one source-keyed aggregate; every window rides the
+    GROUP-cardinality table (sources, not documents).
+
+    Determinism: all integer — the ideal share is kept as the exact
+    pair (floor-div, mod) of 1000·c by n; no float ever exists.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    groups = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_all = Window.partitionBy()
+    shares = groups.select(
+        "source",
+        "c",
+        F.expr("(1000 * c) div sum(c) over ()").cast("long").alias("base"),
+        F.expr("(1000 * c) % sum(c) over ()").cast("long").alias("rem"),
+    )
+    ranked = shares.select(
+        "source",
+        "c",
+        "base",
+        "rem",
+        (1000 - F.sum("base").over(w_all)).cast("long").alias("leftover"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "source"))
+        .cast("long")
+        .alias("rk"),
+    )
+    return ranked.select(
+        "source",
+        F.col("c").alias("n_docs"),
+        "base",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("slots"),
+    )
+
+
+# --- Wald–Wolfowitz runs test on daily revenue direction ----------------
+
+_RUNS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+),
+signs AS (
+    SELECT day,
+           CASE WHEN revenue > LAG(revenue) OVER (ORDER BY day) THEN 1
+                WHEN revenue < LAG(revenue) OVER (ORDER BY day) THEN -1
+                ELSE 0 END AS s
+    FROM daily
+),
+nz AS (SELECT day, s FROM signs WHERE s <> 0),
+runs AS (
+    SELECT s,
+           CASE WHEN s <> LAG(s) OVER (ORDER BY day) THEN 1 ELSE 0 END
+             AS boundary
+    FROM nz
+),
+sums AS (
+    SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(1 + SUM(boundary) AS BIGINT) AS n_runs
+    FROM runs
+)
+SELECT n_up, n_down, n_runs,
+       ROUND((CAST(n_runs AS DOUBLE)
+              - (CAST(2 AS DOUBLE) * n_up * n_down / (n_up + n_down) + 1))
+             / sqrt(CAST(2 AS DOUBLE) * n_up * n_down
+                    * (CAST(2 AS DOUBLE) * n_up * n_down - (n_up + n_down))
+                    / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+                       * (n_up + n_down - 1))),
+             9) AS z_score
+FROM sums
+"""
+
+
+@q("q_runs_test", oracle_sql=_RUNS_ORACLE)
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+13 [EXT]: Wald–Wolfowitz runs test — is the day-over-day
+    direction of revenue random, or does it trend/mean-revert? Counts
+    maximal runs of consecutive up/down days and compares against the
+    expected run count under exchangeability. The randomness-audit
+    member of the test family (KS: shape drift; U: location shift;
+    runs: serial dependence).
+
+    Plan shape: the daily series is one bounded calendar-keyed
+    aggregate; signs, run boundaries, and the three counts all ride
+    windows/aggregates over that bounded series.
+
+    Determinism: signs compare identical 2dp dsum doubles (exact
+    compares); run/boundary counts are integers; the z formula is a
+    fixed exact-IEEE tree over integer counts, rounded 9dp.
+    """
+    prep(spark)
+    from modevetl_spark.functions.compat import dsum
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    w_day = Window.orderBy("day")
+    prev = F.lag("revenue").over(w_day)
+    signs = daily.select(
+        "day",
+        F.when(F.col("revenue") > prev, 1)
+        .when(F.col("revenue") < prev, -1)
+        .otherwise(0)
+        .alias("s"),
+    ).where(F.col("s") != 0)
+    runs = signs.select(
+        "s",
+        F.when(F.col("s") != F.lag("s").over(Window.orderBy("day")), 1)
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    sums = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_down"),
+        (1 + F.sum("boundary")).cast("long").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + 1
+    sigma = F.sqrt(
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn.cast("double") * nn * (nn - 1))
+    )
+    return sums.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round((r.cast("double") - mu) / sigma, 9).alias("z_score"),
+    )
+
+
+# --- activity heatmap (day-of-week × hour) ------------------------------
+
+_HEATMAP_ORACLE = """
+WITH cells AS (
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / SUM(n_events) OVER (), 6) AS share
+FROM cells
+"""
+
+
+@q("q_events_heatmap", oracle_sql=_HEATMAP_ORACLE)
+def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+/A12+ [EXT]: activity heatmap — event counts per (day-of-week,
+    hour-of-day) cell with global share. The load-profile report behind
+    capacity planning and anomaly baselines (the q_anomaly_days
+    trailing-σ detector compares against exactly this kind of profile).
+
+    Plan shape: one bounded (≤168-key) hash aggregate with map-side
+    combine; the share margin is a window over the cell table (the
+    Benford margins pattern — the fact is scanned once).
+
+    Determinism: pure integer counts + one exact division rounded 6dp.
+    Day-of-week alignment: Spark's dayofweek is 1-based Sunday, DuckDB's
+    0-based Sunday — the Spark side emits dayofweek−1.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w_all = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hod",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double") / F.sum("n_events").over(w_all), 6
+        ).alias("share"),
+    )

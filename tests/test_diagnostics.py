@@ -404,3 +404,35 @@ def test_skyline_plan_has_no_join(spark, sf_dir):
     quadratic nested-loop)."""
     p = plan(_Q["q_skyline_pareto"](spark, sf_dir))
     assert "Join" not in p, p
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    """Σslots = 1000 exactly, and every group's slot count is within 1
+    of its unrounded proportional share (the largest-remainder
+    guarantee)."""
+    out = _Q["q_apportion_slots"](spark, sf_dir).toPandas()
+    assert out["slots"].sum() == 1000
+    n = out["n_docs"].sum()
+    ideal = 1000 * out["n_docs"] / n
+    assert ((out["slots"] - ideal).abs() < 1.0).all()
+
+
+def test_runs_test_counts_consistent(spark, sf_dir):
+    """Run count bounds: 1 ≤ runs ≤ n_up + n_down, and the z-score is
+    finite."""
+    import math
+
+    r = _Q["q_runs_test"](spark, sf_dir).collect()[0]
+    assert 1 <= r.n_runs <= r.n_up + r.n_down
+    assert math.isfinite(r.z_score)
+
+
+def test_heatmap_cells_cover_all_events(spark, sf_dir):
+    """Cell counts total the event count; shares total ~1; dow ∈ 0..6,
+    hod ∈ 0..23."""
+    out = _Q["q_events_heatmap"](spark, sf_dir).toPandas()
+    from modevetl_spark.sources.catalog import load
+
+    assert out["n_events"].sum() == load(spark, sf_dir, "events").count()
+    assert abs(out["share"].sum() - 1.0) < 1e-3
+    assert out["dow"].between(0, 6).all() and out["hod"].between(0, 23).all()
