@@ -48,6 +48,8 @@ HEADLINE = [
     "q_tpch_forecast_revenue",
     "q_kmeans_clusters",
     "q_dedup_paragraph",
+    "q_heavy_hitters",
+    "q_graph_hits",
 ]
 
 

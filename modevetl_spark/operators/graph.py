@@ -218,6 +218,16 @@ def hits(
     9dp-rounded decimal sum, and every stored score is re-rounded to
     9dp — so iteration k is a deterministic function of iteration k-1
     on any engine applying the same recurrence.
+
+    Measured negative result (kept for the record): folding the
+    authority half-step lazily into the hub checkpoint job — 1 job per
+    iteration instead of 2 — is SLOWER (7.3–8.3 s vs 6.1–6.6 s warm at
+    sf0.1, same load): ``outk`` is referenced by both its L1-norm scalar
+    and the hub join, so un-materializing ``a`` re-evaluates the
+    ink→a→outk subtree twice inside the job, which costs more than the
+    checkpoint it saves. Two eager checkpoints per iteration is the
+    measured optimum for this dataflow shape (same lesson as the k-means
+    lazy-uncached tradeoff note).
     """
     dec = "decimal(18,9)"
 
