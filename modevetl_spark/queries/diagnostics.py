@@ -1420,3 +1420,255 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w_all), 6
         ).alias("share"),
     )
+
+
+# --- ABC (Pareto) inventory classification ------------------------------
+
+_ABC_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * CAST(1 - l_discount AS DECIMAL(18,6))) AS rev
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, rev,
+           SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_rev,
+           SUM(rev) OVER () AS total_rev
+    FROM per_part
+),
+classed AS (
+    SELECT CASE WHEN 100 * cum_rev <= 80 * total_rev THEN 'A'
+                WHEN 100 * cum_rev <= 95 * total_rev THEN 'B'
+                ELSE 'C' END AS abc_class,
+           rev, total_rev
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_revenue,
+       ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MIN(total_rev) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed
+GROUP BY abc_class
+"""
+
+
+@q("q_abc_classification", oracle_sql=_ABC_ORACLE)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+14 [EXT]: ABC/Pareto classification — parts ranked by revenue,
+    classed A (first 80% of cumulative revenue), B (to 95%), C (tail);
+    per-class part counts, revenue, and share. The inventory-policy
+    twin of q_revenue_gini (Gini measures concentration, ABC acts on
+    it), and the classic 80/20 report.
+
+    Plan shape: the fact collapses to one per-part revenue aggregate
+    (bounded by the part CATALOG, not the fact); the cumulative sum is
+    a single ordered window over that catalog-bounded table; the final
+    rollup is 3 rows.
+
+    Determinism: revenue never leaves DECIMAL until output — the class
+    boundary compares 100·cum ≤ 80·total in exact decimal·integer
+    arithmetic (no float boundary anywhere); output sums round the
+    decimal once (dsum discipline).
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    from modevetl_spark.functions.compat import money
+
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice", "l_discount")).alias("rev")
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("total_rev"),
+    )
+    classed = ranked.select(
+        F.when(100 * F.col("cum_rev") <= 80 * F.col("total_rev"), "A")
+        .when(100 * F.col("cum_rev") <= 95 * F.col("total_rev"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev",
+        "total_rev",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(F.sum("rev").cast("double"), 2).alias("class_revenue"),
+        F.round(
+            F.sum("rev").cast("double") / F.min("total_rev").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+# --- CUSUM changepoint over the daily revenue series --------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_rev
+    FROM daily
+),
+dev AS (
+    SELECT day, ROUND(revenue - m.mean_rev, 6) AS d
+    FROM daily, m
+),
+cusum AS (
+    SELECT day,
+           ROUND(CAST(SUM(CAST(d AS DECIMAL(18,6))) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS s,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_days
+    FROM dev
+),
+pick AS (
+    SELECT day, s, n_days,
+           ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, day) AS rk
+    FROM cusum
+)
+SELECT day AS change_day, s AS max_cusum, n_days
+FROM pick WHERE rk = 1
+"""
+
+
+@q("q_changepoint_cusum", oracle_sql=_CUSUM_ORACLE)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+++/A10+15 [EXT]: CUSUM changepoint — the day where the
+    cumulative deviation from mean revenue peaks in magnitude, i.e. the
+    most likely LEVEL-SHIFT point of the series. Complements
+    q_anomaly_days (spikes) and q_runs_test (serial dependence): CUSUM
+    finds sustained regime changes single spikes and sign streaks miss.
+
+    Plan shape: daily totals are one calendar-bounded aggregate; the
+    mean is an in-DAG one-row aggregate cross-joined back (no second
+    fact scan); the CUSUM is a running decimal sum over the bounded day
+    series; the argmax is a top-1 window pick with day tie-break.
+
+    Determinism: deviations are differences of identical 2dp/6dp
+    doubles rounded to 6dp; the running sum accumulates in
+    DECIMAL(18,6) (exact, order-free); ABS/argmax compare identical
+    doubles with a deterministic tie-break.
+    """
+    prep(spark)
+    from modevetl_spark.functions.compat import davg, dsum
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    m = daily.agg(davg("revenue", 6).alias("mean_rev"))
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "day", F.round(F.col("revenue") - F.col("mean_rev"), 6).alias("d")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cusum = dev.select(
+        "day",
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,6)")).over(w_cum).cast("double"),
+            6,
+        ).alias("s"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    )
+    w_pick = Window.orderBy(F.abs(F.col("s")).desc(), "day")
+    return (
+        cusum.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("s").alias("max_cusum"),
+            "n_days",
+        )
+    )
+
+
+# --- near-dup cluster size distribution ---------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    from modevetl_spark.queries.llm import _MINHASH_PAIR_CTES
+
+    return f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+ver AS (
+    SELECT p.id_a, p.id_b
+    FROM pair_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM ver
+    UNION
+    SELECT id_b, id_a FROM ver
+),
+reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+lbl AS (
+    SELECT src AS node, LEAST(src, MIN(dst)) AS comp
+    FROM reach GROUP BY src
+),
+csize AS (
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM lbl GROUP BY comp
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+FROM csize
+GROUP BY cluster_size
+"""
+
+
+@q("q_dedup_cluster_stats", oracle_sql=_cluster_stats_oracle())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+8 [EXT]: duplicate-cluster size distribution — the dedup
+    IMPACT report: for each near-dup cluster size, how many clusters
+    exist and how many documents deduplication would remove
+    (size − 1 per cluster). The go/no-go number an operator reads
+    before running q_dedup_corpus for real.
+
+    Plan shape: the same MinHash-LSH candidate → exact-Jaccard verify →
+    connected-components pipeline as q_dedup_corpus (md5 affine family,
+    so the oracle replays pair generation exactly and closes the
+    fixpoint with a recursive CTE); the histogram is two bounded
+    aggregates over the component labels — the fixpoint runs on the
+    tiny verified pair graph only, never the corpus.
+
+    Determinism: integer counts end-to-end; the component label is the
+    min-id contract shared with operators/components.py.
+    """
+    prep(spark)
+    from modevetl_spark.operators.components import connected_components
+    from modevetl_spark.operators.dedup import jaccard_pairs, minhash_candidates_md5
+
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_candidates_md5(d, shingle_n=3, k=16, bands=4)
+    pairs = jaccard_pairs(d, cands, shingle_n=3).where(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
+    )

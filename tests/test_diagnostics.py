@@ -436,3 +436,46 @@ def test_heatmap_cells_cover_all_events(spark, sf_dir):
     assert out["n_events"].sum() == load(spark, sf_dir, "events").count()
     assert abs(out["share"].sum() - 1.0) < 1e-3
     assert out["dow"].between(0, 6).all() and out["hod"].between(0, 23).all()
+
+
+def test_abc_classes_partition_catalog(spark, sf_dir):
+    """A/B/C part counts cover every part with recorded revenue; class
+    revenue shares stack to ~1 with A ≥ B ≥ C ordering of per-part
+    intensity (A parts are fewer but richer than C parts)."""
+    out = (
+        _Q["q_abc_classification"](spark, sf_dir)
+        .toPandas()
+        .set_index("abc_class")
+    )
+    from modevetl_spark.sources.catalog import load
+
+    n_parts_with_rev = (
+        load(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert out["n_parts"].sum() == n_parts_with_rev
+    assert abs(out["revenue_share"].sum() - 1.0) < 1e-3
+    per_part_a = out.loc["A", "class_revenue"] / out.loc["A", "n_parts"]
+    per_part_c = out.loc["C", "class_revenue"] / out.loc["C", "n_parts"]
+    assert per_part_a > per_part_c
+
+
+def test_cusum_endpoint_is_zero_sum(spark, sf_dir):
+    """CUSUM deviations from the mean telescope to ~0 over the full
+    series — so the reported max is an interior extremum, and its
+    magnitude is positive."""
+    r = _Q["q_changepoint_cusum"](spark, sf_dir).collect()[0]
+    assert r.n_days > 0
+    assert abs(r.max_cusum) > 0
+
+
+def test_cluster_stats_consistent_with_corpus_dedup(spark, sf_dir):
+    """Σ(size−1) over clusters equals exactly the number of documents
+    q_dedup_corpus removes — the two queries share one pipeline."""
+    stats = _Q["q_dedup_cluster_stats"](spark, sf_dir).toPandas()
+    removable = int((stats["n_clusters"] * (stats["cluster_size"] - 1)).sum())
+    from modevetl_spark.sources.catalog import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    survivors = _Q["q_dedup_corpus"](spark, sf_dir).count()
+    assert n_docs - survivors == removable
+    assert (stats["cluster_size"] >= 2).all()
