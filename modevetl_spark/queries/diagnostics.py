@@ -1672,3 +1672,224 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("n_removable"),
     )
+
+
+# --- position-based (40/20/40) multi-touch attribution ------------------
+
+_ATTR_POS_ORACLE = """
+WITH cand AS (
+    SELECT b.event_id AS buy_id,
+           c.event_id AS click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events b
+    JOIN events c
+      ON c.user_id = b.user_id
+     AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(b.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(b.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    WHERE b.event_type = 'purchase'
+),
+ranked AS (
+    SELECT buy_id, click_id, click_ts,
+           CAST(ROW_NUMBER() OVER (PARTITION BY buy_id
+                                   ORDER BY click_ts, click_id) AS BIGINT)
+             AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY buy_id) AS BIGINT) AS n
+    FROM cand
+),
+credited AS (
+    SELECT CAST(hour(click_ts) AS BIGINT) AS click_hod,
+           ROUND(CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                      WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                      WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+                      ELSE CAST(0.2 AS DOUBLE) / (n - 2) END, 6) AS w
+    FROM ranked
+)
+SELECT click_hod,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 4) AS credit
+FROM credited
+GROUP BY click_hod
+"""
+
+
+@q("q_attribution_position", oracle_sql=_ATTR_POS_ORACLE)
+def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10+ [EXT]: position-based (U-shaped, 40/20/40) multi-touch
+    attribution — the same purchase × preceding-hour-clicks candidate
+    set as q_attribution_last_touch, but credit splits 40% first touch,
+    40% last, 20% across the middle (1.0 / 0.5+0.5 for 1- and 2-click
+    paths). Credit rolls up by click hour-of-day: per purchase the
+    weights sum to exactly 1, so Σcredit = Σpurchases-with-clicks — the
+    conservation pytest.
+
+    Plan shape: reuses the streaming-parity interval join
+    (`streaming/structured.attribution_join` — one user-keyed shuffle
+    per side, range predicate as join filter); ranking windows partition
+    by the purchase key the join output is already clustered on; the
+    hour rollup is a ≤24-key aggregate.
+
+    Determinism: weights are shared literals or one exact division,
+    rounded 6dp, decimal-summed (order-free), final ROUND 4dp.
+    """
+    prep(spark)
+    from modevetl_spark.streaming.structured import attribution_join
+
+    ev = load(spark, sf_dir, "events")
+    cand = attribution_join(ev)
+    w_rn = Window.partitionBy("buy_id").orderBy("click_ts", "click_id")
+    w_n = Window.partitionBy("buy_id")
+    ranked = cand.select(
+        "buy_id",
+        "click_id",
+        "click_ts",
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n"),
+    )
+    weight = F.round(
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2)),
+        6,
+    )
+    credited = ranked.select(
+        F.hour("click_ts").cast("long").alias("click_hod"),
+        weight.alias("w"),
+    )
+    return credited.groupBy("click_hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("credit"),
+    )
+
+
+# --- order→ship lag percentiles per month -------------------------------
+
+_SHIP_LAG_ORACLE = """
+WITH lags AS (
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP)
+             AS order_month,
+           date_diff('day', CAST(o.o_orderdate AS DATE),
+                     CAST(l.l_shipdate AS DATE)) AS lag_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(quantile_cont(lag_days, 0.25), 6) AS p25,
+       ROUND(quantile_cont(lag_days, 0.50), 6) AS p50,
+       ROUND(quantile_cont(lag_days, 0.95), 6) AS p95,
+       CAST(MAX(lag_days) AS BIGINT) AS max_lag
+FROM lags
+GROUP BY order_month
+"""
+
+
+@q("q_ship_lag_percentiles", oracle_sql=_SHIP_LAG_ORACLE)
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+/M1+ [EXT]: fulfillment-lag SLA report — exact p25/p50/p95 and
+    max of the order→ship day lag, per order month. The operational
+    latency-percentile shape (SLA dashboards, shipping-regression
+    detection) on a cross-table derived metric.
+
+    Plan shape: the orderkey join is co-partitioned at scale (both
+    sides hash on the key; at this sf the orders side broadcasts);
+    lags aggregate per month — exact percentile needs the group's
+    values but months bound the key space, and the Spark `percentile`
+    is the same single-pass sort-based aggregate the oracle's
+    quantile_cont applies.
+
+    Determinism: integer day lags; linear interpolation at the
+    quantile point is the same exact-IEEE expression both engines
+    evaluate (the q_agg_percentile precedent), rounded 6dp.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("lag_days"),
+    )
+    return lags.groupBy("order_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.percentile("lag_days", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("lag_days", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("lag_days", F.lit(0.95)), 6).alias("p95"),
+        F.max("lag_days").cast("long").alias("max_lag"),
+    )
+
+
+# --- top-k per group WITH ties (dense_rank) -----------------------------
+
+_DENSE_TIES_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nation, p.p_brand AS brand,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+)
+SELECT nation, brand, revenue,
+       CAST(brand_rank AS BIGINT) AS brand_rank
+FROM (
+    SELECT *, DENSE_RANK() OVER (PARTITION BY nation
+                                 ORDER BY revenue DESC) AS brand_rank
+    FROM rev
+)
+WHERE brand_rank <= 3
+"""
+
+
+@q("q_topk_dense_ties", oracle_sql=_DENSE_TIES_ORACLE)
+def topk_dense_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+ [EXT]: top-3 brands per nation by revenue KEEPING TIES —
+    dense_rank ≤ 3, so equal-revenue brands share a rank and none is
+    arbitrarily dropped (row_number top-k, the q_topk_per_group shape,
+    silently picks a winner among ties; rank would skip positions).
+    The report-correct variant when the metric has meaningful ties —
+    here guaranteed by ranking on the 2dp-rounded revenue.
+
+    Plan shape: the flagship star — fact streams through broadcast
+    dims, one (nation, brand)-keyed aggregate, then the ranking window
+    partitions by nation over the bounded (nation × brand) aggregate
+    output; WindowGroupLimit pushes the rank-≤3 cut below the full
+    sort at scale.
+
+    Determinism: revenue is dsum-money 2dp BEFORE ranking, so tie
+    groups are identical in both engines; dense_rank needs no
+    tie-break by construction.
+    """
+    prep(spark)
+    from modevetl_spark.functions.compat import dsum_money
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # orders is NOT broadcast-hinted: it is fact-sized at scale, so the
+    # orderkey hop must stay a co-partitioned shuffle join (AQE still
+    # auto-broadcasts it at bench scale where it fits); the true dims
+    # (customer, nation, part) are hinted.
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_brand").alias("brand"))
+        .agg(dsum_money("l_extendedprice", "l_discount").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc())
+    return (
+        rev.withColumn("brand_rank", F.dense_rank().over(w).cast("long"))
+        .where(F.col("brand_rank") <= 3)
+        .select("nation", "brand", "revenue", "brand_rank")
+    )

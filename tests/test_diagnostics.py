@@ -479,3 +479,39 @@ def test_cluster_stats_consistent_with_corpus_dedup(spark, sf_dir):
     survivors = _Q["q_dedup_corpus"](spark, sf_dir).count()
     assert n_docs - survivors == removable
     assert (stats["cluster_size"] >= 2).all()
+
+
+def test_attribution_position_credit_conservation(spark, sf_dir):
+    """Each purchase's position weights sum to 1, so total credit equals
+    the number of purchases with at least one preceding-hour click
+    (within 6dp-rounding drift of the middle-weight division)."""
+    out = _Q["q_attribution_position"](spark, sf_dir).toPandas()
+    n_converted = _Q["q_attribution_last_touch"](spark, sf_dir).count()
+    assert abs(out["credit"].sum() - n_converted) < 0.01 * n_converted + 0.5
+
+
+def test_ship_lag_percentiles_ordered(spark, sf_dir):
+    out = _Q["q_ship_lag_percentiles"](spark, sf_dir).toPandas()
+    assert (out["p25"] <= out["p50"]).all()
+    assert (out["p50"] <= out["p95"]).all()
+    assert (out["p95"] <= out["max_lag"] + 1e-9).all()
+
+
+def test_dense_ties_keeps_all_tied_brands(spark):
+    """Planted frame: two brands tie at rank 1 — BOTH must survive the
+    top-3 cut, and the next brand takes dense rank 2 (no skip)."""
+    from pyspark.sql import Window
+
+    rev = spark.createDataFrame(
+        [("N1", "B1", 100.0), ("N1", "B2", 100.0), ("N1", "B3", 90.0),
+         ("N1", "B4", 80.0), ("N1", "B5", 70.0)],
+        "nation string, brand string, revenue double",
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc())
+    got = {
+        (r.brand, r.brand_rank)
+        for r in rev.withColumn(
+            "brand_rank", F.dense_rank().over(w).cast("long")
+        ).where(F.col("brand_rank") <= 3).collect()
+    }
+    assert got == {("B1", 1), ("B2", 1), ("B3", 2), ("B4", 3)}
