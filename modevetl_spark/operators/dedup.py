@@ -551,6 +551,16 @@ def global_rank(
         F.shiftright("_mid", 33).alias("_pid"),
         (F.col("_mid") % F.lit(1 << 33)).alias("_lrn"),
     )
+    # MATERIALIZE the numbered rows before they fan out to the two
+    # consumers (offset table + final join): without this, each branch
+    # re-evaluates the range exchange and AQE may coalesce it to a
+    # DIFFERENT partition layout per branch — the offset table then
+    # describes a layout the join side doesn't have, yielding duplicate
+    # and missing ranks (observed: 297-300 rows for a deterministic
+    # 300-row systematic sample). One localCheckpoint pins layout and
+    # _mid assignment for both consumers; at scale this is the same
+    # truncate-and-reuse pattern as the closure/pagerank loops.
+    local = local.localCheckpoint(eager=True)
     # cumulative offset per partition id: |partitions| rows, so the
     # single-partition window here is bounded by config, not by data
     offs = (

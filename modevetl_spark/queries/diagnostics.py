@@ -1893,3 +1893,229 @@ def topk_dense_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("brand_rank") <= 3)
         .select("nation", "brand", "revenue", "brand_rank")
     )
+
+
+# --- Heaps'-law vocabulary growth ---------------------------------------
+
+_VOCAB_GROWTH_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+doc_stats AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+    FROM toks GROUP BY doc_id
+),
+firsts AS (
+    SELECT MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+),
+new_per_doc AS (
+    SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY first_doc
+),
+cums AS (
+    SELECT d.doc_id,
+           CAST(SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab,
+           NTILE(10) OVER (ORDER BY d.doc_id) AS decile
+    FROM doc_stats d LEFT JOIN new_per_doc n ON d.doc_id = n.doc_id
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       MAX(doc_id) AS last_doc,
+       MAX(cum_tokens) AS cum_tokens,
+       MAX(cum_vocab) AS cum_vocab
+FROM cums
+GROUP BY decile
+"""
+
+
+@q("q_vocab_growth", oracle_sql=_VOCAB_GROWTH_ORACLE)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+8 [EXT]: Heaps'-law vocabulary growth curve — cumulative
+    distinct-token count vs cumulative corpus size at ten doc-order
+    checkpoints. Natural corpora grow vocab ≈ K·Nᵝ (β≈0.5); a flat
+    curve flags a closed template vocabulary (as here — the corpus-law
+    twin of q_tokens_zipf). The q_running_distinct first-occurrence
+    rewrite applied to tokens: each token charges ONE doc (its first),
+    so cumulative vocab is a running sum of per-doc new-token counts —
+    never distinct-over-expanding-prefix.
+
+    Plan shape: one explode→(tok)-keyed MIN aggregate for first
+    occurrences, one doc-keyed token count; the running sums and decile
+    cut ride the DOC-cardinality table (at corpus scale, checkpoint on
+    coarser buckets than single docs — same shape). Within a decile,
+    MAX(cum_*) picks the boundary row because both cums are monotone in
+    doc order.
+
+    Determinism: all integer counts.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    doc_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cums = (
+        doc_stats.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w_cum).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("cum_vocab"),
+            F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+        )
+    )
+    return cums.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.max("doc_id").alias("last_doc"),
+        F.max("cum_tokens").alias("cum_tokens"),
+        F.max("cum_vocab").alias("cum_vocab"),
+    )
+
+
+# --- sessionized bounce rate --------------------------------------------
+
+_BOUNCE_ORACLE = """
+WITH marked AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN CAST(ts AS TIMESTAMP)
+                     - LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id,
+           ts
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_id,
+           CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM per_session
+GROUP BY day
+"""
+
+
+@q("q_bounce_rate", oracle_sql=_BOUNCE_ORACLE)
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4++ [EXT]: daily bounce rate — share of 30-min-gap sessions
+    containing exactly one event, by session-start day. The engagement
+    KPI layered on the q_events_session sessionizer (same lag-gap-cumsum
+    assignment, so the two queries agree on what a session is by
+    construction).
+
+    Plan shape: sessionization windows partition by user (fully
+    parallel); the per-session rollup groups on the (user, session) key
+    the windows already clustered; the daily rollup is calendar-bounded.
+
+    Determinism: integer counts + one exact division rounded 6dp.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_lag)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("is_new").over(w_cum).alias("session_id")
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounces.cast("long").alias("n_bounces"),
+        F.round(
+            bounces.cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )
+
+
+# --- systematic (every k-th) sampling -----------------------------------
+
+_SYSTEMATIC_ORACLE = """
+SELECT rn AS sample_rank, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS rn
+    FROM orders
+)
+WHERE rn % 50 = 0
+"""
+
+
+@q("q_sample_systematic", oracle_sql=_SYSTEMATIC_ORACLE)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+7 [EXT]: systematic sampling — every 50th order in
+    (orderdate, orderkey) global order. Completes the sampling family
+    (hash, stratified, weighted, quota, split): systematic sampling is
+    the right tool when the frame has a meaningful order and you want
+    guaranteed even coverage along it (temporal spread here).
+
+    Plan shape: the global order comes from
+    `operators/dedup.global_rank` — repartitionByRange +
+    sortWithinPartitions + monotonically_increasing_id with a broadcast
+    partition-offset table — ONE range exchange, never a
+    single-partition window (the classic scale-killer the oracle's
+    ROW_NUMBER() OVER (ORDER BY …) formulation would plan as).
+
+    Determinism: the rank key set (orderdate, orderkey) is a total
+    order, so ranks — and therefore the k-th picks — are identical
+    under any partitioning.
+    """
+    prep(spark)
+    from modevetl_spark.operators.dedup import global_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranked = global_rank(o, ["o_orderdate", "o_orderkey"], rank_col="sample_rank")
+    return (
+        ranked.where(F.col("sample_rank") % 50 == 0)
+        .select("sample_rank", "o_orderkey", "o_totalprice")
+    )

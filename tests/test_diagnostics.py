@@ -515,3 +515,45 @@ def test_dense_ties_keeps_all_tied_brands(spark):
         ).where(F.col("brand_rank") <= 3).collect()
     }
     assert got == {("B1", 1), ("B2", 1), ("B3", 2), ("B4", 3)}
+
+
+def test_vocab_growth_monotone_and_final(spark, sf_dir):
+    """Both cumulative curves are monotone over deciles; the decile-10
+    vocab equals the corpus distinct-token count and decile-10 tokens
+    equal the corpus token count."""
+    out = _Q["q_vocab_growth"](spark, sf_dir).toPandas().sort_values("decile")
+    assert (out["cum_tokens"].diff().dropna() > 0).all()
+    assert (out["cum_vocab"].diff().dropna() >= 0).all()
+    from modevetl_spark.operators.text import tokens as tok_fn
+    from modevetl_spark.sources.catalog import load
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tok_fn("text")).alias("t")
+    )
+    assert out["cum_tokens"].iloc[-1] == toks.count()
+    assert out["cum_vocab"].iloc[-1] == toks.distinct().count()
+
+
+def test_bounce_rate_bounds(spark, sf_dir):
+    out = _Q["q_bounce_rate"](spark, sf_dir).toPandas()
+    assert (out["n_bounces"] <= out["n_sessions"]).all()
+    assert out["bounce_rate"].between(0, 1).all()
+
+
+def test_systematic_sample_stable_and_evenly_spaced(spark, sf_dir):
+    """Regression for the AQE-coalescing rank instability: three
+    evaluations must return the IDENTICAL 300-row sample, with ranks
+    exactly {50, 100, …}."""
+    frames = [
+        _Q["q_sample_systematic"](spark, sf_dir)
+        .toPandas()
+        .sort_values("sample_rank")
+        .reset_index(drop=True)
+        for _ in range(3)
+    ]
+    for f in frames[1:]:
+        assert f.equals(frames[0])
+    ranks = frames[0]["sample_rank"]
+    assert ranks.is_unique
+    assert (ranks % 50 == 0).all()
+    assert ranks.iloc[0] == 50 and (ranks.diff().dropna() == 50).all()
