@@ -2119,3 +2119,132 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where(F.col("sample_rank") % 50 == 0)
         .select("sample_rank", "o_orderkey", "o_totalprice")
     )
+
+
+# --- blocking-quality evaluation: MinHash-LSH vs exact ground truth -----
+
+
+def _dedup_eval_oracle() -> str:
+    from modevetl_spark.queries.llm import _MINHASH_PAIR_CTES
+
+    return f"""
+WITH {_MINHASH_PAIR_CTES},
+all_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT p.id_a, p.id_b
+    FROM all_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+),
+verified AS (
+    SELECT p.id_a, p.id_b
+    FROM pair_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+),
+counts AS (
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM verified) AS n_tp
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_tp AS BIGINT) AS n_tp,
+       ROUND(CAST(n_tp AS DOUBLE) / n_candidates, 6) AS precision_at_tau,
+       ROUND(CAST(n_tp AS DOUBLE) / n_exact, 6) AS recall_at_tau
+FROM counts
+"""
+
+
+@q("q_dedup_eval_pr", oracle_sql=_dedup_eval_oracle())
+def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+9 [EXT]: blocking-quality evaluation — precision and recall of
+    the MinHash-LSH candidate generator against the EXACT trigram-
+    Jaccard ≥ 0.5 ground truth. The measurement harness an operator
+    runs before trusting a blocking configuration at corpus scale
+    (bands × rows trade recall for candidate volume; this query puts a
+    number on both sides of that trade).
+
+    Plan shape: candidates are the production path (explode→hash-agg
+    signatures, banded equi-self-join); ground truth is the exact
+    shared-shingle pair join — the deliberately expensive pass you run
+    on a SAMPLE at 100 TB (documented; any truly-similar pair shares a
+    shingle, so it is exhaustive without an all-pairs cross join); tp
+    re-verifies candidates with the same exact kernel. One summary row.
+
+    Determinism: the md5 affine hash family makes candidate generation
+    bit-replayable in SQL (the q_dedup_minhash contract); everything
+    else is integer counts + two exact divisions rounded 6dp.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.dedup import minhash_candidates_md5
+    from modevetl_spark.operators.text import word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    cands = minhash_candidates_md5(d, shingle_n=3, k=16, bands=4)
+
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens("text"), 3))
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    all_inter = (
+        a.join(b, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    def _jfilter(pairs):
+        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+                >= 0.5
+            )
+            .select("id_a", "id_b")
+        )
+
+    exact = _jfilter(all_inter)
+    # tp re-verifies candidates through the PRODUCTION verify kernel
+    # (array_intersect on per-doc shingle arrays — the same pass
+    # q_dedup_corpus runs), not a bespoke join.
+    from modevetl_spark.operators.dedup import jaccard_pairs
+
+    tp = jaccard_pairs(d, cands.select("id_a", "id_b"), shingle_n=3).where(
+        F.col("jaccard") >= 0.5
+    )
+
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_tp = tp.agg(F.count(F.lit(1)).cast("long").alias("n_tp"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_tp))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_tp",
+            F.round(
+                F.col("n_tp").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision_at_tau"),
+            F.round(
+                F.col("n_tp").cast("double") / F.col("n_exact"), 6
+            ).alias("recall_at_tau"),
+        )
+    )

@@ -557,3 +557,13 @@ def test_systematic_sample_stable_and_evenly_spaced(spark, sf_dir):
     assert ranks.is_unique
     assert (ranks % 50 == 0).all()
     assert ranks.iloc[0] == 50 and (ranks.diff().dropna() == 50).all()
+
+
+def test_dedup_eval_pr_invariants(spark, sf_dir):
+    """tp ≤ min(candidates, exact); precision/recall in [0,1]; and the
+    tp count equals q_dedup_corpus's verified-pair count by shared
+    pipeline."""
+    r = _Q["q_dedup_eval_pr"](spark, sf_dir).collect()[0]
+    assert r.n_tp <= r.n_candidates and r.n_tp <= r.n_exact
+    assert 0.0 <= r.precision_at_tau <= 1.0
+    assert 0.0 <= r.recall_at_tau <= 1.0
