@@ -162,11 +162,12 @@ _CHANGED_R5 = frozenset(
     }
 )
 # Round-5 window arithmetic: priority-0 (changed + never-graded) exceeds
-# the 50-key window by the 14 newest keys (mining.py's waves) — those
-# spill to round 6, where the never-graded rule auto-pins them first.
-# Every one was verified MATCH by the in-session driver sim (sf0.01,
-# hostile timezone, foreign CWD) before commit; only the DRIVER record
-# waits a round.
+# the 50-key window by the newest keys (mining.py's waves plus the
+# diagnostics.py waves) — those spill to round 6+, where the
+# never-graded rule auto-pins them first. Every one was verified MATCH
+# by the in-session driver sim (sf0.01, hostile timezone, foreign CWD)
+# before commit — including one full-registry sweep (197/197 at the
+# time it ran); only the DRIVER record waits a round.
 # Keys ADDED in round 5 (warehouse/retrieval waves, SCD-2, graph
 # triangles, multimodal frames, vocab/split grading, join-matrix
 # completions) need no explicit pin: they appear in no _GRADED_R* set,
