@@ -310,3 +310,60 @@ def hits(
         .join(h.withColumnRenamed("val", "hub"), "node")
         .select("node", "authority", "hub")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    iterations: int = 10,
+) -> DataFrame:
+    """-> (node, core_degree): nodes surviving ``iterations`` rounds of
+    k-core peeling (repeatedly delete nodes with undirected degree < k)
+    with their degree inside the surviving subgraph. The third iterative
+    graph family next to value propagation (pagerank/HITS) and closure:
+    PRUNING to a fixpoint — the standard spam-farm / periphery filter
+    before running centrality at scale.
+
+    Fixed iteration count so the run is CTE-unrollable by the oracle
+    (the pagerank replay contract); peeling strictly shrinks the node
+    set, so once two consecutive rounds agree it has converged — the
+    pytest gate runs one extra round and asserts stability on the
+    fixture graph.
+
+    Scale shape per round: one degree aggregate (map-side combined) and
+    one semi-join of edges against surviving nodes — both keyed on the
+    node id; lineage truncates per round via localCheckpoint. All
+    integer arithmetic, no float discipline needed.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = und
+    for _ in range(iterations):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -2248,3 +2248,120 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_tau"),
         )
     )
+
+
+# --- k-core decomposition (unrolled peeling) ----------------------------
+
+
+def _kcore_oracle_sql(k: int = 2, iterations: int = 10) -> str:
+    """Unrolls operators/graph.kcore's peeling into CTEs, one
+    degree→filter→restrict triple per round — the pagerank/HITS replay
+    pattern applied to a PRUNING fixpoint (all-integer, so no float
+    discipline is even needed)."""
+    sql = ["""WITH raw AS (
+    SELECT p_partkey AS s, p_partkey // 2 AS d FROM part WHERE p_partkey >= 2
+    UNION ALL
+    SELECT a.p_partkey AS s, b.p_partkey AS d
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    WHERE a.p_partkey >= 2 AND a.p_partkey % 2 = 0
+),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+    FROM raw WHERE s <> d
+)"""]
+    step = """d{k} AS MATERIALIZED (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p}
+    ) GROUP BY node
+),
+keep{k} AS MATERIALIZED (SELECT node FROM d{k} WHERE deg >= %d),
+e{k} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{p} e
+    JOIN keep{k} ka ON ka.node = e.a
+    JOIN keep{k} kb ON kb.node = e.b
+)""" % k
+    for i in range(1, iterations + 1):
+        sql.append(step.format(k=i, p=i - 1))
+    return ",\n".join(sql) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+    SELECT a AS node FROM e{iterations}
+    UNION ALL SELECT b AS node FROM e{iterations}
+) GROUP BY node
+"""
+
+
+@q("q_graph_kcore", oracle_sql=_kcore_oracle_sql(k=2, iterations=10))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9+5 [EXT]: 2-core of the tree-plus-sibling graph (binary-tree
+    parent edges UNION even-odd sibling edges, so every full sibling
+    pair forms a triangle with its parent) — nodes surviving repeated
+    deletion of degree<2 nodes, with their in-core degree; lonely
+    leaves and their induced chains peel away. The third iterative graph family (PRUNING to a fixpoint,
+    next to value propagation and closure) and the standard periphery
+    filter before centrality: leaves and hair contribute nothing to
+    cores of community structure but dominate edge counts.
+
+    Plan/determinism: see :func:`modevetl_spark.operators.graph.kcore` —
+    fixed 10 peel rounds (CTE-unrollable; convergence on this fixture is
+    pytest-gated by running an 11th round and asserting stability);
+    all-integer, no float discipline required.
+    """
+    from modevetl_spark.operators.graph import kcore
+
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    tree = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    a = part.select(F.col("p_partkey").alias("src"))
+    b = part.select(F.col("p_partkey").alias("dst"))
+    siblings = (
+        a.where((F.col("src") >= 2) & (F.col("src") % 2 == 0))
+        .join(b, F.col("dst") == F.col("src") + 1)
+        .select("src", "dst")
+    )
+    return kcore(tree.unionAll(siblings), k=2, iterations=10)
+
+
+# --- log-scale (power-of-two) histogram ---------------------------------
+
+_LOGBINS_ORACLE = """
+WITH binned AS (
+    SELECT CAST(FLOOR(log2(n_chars)) AS BIGINT) AS bin
+    FROM documents WHERE n_chars >= 1
+)
+SELECT bin,
+       CAST(1 << bin AS BIGINT) AS lo,
+       CAST((1 << (bin + 1)) - 1 AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM binned
+GROUP BY bin
+"""
+
+
+@q("q_hist_log_bins", oracle_sql=_LOGBINS_ORACLE)
+def hist_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+++ [EXT]: power-of-two (log-scale) histogram of document
+    lengths — the right binning for heavy-tailed size distributions
+    where equi-width drowns the tail and equi-depth hides the head
+    (file sizes, token counts, degree distributions all bin this way).
+    Completes the histogram family: equi-width (q_length_histogram),
+    equi-depth (q_hist_equidepth), log-scale (this).
+
+    Plan shape: one narrow scan + a ≤64-key hash aggregate.
+
+    Determinism: log2 over INTEGER arguments is engine-identical (the
+    verify-skill lesson), FLOOR of identical doubles is exact, and the
+    bin bounds are integer shifts.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 1)
+    binned = d.select(F.floor(F.log2("n_chars")).cast("long").alias("bin"))
+    return binned.groupBy("bin").agg(
+        F.expr("CAST(shiftleft(1L, CAST(bin AS INT)) AS BIGINT)").alias("lo"),
+        F.expr(
+            "CAST(shiftleft(1L, CAST(bin AS INT) + 1) - 1 AS BIGINT)"
+        ).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

@@ -567,3 +567,60 @@ def test_dedup_eval_pr_invariants(spark, sf_dir):
     assert r.n_tp <= r.n_candidates and r.n_tp <= r.n_exact
     assert 0.0 <= r.precision_at_tau <= 1.0
     assert 0.0 <= r.recall_at_tau <= 1.0
+
+
+def test_kcore_cascade_and_survival(spark):
+    """A 10-node path peels to NOTHING — but only through cascading
+    rounds (each peel exposes new degree-1 endpoints), which exercises
+    the iteration. A triangle with a pendant tail keeps exactly the
+    triangle, each member at degree 2."""
+    from modevetl_spark.operators.graph import kcore
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    assert kcore(path, k=2, iterations=10).count() == 0
+
+    tri_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(tri_tail, k=2, iterations=10).collect()
+    }
+    assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_fixture_converged_at_budget(spark, sf_dir):
+    """One extra peel round changes nothing on the graded graph — the
+    fixed 10-iteration budget is past the fixpoint."""
+    from modevetl_spark.operators.graph import kcore
+    from modevetl_spark.sources.catalog import load
+
+    part = load(spark, sf_dir, "part")
+    tree = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"), F.expr("p_partkey div 2").alias("dst")
+    )
+    a = part.select(F.col("p_partkey").alias("src"))
+    b = part.select(F.col("p_partkey").alias("dst"))
+    sib = (
+        a.where((F.col("src") >= 2) & (F.col("src") % 2 == 0))
+        .join(b, F.col("dst") == F.col("src") + 1)
+        .select("src", "dst")
+    )
+    edges = tree.unionAll(sib)
+    r10 = {(r.node, r.core_degree) for r in kcore(edges, k=2, iterations=10).collect()}
+    r11 = {(r.node, r.core_degree) for r in kcore(edges, k=2, iterations=11).collect()}
+    assert r10 == r11 and len(r10) > 0
+
+
+def test_log_bins_cover_and_bound(spark, sf_dir):
+    """Every doc lands in exactly one bin and every bin's bounds bracket
+    its member lengths (lo = 2^bin ≤ n_chars < 2^(bin+1))."""
+    out = _Q["q_hist_log_bins"](spark, sf_dir).toPandas()
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 1)
+    assert out["n_docs"].sum() == docs.count()
+    assert (out["lo"] == 2 ** out["bin"]).all()
+    assert (out["hi"] == 2 ** (out["bin"] + 1) - 1).all()
