@@ -2365,3 +2365,126 @@ def hist_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+# --- SQL front-end face: ONE ANSI string, both engines ------------------
+
+# This string is BOTH the Spark query (spark.sql over temp views) and
+# the DuckDB oracle, verbatim — the dialect-shared subset: explicit
+# JOIN ... ON, year(), CTE, decimal-cast sums (the cross-engine float
+# discipline works in shared SQL too), RANK() with a BIGINT cast.
+_SQL_FRONTEND = """
+WITH rev AS (
+    SELECT r.r_name AS region,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, year(o.o_orderdate)
+)
+SELECT region, order_year, revenue, n_orders,
+       CAST(RANK() OVER (PARTITION BY order_year ORDER BY revenue DESC)
+            AS BIGINT) AS region_rank
+FROM rev
+"""
+
+
+@q("q_sql_frontend", oracle_sql=_SQL_FRONTEND)
+def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API face [EXT]: the SQL front-end — the registry elsewhere
+    exercises the DataFrame API and the jx front-end; this query runs
+    through ``spark.sql`` over registered temp views, proving the third
+    user-facing surface. The SAME string is the DuckDB oracle verbatim
+    (dialect-shared ANSI subset incl. the decimal-cast float
+    discipline), so the gate also demonstrates engine-portable SQL.
+
+    Plan shape: identical to the DataFrame star queries — Catalyst
+    compiles the SQL text to the same logical plan (broadcast dims,
+    one fact aggregate, window over the bounded (region × year)
+    aggregate output).
+    """
+    prep(spark)
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_FRONTEND)
+
+
+# --- as-of join with tolerance ------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH base AS (
+    SELECT p.event_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           p.user_id,
+           (SELECT CAST(max(c.ts) AS TIMESTAMP) FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS raw_last
+    FROM events p
+    WHERE p.event_type = 'purchase'
+)
+SELECT event_id, ts, user_id,
+       CASE WHEN epoch_us(ts) - epoch_us(raw_last) <= 900000000
+            THEN raw_last END AS last_click_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(raw_last) <= 900000000
+            THEN CAST((epoch_us(ts) - epoch_us(raw_last)) // 1000000
+                      AS BIGINT) END AS gap_seconds
+FROM base
+"""
+
+
+@q("q_join_asof_tolerance", oracle_sql=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+++ [EXT]: as-of join WITH TOLERANCE — latest prior click per
+    purchase, but only if it happened within 15 minutes (pandas
+    ``merge_asof(tolerance=...)`` semantics): a stale match is
+    attribution noise, and dropping it at the join beats filtering
+    downstream. Emits the matched timestamp and the gap in whole
+    seconds; out-of-tolerance purchases keep the row with NULLs (the
+    left side is never lost).
+
+    Plan shape: the q_join_asof union + running-max window idiom (one
+    user-keyed shuffle, no row-at-a-time probing) plus a per-row
+    tolerance mask — the tolerance costs nothing extra.
+
+    Determinism: the gap is exact integer microseconds (unix_micros /
+    epoch_us both count µs since epoch), floor-divided to seconds.
+    """
+    prep(spark)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    raw_last = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("raw_last"))
+    return (
+        ev.withColumn("raw_last", raw_last)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.when(gap_us <= 900_000_000, F.col("raw_last")).alias(
+                "last_click_ts"
+            ),
+            F.when(
+                gap_us <= 900_000_000,
+                F.expr(
+                    "CAST((unix_micros(ts) - unix_micros(raw_last))"
+                    " div 1000000 AS BIGINT)"
+                ),
+            ).alias("gap_seconds"),
+        )
+    )

@@ -624,3 +624,32 @@ def test_log_bins_cover_and_bound(spark, sf_dir):
     assert out["n_docs"].sum() == docs.count()
     assert (out["lo"] == 2 ** out["bin"]).all()
     assert (out["hi"] == 2 ** (out["bin"] + 1) - 1).all()
+
+
+def test_sql_frontend_same_string_is_oracle(spark, sf_dir):
+    """The registered oracle SQL and the executed Spark SQL are the
+    IDENTICAL string (the portable-ANSI contract), and the plan gets
+    the star treatment (broadcast dims, no SortMergeJoin)."""
+    import __spark_entry__ as entrymod
+    from modevetl_spark.queries.diagnostics import _SQL_FRONTEND
+
+    assert entrymod.oracle_sql()["q_sql_frontend"] == _SQL_FRONTEND
+    p = plan(_Q["q_sql_frontend"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_asof_tolerance_subset_of_plain_asof(spark, sf_dir):
+    """Tolerance only NULLs matches — wherever it reports a click, the
+    plain as-of join reports the SAME click; and every reported gap is
+    within the 900 s bound."""
+    tol = _Q["q_join_asof_tolerance"](spark, sf_dir).toPandas()
+    plain = (
+        _Q["q_join_asof"](spark, sf_dir)
+        .toPandas()[["event_id", "last_click_ts"]]
+        .set_index("event_id")["last_click_ts"]
+    )
+    have = tol[tol["last_click_ts"].notna()]
+    assert (have["gap_seconds"] <= 900).all()
+    for _, r in have.iterrows():
+        assert plain[r["event_id"]] == r["last_click_ts"]
