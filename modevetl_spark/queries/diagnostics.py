@@ -1,12 +1,19 @@
-"""Round-5 breadth, part 8: distribution-diagnostic shapes — Benford
-leading-digit audit, two-sample Kolmogorov–Smirnov, gaps-and-islands
-activity streaks, and calendar-spine coverage gaps.
+"""Round-5 breadth, part 8 (the diagnostics waves): the data-quality /
+drift / measurement layer a pipeline operator runs BEFORE trusting a
+100 TB batch, plus the operator families those probes pulled in.
 
-These are the data-quality / drift probes a pipeline operator runs
-BEFORE trusting a 100 TB batch: Benford flags synthetic or truncated
-money columns, KS flags distribution drift between segments (or between
-yesterday's and today's corpus), islands find suspicious activity runs,
-and the date spine finds silent ingestion holes.
+Statistical audits: Benford leading digits, two-sample KS, Mann-Whitney
+U, Wald–Wolfowitz runs, CUSUM changepoint. Coverage probes: calendar
+spine gaps, gaps-and-islands streaks, dow×hour heatmap, daily bounce
+rate. Distribution summaries: equi-depth and log-scale histograms,
+weighted median, truncated EWMA, ABC/Pareto classes, cohort LTV, Heaps
+vocabulary growth, Zipf fit. Sketch + evaluation harnesses: Misra–Gries
+heavy hitters (candidate→exact verify), MinHash-blocking
+precision/recall, dedup cluster sizes. Joins/rank completions: interval
+overlap (bucketed), as-of with tolerance, dense-rank top-k with ties,
+2-D skyline sweep, systematic sampling on the scalable global rank,
+largest-remainder apportionment. Graph: HITS and k-core (both
+CTE-replayed). API face: the portable-ANSI SQL front-end.
 
 Reference parity: the reference's qb vocabulary stops at aggregate
 reports ([UPSTREAM MoDevETL/pyLibrary/queries]); these extend the
