@@ -2495,3 +2495,276 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_seconds"),
         )
     )
+
+
+# --- multinomial Naive Bayes language classifier ------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+langs AS (SELECT DISTINCT lang AS l FROM documents),
+priors AS (
+    SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS d_l,
+           CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS d_all
+    FROM documents GROUP BY lang
+),
+c_lt AS (
+    SELECT lang AS l, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY lang, tok
+),
+n_l AS (
+    SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY lang
+),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+terms AS (
+    SELECT t.doc_id, t.lang AS actual, lg.l,
+           ROUND(log2(COALESCE(c.c, 0) + 1) - log2(nl.n + v.v), 9) AS term
+    FROM toks t
+    CROSS JOIN langs lg
+    CROSS JOIN v
+    JOIN n_l nl ON nl.l = lg.l
+    LEFT JOIN c_lt c ON c.l = lg.l AND c.tok = t.tok
+),
+scores AS (
+    SELECT doc_id, actual, l,
+           CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE)
+             + (SELECT ROUND(log2(p.d_l) - log2(p.d_all), 9)
+                FROM priors p WHERE p.l = terms.l) AS score
+    FROM terms GROUP BY doc_id, actual, l
+),
+pred AS (
+    SELECT doc_id, actual, l AS predicted,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, l) AS rk
+    FROM scores
+)
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY actual, predicted
+"""
+
+
+@q("q_nb_langid", oracle_sql=_NB_ORACLE)
+def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+8 [EXT]: multinomial Naive Bayes language classifier —
+    train token likelihoods per language (Laplace smoothing) and doc
+    priors on the corpus, score every document, report the confusion
+    matrix (actual × predicted). The classic supervised text-pipeline
+    op, fully deterministic: every log-likelihood term is a DIFFERENCE
+    OF INTEGER-ARGUMENT log2 calls (log2(c+1) − log2(N_l+V) — the PMI
+    trick), rounded 9dp and decimal-summed, so the argmax compares
+    bit-identical doubles; ties break by language name.
+
+    Plan shape: model tables (per-lang token counts, totals, vocab,
+    priors) are aggregates bounded by vocab × languages and broadcast
+    onto the token stream; scoring is one (doc, lang)-keyed aggregate —
+    the corpus is scanned once for training counts and once for
+    scoring (resubstitution demo; at scale, train on yesterday's
+    corpus and score today's delta with the same broadcast tables).
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    langs = d.select(F.col("lang").alias("l")).distinct()
+    priors = (
+        d.groupBy(F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_l"))
+        .withColumn(
+            "d_all", F.sum("d_l").over(Window.partitionBy()).cast("long")
+        )
+        .select(
+            "l",
+            F.round(F.log2("d_l") - F.log2("d_all"), 9).alias("prior"),
+        )
+    )
+    c_lt = toks.groupBy(F.col("lang").alias("l"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_l = toks.groupBy(F.col("lang").alias("l")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    v = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    terms = (
+        toks.crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(n_l), "l")
+        .join(
+            F.broadcast(c_lt),
+            ["l", "tok"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual"),
+            "l",
+            F.round(
+                F.log2(F.coalesce(F.col("c"), F.lit(0)) + 1)
+                - F.log2(F.col("n") + F.col("v")),
+                9,
+            ).alias("term"),
+        )
+    )
+    scores = (
+        terms.groupBy("doc_id", "actual", "l")
+        .agg(
+            F.sum(F.col("term").cast("decimal(18,9)"))
+            .cast("double")
+            .alias("s")
+        )
+        .join(F.broadcast(priors), "l")
+        .select(
+            "doc_id", "actual", "l", (F.col("s") + F.col("prior")).alias("score")
+        )
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "l")
+    return (
+        scores.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .groupBy("actual", F.col("l").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# --- hashing-trick feature vectors --------------------------------------
+
+_FEATHASH_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS bucket
+    FROM toks
+),
+counts AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bucketed GROUP BY doc_id, bucket
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       string_agg(bucket || ':' || c, ' ' ORDER BY bucket) AS features
+FROM counts
+GROUP BY doc_id
+"""
+
+
+@q("q_feature_hashing", oracle_sql=_FEATHASH_ORACLE)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+9 [EXT]: hashing-trick feature vectors — tokens hash into 64
+    buckets (the shared md5→32-bit-int family, so both engines compute
+    identical buckets) and each document becomes a sparse count vector,
+    emitted as an ordered ``bucket:count`` string (the array-output
+    hash-hazard workaround). The fixed-width featurization step before
+    any linear model at corpus scale: vocabulary-free, no global
+    dictionary to build or broadcast.
+
+    Plan shape: per-row hashing (no shuffle), one (doc, bucket) hash
+    aggregate, one doc rollup — entirely map-side-combine-friendly.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    bucketed = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 64
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    feat = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+            lambda s: F.concat_ws(":", s.bucket.cast("string"), s.c.cast("string")),
+        ),
+        " ",
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        feat.alias("features"),
+    )
+
+
+# --- leave-one-out target encoding --------------------------------------
+
+_TARGET_ENC_ORACLE = """
+WITH base AS (
+    SELECT o.o_orderkey, c.c_mktsegment AS segment,
+           CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+             AS is_urgent
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+    SELECT segment,
+           CAST(SUM(is_urgent) AS BIGINT) AS seg_pos,
+           CAST(COUNT(*) AS BIGINT) AS seg_n
+    FROM base GROUP BY segment
+)
+SELECT b.o_orderkey, b.segment,
+       CAST(b.is_urgent AS BIGINT) AS is_urgent,
+       CASE WHEN s.seg_n > 1
+            THEN ROUND(CAST(s.seg_pos - b.is_urgent AS DOUBLE)
+                       / (s.seg_n - 1), 6) END AS segment_loo_rate
+FROM base b JOIN seg s ON b.segment = s.segment
+"""
+
+
+@q("q_target_encoding", oracle_sql=_TARGET_ENC_ORACLE)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+10 [EXT]: leave-one-out target encoding — each order's market
+    segment encoded as the urgent-order rate of the OTHER orders in its
+    segment ((Σtarget − own)/(n − 1)): the leakage-safe categorical
+    encoding for tree/linear models (plain mean encoding leaks each
+    row's own label into its feature).
+
+    Plan shape: one segment-keyed aggregate (5 rows) broadcast back
+    onto the fact — the per-row encode is arithmetic, no window over
+    the fact; dim join broadcasts.
+
+    Determinism: integer counts + one exact division rounded 6dp;
+    singleton segments encode NULL (explicit n>1 guard — Spark ANSI
+    would raise on the 0 division where DuckDB NULLs).
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_urgent"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.sum("is_urgent").cast("long").alias("seg_pos"),
+        F.count(F.lit(1)).cast("long").alias("seg_n"),
+    )
+    return base.join(F.broadcast(seg), "segment").select(
+        "o_orderkey",
+        "segment",
+        F.col("is_urgent").cast("long").alias("is_urgent"),
+        F.when(
+            F.col("seg_n") > 1,
+            F.round(
+                (F.col("seg_pos") - F.col("is_urgent")).cast("double")
+                / (F.col("seg_n") - 1),
+                6,
+            ),
+        ).alias("segment_loo_rate"),
+    )

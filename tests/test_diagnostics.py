@@ -653,3 +653,44 @@ def test_asof_tolerance_subset_of_plain_asof(spark, sf_dir):
     assert (have["gap_seconds"] <= 900).all()
     for _, r in have.iterrows():
         assert plain[r["event_id"]] == r["last_click_ts"]
+
+
+def test_nb_confusion_covers_corpus_and_beats_chance(spark, sf_dir):
+    """Confusion counts total the corpus; diagonal accuracy beats the
+    majority-class baseline (the synthetic langs share one vocabulary,
+    but frequency profiles still separate them better than guessing
+    'en' for everything would)."""
+    out = _Q["q_nb_langid"](spark, sf_dir).toPandas()
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    assert out["n_docs"].sum() == n
+    acc = out.loc[out["actual"] == out["predicted"], "n_docs"].sum() / n
+    maj = (
+        docs.groupBy("lang").count().agg(F.max("count")).collect()[0][0] / n
+    )
+    assert acc >= maj
+
+
+def test_feature_hashing_conserves_tokens(spark, sf_dir):
+    """Per-doc bucket counts total the doc's token count, and the
+    feature string parses back to the same histogram."""
+    out = _Q["q_feature_hashing"](spark, sf_dir).toPandas().head(20)
+    for _, r in out.iterrows():
+        parsed = dict(
+            (int(p.split(":")[0]), int(p.split(":")[1]))
+            for p in r["features"].split(" ")
+        )
+        assert sum(parsed.values()) == r["n_tokens"]
+        assert all(0 <= b < 64 for b in parsed)
+
+
+def test_target_encoding_excludes_own_label(spark, sf_dir):
+    """For every row, n·rate_mean == seg_pos − own (the LOO identity),
+    checked by recomputing the segment aggregates in pandas."""
+    out = _Q["q_target_encoding"](spark, sf_dir).toPandas()
+    for seg, g in out.groupby("segment"):
+        pos, n = g["is_urgent"].sum(), len(g)
+        expect = (pos - g["is_urgent"]) / (n - 1)
+        assert (g["segment_loo_rate"] - expect.round(6)).abs().max() < 1e-9
