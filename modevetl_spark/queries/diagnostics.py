@@ -2768,3 +2768,185 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("segment_loo_rate"),
     )
+
+
+# --- ROC AUC via the rank-sum identity ----------------------------------
+
+_AUC_ORACLE = """
+WITH labeled AS (
+    SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders
+),
+per_value AS (
+    SELECT v,
+           CAST(SUM(pos) AS BIGINT)     AS p_cnt,
+           CAST(SUM(1 - pos) AS BIGINT) AS n_cnt
+    FROM labeled GROUP BY v
+),
+cum AS (
+    SELECT p_cnt, n_cnt, p_cnt + n_cnt AS t,
+           CAST(COALESCE(SUM(p_cnt + n_cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cum_before,
+           CAST(SUM(p_cnt) OVER () AS BIGINT) AS n_pos,
+           CAST(SUM(n_cnt) OVER () AS BIGINT) AS n_neg
+    FROM per_value
+),
+sums AS (
+    SELECT n_pos, n_neg,
+           CAST(SUM(p_cnt * (2 * cum_before + t + 1)) AS BIGINT) AS r2p
+    FROM cum GROUP BY n_pos, n_neg
+)
+SELECT n_pos, n_neg,
+       ROUND(((CAST(r2p AS DOUBLE) - n_pos * (n_pos + 1)) / 2)
+             / (CAST(n_pos AS DOUBLE) * n_neg), 9) AS auc
+FROM sums
+"""
+
+
+@q("q_roc_auc", oracle_sql=_AUC_ORACLE)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+11 [EXT]: ROC AUC of "order value predicts urgency" — the
+    classifier-evaluation primitive, computed by the rank-sum identity
+    AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with average ranks for ties
+    (equivalently P(score₊ > score₋) + ½P(=)). No threshold sweep, no
+    curve materialization — one ranking pass.
+
+    Plan/determinism: the q_stats_mannwhitney machinery verbatim —
+    dollar-floored per-value counts (bounded support), DOUBLED-INTEGER
+    tied-rank fold so no float touches an aggregate, one exact-IEEE
+    division at the end (9dp). AUC ≈ 0.5 on this fixture (priority is
+    independent of price) — the pytest asserts the [0,1] bound and the
+    label-swap antisymmetry AUC + AUC' = 1.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("pos"),
+    )
+    per_value = labeled.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("p_cnt"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_cnt"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    t = F.col("p_cnt") + F.col("n_cnt")
+    cum = per_value.select(
+        "p_cnt",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_before), F.lit(0)).cast("long").alias("cb"),
+        F.sum("p_cnt").over(w_all).cast("long").alias("n_pos"),
+        F.sum("n_cnt").over(w_all).cast("long").alias("n_neg"),
+    )
+    sums = cum.groupBy("n_pos", "n_neg").agg(
+        F.sum(F.col("p_cnt") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("long")
+        .alias("r2p")
+    )
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    return sums.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            ((F.col("r2p").cast("double") - n_pos * (n_pos + 1)) / 2)
+            / (n_pos.cast("double") * n_neg),
+            9,
+        ).alias("auc"),
+    )
+
+
+# --- PSI distribution-drift index (in bits) -----------------------------
+
+_PSI_ORACLE = """
+WITH binned AS (
+    SELECT LEAST(CAST(FLOOR(o_totalprice) AS BIGINT) // 30000, 9) AS bin,
+           CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+             AS is_ref
+    FROM orders
+),
+cells AS (
+    SELECT bin,
+           CAST(SUM(is_ref) AS BIGINT) + 1     AS c_ref,
+           CAST(SUM(1 - is_ref) AS BIGINT) + 1 AS c_cur
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT bin, c_ref, c_cur,
+           CAST(SUM(c_ref) OVER () AS BIGINT) AS n_ref,
+           CAST(SUM(c_cur) OVER () AS BIGINT) AS n_cur
+    FROM cells
+),
+terms AS (
+    SELECT bin,
+           ROUND((CAST(c_ref AS DOUBLE) / n_ref - CAST(c_cur AS DOUBLE) / n_cur)
+                 * (ROUND(log2(c_ref), 9) - ROUND(log2(n_ref), 9)
+                    - ROUND(log2(c_cur), 9) + ROUND(log2(n_cur), 9)),
+                 9) AS term
+    FROM tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS psi_bits
+FROM terms
+"""
+
+
+@q("q_psi_stability", oracle_sql=_PSI_ORACLE)
+def psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+16 [EXT]: Population Stability Index of the order-value
+    distribution, pre-1998 (reference) vs 1998+ (current) — THE
+    industry drift gate for deployed models (rule of thumb: <0.1 stable,
+    >0.25 retrain). Reported in BITS (log2, not ln — a fixed 1/ln2
+    rescale of the classic definition, chosen because log2 over INTEGER
+    arguments is engine-identical); add-one smoothing keeps empty bins
+    finite and deterministic.
+
+    Plan shape: one pass to fixed price-band × period counts (≤10
+    cells), margins as windows over the cell table, the PSI fold over
+    10 rows.
+
+    Determinism: share differences are exact-IEEE over integer ratios;
+    the log factor is a ± chain of 9dp-rounded integer-argument log2;
+    per-bin terms round 9dp and decimal-sum.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.expr("CAST(FLOOR(o_totalprice) AS BIGINT) div 30000"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    cells = binned.groupBy("bin").agg(
+        (F.sum("is_ref") + 1).cast("long").alias("c_ref"),
+        (F.sum(1 - F.col("is_ref")) + 1).cast("long").alias("c_cur"),
+    )
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w_all).cast("long").alias("n_ref"),
+        F.sum("c_cur").over(w_all).cast("long").alias("n_cur"),
+    )
+    logchain = (
+        F.round(F.log2("c_ref"), 9)
+        - F.round(F.log2("n_ref"), 9)
+        - F.round(F.log2("c_cur"), 9)
+        + F.round(F.log2("n_cur"), 9)
+    )
+    share_diff = (
+        F.col("c_ref").cast("double") / F.col("n_ref")
+        - F.col("c_cur").cast("double") / F.col("n_cur")
+    )
+    terms = tot.select(F.round(share_diff * logchain, 9).alias("term"))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("psi_bits"),
+    )

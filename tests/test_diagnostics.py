@@ -694,3 +694,65 @@ def test_target_encoding_excludes_own_label(spark, sf_dir):
         pos, n = g["is_urgent"].sum(), len(g)
         expect = (pos - g["is_urgent"]) / (n - 1)
         assert (g["segment_loo_rate"] - expect.round(6)).abs().max() < 1e-9
+
+
+def test_auc_bounds_and_antisymmetry(spark, sf_dir):
+    """AUC ∈ [0,1]; swapping the label definition must give 1 − AUC
+    (rank-sum identity antisymmetry), replayed with the inverted label
+    on the same machinery."""
+    from pyspark.sql import Window
+
+    r = _Q["q_roc_auc"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+
+    from modevetl_spark.sources.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    labeled = o.select(
+        F.floor("o_totalprice").cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0).otherwise(1).alias("pos"),
+    )
+    pv = labeled.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("p_cnt"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_cnt"),
+    )
+    w_b = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_a = Window.partitionBy()
+    t = F.col("p_cnt") + F.col("n_cnt")
+    cum = pv.select(
+        "p_cnt", t.alias("t"),
+        F.coalesce(F.sum(t).over(w_b), F.lit(0)).alias("cb"),
+        F.sum("p_cnt").over(w_a).alias("np"),
+        F.sum("n_cnt").over(w_a).alias("nn"),
+    )
+    row = cum.groupBy("np", "nn").agg(
+        F.sum(F.col("p_cnt") * (2 * F.col("cb") + F.col("t") + 1)).alias("r2p")
+    ).collect()[0]
+    auc_swapped = ((row.r2p - row.np * (row.np + 1)) / 2) / (row.np * row.nn)
+    assert abs(r.auc + auc_swapped - 1.0) < 1e-9
+
+
+def test_psi_identical_halves_is_zero(spark):
+    """PSI of a distribution against itself is exactly 0 — planted
+    frame with identical ref/current bin counts."""
+    from pyspark.sql import Window
+
+    cells = spark.createDataFrame(
+        [(b, 10 + b, 10 + b) for b in range(5)],
+        "bin long, c_ref long, c_cur long",
+    )
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "c_ref", "c_cur",
+        F.sum("c_ref").over(w_all).alias("n_ref"),
+        F.sum("c_cur").over(w_all).alias("n_cur"),
+    )
+    psi = tot.select(
+        (
+            (F.col("c_ref").cast("double") / F.col("n_ref")
+             - F.col("c_cur").cast("double") / F.col("n_cur"))
+            * (F.round(F.log2("c_ref"), 9) - F.round(F.log2("n_ref"), 9)
+               - F.round(F.log2("c_cur"), 9) + F.round(F.log2("n_cur"), 9))
+        ).alias("term")
+    ).agg(F.sum("term")).collect()[0][0]
+    assert psi == 0.0
