@@ -2950,3 +2950,149 @@ def psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
         ).alias("psi_bits"),
     )
+
+
+# --- Wilson confidence intervals for segment rates ----------------------
+
+_WILSON_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pos
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+)
+SELECT segment, n, pos,
+       ROUND(CAST(pos AS DOUBLE) / n, 6) AS rate,
+       ROUND((CAST(pos AS DOUBLE) / n
+              + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / (2 * n)
+              - CAST('1.96' AS DOUBLE)
+                * sqrt((CAST(pos AS DOUBLE) / n) * (1 - CAST(pos AS DOUBLE) / n) / n
+                       + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * n * n)))
+             / (1 + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / n), 6)
+         AS wilson_lo,
+       ROUND((CAST(pos AS DOUBLE) / n
+              + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / (2 * n)
+              + CAST('1.96' AS DOUBLE)
+                * sqrt((CAST(pos AS DOUBLE) / n) * (1 - CAST(pos AS DOUBLE) / n) / n
+                       + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE)
+                         / (CAST(4 AS DOUBLE) * n * n)))
+             / (1 + CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) / n), 6)
+         AS wilson_hi
+FROM seg
+"""
+
+
+@q("q_rate_confint", oracle_sql=_WILSON_ORACLE)
+def rate_confint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+17 [EXT]: Wilson 95% confidence intervals on per-segment
+    urgent-order rates — the interval that stays inside [0,1] and
+    behaves at small n where the naive normal interval fails; what a
+    metrics dashboard should put around every rate it shows.
+
+    Plan shape: one broadcast-dim join + a 5-row aggregate; the
+    interval is per-row arithmetic on the aggregate output.
+
+    Determinism: a fixed exact-IEEE tree over integer (pos, n) with the
+    z=1.96 literal shared via the CAST-string idiom; sqrt is correctly
+    rounded; both bounds round 6dp. The pytest checks bracket ordering
+    and [0,1] containment.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    z = F.lit(1.96)
+    n, pos = F.col("n"), F.col("pos")
+    p = pos.cast("double") / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (F.lit(4.0) * n * n))
+    denom = 1 + z * z / n
+    return seg.select(
+        "segment",
+        "n",
+        "pos",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# --- weighted-fair-queueing source interleave ---------------------------
+
+_INTERLEAVE_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source,
+           (CAST(rn AS DOUBLE) - CAST('0.5' AS DOUBLE)) / n_s AS vkey
+    FROM ranked
+),
+top AS (
+    SELECT doc_id, source, vkey
+    FROM keyed ORDER BY vkey, source, doc_id LIMIT 200
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY vkey, source, doc_id) AS BIGINT)
+         AS pos,
+       doc_id, source
+FROM top
+"""
+
+
+@q("q_interleave_sources", oracle_sql=_INTERLEAVE_ORACLE)
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+12 [EXT]: proportional source interleaving — the first 200
+    positions of a training order where every source appears evenly
+    spread according to its size (weighted-fair-queueing virtual finish
+    times: doc i of a source with n docs sorts at (i − ½)/n). The
+    curriculum-mixing step of a training-data pipeline: no source ever
+    front-loads, regardless of how the corpus was written.
+
+    Plan shape: per-source ranking windows partition by source (fully
+    parallel); the global cut is TakeOrdered on the virtual key (never
+    a full sort); only the 200 emitted rows see a global window for
+    their position number.
+
+    Determinism: the virtual key is one exact division of
+    integer-derived values (identical doubles both engines); ties —
+    equal (i, n) across sources — break by (source, doc_id).
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w_s = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_s).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("long").alias("n_s"),
+    )
+    keyed = ranked.select(
+        "doc_id",
+        "source",
+        ((F.col("rn").cast("double") - F.lit(0.5)) / F.col("n_s")).alias("vkey"),
+    )
+    top = keyed.orderBy("vkey", "source", "doc_id").limit(200)
+    w_pos = Window.orderBy("vkey", "source", "doc_id")
+    return top.select(
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        "doc_id",
+        "source",
+    )

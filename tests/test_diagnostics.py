@@ -756,3 +756,34 @@ def test_psi_identical_halves_is_zero(spark):
         ).alias("term")
     ).agg(F.sum("term")).collect()[0][0]
     assert psi == 0.0
+
+
+def test_wilson_brackets_rate(spark, sf_dir):
+    """lo ≤ rate ≤ hi and both bounds inside [0,1] for every segment."""
+    out = _Q["q_rate_confint"](spark, sf_dir).toPandas()
+    assert (out["wilson_lo"] <= out["rate"] + 1e-9).all()
+    assert (out["rate"] <= out["wilson_hi"] + 1e-9).all()
+    assert out["wilson_lo"].between(0, 1).all()
+    assert out["wilson_hi"].between(0, 1).all()
+
+
+def test_interleave_no_source_frontloads(spark, sf_dir):
+    """In any prefix of the interleaved order, each source's share is
+    within one slot of its corpus share (the WFQ fairness bound) — the
+    whole point of the operator."""
+    out = _Q["q_interleave_sources"](spark, sf_dir).toPandas().sort_values("pos")
+    from modevetl_spark.sources.catalog import load
+
+    totals = {
+        r["source"]: r["count"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    corpus = sum(totals.values())
+    for k in (25, 50, 100, 200):
+        prefix = out.head(k)["source"].value_counts()
+        for src, got in prefix.items():
+            expect = k * totals[src] / corpus
+            assert abs(got - expect) <= 2.0, (k, src, got, expect)
