@@ -2499,8 +2499,10 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multinomial Naive Bayes language classifier ------------------------
 
-_NB_ORACLE = """
-WITH toks AS (
+# Shared CTE prefix: corpus tokenization -> NB model tables -> per
+# (doc, lang) decimal-summed log-likelihood scores. Reused verbatim by
+# q_nb_langid (confusion matrix) and q_label_suspects (margin ranking).
+_NB_SCORES_CTES = """toks AS (
     SELECT doc_id, lang,
            unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                               t -> t <> '')) AS tok
@@ -2538,36 +2540,26 @@ scores AS (
     FROM terms GROUP BY doc_id, actual, l
 ),
 pred AS (
-    SELECT doc_id, actual, l AS predicted,
+    SELECT doc_id, actual, l AS predicted, score,
            ROW_NUMBER() OVER (PARTITION BY doc_id
                               ORDER BY score DESC, l) AS rk
     FROM scores
-)
+)"""
+
+_NB_ORACLE = f"""
+WITH {_NB_SCORES_CTES}
 SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM pred WHERE rk = 1
 GROUP BY actual, predicted
 """
 
 
-@q("q_nb_langid", oracle_sql=_NB_ORACLE)
-def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2+8 [EXT]: multinomial Naive Bayes language classifier —
-    train token likelihoods per language (Laplace smoothing) and doc
-    priors on the corpus, score every document, report the confusion
-    matrix (actual × predicted). The classic supervised text-pipeline
-    op, fully deterministic: every log-likelihood term is a DIFFERENCE
-    OF INTEGER-ARGUMENT log2 calls (log2(c+1) − log2(N_l+V) — the PMI
-    trick), rounded 9dp and decimal-summed, so the argmax compares
-    bit-identical doubles; ties break by language name.
-
-    Plan shape: model tables (per-lang token counts, totals, vocab,
-    priors) are aggregates bounded by vocab × languages and broadcast
-    onto the token stream; scoring is one (doc, lang)-keyed aggregate —
-    the corpus is scanned once for training counts and once for
-    scoring (resubstitution demo; at scale, train on yesterday's
-    corpus and score today's delta with the same broadcast tables).
-    """
-    prep(spark)
+def _nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared NB scoring subtree -> (doc_id, actual, l, score): model
+    tables (per-lang token counts, totals, vocab, priors) broadcast
+    onto the token stream, per-(doc, lang) 9dp-rounded integer-log2
+    likelihood terms decimal-summed, prior added post-sum. The Spark
+    twin of the `_NB_SCORES_CTES` SQL prefix."""
     from modevetl_spark.operators._util import spread
 
     d = spread(load(spark, sf_dir, "documents"))
@@ -2595,11 +2587,7 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.crossJoin(F.broadcast(langs))
         .crossJoin(F.broadcast(v))
         .join(F.broadcast(n_l), "l")
-        .join(
-            F.broadcast(c_lt),
-            ["l", "tok"],
-            "left",
-        )
+        .join(F.broadcast(c_lt), ["l", "tok"], "left")
         .select(
             "doc_id",
             F.col("lang").alias("actual"),
@@ -2611,7 +2599,7 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
-    scores = (
+    return (
         terms.groupBy("doc_id", "actual", "l")
         .agg(
             F.sum(F.col("term").cast("decimal(18,9)"))
@@ -2623,6 +2611,28 @@ def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "actual", "l", (F.col("s") + F.col("prior")).alias("score")
         )
     )
+
+
+@q("q_nb_langid", oracle_sql=_NB_ORACLE)
+def nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+8 [EXT]: multinomial Naive Bayes language classifier —
+    train token likelihoods per language (Laplace smoothing) and doc
+    priors on the corpus, score every document, report the confusion
+    matrix (actual × predicted). The classic supervised text-pipeline
+    op, fully deterministic: every log-likelihood term is a DIFFERENCE
+    OF INTEGER-ARGUMENT log2 calls (log2(c+1) − log2(N_l+V) — the PMI
+    trick), rounded 9dp and decimal-summed, so the argmax compares
+    bit-identical doubles; ties break by language name.
+
+    Plan shape: model tables (per-lang token counts, totals, vocab,
+    priors) are aggregates bounded by vocab × languages and broadcast
+    onto the token stream; scoring is one (doc, lang)-keyed aggregate —
+    the corpus is scanned once for training counts and once for
+    scoring (resubstitution demo; at scale, train on yesterday's
+    corpus and score today's delta with the same broadcast tables).
+    """
+    prep(spark)
+    scores = _nb_scores(spark, sf_dir)
     w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "l")
     return (
         scores.withColumn("rk", F.row_number().over(w_pick))
@@ -3095,4 +3105,74 @@ def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_pos).cast("long").alias("pos"),
         "doc_id",
         "source",
+    )
+
+
+# --- label-error candidates via NB margin -------------------------------
+
+_SUSPECTS_ORACLE = f"""
+WITH {_NB_SCORES_CTES},
+actual_score AS (
+    SELECT doc_id, score AS a_score FROM scores WHERE l = actual
+),
+best AS (
+    SELECT doc_id, actual, predicted, score AS b_score
+    FROM pred WHERE rk = 1
+)
+SELECT b.doc_id, b.actual, b.predicted,
+       ROUND(b.b_score - a.a_score, 6) AS margin
+FROM best b JOIN actual_score a ON a.doc_id = b.doc_id
+WHERE b.predicted <> b.actual
+ORDER BY ROUND(b.b_score - a.a_score, 6) DESC, b.doc_id
+LIMIT 50
+"""
+
+
+@q("q_label_suspects", oracle_sql=_SUSPECTS_ORACLE)
+def label_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+13 [EXT]: label-error candidates — the 50 documents whose
+    recorded language the Naive Bayes model most confidently
+    contradicts, ranked by score margin (winning-class score minus
+    recorded-class score). The confident-learning-style data-cleaning
+    triage step: at corpus scale, mislabeled examples poison training,
+    and margin ranking surfaces them for review by descending model
+    conviction.
+
+    Plan shape: shares the NB scoring subtree with q_nb_langid (same
+    model tables broadcast onto the token stream, same (doc, lang)
+    decimal-summed scores — the SQL oracles literally share the CTE
+    prefix); the margin rank is TakeOrdered over the misclassified
+    subset.
+
+    Determinism: scores are the NB integer-log2 decimal sums (bit-
+    identical); margins are differences of identical doubles rounded
+    6dp; ties break by doc_id.
+    """
+    prep(spark)
+    scores = _nb_scores(spark, sf_dir)
+    w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "l")
+    best = (
+        scores.withColumn("rk", F.row_number().over(w_pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("l").alias("predicted"),
+            F.col("score").alias("b_score"),
+        )
+    )
+    actual_score = scores.where(F.col("l") == F.col("actual")).select(
+        "doc_id", F.col("score").alias("a_score")
+    )
+    return (
+        best.join(actual_score, "doc_id")
+        .where(F.col("predicted") != F.col("actual"))
+        .select(
+            "doc_id",
+            "actual",
+            "predicted",
+            F.round(F.col("b_score") - F.col("a_score"), 6).alias("margin"),
+        )
+        .orderBy(F.col("margin").desc(), "doc_id")
+        .limit(50)
     )

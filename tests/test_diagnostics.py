@@ -787,3 +787,12 @@ def test_interleave_no_source_frontloads(spark, sf_dir):
         for src, got in prefix.items():
             expect = k * totals[src] / corpus
             assert abs(got - expect) <= 2.0, (k, src, got, expect)
+
+
+def test_label_suspects_are_misclassified_with_positive_margin(spark, sf_dir):
+    """Every suspect is predicted ≠ actual with margin > 0 (the winner
+    beat the recorded class), sorted descending."""
+    out = _Q["q_label_suspects"](spark, sf_dir).toPandas()
+    assert (out["predicted"] != out["actual"]).all()
+    assert (out["margin"] > 0).all()
+    assert (out["margin"].diff().dropna() <= 1e-12).all()
