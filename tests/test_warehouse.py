@@ -218,10 +218,17 @@ def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring(F.lower("text"), 1, 32).alias("k")
     )
+    # The range exchange itself now materializes inside global_rank's
+    # localCheckpoint (the AQE layout-race fix) and is no longer visible
+    # in the returned plan — its determinism is pinned by
+    # test_systematic_sample_stable_and_evenly_spaced instead. What the
+    # plan must still show: the ONLY Window node is the
+    # |partitions|-row offset table, and no data-wide hash exchange was
+    # added after the checkpoint (offsets attach via broadcast).
     p = plan(global_rank(d, ["k", "doc_id"], partitions=8))
-    assert "rangepartitioning" in p
-    tree = p.split("(1) Scan")[0]
-    assert tree.count("- Window (") == 1, tree
+    assert p.count("- Window (") == 1, p
+    assert "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p, p
 
 
 def test_snm_finds_planted_near_dups(spark, sf_dir):
