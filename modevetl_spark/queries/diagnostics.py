@@ -3176,3 +3176,139 @@ def label_suspects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("margin").desc(), "doc_id")
         .limit(50)
     )
+
+
+# --- dedup threshold operating curve ------------------------------------
+
+
+def _threshold_curve_oracle() -> str:
+    from modevetl_spark.queries.llm import _MINHASH_PAIR_CTES
+
+    return f"""
+WITH {_MINHASH_PAIR_CTES},
+all_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+exact_j AS (
+    SELECT ROUND(CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter), 6)
+             AS j
+    FROM all_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+),
+cand_j AS (
+    SELECT ROUND(CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter), 6)
+             AS j
+    FROM pair_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+),
+grid AS (SELECT CAST(g.k AS BIGINT) AS k, CAST(g.k AS DOUBLE) / 10 AS tau
+         FROM UNNEST(range(1, 10)) AS g(k))
+SELECT g.k, g.tau,
+       CAST((SELECT COUNT(*) FROM exact_j e WHERE e.j >= g.tau) AS BIGINT)
+         AS n_exact,
+       CAST((SELECT COUNT(*) FROM cand_j c WHERE c.j >= g.tau) AS BIGINT)
+         AS n_found,
+       CASE WHEN (SELECT COUNT(*) FROM exact_j e WHERE e.j >= g.tau) > 0
+            THEN ROUND(CAST((SELECT COUNT(*) FROM cand_j c
+                             WHERE c.j >= g.tau) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM exact_j e WHERE e.j >= g.tau),
+                       6) END AS recall
+FROM grid g
+"""
+
+
+@q("q_dedup_threshold_curve", oracle_sql=_threshold_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+10 [EXT]: dedup threshold operating curve — for every
+    similarity threshold τ ∈ {0.1 … 0.9}, how many truly-similar pairs
+    exist (exact trigram Jaccard) and how many the MinHash-LSH pipeline
+    finds, with recall. The picture behind choosing τ: the single-point
+    q_dedup_eval_pr measures one operating point, this sweeps the
+    curve (LSH recall decays below the banding's S-curve threshold —
+    visible here as recall dropping at low τ).
+
+    Plan shape: BOTH pair tables are computed once (exact via the
+    shared-shingle join — the documented sample-scale ground-truth
+    pass; candidates via the production banded join) and the 9-row τ
+    grid cross-joins against their Jaccard values — two bounded
+    aggregates per τ over already-tiny pair sets.
+
+    Determinism: Jaccards rounded 6dp; τ = k/10 is one exact division;
+    all else integer counts.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.dedup import jaccard_pairs, minhash_candidates_md5
+    from modevetl_spark.operators.text import word_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens("text"), 3))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    all_inter = (
+        a.join(b, ["s"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    exact_j = (
+        all_inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("j")
+        )
+    )
+    cands = minhash_candidates_md5(d, shingle_n=3, k=16, bands=4)
+    cand_j = jaccard_pairs(d, cands.select("id_a", "id_b"), shingle_n=3).select(
+        F.col("jaccard").alias("j")
+    )
+
+    grid = spark.range(1, 10).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id").cast("double") / 10).alias("tau"),
+    )
+    e_counts = (
+        grid.crossJoin(exact_j)
+        .where(F.col("j") >= F.col("tau"))
+        .groupBy("k", "tau")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    c_counts = (
+        grid.crossJoin(cand_j)
+        .where(F.col("j") >= F.col("tau"))
+        .groupBy("k", "tau")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    return (
+        grid.join(e_counts, ["k", "tau"], "left")
+        .join(c_counts, ["k", "tau"], "left")
+        .select(
+            "k",
+            "tau",
+            F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias("n_found"),
+            F.when(
+                F.coalesce(F.col("n_exact"), F.lit(0)) > 0,
+                F.round(
+                    F.coalesce(F.col("n_found"), F.lit(0)).cast("double")
+                    / F.col("n_exact"),
+                    6,
+                ),
+            ).alias("recall"),
+        )
+    )

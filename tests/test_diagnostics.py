@@ -796,3 +796,15 @@ def test_label_suspects_are_misclassified_with_positive_margin(spark, sf_dir):
     assert (out["predicted"] != out["actual"]).all()
     assert (out["margin"] > 0).all()
     assert (out["margin"].diff().dropna() <= 1e-12).all()
+
+
+def test_threshold_curve_monotone(spark, sf_dir):
+    """n_exact and n_found are non-increasing in τ, and recall at the
+    production threshold (τ=0.5) matches q_dedup_eval_pr's recall."""
+    out = _Q["q_dedup_threshold_curve"](spark, sf_dir).toPandas().sort_values("k")
+    assert (out["n_exact"].diff().dropna() <= 0).all()
+    assert (out["n_found"].diff().dropna() <= 0).all()
+    pr = _Q["q_dedup_eval_pr"](spark, sf_dir).collect()[0]
+    at_half = out[out["k"] == 5].iloc[0]
+    assert at_half["n_exact"] == pr.n_exact
+    assert at_half["n_found"] == pr.n_tp
