@@ -112,3 +112,73 @@ def heavy_hitters_exact(
             ),
         )
     )
+
+
+def run_heavy_hitters_tick(
+    spark, batch: DataFrame, col: str, k: int, state_path: str
+) -> None:
+    """Standing-job tick: fold one arriving batch into a persisted
+    Misra–Gries summary of at most ``k`` counters (plus one total-count
+    row). Mergeable-summaries semantics end to end: the batch folds to
+    per-partition summaries (one mapInPandas pass, no shuffle), those
+    merge with the stored summary by counter addition (candidate counts
+    re-counted EXACTLY from the batch — tighter than carrying the MG
+    under-estimates), and the combined state trims with the
+    (k+1)-th-largest decrement. Error accounting: a batch's
+    never-added mass per item is bounded by its internal fold trims
+    (≤ n_batch/(k+1) summed over the batch) and state-level trims
+    remove ≥ (k+1)·m mass each, so the LIFETIME undercount per item is
+    ≤ 2·n_total/(k+1) — every item with lifetime frequency
+    > 2·n_total/(k+1) has a positive counter after any tick sequence
+    (size the job with k ≥ 2·denom for an n/denom detection target);
+    ``n_total`` is tracked exactly in the sentinel row.
+
+    The state is ≤ k+1 rows BY CONFIG, so the trim runs driver-side on
+    a bounded collect and the store is a tiny overwrite — this is the
+    one standing job whose state does not grow with the corpus at all.
+    A consumer answers "current heavy-hitter candidates" from the state
+    alone, and exact-verifies them with one broadcast-filtered count
+    over the corpus when precision matters (the
+    :func:`heavy_hitters_exact` second pass).
+
+    Replay contract: NOT idempotent (replaying a batch double-counts) —
+    pair with a watermark pull exactly like
+    ``operators/aggstate.merge_aggregate_state`` documents.
+    """
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    summ = mg_summary(batch, col, k)
+    rows = summ.collect()
+    state: dict[str, int] = {}
+    total = 0
+    if fs_has_parquet_files(spark, state_path):
+        for r in spark.read.parquet(state_path).collect():
+            if r["tok"] is None:
+                total += int(r["cnt"])
+            else:
+                state[r["tok"]] = int(r["cnt"])
+    for r in rows:
+        if r["tok"] is None:
+            total += int(r["n_part"])
+        else:
+            # per-partition batch summaries carry no counts (candidates
+            # only) — re-count the batch's candidate occurrences exactly
+            # in one filtered pass below
+            state.setdefault(r["tok"], 0)
+    batch_cands = [t for t in state]
+    if batch_cands:
+        cnts = (
+            batch.where(F.col(col).isin(batch_cands))
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        for r in cnts:
+            state[r[col]] = state.get(r[col], 0) + int(r["c"])
+    if len(state) > k:
+        m = sorted(state.values(), reverse=True)[k]
+        state = {t: c - m for t, c in state.items() if c > m}
+    out = [(t, c) for t, c in state.items()] + [(None, total)]
+    spark.createDataFrame(out, f"tok string, cnt long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(state_path)

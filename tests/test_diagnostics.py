@@ -808,3 +808,34 @@ def test_threshold_curve_monotone(spark, sf_dir):
     at_half = out[out["k"] == 5].iloc[0]
     assert at_half["n_exact"] == pr.n_exact
     assert at_half["n_found"] == pr.n_tp
+
+
+def test_heavy_hitter_tick_guarantee_across_splits(spark, tmp_path):
+    """Folding a stream through ticks in arbitrary batch splits keeps
+    the lifetime-guarantee: every item with total freq > 2n/(k+1)
+    retains a positive counter, the state never exceeds k+1 rows, and
+    the sentinel total is exact."""
+    from modevetl_spark.operators.sketches import run_heavy_hitters_tick
+
+    freqs = {"hot": 120, "warm": 60, **{f"z{i}": 2 for i in range(40)}}
+    stream = [t for t, c in freqs.items() for _ in range(c)]
+    n = len(stream)  # 260
+    k = 10
+    for split in ([260], [100, 100, 60], [26] * 10):
+        path = str(tmp_path / f"hh_{len(split)}")
+        i = 0
+        for size in split:
+            batch = spark.createDataFrame(
+                [(t,) for t in stream[i : i + size]], "tok string"
+            ).repartition(4)
+            run_heavy_hitters_tick(spark, batch, "tok", k=k, state_path=path)
+            i += size
+        rows = spark.read.parquet(path).collect()
+        state = {r.tok: r.cnt for r in rows if r.tok is not None}
+        total = sum(r.cnt for r in rows if r.tok is None)
+        assert total == n
+        assert len(state) <= k
+        bound = 2 * n / (k + 1)
+        for t, c in freqs.items():
+            if c > bound:
+                assert t in state and state[t] > 0, (split, t, state)
