@@ -3312,3 +3312,185 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --- mutual information between two categoricals ------------------------
+
+_MI_ORACLE = """
+WITH cells AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM documents GROUP BY source, lang
+),
+margins AS (
+    SELECT source, lang, c_xy,
+           CAST(SUM(c_xy) OVER (PARTITION BY source) AS BIGINT) AS c_x,
+           CAST(SUM(c_xy) OVER (PARTITION BY lang) AS BIGINT) AS c_y,
+           CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+    FROM cells
+),
+terms AS (
+    SELECT ROUND((CAST(c_xy AS DOUBLE) / n)
+                 * (ROUND(log2(c_xy), 9) + ROUND(log2(n), 9)
+                    - ROUND(log2(c_x), 9) - ROUND(log2(c_y), 9)),
+                 9) AS term
+    FROM margins
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS mi_bits
+FROM terms
+"""
+
+
+@q("q_mutual_information", oracle_sql=_MI_ORACLE)
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+18 [EXT]: mutual information I(source; lang) in bits — the
+    feature-selection primitive (how much does knowing the source tell
+    you about the language?). Zero for independent columns; here near
+    zero by construction, which is itself the finding: source is NOT a
+    useful language feature on this corpus.
+
+    Plan shape: one (source × lang) cell aggregate (bounded by the two
+    domains), margins as windows over the cell table (the Benford
+    pattern — one fact scan), a ≤100-row MI fold.
+
+    Determinism: p-weights are exact integer ratios; the log factor is
+    a ± chain of 9dp-rounded INTEGER-argument log2 (the PMI trick);
+    terms round 9dp and decimal-sum. Empty cells contribute nothing by
+    construction (the sum runs over observed cells only — standard MI).
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    margins = cells.select(
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("source")).cast("long").alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("lang")).cast("long").alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    logchain = (
+        F.round(F.log2("c_xy"), 9)
+        + F.round(F.log2("n"), 9)
+        - F.round(F.log2("c_x"), 9)
+        - F.round(F.log2("c_y"), 9)
+    )
+    terms = margins.select(
+        F.round((F.col("c_xy").cast("double") / F.col("n")) * logchain, 9).alias(
+            "term"
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("mi_bits"),
+    )
+
+
+# --- Cramér's V effect size ---------------------------------------------
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS c_xy
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+margins AS (
+    SELECT seg, pri, c_xy,
+           CAST(SUM(c_xy) OVER (PARTITION BY seg) AS BIGINT) AS c_x,
+           CAST(SUM(c_xy) OVER (PARTITION BY pri) AS BIGINT) AS c_y,
+           CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+    FROM cells
+),
+dims AS (
+    SELECT CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT pri) AS BIGINT) AS cc
+    FROM cells
+),
+terms AS (
+    SELECT ROUND((CAST(c_xy AS DOUBLE)
+                  - CAST(c_x AS DOUBLE) * c_y / n)
+                 * (CAST(c_xy AS DOUBLE) - CAST(c_x AS DOUBLE) * c_y / n)
+                 / (CAST(c_x AS DOUBLE) * c_y / n), 9) AS term
+    FROM margins
+),
+chi AS (
+    SELECT CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE) AS chi2,
+           (SELECT CAST(SUM(c_xy) AS BIGINT) FROM cells) AS n
+    FROM terms
+)
+SELECT ROUND(chi.chi2, 6) AS chi2,
+       ROUND(sqrt(chi.chi2 / (chi.n * LEAST(d.r - 1, d.cc - 1))), 6)
+         AS cramers_v
+FROM chi, dims d
+"""
+
+
+@q("q_cramers_v", oracle_sql=_CRAMERS_ORACLE)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+19 [EXT]: Cramér's V — the [0,1] effect size behind a
+    chi-square test (χ² itself scales with n, so at 100 TB everything
+    is "significant"; V answers whether the association MATTERS).
+    Computed over the segment × priority contingency table.
+
+    Plan shape: one contingency aggregate (bounded by the two domains),
+    margins as windows over the cell table, the χ² fold over ≤25 rows,
+    V as one sqrt.
+
+    Determinism: expected counts are exact-IEEE over integer margins;
+    per-cell terms avoid pow() ((o−e)·(o−e)), round 9dp, decimal-sum;
+    sqrt is correctly rounded; both outputs round 6dp.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    margins = cells.select(
+        "seg",
+        "pri",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("seg")).cast("long").alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("pri")).cast("long").alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    e = F.col("c_x").cast("double") * F.col("c_y") / F.col("n")
+    terms = margins.select(
+        F.round(
+            (F.col("c_xy").cast("double") - e)
+            * (F.col("c_xy").cast("double") - e)
+            / e,
+            9,
+        ).alias("term")
+    )
+    dims = cells.agg(
+        F.countDistinct("seg").cast("long").alias("r"),
+        F.countDistinct("pri").cast("long").alias("cc"),
+    )
+    n_total = cells.agg(F.sum("c_xy").cast("long").alias("n"))
+    chi = terms.agg(
+        F.sum(F.col("term").cast("decimal(18,9)")).cast("double").alias("chi2")
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * F.least(F.col("r") - 1, F.col("cc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

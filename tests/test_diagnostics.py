@@ -839,3 +839,19 @@ def test_heavy_hitter_tick_guarantee_across_splits(spark, tmp_path):
         for t, c in freqs.items():
             if c > bound:
                 assert t in state and state[t] > 0, (split, t, state)
+
+
+def test_mi_nonnegative_and_bounded(spark, sf_dir):
+    """MI ≥ 0 (within term-rounding slack) and ≤ min(H(X), H(Y)) ≤
+    log2(min domain size)."""
+    import math
+
+    r = _Q["q_mutual_information"](spark, sf_dir).collect()[0]
+    assert r.mi_bits >= -1e-6
+    assert r.mi_bits <= math.log2(5) + 1e-9  # 5 languages
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    r = _Q["q_cramers_v"](spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0
+    assert 0.0 <= r.cramers_v <= 1.0
