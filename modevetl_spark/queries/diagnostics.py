@@ -3494,3 +3494,208 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# --- categorical entropy profile ----------------------------------------
+
+_ENTROPY_PROFILE_ORACLE = """
+WITH src AS (
+    SELECT 'doc_source' AS column_name, source AS val, COUNT(*) AS c
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'doc_lang', lang, COUNT(*) FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'order_priority', o_orderpriority, COUNT(*)
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'order_status', o_orderstatus, COUNT(*)
+    FROM orders GROUP BY o_orderstatus
+),
+margins AS (
+    SELECT column_name, CAST(c AS BIGINT) AS c,
+           CAST(SUM(c) OVER (PARTITION BY column_name) AS BIGINT) AS n
+    FROM src
+),
+terms AS (
+    SELECT column_name,
+           ROUND((CAST(c AS DOUBLE) / n)
+                 * (ROUND(log2(n), 9) - ROUND(log2(c), 9)), 9) AS term
+    FROM margins
+)
+SELECT column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS entropy_bits
+FROM terms
+GROUP BY column_name
+"""
+
+
+@q("q_entropy_profile", oracle_sql=_ENTROPY_PROFILE_ORACLE)
+def entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+20 [EXT]: Shannon entropy of every categorical column across
+    two tables — the column-profiling completion (q_profile_columns
+    counts nulls/distincts; entropy says how the mass is SPREAD:
+    near-log2(k) means uniform, near-0 means one dominant value — the
+    difference between a useful partition key and a skew trap).
+
+    Plan shape: one bounded aggregate per column unioned into a single
+    cell table; margins and the entropy fold ride that table.
+
+    Determinism: p·log2(1/p) as (c/n)·(log2(n) − log2(c)) — exact
+    ratios times an integer-argument log2 difference, rounded 9dp and
+    decimal-summed per column.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    o = load(spark, sf_dir, "orders")
+
+    def cells(df, name, col):
+        return df.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ).select(F.lit(name).alias("column_name"), "c")
+
+    src = (
+        cells(d, "doc_source", "source")
+        .unionAll(cells(d, "doc_lang", "lang"))
+        .unionAll(cells(o, "order_priority", "o_orderpriority"))
+        .unionAll(cells(o, "order_status", "o_orderstatus"))
+    )
+    margins = src.select(
+        "column_name",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("column_name"))
+        .cast("long")
+        .alias("n"),
+    )
+    terms = margins.select(
+        "column_name",
+        F.round(
+            (F.col("c").cast("double") / F.col("n"))
+            * (F.round(F.log2("n"), 9) - F.round(F.log2("c"), 9)),
+            9,
+        ).alias("term"),
+    )
+    return terms.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+# --- decision-stump split quality ---------------------------------------
+
+_STUMP_ORACLE = """
+WITH cells AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY source, lang
+),
+tot_lang AS (
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS c_tot FROM cells GROUP BY lang
+),
+n_all AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+per_source AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_in FROM cells GROUP BY source
+),
+sides AS (
+    SELECT p.source, p.n_in, t.lang,
+           COALESCE(cl.c, 0) AS c_in,
+           t.c_tot - COALESCE(cl.c, 0) AS c_out,
+           a.n
+    FROM per_source p
+    CROSS JOIN tot_lang t
+    CROSS JOIN n_all a
+    LEFT JOIN cells cl ON cl.source = p.source AND cl.lang = t.lang
+),
+sq AS (
+    SELECT source, n_in, n,
+           CAST(SUM(CAST(ROUND((CAST(c_in AS DOUBLE) / n_in)
+                                * (CAST(c_in AS DOUBLE) / n_in), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS sum_p2_in,
+           CAST(SUM(CAST(ROUND((CAST(c_out AS DOUBLE) / (n - n_in))
+                                * (CAST(c_out AS DOUBLE) / (n - n_in)), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS sum_p2_out
+    FROM sides
+    GROUP BY source, n_in, n
+),
+scored AS (
+    SELECT source, n_in,
+           ROUND((CAST(n_in AS DOUBLE) / n) * (1 - sum_p2_in)
+                 + (CAST(n - n_in AS DOUBLE) / n) * (1 - sum_p2_out),
+                 6) AS weighted_gini
+    FROM sq
+)
+SELECT source, n_in, weighted_gini,
+       CAST(ROW_NUMBER() OVER (ORDER BY weighted_gini, source) AS BIGINT)
+         AS split_rank
+FROM scored
+"""
+
+
+@q("q_decision_stump", oracle_sql=_STUMP_ORACLE)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+14 [EXT]: decision-stump split quality — for every candidate
+    split "source = s vs rest", the weighted Gini impurity of the
+    language label after the split, ranked best-first. The inner loop
+    of decision-tree induction (and of a feature-importance sweep),
+    expressed over the contingency cells: the fact is never re-scanned
+    per candidate — complement counts derive from the lang totals.
+
+    Plan shape: one (source × lang) cell aggregate; everything after is
+    arithmetic over cells × labels (≤100 rows).
+
+    Determinism: squared shares round 9dp and decimal-sum per side;
+    the weighted combination is exact-IEEE over identical doubles,
+    rounded 6dp; ranking ties break by source.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot_lang = cells.groupBy("lang").agg(F.sum("c").cast("long").alias("c_tot"))
+    n_all = cells.agg(F.sum("c").cast("long").alias("n"))
+    per_source = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_in")
+    )
+    sides = (
+        per_source.crossJoin(F.broadcast(tot_lang))
+        .crossJoin(F.broadcast(n_all))
+        .join(F.broadcast(cells), ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_in",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c_in"),
+            (F.col("c_tot") - F.coalesce(F.col("c"), F.lit(0))).alias("c_out"),
+        )
+    )
+    p_in = F.col("c_in").cast("double") / F.col("n_in")
+    p_out = F.col("c_out").cast("double") / (F.col("n") - F.col("n_in"))
+    sq = sides.groupBy("source", "n_in", "n").agg(
+        F.sum(F.round(p_in * p_in, 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sum_p2_in"),
+        F.sum(F.round(p_out * p_out, 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("sum_p2_out"),
+    )
+    scored = sq.select(
+        "source",
+        "n_in",
+        F.round(
+            (F.col("n_in").cast("double") / F.col("n")) * (1 - F.col("sum_p2_in"))
+            + ((F.col("n") - F.col("n_in")).cast("double") / F.col("n"))
+            * (1 - F.col("sum_p2_out")),
+            6,
+        ).alias("weighted_gini"),
+    )
+    w = Window.orderBy("weighted_gini", "source")
+    return scored.select(
+        "source",
+        "n_in",
+        "weighted_gini",
+        F.row_number().over(w).cast("long").alias("split_rank"),
+    )

@@ -855,3 +855,27 @@ def test_cramers_v_in_unit_interval(spark, sf_dir):
     r = _Q["q_cramers_v"](spark, sf_dir).collect()[0]
     assert r.chi2 >= 0
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_entropy_profile_bounds(spark, sf_dir):
+    """0 ≤ H ≤ log2(n_values) per column."""
+    import numpy as np
+
+    out = _Q["q_entropy_profile"](spark, sf_dir).toPandas()
+    assert (out["entropy_bits"] >= -1e-6).all()
+    assert (out["entropy_bits"] <= np.log2(out["n_values"]) + 1e-6).all()
+
+
+def test_decision_stump_beats_null_split(spark, sf_dir):
+    """Weighted Gini after ANY split ≤ parent impurity (splits can't
+    hurt Gini), and the ranking is consistent with the scores."""
+    out = _Q["q_decision_stump"](spark, sf_dir).toPandas().sort_values("split_rank")
+    from modevetl_spark.sources.catalog import load
+
+    langs = (
+        load(spark, sf_dir, "documents").groupBy("lang").count().toPandas()
+    )
+    p = langs["count"] / langs["count"].sum()
+    parent_gini = 1 - (p * p).sum()
+    assert (out["weighted_gini"] <= parent_gini + 1e-6).all()
+    assert (out["weighted_gini"].diff().dropna() >= -1e-12).all()
