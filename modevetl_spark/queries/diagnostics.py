@@ -3699,3 +3699,117 @@ def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weighted_gini",
         F.row_number().over(w).cast("long").alias("split_rank"),
     )
+
+
+# --- cross-source near-dup overlap --------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    from modevetl_spark.queries.llm import _MINHASH_PAIR_CTES
+
+    return f"""
+WITH {_MINHASH_PAIR_CTES},
+ver AS (
+    SELECT p.id_a, p.id_b
+    FROM pair_inter p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+FROM ver
+JOIN documents da ON da.doc_id = ver.id_a
+JOIN documents db ON db.doc_id = ver.id_b
+GROUP BY 1, 2
+"""
+
+
+@q("q_dedup_source_overlap", oracle_sql=_source_overlap_oracle())
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+11 [EXT]: cross-source duplication map — verified near-dup
+    pairs rolled up by unordered source pair. The contamination report
+    BETWEEN feeds: a heavy off-diagonal cell means two "independent"
+    sources ship the same content (mirror sites, syndication), which
+    silently over-weights that content at training time.
+
+    Plan shape: the verified-pair pipeline (shared with q_dedup_corpus)
+    plus two broadcast joins to attach sources and one bounded
+    (source × source) rollup.
+    """
+    prep(spark)
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.dedup import jaccard_pairs, minhash_candidates_md5
+
+    d = spread(load(spark, sf_dir, "documents"))
+    cands = minhash_candidates_md5(d, shingle_n=3, k=16, bands=4)
+    ver = jaccard_pairs(d, cands.select("id_a", "id_b"), shingle_n=3).where(
+        F.col("jaccard") >= 0.5
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        ver.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+
+
+# --- month-over-month growth --------------------------------------------
+
+_MOM_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue, n_orders,
+       ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1, 6)
+         AS revenue_mom,
+       ROUND(CAST(n_orders AS DOUBLE)
+             / LAG(n_orders) OVER (ORDER BY month) - 1, 6) AS orders_mom
+FROM monthly
+"""
+
+
+@q("q_growth_mom", oracle_sql=_MOM_ORACLE)
+def growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4+/M1+ [EXT]: month-over-month growth — revenue and order-count
+    growth rates per month (NULL for the first month). The board-deck
+    number; trivially derived, but the derivation discipline matters:
+    the ratio divides two 2dp-rounded decimal sums (identical doubles),
+    so the growth rate is bit-stable.
+
+    Plan shape: one calendar-bounded aggregate + one lag window over
+    the month series.
+    """
+    prep(spark)
+    from modevetl_spark.functions.compat import dsum
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        dsum("o_totalprice", 2).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "revenue_mom"
+        ),
+        F.round(
+            F.col("n_orders").cast("double") / F.lag("n_orders").over(w) - 1, 6
+        ).alias("orders_mom"),
+    )

@@ -879,3 +879,24 @@ def test_decision_stump_beats_null_split(spark, sf_dir):
     parent_gini = 1 - (p * p).sum()
     assert (out["weighted_gini"] <= parent_gini + 1e-6).all()
     assert (out["weighted_gini"].diff().dropna() >= -1e-12).all()
+
+
+def test_source_overlap_totals_verified_pairs(spark, sf_dir):
+    """Σ over source-pair cells equals the verified near-dup pair
+    count (nothing lost in the rollup), and pair keys are unordered
+    (source_a ≤ source_b)."""
+    out = _Q["q_dedup_source_overlap"](spark, sf_dir).toPandas()
+    pr = _Q["q_dedup_eval_pr"](spark, sf_dir).collect()[0]
+    assert out["n_dup_pairs"].sum() == pr.n_tp
+    assert (out["source_a"] <= out["source_b"]).all()
+
+
+def test_growth_mom_reconstructs_series(spark, sf_dir):
+    """Compounding the growth rates recovers each month's revenue from
+    the previous one (within 6dp-rounding slack)."""
+    out = _Q["q_growth_mom"](spark, sf_dir).toPandas().sort_values("month")
+    prev = out["revenue"].shift(1)
+    have = out["revenue_mom"].notna()
+    recon = prev[have] * (1 + out.loc[have, "revenue_mom"])
+    assert ((recon - out.loc[have, "revenue"]).abs()
+            <= prev[have] * 1e-6 + 0.02).all()
