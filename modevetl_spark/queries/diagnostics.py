@@ -3813,3 +3813,107 @@ def growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("double") / F.lag("n_orders").over(w) - 1, 6
         ).alias("orders_mom"),
     )
+
+
+# --- one-way ANOVA across weekdays --------------------------------------
+
+_ANOVA_ORACLE = """
+WITH vals AS (
+    SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           o_totalprice AS x
+    FROM orders
+),
+grp AS (
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2) AS s_g,
+           -- DECIMAL(19,6): DuckDB's product type is (p1+p2, s1+s2)
+           -- with NO auto-widen, so 18+18 digits overflow; 19+19 = 38
+           -- holds x^2 exactly (Spark stays (18,6) -> exact (37,12))
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(19,6))
+                          * CAST(x AS DECIMAL(19,6))) AS DOUBLE), 2) AS ss_g
+    FROM vals GROUP BY dow
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(s_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
+           ROUND(CAST(SUM(CAST(ss_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS ss,
+           ROUND(CAST(SUM(CAST(ROUND(s_g * s_g / n_g, 6)
+                                AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_s2n
+    FROM grp
+)
+SELECT k, n,
+       ROUND(GREATEST(sum_s2n - s * s / n, 0), 6) AS ss_between,
+       ROUND(GREATEST(ss - sum_s2n, 0), 6) AS ss_within,
+       ROUND((GREATEST(sum_s2n - s * s / n, 0) / (k - 1))
+             / (GREATEST(ss - sum_s2n, 0) / (n - k)), 6) AS f_stat
+FROM tot
+"""
+
+
+@q("q_anova_weekday", oracle_sql=_ANOVA_ORACLE)
+def anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+21 [EXT]: one-way ANOVA — does mean order value differ
+    across order weekdays? The parametric member of the test family
+    (KS: shape; U: location, rank-based; runs: serial; ANOVA: means
+    across k groups). F ≈ 1 here (value is weekday-independent), which
+    is the correct negative.
+
+    Plan shape: ONE pass builds per-group power sums (count, Σx, Σx² —
+    the q_agg_moments shape, decimal-folded); the F statistic is
+    arithmetic over the 7-row group table.
+
+    Determinism: power sums are decimal-exact then rounded (2dp);
+    S_g²/n_g terms round 6dp and decimal-sum; the between/within
+    decomposition is a fixed exact-IEEE tree over identical doubles,
+    with the GREATEST(·,0) clamp both engines apply (the cancellation
+    gotcha — Spark ANSI would raise on sqrt of the ~−1e-10 residue
+    this guards elsewhere; here it guards the ratio's sign).
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    dec = "decimal(18,6)"
+    grp = o.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.round(F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 2).alias(
+            "s_g"
+        ),
+        F.round(
+            F.sum(
+                F.col("o_totalprice").cast(dec) * F.col("o_totalprice").cast(dec)
+            ).cast("double"),
+            2,
+        ).alias("ss_g"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.round(F.sum(F.col("s_g").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "s"
+        ),
+        F.round(
+            F.sum(F.col("ss_g").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("ss"),
+        F.round(
+            F.sum(
+                F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("sum_s2n"),
+    )
+    ssb = F.greatest(F.col("sum_s2n") - F.col("s") * F.col("s") / F.col("n"), F.lit(0.0))
+    ssw = F.greatest(F.col("ss") - F.col("sum_s2n"), F.lit(0.0))
+    return tot.select(
+        "k",
+        "n",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+    )

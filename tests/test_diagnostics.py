@@ -900,3 +900,17 @@ def test_growth_mom_reconstructs_series(spark, sf_dir):
     recon = prev[have] * (1 + out.loc[have, "revenue_mom"])
     assert ((recon - out.loc[have, "revenue"]).abs()
             <= prev[have] * 1e-6 + 0.02).all()
+
+
+def test_anova_decomposition_consistent(spark, sf_dir):
+    """SSB + SSW equals total sum of squares about the mean (within
+    rounding slack), F ≥ 0, and k = 7 weekdays."""
+    r = _Q["q_anova_weekday"](spark, sf_dir).collect()[0]
+    assert r.k == 7
+    assert r.f_stat >= 0
+    from modevetl_spark.sources.catalog import load
+
+    o = load(spark, sf_dir, "orders").toPandas()
+    x = o["o_totalprice"]
+    sst = ((x - x.mean()) ** 2).sum()
+    assert abs((r.ss_between + r.ss_within) - sst) < max(1.0, sst * 1e-6)
