@@ -256,3 +256,161 @@ def test_weighted_median_matches_python(spark, pairs):
         .collect()[0][0]
     )
     assert got == _wmedian_python(pairs)
+
+
+# --- KS statistic -------------------------------------------------------
+
+
+def _ks_python(a: list[int], b: list[int]) -> float:
+    support = sorted(set(a) | set(b))
+    best = 0.0
+    for v in support:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(0, 15), min_size=1, max_size=25),
+    b=st.lists(st.integers(0, 15), min_size=1, max_size=25),
+)
+def test_ks_window_fold_matches_python(spark, a, b):
+    """The per-value window formulation of the two-sample KS D equals
+    the direct ECDF sweep for arbitrary integer samples."""
+    from pyspark.sql import Window
+
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, is_a int")
+    per_value = df.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("a_cnt").over(w_cum).alias("ca"),
+        F.sum("b_cnt").over(w_cum).alias("cb"),
+        F.sum("a_cnt").over(w_all).alias("na"),
+        F.sum("b_cnt").over(w_all).alias("nb"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb")
+            )
+        )
+    ).collect()[0][0]
+    assert abs(d - _ks_python(a, b)) < 1e-12
+
+
+# --- tied-rank fold (MWU / AUC) -----------------------------------------
+
+
+def _rank_sum_python(a: list[int], b: list[int]) -> float:
+    pooled = sorted(a + b)
+    # average rank per value
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        ranks[pooled[i]] = (i + 1 + j) / 2  # mean of ranks i+1..j
+        i = j
+    return sum(ranks[v] for v in a)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(0, 10), min_size=1, max_size=20),
+    b=st.lists(st.integers(0, 10), min_size=1, max_size=20),
+)
+def test_doubled_integer_rank_fold_matches_python(spark, a, b):
+    """The Σ a_cnt·(2·cum_before + t + 1) doubled-integer fold equals
+    2× the classic tied-rank sum of group A — the identity both
+    q_stats_mannwhitney and q_roc_auc stand on."""
+    from pyspark.sql import Window
+
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, is_a int")
+    per_value = df.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b_cnt"),
+    )
+    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("a_cnt") + F.col("b_cnt")
+    cum = per_value.select(
+        "a_cnt",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_before), F.lit(0)).alias("cb"),
+    )
+    r2a = cum.agg(
+        F.sum(F.col("a_cnt") * (2 * F.col("cb") + F.col("t") + 1))
+    ).collect()[0][0]
+    assert r2a == round(2 * _rank_sum_python(a, b))
+
+
+# --- CUSUM argmax -------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.integers(-50, 50), min_size=3, max_size=25
+    )
+)
+def test_cusum_argmax_matches_python(spark, xs):
+    """The windowed decimal CUSUM peak (value and earliest index)
+    equals a direct python scan, with 6dp term rounding applied
+    identically."""
+    from pyspark.sql import Window
+
+    mean = sum(xs) / len(xs)
+    devs = [round(x - round(mean, 6), 6) for x in xs]
+    acc, best_i, best_s = 0.0, None, None
+    run = []
+    for i, d in enumerate(devs):
+        acc = round(acc + d, 6)  # decimal sum of 6dp terms is exact
+        run.append(acc)
+        if best_s is None or abs(acc) > abs(best_s) + 1e-12:
+            best_i, best_s = i, acc
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "i long, x double"
+    )
+    m = df.agg(F.round(F.avg("x"), 6).alias("m"))
+    dev = df.crossJoin(F.broadcast(m)).select(
+        "i", F.round(F.col("x") - F.col("m"), 6).alias("d")
+    )
+    w_cum = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusum = dev.select(
+        "i",
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,6)")).over(w_cum).cast("double"), 6
+        ).alias("s"),
+    )
+    top = (
+        cusum.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.abs(F.col("s")).desc(), "i")),
+        )
+        .where(F.col("rk") == 1)
+        .collect()[0]
+    )
+    assert top.i == best_i
+    assert abs(top.s - best_s) < 1e-9
