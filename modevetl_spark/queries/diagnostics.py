@@ -3917,3 +3917,76 @@ def anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+# --- Theil–Sen robust trend ---------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS y
+    FROM orders GROUP BY 1
+),
+indexed AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY month) AS BIGINT) AS i, y
+    FROM monthly
+),
+slopes AS (
+    SELECT (b.y - a.y) / (b.i - a.i) AS s
+    FROM indexed a JOIN indexed b ON b.i > a.i
+)
+SELECT CAST((SELECT COUNT(*) FROM indexed) AS BIGINT) AS n_months,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(s, 0.5), 6) AS theilsen_slope
+FROM slopes
+"""
+
+
+@q("q_theilsen_trend", oracle_sql=_THEILSEN_ORACLE)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+22 [EXT]: Theil–Sen robust trend of monthly revenue — the
+    median of all pairwise slopes, the estimator that shrugs off up to
+    ~29% outlier months where OLS (q_discount_elasticity's machinery)
+    gets dragged. The robust-statistics member of the trend family.
+
+    Plan shape: the pairwise self-join is over the MONTH-INDEXED series
+    — O(calendar²) pairs, bounded by the calendar and not the data (the
+    sweep-line justification squared: ~3k pairs for 80 months at any
+    corpus size); the median is one exact interpolated percentile.
+
+    Determinism: y values are 2dp decimal sums (identical); each slope
+    is one exact-IEEE division of identical doubles over an integer
+    gap; the median interpolation is the engine-shared quantile_cont /
+    percentile expression (the q_agg_percentile precedent), rounded
+    6dp.
+    """
+    prep(spark)
+    from modevetl_spark.functions.compat import dsum
+
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(dsum("o_totalprice", 2).alias("y"))
+    indexed = monthly.select(
+        F.row_number().over(Window.orderBy("month")).cast("long").alias("i"),
+        "y",
+    )
+    a = indexed.select(F.col("i").alias("ia"), F.col("y").alias("ya"))
+    b = indexed.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    slopes = (
+        a.crossJoin(b)
+        .where(F.col("ib") > F.col("ia"))
+        .select(
+            ((F.col("yb") - F.col("ya")) / (F.col("ib") - F.col("ia"))).alias("s")
+        )
+    )
+    n_months = indexed.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.percentile("s", F.lit(0.5)), 6).alias("theilsen_slope"),
+        )
+        .crossJoin(F.broadcast(n_months))
+        .select("n_months", "n_pairs", "theilsen_slope")
+    )

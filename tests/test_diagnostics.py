@@ -914,3 +914,33 @@ def test_anova_decomposition_consistent(spark, sf_dir):
     x = o["o_totalprice"]
     sst = ((x - x.mean()) ** 2).sum()
     assert abs((r.ss_between + r.ss_within) - sst) < max(1.0, sst * 1e-6)
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
+    """The slope equals a direct numpy median over all pairwise slopes
+    of the same monthly series."""
+    import numpy as np
+
+    from modevetl_spark.functions.compat import dsum
+    from modevetl_spark.sources.catalog import load
+
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(dsum("o_totalprice", 2).alias("y"))
+        .toPandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    y = m["y"].to_numpy()
+    i = np.arange(1, len(y) + 1)
+    sl = [
+        (y[jj] - y[ii]) / (i[jj] - i[ii])
+        for ii in range(len(y))
+        for jj in range(ii + 1, len(y))
+    ]
+    want = float(np.median(sl))
+    got = _Q["q_theilsen_trend"](spark, sf_dir).collect()[0]
+    assert got.n_months == len(y)
+    assert got.n_pairs == len(sl)
+    assert abs(got.theilsen_slope - round(want, 6)) < 1e-6
