@@ -3990,3 +3990,137 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_months))
         .select("n_months", "n_pairs", "theilsen_slope")
     )
+
+
+# --- Pearson correlation matrix -----------------------------------------
+
+# Column preparation shared by both engines: price is scaled to
+# thousands by an EXACT decimal multiply (×0.001 as DECIMAL(4,3)) and
+# every column is pinned to a narrow decimal so squares/cross-products
+# stay inside DuckDB's non-widening (p1+p2) product rule, and the
+# decimal→double casts of the SUMS land where a 3dp ROUND absorbs the
+# 1-ulp cross-engine gap (ulp(2e10) ≈ 4e-6 ≪ 5e-4). Scaling a column
+# by a constant leaves Pearson r unchanged.
+_CORR_COLS = {
+    "qty": ("l_quantity", "DECIMAL(8,6)", 1.0),
+    "prc_k": ("l_extendedprice", "DECIMAL(13,9)", 0.001),
+    "dsc": ("l_discount", "DECIMAL(7,6)", 1.0),
+    "tax": ("l_tax", "DECIMAL(7,6)", 1.0),
+}
+_CORR_PAIRS = [
+    ("qty", "prc_k"), ("qty", "dsc"), ("qty", "tax"),
+    ("prc_k", "dsc"), ("prc_k", "tax"), ("dsc", "tax"),
+]
+
+
+def _corr_oracle() -> str:
+    prep_cols = []
+    for name, (src, dec, scale) in _CORR_COLS.items():
+        if scale == 1.0:
+            prep_cols.append(f"CAST({src} AS {dec}) AS {name}")
+        else:
+            prep_cols.append(
+                f"CAST(CAST({src} AS DECIMAL(18,6))"
+                f" * CAST({scale} AS DECIMAL(4,3)) AS {dec}) AS {name}"
+            )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for name in _CORR_COLS:
+        sums.append(
+            f"ROUND(CAST(SUM({name}) AS DOUBLE), 3) AS s_{name}"
+        )
+    done = set()
+    for a, b in _CORR_PAIRS + [(c, c) for c in _CORR_COLS]:
+        key = tuple(sorted((a, b)))
+        if key in done:
+            continue
+        done.add(key)
+        # operands re-cast to (19,9) so DuckDB's non-widening product
+        # rule lands exactly in (38,18) int128 (6dp->9dp is exact)
+        sums.append(
+            f"ROUND(CAST(SUM(CAST({a} AS DECIMAL(19,9))"
+            f" * CAST({b} AS DECIMAL(19,9))) AS DOUBLE), 3)"
+            f" AS s_{key[0]}_{key[1]}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        aa, bb = sorted((a, b))
+        selects.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       ROUND((n * s_{aa}_{bb} - s_{a} * s_{b})
+             / sqrt(GREATEST(n * s_{a}_{a} - s_{a} * s_{a}, 0)
+                    * GREATEST(n * s_{b}_{b} - s_{b} * s_{b}, 0)),
+             6) AS pearson_r
+FROM sums""")
+    return (
+        "WITH prepped AS (\n    SELECT " + ",\n           ".join(prep_cols)
+        + "\n    FROM lineitem\n),\nsums AS (\n    SELECT "
+        + ",\n           ".join(sums)
+        + "\n    FROM prepped\n)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@q("q_corr_matrix", oracle_sql=_corr_oracle())
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+23 [EXT]: Pearson correlation matrix over the lineitem
+    numeric columns (quantity, price, discount, tax) — the numeric half
+    of column profiling (q_profile_columns counts, q_entropy_profile
+    spreads categoricals; this measures pairwise linear association,
+    the first thing a feature audit reads).
+
+    Plan shape: ONE scan builds all 15 power sums (4 sums, 4 squares,
+    6 cross-products, n) in a single aggregate with map-side combine;
+    the 6 output rows are arithmetic over that one-row result (stack —
+    never a second scan per pair).
+
+    Determinism: columns are pinned to narrow decimals (price scaled to
+    thousands by an exact decimal multiply — Pearson r is
+    scale-invariant) so products stay inside DuckDB's non-widening
+    product rule and 3dp-rounded sum casts absorb the decimal→double
+    ulp; the r formula is a fixed exact-IEEE tree with GREATEST(·,0)
+    clamps on both variance terms.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    cols = {}
+    for name, (src, dec, scale) in _CORR_COLS.items():
+        c = F.col(src).cast("decimal(18,6)")
+        if scale != 1.0:
+            c = c * F.lit(scale).cast("decimal(4,3)")
+        cols[name] = c.cast(dec.lower())
+    prepped = li.select(*[c.alias(n) for n, c in cols.items()])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for name in _CORR_COLS:
+        aggs.append(F.round(F.sum(name).cast("double"), 3).alias(f"s_{name}"))
+    done = set()
+    for a, b in _CORR_PAIRS + [(c, c) for c in _CORR_COLS]:
+        key = tuple(sorted((a, b)))
+        if key in done:
+            continue
+        done.add(key)
+        aggs.append(
+            F.round(F.sum(F.col(a) * F.col(b)).cast("double"), 3).alias(
+                f"s_{key[0]}_{key[1]}"
+            )
+        )
+    sums = prepped.agg(*aggs)
+    outs = []
+    for a, b in _CORR_PAIRS:
+        aa, bb = sorted((a, b))
+        n = F.col("n")
+        num = n * F.col(f"s_{aa}_{bb}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.greatest(
+            n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"),
+            F.lit(0.0),
+        )
+        vb = F.greatest(
+            n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"),
+            F.lit(0.0),
+        )
+        outs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(num / F.sqrt(va * vb), 6).alias("pearson_r"),
+            )
+        )
+    return sums.select(F.explode(F.array(*outs)).alias("x")).select("x.*")

@@ -944,3 +944,28 @@ def test_theilsen_matches_numpy_median_of_slopes(spark, sf_dir):
     assert got.n_months == len(y)
     assert got.n_pairs == len(sl)
     assert abs(got.theilsen_slope - round(want, 6)) < 1e-6
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Each reported r equals numpy's corrcoef on the raw columns
+    (scale-invariance of Pearson makes the thousands-scaling moot)."""
+    import numpy as np
+
+    from modevetl_spark.sources.catalog import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+    raw = {
+        "qty": li["l_quantity"],
+        "prc_k": li["l_extendedprice"],
+        "dsc": li["l_discount"],
+        "tax": li["l_tax"],
+    }
+    out = _Q["q_corr_matrix"](spark, sf_dir).toPandas()
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        want = np.corrcoef(raw[r["col_a"]], raw[r["col_b"]])[0, 1]
+        assert abs(r["pearson_r"] - want) < 1e-4, (r["col_a"], r["col_b"])
