@@ -4124,3 +4124,122 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return sums.select(F.explode(F.array(*outs)).alias("x")).select("x.*")
+
+
+# --- Spearman rank correlation ------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH vals AS (
+    SELECT CAST(l_quantity AS BIGINT) AS x,
+           CAST(floor(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+),
+n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+rx AS (
+    SELECT x, ROUND((CAST(COALESCE(SUM(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS DOUBLE) + (c + 1) / CAST(2 AS DOUBLE))
+                / (SELECT n FROM n_all), 9) AS nr_x
+    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY x)
+),
+ry AS (
+    SELECT y, ROUND((CAST(COALESCE(SUM(c) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS DOUBLE) + (c + 1) / CAST(2 AS DOUBLE))
+                / (SELECT n FROM n_all), 9) AS nr_y
+    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY y)
+),
+rows_ranked AS (
+    SELECT rx.nr_x, ry.nr_y
+    FROM vals v JOIN rx ON rx.x = v.x JOIN ry ON ry.y = v.y
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(nr_x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(nr_y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(ROUND(nr_x * nr_x, 15) AS DECIMAL(18,15)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ROUND(nr_y * nr_y, 15) AS DECIMAL(18,15)))
+                AS DOUBLE) AS syy,
+           CAST(SUM(CAST(ROUND(nr_x * nr_y, 15) AS DECIMAL(18,15)))
+                AS DOUBLE) AS sxy
+    FROM rows_ranked
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt(GREATEST(n * sxx - sx * sx, 0)
+                    * GREATEST(n * syy - sy * sy, 0)), 6) AS spearman_rho
+FROM sums
+"""
+
+
+@q("q_spearman_corr", oracle_sql=_SPEARMAN_ORACLE)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+24 [EXT]: Spearman rank correlation of quantity vs price —
+    Pearson over tied-average ranks: the monotone-association measure
+    that ignores outliers and nonlinearity (the robust companion to
+    q_corr_matrix's Pearson, closing the correlation family).
+
+    Plan shape: average ranks come from running sums over the two
+    BOUNDED per-value tables (the KS/MWU support trick — never a
+    row-level global window) and broadcast-join back onto the fact;
+    one aggregate builds the five power sums.
+
+    Determinism: tied ranks are .5-multiples normalized by n and
+    rounded 9dp (identical doubles); rank products round 15dp — exactly
+    representable in DECIMAL(18,15) — and decimal-sum (order-free); the
+    rho tree is exact-IEEE with clamped variances.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor("l_extendedprice").cast("long").alias("y"),
+    )
+    n_all = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def ranks(col):
+        pv = vals.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w_b = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            pv.select(
+                col,
+                (
+                    F.coalesce(F.sum("c").over(w_b), F.lit(0)).cast("double")
+                    + (F.col("c") + 1) / F.lit(2.0)
+                ).alias("r"),
+            )
+            .crossJoin(F.broadcast(n_all))
+            .select(col, F.round(F.col("r") / F.col("n"), 9).alias(f"nr_{col}"))
+        )
+
+    ranked = vals.join(F.broadcast(ranks("x")), "x").join(
+        F.broadcast(ranks("y")), "y"
+    )
+    d15 = "decimal(18,15)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("nr_x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum(F.col("nr_y").cast("decimal(18,9)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("nr_x") * F.col("nr_x"), 15).cast(d15))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("nr_y") * F.col("nr_y"), 15).cast(d15))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("nr_x") * F.col("nr_y"), 15).cast(d15))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return sums.select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.sqrt(
+                F.greatest(n * F.col("sxx") - sx * sx, F.lit(0.0))
+                * F.greatest(n * F.col("syy") - sy * sy, F.lit(0.0))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

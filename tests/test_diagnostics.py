@@ -969,3 +969,26 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
     for _, r in out.iterrows():
         want = np.corrcoef(raw[r["col_a"]], raw[r["col_b"]])[0, 1]
         assert abs(r["pearson_r"] - want) < 1e-4, (r["col_a"], r["col_b"])
+
+
+def test_spearman_matches_scipy_free_replay(spark, sf_dir):
+    """rho equals a pandas rank-then-corrcoef replay on the same
+    columns (average-rank ties)."""
+    import numpy as np
+
+    from modevetl_spark.sources.catalog import load
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor("l_extendedprice").cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    rx = li["x"].rank(method="average")
+    ry = li["y"].rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    got = _Q["q_spearman_corr"](spark, sf_dir).collect()[0]
+    assert got.n == len(li)
+    assert abs(got.spearman_rho - want) < 1e-5
