@@ -4243,3 +4243,81 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# --- Tukey-fence outlier bounds -----------------------------------------
+
+_TUKEY_ORACLE = """
+WITH q AS (
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+),
+fenced AS (
+    SELECT l_returnflag, q1, q3, n,
+           ROUND(q1 - CAST('1.5' AS DOUBLE) * (q3 - q1), 6) AS lo_fence,
+           ROUND(q3 + CAST('1.5' AS DOUBLE) * (q3 - q1), 6) AS hi_fence
+    FROM q
+)
+SELECT f.l_returnflag, f.q1, f.q3, f.lo_fence, f.hi_fence, f.n,
+       CAST(COUNT(CASE WHEN l.l_extendedprice < f.lo_fence
+                         OR l.l_extendedprice > f.hi_fence
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM fenced f JOIN lineitem l ON l.l_returnflag = f.l_returnflag
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
+@q("q_tukey_outliers", oracle_sql=_TUKEY_ORACLE)
+def tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+26 [EXT]: Tukey-fence outlier report — per return flag, the
+    quartiles, the 1.5·IQR fences, and how many rows fall outside. The
+    ROBUST outlier screen next to the parametric q_zscore_normalize /
+    q_winsorize pair (fences don't move when the outliers themselves
+    inflate the variance).
+
+    Plan shape: quartiles in one grouped aggregate; the fence table
+    (≤ flags rows) broadcasts back onto the fact for one counting pass
+    — two scans total, no window over the fact.
+
+    Determinism: exact interpolated percentiles (the q_agg_percentile
+    precedent) rounded 6dp; fences are one exact-IEEE expression over
+    those; outlier comparison is raw-parquet doubles vs identical
+    fence values.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q3"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    fenced = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        "n",
+        F.round(F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1")), 6).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1")), 6).alias(
+            "hi_fence"
+        ),
+    )
+    return (
+        li.join(F.broadcast(fenced), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "lo_fence", "hi_fence", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo_fence"))
+                    | (F.col("l_extendedprice") > F.col("hi_fence")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

@@ -992,3 +992,21 @@ def test_spearman_matches_scipy_free_replay(spark, sf_dir):
     got = _Q["q_spearman_corr"](spark, sf_dir).collect()[0]
     assert got.n == len(li)
     assert abs(got.spearman_rho - want) < 1e-5
+
+
+def test_tukey_fences_bracket_and_count(spark, sf_dir):
+    """lo ≤ q1 ≤ q3 ≤ hi, and the outlier count matches a pandas
+    replay with the same 6dp-rounded fences."""
+    out = _Q["q_tukey_outliers"](spark, sf_dir).toPandas()
+    assert (out["lo_fence"] <= out["q1"]).all()
+    assert (out["q1"] <= out["q3"]).all()
+    assert (out["q3"] <= out["hi_fence"]).all()
+    from modevetl_spark.sources.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).toPandas()
+    for _, r in out.iterrows():
+        g = li[li["l_returnflag"] == r["l_returnflag"]]["l_extendedprice"]
+        want = int(((g < r["lo_fence"]) | (g > r["hi_fence"])).sum())
+        assert r["n_outliers"] == want
