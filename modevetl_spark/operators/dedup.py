@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.operators._util import spread
+from modevetl_spark.operators.ranking import global_rank  # noqa: F401  (re-export)
 from modevetl_spark.operators.text import tokens, word_shingles
 
 
@@ -518,76 +519,11 @@ def run_dedup_incremental(
     return n
 
 
-def global_rank(
-    df: DataFrame,
-    key_cols: list[str],
-    partitions: int | None = None,
-    rank_col: str = "rn",
-) -> DataFrame:
-    """Scalable global row-number by ``key_cols`` — the single-partition
-    global window is the classic scale-killer, so this computes the same
-    total order with range partitioning: repartitionByRange on the keys
-    (plus whatever tie-breaker the caller folded into them), a
-    per-partition row_number, and a broadcast join of the cumulative
-    partition offsets (|partitions| rows — the only tiny global step).
-
-    The caller's key set must be a total order (include a unique id);
-    repartitionByRange may split equal range keys across partitions, and
-    the tie-breaker keeps the cross-partition order deterministic.
-
-    Implementation detail that keeps it ONE data shuffle: after the
-    range exchange the rows are sorted within partitions, so
-    monotonically_increasing_id (partitionId·2³³ + in-partition offset)
-    is already order-consistent — splitting it back into (pid, local
-    offset) gives per-partition dense ranks with NO window (a window on
-    the partition id would force a second, hash exchange). Only the
-    |partitions|-row offset table goes through a tiny global window."""
-    parts = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
-    ranged = df.repartitionByRange(
-        parts, *[F.col(c) for c in key_cols]
-    ).sortWithinPartitions(*[F.col(c) for c in key_cols])
-    local = ranged.withColumn("_mid", F.monotonically_increasing_id()).select(
-        "*",
-        F.shiftright("_mid", 33).alias("_pid"),
-        (F.col("_mid") % F.lit(1 << 33)).alias("_lrn"),
-    )
-    # MATERIALIZE the numbered rows before they fan out to the two
-    # consumers (offset table + final join): without this, each branch
-    # re-evaluates the range exchange and AQE may coalesce it to a
-    # DIFFERENT partition layout per branch — the offset table then
-    # describes a layout the join side doesn't have, yielding duplicate
-    # and missing ranks (observed: 297-300 rows for a deterministic
-    # 300-row systematic sample). One localCheckpoint pins layout and
-    # _mid assignment for both consumers; at scale this is the same
-    # truncate-and-reuse pattern as the closure/pagerank loops.
-    local = local.localCheckpoint(eager=True)
-    # cumulative offset per partition id: |partitions| rows, so the
-    # single-partition window here is bounded by config, not by data
-    offs = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_pid", "_off")
-    )
-    return (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn(
-            rank_col, (F.col("_lrn") + F.col("_off") + 1).cast("bigint")
-        )
-        .drop("_pid", "_lrn", "_mid")
-    )
-
-
+# global_rank moved to operators/ranking.py (round 6) where it sits with
+# global_running and ntile_from_rank — the range-partitioned replacements
+# for every data-sized global window in the repo. Re-exported here because
+# the dedup blocking families (SNM below, systematic sampling) were its
+# first consumers and import it from this module.
 def sorted_neighborhood_pairs(
     docs: DataFrame,
     key: Column,

@@ -208,9 +208,11 @@ def test_global_rank_equals_single_partition_window(spark, sf_dir):
 
 
 def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
-    """No window runs over the data: the only Window node is the
-    |partitions|-row offset table; the data shuffle is a single range
-    exchange."""
+    """No window anywhere: since round 6 even the |partitions|-row
+    offset table computes its prefix totals through a tiny self
+    theta-join (operators/ranking._offsets) instead of a global window,
+    so the plan is entirely window-free and the bench log stays clear
+    of `WindowExec: No Partition Defined` noise."""
     from modevetl_spark.operators.dedup import global_rank
     from modevetl_spark.sources.catalog import load
     from tests.test_plans import plan
@@ -218,17 +220,106 @@ def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring(F.lower("text"), 1, 32).alias("k")
     )
-    # The range exchange itself now materializes inside global_rank's
-    # localCheckpoint (the AQE layout-race fix) and is no longer visible
-    # in the returned plan — its determinism is pinned by
+    # The range exchange itself materializes inside global_rank's
+    # localCheckpoint (the AQE layout-race fix) and is not visible in
+    # the returned plan — its determinism is pinned by
     # test_systematic_sample_stable_and_evenly_spaced instead. What the
-    # plan must still show: the ONLY Window node is the
-    # |partitions|-row offset table, and no data-wide hash exchange was
-    # added after the checkpoint (offsets attach via broadcast).
+    # plan must show: ZERO Window nodes, no single-partition exchange,
+    # offsets attached via broadcast, and no data-wide hash exchange
+    # after the checkpoint.
     p = plan(global_rank(d, ["k", "doc_id"], partitions=8))
-    assert p.count("- Window (") == 1, p
+    assert p.count("- Window (") == 0, p
+    assert "SinglePartition" not in p, p
     assert "BroadcastExchange" in p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_global_running_matches_global_window_cumsum(spark, sf_dir):
+    """global_running must reproduce SUM() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) for long AND decimal columns (decimal
+    exactness is the cross-engine discipline), at several partition
+    counts, with the optional rank riding along."""
+    from pyspark.sql import Window
+    from modevetl_spark.operators.ranking import global_running
+    from modevetl_spark.sources.catalog import load
+
+    d = (
+        load(spark, sf_dir, "orders")
+        .limit(500)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("dec"),
+            (F.col("o_custkey") % 97).alias("lng"),
+        )
+    )
+    wc = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["o_orderkey"]: (str(r["cd"]), r["cl"], r["rn"])
+        for r in d.select(
+            "o_orderkey",
+            F.sum("dec").over(wc).alias("cd"),
+            F.sum("lng").over(wc).alias("cl"),
+            F.row_number().over(Window.orderBy("o_orderkey"))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    }
+    for parts in (3, 8):
+        got = {
+            r["o_orderkey"]: (str(r["cd"]), r["cl"], r["rn"])
+            for r in global_running(
+                d,
+                ["o_orderkey"],
+                {"cd": "dec", "cl": "lng"},
+                partitions=parts,
+                rank_col="rn",
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_global_running_plan_no_global_window(spark, sf_dir):
+    """The only Window node is partitioned by the range-partition id —
+    never single-partition — so the running sum distributes."""
+    from modevetl_spark.operators.ranking import global_running
+    from modevetl_spark.sources.catalog import load
+    from tests.test_plans import plan
+
+    d = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = plan(global_running(d, ["o_orderkey"], {"c": "o_custkey"}, partitions=8))
+    assert p.count("- Window (") == 1, p
+    assert "SinglePartition" not in p, p
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """The closed form must agree with Spark's NTILE for every remainder
+    shape: n below / equal / above k, exact multiples, and k = 1."""
+    from pyspark.sql import Window
+    from modevetl_spark.operators.ranking import ntile_from_rank
+
+    for n in (1, 3, 9, 10, 11, 47, 100):
+        for k in (1, 2, 5, 10, 13):
+            base = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+            want = [
+                r["t"]
+                for r in base.select(
+                    F.ntile(k)
+                    .over(Window.orderBy("rn"))
+                    .cast("bigint")
+                    .alias("t")
+                ).collect()
+            ]
+            got = [
+                r["t"]
+                for r in base.select(
+                    ntile_from_rank("rn", F.lit(n).cast("bigint"), k).alias("t")
+                )
+                .orderBy("rn")
+                .collect()
+            ]
+            assert got == want, (n, k)
 
 
 def test_snm_finds_planted_near_dups(spark, sf_dir):
