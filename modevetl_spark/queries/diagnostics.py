@@ -1472,30 +1472,38 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     it), and the classic 80/20 report.
 
     Plan shape: the fact collapses to one per-part revenue aggregate
-    (bounded by the part CATALOG, not the fact); the cumulative sum is
-    a single ordered window over that catalog-bounded table; the final
-    rollup is 3 rows.
+    (the only fact-sized exchange); the cumulative sum is
+    operators/ranking.global_running — the two-pass distributed prefix
+    sum (range exchange + pid-partitioned local window + broadcast
+    offsets), never a single-partition ordered window, because the part
+    catalog GROWS with the data; the grand total is a one-row broadcast
+    aggregate over the same checkpointed relation; the final rollup is
+    3 rows. Plan-gated: no global Window node (tests/test_diagnostics.py).
 
-    Determinism: revenue never leaves DECIMAL until output — the class
-    boundary compares 100·cum ≤ 80·total in exact decimal·integer
-    arithmetic (no float boundary anywhere); output sums round the
-    decimal once (dsum discipline).
+    Determinism: revenue never leaves DECIMAL until output — the
+    running sum stays decimal through the window+offset addition
+    (exact), and the class boundary compares 100·cum ≤ 80·total in
+    exact decimal·integer arithmetic (no float boundary anywhere);
+    output sums round the decimal once (dsum discipline).
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     from modevetl_spark.functions.compat import money
+    from modevetl_spark.operators.ranking import global_running
 
     per_part = li.groupBy("l_partkey").agg(
         F.sum(money("l_extendedprice", "l_discount")).alias("rev")
     )
-    w_cum = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    run = global_running(
+        per_part,
+        [F.col("rev").desc(), F.col("l_partkey")],
+        {"cum_rev": "rev"},
     )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum_rev"),
-        F.sum("rev").over(w_all).alias("total_rev"),
+    # total aggregates over global_running's internal checkpoint — no
+    # second scan of the fact
+    total = run.agg(F.sum("rev").alias("total_rev"))
+    ranked = run.crossJoin(F.broadcast(total)).select(
+        "rev", "cum_rev", "total_rev"
     )
     classed = ranked.select(
         F.when(100 * F.col("cum_rev") <= 80 * F.col("total_rev"), "A")
@@ -1954,16 +1962,21 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     never distinct-over-expanding-prefix.
 
     Plan shape: one explode→(tok)-keyed MIN aggregate for first
-    occurrences, one doc-keyed token count; the running sums and decile
-    cut ride the DOC-cardinality table (at corpus scale, checkpoint on
-    coarser buckets than single docs — same shape). Within a decile,
-    MAX(cum_*) picks the boundary row because both cums are monotone in
-    doc order.
+    occurrences, one doc-keyed token count; both running sums and the
+    global rank come from ONE operators/ranking.global_running pass
+    over the doc-cardinality table (range exchange + pid-partitioned
+    local window + broadcast offsets — never a single-partition window,
+    because doc count GROWS with the corpus), and the decile is the
+    exact ntile_from_rank closed form fed by a one-row broadcast count.
+    Within a decile, MAX(cum_*) picks the boundary row because both
+    cums are monotone in doc order. Plan-gated: no global Window node
+    (tests/test_plans.py::test_no_data_sized_global_windows).
 
     Determinism: all integer counts.
     """
     prep(spark)
     from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.ranking import global_running, ntile_from_rank
 
     d = spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
@@ -1974,20 +1987,23 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    joined = doc_stats.join(new_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("n_new"), F.lit(0).cast("long")).alias("n_new"),
     )
-    cums = (
-        doc_stats.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("n_toks").over(w_cum).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
-            .over(w_cum)
-            .cast("long")
-            .alias("cum_vocab"),
-            F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
-        )
+    run = global_running(
+        joined,
+        ["doc_id"],
+        {"cum_tokens": "n_toks", "cum_vocab": "n_new"},
+        rank_col="_rn",
+    )
+    n1 = run.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    cums = run.crossJoin(F.broadcast(n1)).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+        ntile_from_rank("_rn", "_n", 10).alias("decile"),
     )
     return cums.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.max("doc_id").alias("last_doc"),

@@ -496,13 +496,17 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in the outcome" eval for any ranking model.
 
     Plan shape: one custkey aggregate builds (spend, outcome); the
-    global NTILE runs over the CUSTOMER-cardinality aggregate, not the
-    fact (same precedent as q_window_ntile; at 100 TB swap the single-
-    partition sort for operators/dedup.global_rank's range-partitioned
-    rank and derive deciles from rank·10/n). The decile rollup is 10
-    rows. Spend is decimal-rounded BEFORE ranking so the sort keys are
-    engine-exact; custkey breaks ties."""
+    decile cut is operators/ranking.global_rank (ONE range exchange
+    over the customer-cardinality aggregate — never a single-partition
+    NTILE window) + the exact ntile_from_rank closed form fed by a
+    one-row broadcast count, so the plan survives a customer base that
+    grows with the data. The decile rollup is 10 rows. Spend is
+    decimal-rounded BEFORE ranking so the sort keys are engine-exact;
+    custkey breaks ties. Plan-gated: no global Window node
+    (tests/test_plans.py::test_no_data_sized_global_windows)."""
     prep(spark)
+    from modevetl_spark.operators.ranking import global_rank, ntile_from_rank
+
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(
@@ -513,8 +517,15 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
         ).alias("urgent"),
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
-    scored = spend.withColumn("decile", F.ntile(10).over(w))
+    ranked = global_rank(
+        spend, [F.col("spend").desc(), F.col("o_custkey")], rank_col="_rn"
+    )
+    # the count aggregates over global_rank's internal checkpoint — no
+    # second scan of the fact
+    n1 = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    scored = ranked.crossJoin(F.broadcast(n1)).withColumn(
+        "decile", ntile_from_rank("_rn", "_n", 10)
+    )
     return scored.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(
@@ -568,13 +579,18 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the engines' final rounds split; the total cannot).
 
     Plan shape: one custkey aggregate; the corpus max date is an in-DAG
-    broadcast one-row aggregate (no driver collect); the three NTILEs
-    share ONE customer-cardinality relation (three sorts of the same
-    small aggregate — at 100 TB each becomes a range-partitioned
-    global_rank, same note as q_decile_lift). Monetary is rounded
-    before ranking; custkey breaks every tie, so all three bucket
-    assignments are engine-exact."""
+    broadcast one-row aggregate (no driver collect); the three quintile
+    cuts are three operators/ranking.global_rank passes over the SAME
+    checkpointed customer-cardinality relation (one range exchange
+    each — never a single-partition NTILE window), converted to buckets
+    by the exact ntile_from_rank closed form with a one-row broadcast
+    count, and joined back on custkey. Monetary is rounded before
+    ranking; custkey breaks every tie, so all three bucket assignments
+    are engine-exact. Plan-gated: no global Window node
+    (tests/test_plans.py::test_no_data_sized_global_windows)."""
     prep(spark)
+    from modevetl_spark.operators.ranking import global_rank, ntile_from_rank
+
     o = load(spark, sf_dir, "orders")
     maxd = o.agg(F.max("o_orderdate").alias("corpus_max"))
     base = (
@@ -596,16 +612,40 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # three rank consumers + the final join re-read this relation:
+        # pin it once (customer-cardinality) so the orders aggregate
+        # runs exactly once
+        .localCheckpoint(eager=True)
     )
-    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-    f = F.ntile(5).over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-    buckets = base.select(
-        "o_custkey",
-        "monetary",
-        r.alias("r"),
-        f.alias("f"),
-        m.alias("m"),
+    n1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    rr = global_rank(
+        base.select("o_custkey", "recency_days"),
+        ["recency_days", "o_custkey"],
+        rank_col="_rr",
+    ).select("o_custkey", "_rr")
+    ff = global_rank(
+        base.select("o_custkey", "frequency"),
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        rank_col="_rf",
+    ).select("o_custkey", "_rf")
+    mm = global_rank(
+        base.select("o_custkey", "monetary"),
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        rank_col="_rm",
+    ).select("o_custkey", "_rm")
+    buckets = (
+        base.select("o_custkey", "monetary")
+        .join(rr, "o_custkey")
+        .join(ff, "o_custkey")
+        .join(mm, "o_custkey")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "o_custkey",
+            "monetary",
+            ntile_from_rank("_rr", "_n", 5).alias("r"),
+            ntile_from_rank("_rf", "_n", 5).alias("f"),
+            ntile_from_rank("_rm", "_n", 5).alias("m"),
+        )
     )
     return buckets.groupBy(
         F.concat(
@@ -966,11 +1006,15 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float discipline: rank·spend products and both totals are decimal-
     exact and 2dp-rounded before the closed-form expression, which is
-    then a fixed tree of exact IEEE ops. The rank runs over the
-    CUSTOMER-cardinality aggregate (global_rank swap at 100 TB, as
-    q_decile_lift); custkey breaks spend ties so ranks are engine-
-    exact. Single-row output."""
+    then a fixed tree of exact IEEE ops. The rank is
+    operators/ranking.global_rank over the customer-cardinality
+    aggregate (ONE range exchange — never a single-partition
+    row_number window), and n arrives as a one-row broadcast count;
+    custkey breaks spend ties so ranks are engine-exact. Single-row
+    output. Plan-gated: no global Window node (tests/test_mining.py)."""
     prep(spark)
+    from modevetl_spark.operators.ranking import global_rank
+
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.round(
@@ -978,10 +1022,11 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("s")
     )
-    w = Window.orderBy("s", "o_custkey")
-    ranked = spend.select(
-        "s", F.row_number().over(w).alias("i")
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    ranked_rn = global_rank(spend, ["s", "o_custkey"], rank_col="i")
+    # n aggregates over global_rank's internal checkpoint — no second
+    # scan of the fact — and rides every row as a broadcast scalar
+    n1 = ranked_rn.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked_rn.crossJoin(F.broadcast(n1))
     agg = ranked.agg(
         F.max("n").alias("n"),
         F.round(

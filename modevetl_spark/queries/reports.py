@@ -678,14 +678,17 @@ def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sort_limit again.
 
     Plan shape: the quarter slice aggregates once on suppkey (the only
-    fact-sized exchange); the scalar max is a one-row aggregate OVER
-    THAT RESULT broadcast-cross-joined back onto it — Catalyst would
-    re-scan the fact for the subquery if written naively (no CTE reuse
-    after pruning — the Q21 lesson), so the revenue relation is reused
-    through a window-free self-reference on the agg output, which at
-    supplier-cardinality is cheap at any scale. Supplier names
+    fact-sized exchange), then is PINNED with one localCheckpoint so
+    both consumers — the one-row scalar-max aggregate and the filter —
+    read it without re-scanning the fact (Catalyst would re-scan for
+    the subquery if written naively: no CTE reuse after pruning, the
+    Q21 lesson). The scalar max broadcast-cross-joins back onto the
+    supplier-cardinality relation (the repo's Q22 scalar pattern) —
+    NOT a `Window.partitionBy()` global max, which would funnel the
+    growing supplier aggregate through one task. Supplier names
     broadcast onto the surviving row(s). The 2dp-rounded revenue makes
-    the max comparison engine-exact."""
+    the max comparison engine-exact. Plan-gated: no global Window node
+    (tests/test_plans.py::test_no_data_sized_global_windows)."""
     prep(spark)
     li = (
         load(spark, sf_dir, "lineitem")
@@ -697,12 +700,11 @@ def tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     srev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum_money("l_extendedprice", "l_discount").alias("total_revenue")
+    ).localCheckpoint(eager=True)
+    mx = srev.agg(F.max("total_revenue").alias("mx"))
+    best = srev.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("mx")
     )
-    # max over the supplier-cardinality agg as a window with no re-scan:
-    # one extra exchange-free pass over the tiny relation
-    best = srev.withColumn(
-        "mx", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(
         F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey")

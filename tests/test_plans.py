@@ -88,6 +88,73 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         assert "EvalPython" not in p and "InPandas" not in p, name
 
 
+def global_window_nodes(df) -> list:
+    """Window nodes with an EMPTY partition spec in the optimized
+    logical plan — the single-partition global window class. Returns
+    the offending nodes so assertion messages show what leaked."""
+    import json
+
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return [
+        n
+        for n in nodes
+        if n["class"].split(".")[-1] == "Window"
+        and not (n.get("partitionSpec") or [])
+    ]
+
+
+# Queries whose global windows ride relations bounded by a DOMAIN —
+# calendar days/months, dollar-floored value supports, category cells,
+# config-sized top-k cuts — not by the data. Each one's docstring
+# carries the specific bound ("Plan shape" section). Anything NOT in
+# this set must never plan a single-partition window: that class
+# funnels a data-cardinality relation through one task at 100 TB (the
+# r5 verdict's scale-killer rule), and the six offenders it flagged
+# (gini / rfm / decile_lift / abc / vocab_growth / tpch_top_supplier)
+# were rewritten onto operators/ranking in round 6.
+BOUNDED_GLOBAL_WINDOW_QUERIES = {
+    "q_anomaly_days",          # day-cardinality daily series
+    "q_apportion_slots",       # fixed slot count
+    "q_benford_digits",        # 9 leading digits
+    "q_changepoint_cusum",     # day-cardinality CUSUM series
+    "q_concurrent_users_sweep",  # day-cardinality step table
+    "q_cramers_v",             # category-pair contingency cells
+    "q_decision_stump",        # (source × lang) cells, ≤100 rows
+    "q_ewma_trunc",            # day-cardinality EWMA series
+    "q_events_heatmap",        # 7×24 cells
+    "q_growth_mom",            # month-cardinality series
+    "q_hist_equidepth",        # dollar-floored value support
+    "q_interleave_sources",    # 200 emitted rows position-numbered
+    "q_label_suspects",        # top-k misclassified subset
+    "q_mutual_information",    # category cells
+    "q_nb_langid",             # model-table cardinality
+    "q_psi_stability",         # fixed bucket grid
+    "q_roc_auc",               # dollar-floored value support (MWU)
+    "q_running_distinct",      # day-cardinality new-user series
+    "q_runs_test",             # day-cardinality sign series
+    "q_skyline_pareto",        # attribute-domain point set
+    "q_spearman_corr",         # two bounded per-value supports
+    "q_stats_chi2",            # contingency cells
+    "q_stats_ks_test",         # dollar-floored value support
+    "q_stats_mannwhitney",     # dollar-floored value support
+    "q_theilsen_trend",        # month-pair grid
+    "q_tokens_zipf",           # config-sized top-k token cut
+    "q_vocab_encode",          # config-sized vocab cut
+    "q_window_percent_rank",   # §2.6 W5: the operator IS the global
+    #                            percent_rank semantics (SQL surface)
+}
+
+
+def test_no_data_sized_global_windows(spark, sf_dir):
+    """Registry-wide scale gate: no query outside the declared
+    domain-bounded allowlist may plan a single-partition Window. New
+    rank/cumsum/ntile work must go through operators/ranking
+    (global_rank / global_running / ntile_from_rank) instead."""
+    for name in sorted(set(_Q) - BOUNDED_GLOBAL_WINDOW_QUERIES):
+        bad = global_window_nodes(_Q[name](spark, sf_dir))
+        assert not bad, (name, [n.get("windowExpressions") for n in bad])
+
+
 def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     df = _Q["q_groupby_multi"](spark, sf_dir)
     df.collect()  # AQE finalizes the executed plan lazily
