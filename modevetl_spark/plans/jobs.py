@@ -330,10 +330,14 @@ def curate_job(
     arrival, ANY batch split of the corpus yields byte-identical
     curated content to one single-shot run — first occurrence wins
     within a batch (min doc_id per hash) and across batches (the
-    seen-store anti-join). A crashed tick that appended but didn't
-    advance the mark replays its delta: survivors' hashes are already
-    in the seen-store, so the replay appends nothing (the append itself
-    is convergent, not just the mark).
+    seen-store anti-join). Convergent under a crash at EITHER window:
+    a tick that wrote both stores but didn't advance the mark replays
+    its delta and anti-joins to zero survivors; a tick that wrote the
+    curated partition but not the seen-hashes replays the identical
+    delta (same watermark, unchanged seen store) and OVERWRITES the
+    same deterministic ``_batch=<max-doc-id>`` curated partition
+    before appending the hashes (see :func:`curate_batch`). Assumes a
+    single writer per sink, as any watermark job does.
 
     Scale shape per tick: one narrow scoring pass over the delta, one
     hash-keyed within-batch reduction (delta-sized exchange), one
@@ -353,7 +357,15 @@ def curate_job(
         if stats.n == 0:
             return 0
         n_out = curate_batch(
-            spark, pending, sink_path, min_quality, min_tokens
+            spark,
+            pending,
+            sink_path,
+            min_quality,
+            min_tokens,
+            # deterministic for the delta (the watermark pins its lower
+            # bound, this is its max id) — a crash replay of the same
+            # delta overwrites the same curated partition
+            batch_id=stats.mark,
         )
         if stats.mark is not None:
             wm.write(stats.mark)
@@ -362,19 +374,43 @@ def curate_job(
         pending.unpersist()
 
 
+def _append_seen(survivors: DataFrame, seen_path: str) -> None:
+    """The seen-store append, as a seam so the crash-replay test can
+    fail it deliberately (simulating a crash after the curated write
+    committed but before the hashes did)."""
+    survivors.select("text_md5").write.mode("append").parquet(seen_path)
+
+
 def curate_batch(
     spark: SparkSession,
     batch_docs: DataFrame,
     sink_path: str,
     min_quality: float = 0.5,
     min_tokens: int = 5,
+    batch_id: int | str | None = None,
 ) -> int:
     """One curation micro-batch over an already-delimited delta — the
     shared core of :func:`curate_job` (watermark cadence) and
     ``streaming.structured.run_streaming_curate`` (foreachBatch
     cadence). Scores, filters, exact-dedups within the batch (min
-    doc_id per hash) and against the persisted seen-hash store, appends
-    survivors + hashes. Returns survivors appended."""
+    doc_id per hash) and against the persisted seen-hash store, writes
+    survivors + hashes. Returns survivors written.
+
+    Crash atomicity (single-writer): the curated write and the
+    seen-hash write cannot be one atomic rename (two directories), so
+    instead the curated write is made IDEMPOTENT under replay: each
+    batch lands in a deterministic ``_batch=<id>`` partition via
+    dynamic partition overwrite, and the seen-hash append runs LAST.
+    Replaying a tick that crashed between the two writes recomputes the
+    identical survivor set (same delta — the watermark didn't advance —
+    and the seen store didn't change) and OVERWRITES the same
+    partition instead of appending a duplicate copy; a replay after
+    both writes anti-joins to zero survivors and writes nothing. Either
+    way the curated content converges to the single-shot run. ``batch_id``
+    must be deterministic for the delta — :func:`curate_job` passes the
+    delta's max doc_id, the streaming face passes the checkpointed
+    foreachBatch epoch id. ``None`` (direct ad-hoc calls) falls back to
+    plain appends WITHOUT the replay guarantee."""
     import os
 
     from modevetl_spark.sources.fs import fs_has_parquet_files
@@ -399,10 +435,18 @@ def curate_batch(
     try:
         n_out = survivors.count()
         if n_out:
-            survivors.write.mode("append").parquet(
-                os.path.join(sink_path, "curated")
-            )
-            survivors.select("text_md5").write.mode("append").parquet(seen_path)
+            curated = os.path.join(sink_path, "curated")
+            if batch_id is None:
+                survivors.write.mode("append").parquet(curated)
+            else:
+                (
+                    survivors.withColumn("_batch", F.lit(str(batch_id)))
+                    .write.partitionBy("_batch")
+                    .mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(curated)
+                )
+            _append_seen(survivors, seen_path)
     finally:
         survivors.unpersist()
     return n_out

@@ -353,16 +353,22 @@ def run_streaming_curate(
     """Structured Streaming face of the standing curation job: every
     micro-batch of documents is scored, threshold-filtered, exact-
     deduped within itself and against the persisted seen-hash store,
-    and appended (plans/jobs.curate_batch — the same core the watermark
+    and written (plans/jobs.curate_batch — the same core the watermark
     job runs). The checkpoint makes the loop restartable at batch
-    granularity; replayed survivors are already in the seen-store, so a
-    crash replay appends nothing (convergent append, same guarantee as
-    the batch tick)."""
+    granularity; the checkpointed epoch id keys each batch's curated
+    partition, so a crash replay either overwrites the same partition
+    with identical content (crash between the curated and seen-hash
+    writes) or anti-joins to nothing (crash after both) — convergent
+    in every window, same guarantee as the batch tick."""
     from modevetl_spark.plans.jobs import curate_batch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         curate_batch(
-            batch_df.sparkSession, batch_df, sink_path, **curate_kwargs
+            batch_df.sparkSession,
+            batch_df,
+            sink_path,
+            batch_id=batch_id,
+            **curate_kwargs,
         )
 
     (

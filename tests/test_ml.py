@@ -5,6 +5,7 @@ paragraph-dedup conservation, attribution join shape."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from modevetl_spark.queries import all_queries
 from tests.test_plans import plan
@@ -270,6 +271,53 @@ def test_curate_job_split_equivalence_and_replay(spark, tmp_path, sf_dir):
     got2 = spark.read.parquet(f"{sink2}/curated").count()
     assert got2 == len(got)
     assert n1 == len(ref) and n_b2 <= n1
+
+
+def test_curate_crash_between_writes_converges(spark, tmp_path, sf_dir, monkeypatch):
+    """The OTHER crash window (round-6 advice): curated partition
+    committed, seen-hash append lost. The replay must overwrite the
+    same deterministic batch partition — not append a duplicate copy —
+    so the final curated content still equals the single-shot run."""
+    from modevetl_spark.plans import jobs
+    from modevetl_spark.plans.jobs import curate_job
+
+    sink1, st1 = str(tmp_path / "ref"), str(tmp_path / "wref.json")
+    n_ref = curate_job(spark, sf_dir, sink1, st1)
+    ref = {
+        r.text_md5
+        for r in spark.read.parquet(f"{sink1}/curated").select("text_md5").collect()
+    }
+
+    # crash tick: the curated write commits, the seen-hash append dies
+    sink2, st2 = str(tmp_path / "crash"), str(tmp_path / "wcrash.json")
+
+    def boom(survivors, seen_path):
+        raise RuntimeError("simulated crash before seen-hash append")
+
+    monkeypatch.setattr(jobs, "_append_seen", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        curate_job(spark, sf_dir, sink2, st2)
+    # crash state: curated rows exist, seen store does not, mark not advanced
+    assert spark.read.parquet(f"{sink2}/curated").count() == n_ref
+    import os
+
+    assert not os.path.exists(f"{sink2}/seen_hashes")
+    monkeypatch.undo()
+
+    # replay converges: same delta -> same partition overwritten once
+    n_replay = curate_job(spark, sf_dir, sink2, st2)
+    assert n_replay == n_ref
+    got = [
+        r.text_md5
+        for r in spark.read.parquet(f"{sink2}/curated").select("text_md5").collect()
+    ]
+    assert len(got) == len(ref) and set(got) == ref  # no duplicate copy
+    assert spark.read.parquet(f"{sink2}/seen_hashes").count() == n_ref
+
+    # and a further replay (crash after both writes) still appends nothing
+    os.remove(st2)
+    assert curate_job(spark, sf_dir, sink2, st2) == 0
+    assert spark.read.parquet(f"{sink2}/curated").count() == n_ref
 
 
 def test_streaming_curate_matches_batch_job(spark, tmp_path, sf_dir):
