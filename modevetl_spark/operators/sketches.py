@@ -50,6 +50,14 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     mergeable-summaries decrement only when the state overflows ``k`` —
     per-item python work is O(1) amortized and the state never exceeds
     ``2k`` entries between trims.
+
+    NULL CONTRACT: null values are excluded from both the candidates
+    and the sentinel totals — the sketch answers "heavy hitters among
+    non-null values". The exclusion is an explicit ``isNotNull`` filter
+    pushed BEFORE the sketch (not an accident of ``value_counts``), so
+    a nullable column cannot collide with the tok-null sentinel row,
+    and the verify pass's null-rejecting equi-join sees the same
+    population as the sketch's totals.
     """
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -74,8 +82,10 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
             }
         )
 
-    return df.select(F.col(col).alias(col)).mapInPandas(
-        fold, schema=f"{col} string, n_part long"
+    return (
+        df.select(F.col(col).alias(col))
+        .where(F.col(col).isNotNull())
+        .mapInPandas(fold, schema=f"{col} string, n_part long")
     )
 
 

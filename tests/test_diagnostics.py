@@ -148,6 +148,28 @@ def test_mg_heavy_hitters_guarantee_any_partitioning(spark):
     assert got == {("a", 60), ("b", 25)}
 
 
+def test_mg_null_keys_excluded_not_colliding(spark):
+    """Round-6 advice gate: a nullable column must not poison the
+    sketch — nulls are excluded from candidates AND totals (explicit
+    pre-filter, not a value_counts accident), so they can't collide
+    with the tok-null sentinel row, and the heavy-hitter threshold is
+    computed over the NON-NULL population."""
+    from modevetl_spark.operators.sketches import heavy_hitters_exact, mg_summary
+
+    # 12×'a', 4×'b', 4×null → non-null n=16; denom=4 ⇒ cnt*4 > 16:
+    # only 'a' (12*4=48>16; 'b' 4*4=16 not >). With nulls wrongly
+    # counted in the total (n=20) the answer would be unchanged, but
+    # with nulls emitted as candidates the sentinel parse would break.
+    rows = [("a",)] * 12 + [("b",)] * 4 + [(None,)] * 4
+    df = spark.createDataFrame(rows, "tok string").repartition(3)
+    summ = mg_summary(df, "tok", k=8).collect()
+    # exactly one interpretation per row: candidate XOR sentinel
+    assert all((r.tok is None) != (r.n_part is None) for r in summ)
+    assert sum(r.n_part for r in summ if r.n_part is not None) == 16
+    got = {(r.tok, r.cnt) for r in heavy_hitters_exact(df, "tok", k=8, denom=4).collect()}
+    assert got == {("a", 12)}
+
+
 def test_mg_rejects_undersized_k(spark):
     from modevetl_spark.operators.sketches import heavy_hitters_exact
     import pytest as _pytest
