@@ -50,6 +50,10 @@ HEADLINE = [
     "q_dedup_paragraph",
     "q_heavy_hitters",
     "q_graph_hits",
+    # round 6: the two heaviest ranking-family rewrites — trend
+    # visibility for the range-partitioned rank/prefix-sum plans
+    "q_customer_rfm",
+    "q_abc_classification",
 ]
 
 
