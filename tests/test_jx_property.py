@@ -310,6 +310,42 @@ def test_global_rank_any_data_any_width(spark, keys, parts):
 
 
 @settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_global_running_any_data_any_width(spark, vals, parts):
+    """global_running must reproduce itertools.accumulate over the
+    sorted order for arbitrary value multisets at any partition count —
+    the per-partition window + broadcast offset reconciliation can
+    never drop, repeat, or misplace a prefix contribution."""
+    from itertools import accumulate
+
+    from modevetl_spark.operators.ranking import global_running
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r["id"]: (r["cum"], r["rn"])
+        for r in global_running(
+            df, ["v", "id"], {"cum": "v"}, partitions=parts, rank_col="rn"
+        ).collect()
+    }
+    srt = sorted((v, i) for i, v in rows)
+    cums = list(accumulate(v for v, _ in srt))
+    want = {i: (c, rank + 1) for rank, ((v, i), c) in enumerate(zip(srt, cums))}
+    assert got == want
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
