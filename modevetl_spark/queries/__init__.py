@@ -185,10 +185,16 @@ _GRADED_R5 = frozenset(
 # never-graded cohort, ahead of all rotation — so they enter the window
 # the moment the tail drains. Each was re-verified MATCH by the
 # in-session driver sim before commit.
-#   q_tpch_top_supplier  global-max Window.partitionBy() rewritten to a
-#                        one-row aggregate + broadcast crossJoin (the
-#                        repo's Q22 scalar pattern); same values.
-_CHANGED_R6_DEFERRED = frozenset({"q_tpch_top_supplier"})
+#   q_tpch_top_supplier     global-max Window.partitionBy() rewritten to
+#                           a one-row aggregate + broadcast crossJoin
+#                           (the repo's Q22 scalar pattern); same values.
+#   q_window_percent_rank   W5 rewritten onto global_rank closed forms
+#                           (total order ⇒ percent_rank/ntile/cume_dist
+#                           are exact functions of (rank, n)); same
+#                           values, bit-parity argument in docstring.
+_CHANGED_R6_DEFERRED = frozenset(
+    {"q_tpch_top_supplier", "q_window_percent_rank"}
+)
 
 
 def _freshest_round(key: str) -> int:

@@ -159,15 +159,35 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 
 @q("q_window_percent_rank", oracle_sql=_PCT_ORACLE)
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: percent-of-partition machinery: percent_rank / ntile / cume_dist."""
+    """W5: percent-of-partition machinery: percent_rank / ntile /
+    cume_dist — same SQL semantics, computed scale-safe (round 6).
+
+    The order key (c_acctbal, c_custkey) is a TOTAL order (custkey is
+    unique), so the three window functions collapse to closed forms
+    over the global rank: percent_rank = (rn−1)/(n−1), cume_dist =
+    rn/n (no ties ⇒ the ≤-count is the rank), ntile =
+    ntile_from_rank. The rank is operators/ranking.global_rank (one
+    range exchange over the CUSTOMER-cardinality input — the naive
+    `Window.orderBy` funnels the whole table through one task, and
+    customers grow with the data), n is a one-row broadcast count.
+    Bit parity: both engines divide the SAME integers in IEEE double
+    (correctly-rounded), so round(·, 9) matches the windowed oracle
+    exactly. Plan-gated by the registry-wide no-global-window test."""
     prep(spark)
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    from modevetl_spark.operators.ranking import global_rank, ntile_from_rank
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_rank(c, ["c_acctbal", "c_custkey"], rank_col="_rn")
+    n1 = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return ranked.crossJoin(F.broadcast(n1)).select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.round(
+            F.when(F.col("_n") > 1, (F.col("_rn") - 1) / (F.col("_n") - 1))
+            .otherwise(F.lit(0.0)),
+            9,
+        ).alias("pct_rank"),
+        ntile_from_rank("_rn", "_n", 4).cast("int").alias("quartile"),
+        F.round(F.col("_rn") / F.col("_n"), 9).alias("cume"),
     )
 
 

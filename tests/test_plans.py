@@ -140,8 +140,9 @@ BOUNDED_GLOBAL_WINDOW_QUERIES = {
     "q_theilsen_trend",        # month-pair grid
     "q_tokens_zipf",           # config-sized top-k token cut
     "q_vocab_encode",          # config-sized vocab cut
-    "q_window_percent_rank",   # §2.6 W5: the operator IS the global
-    #                            percent_rank semantics (SQL surface)
+    # (q_window_percent_rank left this list in round 6: its total order
+    # made percent_rank/ntile/cume_dist closed forms over global_rank,
+    # so the allowlist now contains ZERO data-cardinality relations.)
 }
 
 
