@@ -192,8 +192,14 @@ _GRADED_R5 = frozenset(
 #                           (total order ⇒ percent_rank/ntile/cume_dist
 #                           are exact functions of (rank, n)); same
 #                           values, bit-parity argument in docstring.
+#   q_dedup_snm             transitively changed: global_rank (which it
+#                           consumes via sorted_neighborhood_pairs)
+#                           moved to operators/ranking.py with
+#                           window-free offsets; values unchanged and
+#                           re-verified MATCH in the full-registry
+#                           sweep, but the plan changed, so it re-pins.
 _CHANGED_R6_DEFERRED = frozenset(
-    {"q_tpch_top_supplier", "q_window_percent_rank"}
+    {"q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm"}
 )
 
 
