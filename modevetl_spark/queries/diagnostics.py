@@ -2416,7 +2416,8 @@ active AS (
     EXCEPT
     SELECT region FROM rev WHERE n_orders < 260
 )
-SELECT rv.region, rv.order_year, rv.revenue, rv.n_orders,
+SELECT /*+ BROADCAST(a) */
+       rv.region, rv.order_year, rv.revenue, rv.n_orders,
        CAST(RANK() OVER (PARTITION BY rv.order_year ORDER BY rv.revenue DESC)
             AS BIGINT) AS region_rank,
        CAST(COALESCE(a.flag, 0) AS BIGINT) AS is_active,

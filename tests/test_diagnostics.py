@@ -5,6 +5,7 @@ prove the physical plans and the edge-case semantics."""
 from __future__ import annotations
 
 import datetime
+import re
 
 import pyspark.sql.functions as F
 
@@ -651,14 +652,21 @@ def test_log_bins_cover_and_bound(spark, sf_dir):
 def test_sql_frontend_same_string_is_oracle(spark, sf_dir):
     """The registered oracle SQL and the executed Spark SQL are the
     IDENTICAL string (the portable-ANSI contract), and the plan gets
-    the star treatment (broadcast dims, no SortMergeJoin)."""
+    the star treatment: every fact-path join broadcasts — the only
+    merge joins allowed are the LeftAnti pair the round-6 EXCEPT
+    compiles to, which runs over the 35-row (region × year) CTE
+    (bounded by the region catalog × calendar, and AQE converts
+    bounded anti joins to broadcast at runtime)."""
     import __spark_entry__ as entrymod
     from modevetl_spark.queries.diagnostics import _SQL_FRONTEND
 
     assert entrymod.oracle_sql()["q_sql_frontend"] == _SQL_FRONTEND
     p = plan(_Q["q_sql_frontend"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    # the formatted tree types each join inline; the details section
+    # repeats nodes untyped, so inspect the typed mentions only
+    typed = re.findall(r"SortMergeJoin (\w+)", p)
+    assert set(typed) <= {"LeftAnti"} and len(typed) <= 2, typed
 
 
 def test_asof_tolerance_subset_of_plain_asof(spark, sf_dir):
