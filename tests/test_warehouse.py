@@ -556,3 +556,19 @@ def test_copurchase_pairs_canonical_and_supported(spark, sf_dir):
     a = li.where(F.col("l_partkey") == top["part_a"]).select("l_orderkey")
     b = li.where(F.col("l_partkey") == top["part_b"]).select("l_orderkey")
     assert a.intersect(b).count() == top["n_orders"]
+
+
+def test_ranking_operators_degenerate_inputs(spark):
+    """Empty and single-row inputs survive the full range-exchange +
+    offset machinery (an empty offset table must join to an empty
+    result, not error)."""
+    from modevetl_spark.operators.ranking import global_rank, global_running
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert global_rank(empty, ["v", "id"]).collect() == []
+    assert global_running(empty, ["v", "id"], {"c": "v"}).collect() == []
+    one = spark.createDataFrame([(1, 5)], "id long, v long")
+    [r] = global_rank(one, ["v", "id"]).collect()
+    assert (r["id"], r["rn"]) == (1, 1)
+    [r] = global_running(one, ["v", "id"], {"c": "v"}, rank_col="rn").collect()
+    assert (r["c"], r["rn"]) == (5, 1)
