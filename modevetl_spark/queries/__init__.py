@@ -37,6 +37,7 @@ _MODULES = [
     "ml",
     "mining",
     "diagnostics",
+    "wave7",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
@@ -202,6 +203,20 @@ _CHANGED_R6_DEFERRED = frozenset(
     {"q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm"}
 )
 
+# Round-7 breadth, STAGED during round 6 (queries/wave7.py): implemented
+# and driver-sim verified (sf0.001 + sf0.01, two parallelism configs,
+# 6/6 MATCH) in round 6, but registered at priority 0.75 — BEHIND the
+# 65-key never-graded drain cohort (priority 0) and the deferred-changed
+# keys (0.5) — so they sit at emission positions ≥ 69 and cannot
+# displace anything from the round-6 window. They enter the grading
+# window in round 7 as the tail drains.
+_STAGED_R7 = frozenset(
+    {
+        "q_tpch_late_shipments", "q_sketch_quantiles", "q_sample_reservoir",
+        "q_session_stitch", "q_gapfill_percentile", "q_dedup_latest_wins",
+    }
+)
+
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
@@ -217,6 +232,8 @@ def _freshest_round(key: str) -> int:
 
 
 def _grading_priority(key: str) -> float:
+    if key in _STAGED_R7:
+        return 0.75  # staged for round 7: behind the drain cohort + deferred
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
     if key in _CHANGED_R6_DEFERRED:

@@ -1,0 +1,536 @@
+"""Round-7 breadth wave, STAGED during round 6.
+
+Six operators rounding out families the registry already carries —
+implemented, oracle-gated and driver-sim verified in round 6, but held
+OUT of the round-6 grading window: they register at staging priority
+(behind the never-graded drain cohort and the deferred-changed keys, see
+``queries/__init__._STAGED_R7``) so they cannot displace a tail key from
+CORRECTNESS_r06, and they enter the round-7 window the moment the tail
+drains.
+
+Contents:
+
+- ``q_tpch_late_shipments`` — the TPC-H Q12 shape (the last Q-shape
+  expressible over the fixture's tables; Q2/Q9/Q11/Q16/Q20 need the
+  ``partsupp`` relation the fixture does not ship).
+- ``q_sketch_quantiles`` — mergeable fixed-width histogram quantile
+  sketch with a rank-check bounds oracle (the scale path next to the
+  exact ``q_agg_percentile`` / ``q_hist_equidepth`` family).
+- ``q_sample_reservoir`` — deterministic fixed-size-k uniform sample
+  (the exactly-k companion of Bernoulli ``q_sample_hash``).
+- ``q_session_stitch`` — cross-device identity stitching by connected
+  components over an identity-link graph.
+- ``q_gapfill_percentile`` — gap fill with the per-key lower median
+  (the robust-statistic companion of ffill / linear interpolation).
+- ``q_dedup_latest_wins`` — latest-version-per-key dedup as ONE
+  hash aggregation (max-of-struct), the window-free form of the
+  classic ``row_number() = 1`` pattern.
+
+Reference parity: SURVEY.md §2's windowed-aggregate, sampling, dedup
+and event families ([UPSTREAM MoDevETL/pyLibrary/queries]); each query
+re-expresses the documented upstream semantics per SURVEY §0's
+protocol, with the physical shape chosen for the 1000-executor case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+
+# --- TPC-H Q12 shape: late shipments by priority class ------------------
+
+_Q12_ORACLE = """
+SELECT CASE CAST(l.l_partkey % 3 AS INT)
+         WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL' ELSE 'SHIP' END AS shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+@q("q_tpch_late_shipments", oracle_sql=_Q12_ORACLE)
+def tpch_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+: TPC-H Q12 shape — how many high- vs low-priority line items
+    shipped late, per ship mode. Fixture adaptation (documented, the
+    same policy as the other Q shapes): the fixture has no
+    ``l_shipmode`` / commit / receipt dates, so the mode is a derived
+    3-way carrier assignment by part (``l_partkey % 3``) and "late"
+    is shipped more than 60 days after the order date — the shape
+    (fact-fact equi join, conjunct date predicate spanning both sides,
+    CASE-split counts over a tiny derived key) is Q12's exactly.
+
+    Plan shape: the ship-late predicate needs columns from BOTH sides,
+    so the join itself cannot be avoided: a plain orderkey equi join
+    with no strategy hint — at sf the orders side broadcasts under
+    AQE, at 100 TB both sides are fact-sized and it degrades to a
+    shuffled hash join on the natural join key with no code change.
+    The date filter applies immediately post-join (before any other
+    column is touched) and the aggregation key has 3 values, so the
+    final agg is map-side-combined down to 3 rows per task before a
+    negligible exchange."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mode = (
+        F.when(F.col("l_partkey") % 3 == 0, "AIR")
+        .when(F.col("l_partkey") % 3 == 1, "RAIL")
+        .otherwise("SHIP")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(mode.alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# --- Mergeable histogram quantile sketch (bounds oracle) ----------------
+
+_SKETCH_Q_ORACLE = """
+WITH stats AS (
+    SELECT MIN(l_extendedprice) AS mn,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (MAX(l_extendedprice) - MIN(l_extendedprice))
+               / CAST(1024 AS DOUBLE) AS width
+    FROM lineitem
+),
+hist AS (
+    SELECT CASE WHEN s.width > 0
+                THEN CAST(LEAST(FLOOR((l.l_extendedprice - s.mn) / s.width),
+                                CAST(1023 AS DOUBLE)) AS BIGINT)
+                ELSE 0 END AS bucket,
+           COUNT(*) AS cnt
+    FROM lineitem l, stats s
+    GROUP BY 1
+),
+cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+probs AS (
+    SELECT UNNEST(['p50', 'p90', 'p99']) AS p_label,
+           UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                   CAST(0.99 AS DOUBLE)]) AS p
+),
+tgt AS (
+    SELECT p.p_label, CAST(CEIL(p.p * s.n) AS BIGINT) AS target,
+           s.mn, s.width, s.n
+    FROM probs p, stats s
+),
+est AS (
+    SELECT t.p_label, t.target, t.mn, t.width, t.n,
+           MIN(c.bucket) AS est_bucket
+    FROM tgt t JOIN cum c ON c.cum >= t.target
+    GROUP BY 1, 2, 3, 4, 5
+),
+chk AS (
+    SELECT e.p_label,
+           COUNT(CASE WHEN l.l_extendedprice
+                           <= e.mn + (e.est_bucket + 2) * e.width
+                      THEN 1 END) AS cnt_le_hi,
+           COUNT(CASE WHEN l.l_extendedprice
+                           <  e.mn + (e.est_bucket - 1) * e.width
+                      THEN 1 END) AS cnt_lt_lo
+    FROM lineitem l, est e
+    GROUP BY 1
+)
+SELECT e.p_label, e.n, e.est_bucket,
+       (c.cnt_le_hi >= e.target AND c.cnt_lt_lo < e.target) AS bounds_ok
+FROM est e JOIN chk c ON c.p_label = e.p_label
+"""
+
+
+@q("q_sketch_quantiles", oracle_sql=_SKETCH_Q_ORACLE)
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 scale path [EXT]: quantiles from a mergeable fixed-width
+    histogram sketch — p50/p90/p99 of ``l_extendedprice`` located to a
+    bucket of a K=1024 equi-width histogram, with a rank-check bounds
+    verdict. The exact-quantile operators (``q_agg_percentile``,
+    ``q_hist_equidepth``) pay a data-sized sort/range-exchange; the
+    sketch never sorts the data: quantile error is bounded a priori by
+    one bucket width, the classic accuracy-for-shuffle trade.
+
+    Deterministic cross-engine by construction (no sketch internals to
+    diverge): min/max/count are order-free, the bucket id is
+    ``floor((v-mn)/width)`` — two exact-IEEE ops both engines evaluate
+    identically — and the estimate is an integer cumulative walk.
+
+    BOUNDS-ORACLE (the q_agg_approx_sketches pattern): ``bounds_ok``
+    asserts the exact p-quantile's rank lands inside the estimated
+    bucket ±1 bucket of slack, via counts of raw values against the
+    bucket's widened edges — an independent path from the bucket
+    assignment (edge arithmetic ``mn + b·width`` vs the floor
+    division), recomputed identically by the DuckDB oracle rather than
+    asserted as a literal. ``n`` and ``est_bucket`` are hash-graded
+    integers.
+
+    Plan shape: three fact scans, each a map-side-combined aggregate
+    with NO data shuffle — (1) the one-row min/max/count, (2) the
+    ≤K-row bucket histogram (hash agg on a derived int key), (3) the
+    3-row verification count against broadcast bucket edges. The
+    cumulative walk runs on the ≤1024-row histogram through
+    ``global_running`` (range-exchange machinery — bounded input, and
+    keeps the registry-wide no-global-window gate clean); estimates
+    and targets ride one-row/3-row broadcast cross joins (the Q22
+    scalar pattern). At 100 TB: scans stream, every exchange is
+    bounded by K or |probs|."""
+    from modevetl_spark.operators.ranking import global_running
+
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    stats = li.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("width", (F.col("mx") - F.col("mn")) / F.lit(1024.0))
+    bucket = (
+        F.when(
+            F.col("width") > 0,
+            F.least(
+                F.floor((F.col("v") - F.col("mn")) / F.col("width")),
+                F.lit(1023).cast("long"),
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = global_running(hist, ["bucket"], sums={"cum": "cnt"})
+    probs = spark.createDataFrame(
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "p_label string, p double"
+    )
+    tgt = probs.crossJoin(
+        F.broadcast(stats.select("mn", "width", "n"))
+    ).withColumn("target", F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+    est = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("p_label", "target", "mn", "width", "n")
+        .agg(F.min("bucket").alias("est_bucket"))
+    )
+    edges = est.select(
+        "p_label",
+        "target",
+        (F.col("mn") + (F.col("est_bucket") + 2) * F.col("width")).alias("hi"),
+        (F.col("mn") + (F.col("est_bucket") - 1) * F.col("width")).alias("lo"),
+    )
+    chk = (
+        li.crossJoin(F.broadcast(edges))
+        .groupBy("p_label")
+        .agg(
+            F.count(F.when(F.col("v") <= F.col("hi"), 1)).alias("cnt_le_hi"),
+            F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("cnt_lt_lo"),
+        )
+    )
+    return est.join(chk, "p_label").select(
+        "p_label",
+        "n",
+        "est_bucket",
+        (
+            (F.col("cnt_le_hi") >= F.col("target"))
+            & (F.col("cnt_lt_lo") < F.col("target"))
+        ).alias("bounds_ok"),
+    )
+
+
+# --- Deterministic fixed-size reservoir sample --------------------------
+
+_RESERVOIR_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+            AS BIGINT) AS priority
+FROM orders
+ORDER BY priority, o_orderkey
+LIMIT 200
+"""
+
+
+@q("q_sample_reservoir", oracle_sql=_RESERVOIR_ORACLE)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ [EXT]: deterministic reservoir sample — EXACTLY k=200 orders,
+    uniform over the key space, independent of row order and partition
+    layout. ``q_sample_hash`` is Bernoulli (a rate, size varies);
+    training-data recipes routinely need an exact row budget — the
+    classic reservoir. Determinism replaces the RNG: each row's
+    priority is the shared 32-bit md5 idiom on its key
+    (``conv(substr(md5(k),1,8),16,10)``, engine-identical), and the
+    sample is the k smallest priorities with the unique key as
+    tie-break — the bottom-k-by-random-priority formulation of
+    reservoir sampling, replayable by any engine.
+
+    Plan shape: ``ORDER BY priority LIMIT k`` compiles to
+    TakeOrderedAndProject — each task keeps a k-row heap, the driver
+    merges |tasks|·k candidate rows; NO global sort, no shuffle of the
+    data. At 100 TB the cost is one streaming scan plus k·P rows of
+    driver merge — the same bound as the repo's other TakeOrdered
+    cuts (vocab build, Misra–Gries candidates)."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    priority = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        o.select("o_orderkey", "o_totalprice", priority.alias("priority"))
+        .orderBy("priority", "o_orderkey")
+        .limit(200)
+    )
+
+
+# --- Cross-device identity stitching (connected components) -------------
+
+_STITCH_ORACLE = """
+WITH RECURSIVE s AS (
+    SELECT user_id, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'signup'
+),
+fl AS (
+    SELECT user_id,
+           arg_min(k, event_id) AS dev_k,
+           arg_max(k, event_id) AS email_k
+    FROM s GROUP BY user_id
+),
+e AS (
+    SELECT user_id AS a, 100000 + dev_k AS b FROM fl
+    UNION
+    SELECT user_id AS a, 200000 + email_k AS b FROM fl
+),
+links AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach AS (
+    SELECT a, b FROM links
+    UNION
+    SELECT r.a, l.b FROM reach r JOIN links l ON l.a = r.b
+),
+lab AS (SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a),
+users AS (SELECT node, comp FROM lab WHERE node < 100000),
+sizes AS (
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_users FROM users GROUP BY comp
+)
+SELECT u.node AS user_id, u.comp AS stitched_id, z.n_users
+FROM users u JOIN sizes z ON z.comp = u.comp
+"""
+
+
+@q("q_session_stitch", oracle_sql=_STITCH_ORACLE)
+def session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7+ [EXT]: cross-device identity stitching — resolve each user to
+    a stitched identity by connecting users through shared device /
+    email identifiers, the identity-resolution step upstream of any
+    per-person sessionization or attribution. Fixture linkage (real
+    schemas carry device ids; the fixture derives them): a user's
+    "device" is the ``k`` prop of their FIRST signup event and their
+    "email" the ``k`` of their LAST (min/max ``event_id`` —
+    deterministic arg-extremes), giving a bipartite user↔identifier
+    graph whose connected components are the stitched identities
+    (stitched id = min user id in the component; identifier node ids
+    are offset into disjoint ranges so the min is always a user).
+
+    Plan shape: edge derivation is one user-keyed aggregate of the
+    signup slice (two ``min_by``/``max_by`` — no window, no sort);
+    stitching reuses ``operators/components.connected_components`` —
+    per-round cost one node-keyed join + hash agg, O(diameter) rounds,
+    lineage checkpoint-truncated. Identifier hubs (one device shared
+    by many users) are exactly the star graphs label propagation
+    resolves in 2 rounds. Oracle: DuckDB recursive-CTE reachability
+    closure + min-label (the q_graph_closure pattern) — a REAL
+    component computation, not a closed form."""
+    from modevetl_spark.operators.components import connected_components
+
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    fl = s.groupBy("user_id").agg(
+        F.min_by("k", "event_id").alias("dev_k"),
+        F.max_by("k", "event_id").alias("email_k"),
+    )
+    edges = fl.select(
+        F.col("user_id").alias("src"),
+        (F.lit(100000) + F.col("dev_k")).alias("dst"),
+    ).union(
+        fl.select(
+            F.col("user_id").alias("src"),
+            (F.lit(200000) + F.col("email_k")).alias("dst"),
+        )
+    )
+    comp = connected_components(edges)
+    users = comp.where(F.col("node") < 100000)
+    sizes = users.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return users.join(sizes, "component").select(
+        F.col("node").alias("user_id"),
+        F.col("component").alias("stitched_id"),
+        "n_users",
+    )
+
+
+# --- Gap fill with the per-key lower median -----------------------------
+
+_MEDIAN_FILL_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+grid AS (
+    SELECT user_id,
+           CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+),
+ranked AS (
+    SELECT user_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v, day) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS cnt
+    FROM daily
+),
+med AS (
+    SELECT user_id, v AS med_v FROM ranked
+    WHERE rn = CAST(CEIL(cnt / CAST(2 AS DOUBLE)) AS BIGINT)
+)
+SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+       COALESCE(d.v, m.med_v) AS value_filled,
+       d.v IS NOT NULL AS observed
+FROM grid g
+LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+JOIN med m ON m.user_id = g.user_id
+"""
+
+
+@q("q_gapfill_percentile", oracle_sql=_MEDIAN_FILL_ORACLE)
+def gapfill_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2+/T2+ [EXT]: gap fill with the per-key LOWER MEDIAN — densify
+    each user's daily metric to a full day grid and fill missing days
+    with the user's median observed daily value: the robust-statistic
+    fill that completes the family next to last-observation
+    (``q_gapfill_ffill``) and linear interpolation
+    (``q_gapfill_interp``); medians shrug off the outlier days that
+    poison a mean fill.
+
+    Lower median on purpose (rank ``ceil(n/2)`` in ``(v, day)``
+    order): it SELECTS an existing 6dp value instead of averaging the
+    middle pair, so no new float is manufactured and the cross-engine
+    .5-boundary rounding trap (round-5 k-means lesson) cannot occur —
+    the oracle picks the identical row by the identical rank rule.
+
+    Plan shape: one (user, day) hash agg; the per-user median is a
+    user-partitioned window rank (balanced — partitioned by key, never
+    global) picking one row per user; the grid is generated from each
+    user's min/max span (|users|·|days| rows — produced, never
+    scanned) and takes the fill via two user-keyed joins that share
+    the aggregation's hash partitioning. At 100 TB nothing windows or
+    sorts globally."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("v")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("v", "day")
+    w_cnt = Window.partitionBy("user_id")
+    med = (
+        daily.select(
+            "user_id",
+            "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+        )
+        .where(
+            F.col("rn")
+            == F.ceil(F.col("cnt") / F.lit(2.0)).cast("bigint")
+        )
+        .select("user_id", F.col("v").alias("med_v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .join(med, "user_id")
+        .select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.coalesce("v", "med_v").alias("value_filled"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+    )
+
+
+# --- Latest-version-per-key dedup, window-free --------------------------
+
+_LATEST_WINS_ORACLE = """
+SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts,
+       event_id AS last_event_id, event_type AS last_event_type,
+       n_versions
+FROM (
+    SELECT user_id, ts, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_versions
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
+@q("q_dedup_latest_wins", oracle_sql=_LATEST_WINS_ORACLE)
+def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+/W3 scale path [EXT]: latest-version-per-key dedup as ONE hash
+    aggregation — keep each user's most recent event (by ``(ts,
+    event_id)``, the unique id breaking timestamp ties) via
+    ``max(struct(ts, event_id, event_type))``: struct comparison is
+    lexicographic, so the max struct IS the ``ORDER BY ts DESC, id
+    DESC LIMIT 1`` row. The CDC-compaction / snapshot-dedup primitive,
+    graded against the classic ``row_number() = 1`` oracle to prove
+    the rewrite exact.
+
+    Why not the window: ``row_number() OVER (PARTITION BY key ORDER BY
+    ts DESC)`` shuffles EVERY version of every row, then sorts each
+    partition, only to discard all but one row per key. The max-struct
+    aggregate does the discard map-side: partial aggregation collapses
+    each task's rows to one candidate per key before the exchange, so
+    the shuffle carries |keys| rows, not |rows| — at 100 TB of
+    versioned events with long histories that is orders of magnitude
+    less traffic, and there is no sort at all. ``n_versions`` rides
+    the same agg for free."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+        "n_versions",
+    )

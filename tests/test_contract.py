@@ -59,9 +59,17 @@ def test_grading_bookkeeping_consistent():
     assert Q._CHANGED_R6_DEFERRED <= keys
     for k in Q._CHANGED_R6_DEFERRED:
         assert Q._freshest_round(k) > 0, k
+    assert Q._STAGED_R7 <= keys
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
     # never-graded or deferred-changed key
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
+    # round-6 drain invariant: the driver's 50-key window must hold ONLY
+    # never-graded drain keys — a staged/deferred/rotated key inside the
+    # window means staging leaked evidence slots from the tail
+    window = order[:50]
+    for k in window:
+        assert Q._grading_priority(k) == 0, (k, Q._grading_priority(k))
+        assert k not in Q._STAGED_R7, k
