@@ -1,5 +1,5 @@
-"""Frequency-sketch operators: distributed Misra–Gries heavy-hitter
-candidates.
+"""Sketch operators: distributed Misra–Gries heavy-hitter candidates
+and the fixed-width histogram quantile sketch.
 
 The classic two-pass heavy-hitter plan for a key space too large to
 hash-aggregate exactly (token streams at corpus scale):
@@ -192,3 +192,87 @@ def run_heavy_hitters_tick(
     spark.createDataFrame(out, f"tok string, cnt long").coalesce(1).write.mode(
         "overwrite"
     ).parquet(state_path)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[tuple[str, float]],
+    k: int = 1024,
+) -> DataFrame:
+    """Mergeable fixed-width histogram quantile sketch with a rank-check
+    verdict — locate each requested quantile to a bucket of a K-bucket
+    equi-width histogram WITHOUT ever sorting or range-exchanging the
+    data (-> ``queries/wave7.q_sketch_quantiles`` for the oracle-graded
+    face and the full plan-shape story).
+
+    Returns one row per prob: ``(p_label, n, est_bucket, bounds_ok)``
+    where ``bounds_ok`` asserts the exact quantile's rank falls inside
+    the estimated bucket ±1 bucket of slack, computed by counting raw
+    values against the bucket's widened edges — an independent path
+    from the floor-division bucket assignment.
+
+    Cross-engine determinism: min/max/count are order-free, the bucket
+    id is two exact IEEE ops (``floor((v - mn) / width)``), the walk is
+    integer arithmetic. A constant column (width = 0) degenerates to
+    one bucket 0 holding every row, with the verdict still true by the
+    rank definition.
+    """
+    from modevetl_spark.operators.ranking import global_running
+
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).alias("v"))
+    stats = vals.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn("width", (F.col("mx") - F.col("mn")) / F.lit(float(k)))
+    bucket = (
+        F.when(
+            F.col("width") > 0,
+            F.least(
+                F.floor((F.col("v") - F.col("mn")) / F.col("width")),
+                F.lit(k - 1).cast("long"),
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = global_running(hist, ["bucket"], sums={"cum": "cnt"})
+    probs_df = spark.createDataFrame(probs, "p_label string, p double")
+    tgt = probs_df.crossJoin(
+        F.broadcast(stats.select("mn", "width", "n"))
+    ).withColumn("target", F.ceil(F.col("p") * F.col("n")).cast("bigint"))
+    est = (
+        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
+        .groupBy("p_label", "target", "mn", "width", "n")
+        .agg(F.min("bucket").alias("est_bucket"))
+    )
+    edges = est.select(
+        "p_label",
+        "target",
+        (F.col("mn") + (F.col("est_bucket") + 2) * F.col("width")).alias("hi"),
+        (F.col("mn") + (F.col("est_bucket") - 1) * F.col("width")).alias("lo"),
+    )
+    chk = (
+        vals.crossJoin(F.broadcast(edges))
+        .groupBy("p_label")
+        .agg(
+            F.count(F.when(F.col("v") <= F.col("hi"), 1)).alias("cnt_le_hi"),
+            F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("cnt_lt_lo"),
+        )
+    )
+    return est.join(chk, "p_label").select(
+        "p_label",
+        "n",
+        "est_bucket",
+        (
+            (F.col("cnt_le_hi") >= F.col("target"))
+            & (F.col("cnt_lt_lo") < F.col("target"))
+        ).alias("bounds_ok"),
+    )

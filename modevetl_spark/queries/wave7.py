@@ -181,77 +181,25 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted as a literal. ``n`` and ``est_bucket`` are hash-graded
     integers.
 
-    Plan shape: three fact scans, each a map-side-combined aggregate
-    with NO data shuffle — (1) the one-row min/max/count, (2) the
-    ≤K-row bucket histogram (hash agg on a derived int key), (3) the
-    3-row verification count against broadcast bucket edges. The
-    cumulative walk runs on the ≤1024-row histogram through
-    ``global_running`` (range-exchange machinery — bounded input, and
-    keeps the registry-wide no-global-window gate clean); estimates
-    and targets ride one-row/3-row broadcast cross joins (the Q22
-    scalar pattern). At 100 TB: scans stream, every exchange is
-    bounded by K or |probs|."""
-    from modevetl_spark.operators.ranking import global_running
+    Plan shape (``operators/sketches.histogram_quantiles``): three fact
+    scans, each a map-side-combined aggregate with NO data shuffle —
+    (1) the one-row min/max/count, (2) the ≤K-row bucket histogram
+    (hash agg on a derived int key), (3) the 3-row verification count
+    against broadcast bucket edges. The cumulative walk runs on the
+    ≤1024-row histogram through ``global_running`` (range-exchange
+    machinery — bounded input, and keeps the registry-wide
+    no-global-window gate clean); estimates and targets ride
+    one-row/3-row broadcast cross joins (the Q22 scalar pattern). At
+    100 TB: scans stream, every exchange is bounded by K or |probs|."""
+    from modevetl_spark.operators.sketches import histogram_quantiles
 
     prep(spark)
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v")
-    )
-    stats = li.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-    ).withColumn("width", (F.col("mx") - F.col("mn")) / F.lit(1024.0))
-    bucket = (
-        F.when(
-            F.col("width") > 0,
-            F.least(
-                F.floor((F.col("v") - F.col("mn")) / F.col("width")),
-                F.lit(1023).cast("long"),
-            ),
-        )
-        .otherwise(0)
-        .cast("bigint")
-    )
-    hist = (
-        li.crossJoin(F.broadcast(stats))
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    cum = global_running(hist, ["bucket"], sums={"cum": "cnt"})
-    probs = spark.createDataFrame(
-        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)], "p_label string, p double"
-    )
-    tgt = probs.crossJoin(
-        F.broadcast(stats.select("mn", "width", "n"))
-    ).withColumn("target", F.ceil(F.col("p") * F.col("n")).cast("bigint"))
-    est = (
-        tgt.join(F.broadcast(cum), F.col("cum") >= F.col("target"))
-        .groupBy("p_label", "target", "mn", "width", "n")
-        .agg(F.min("bucket").alias("est_bucket"))
-    )
-    edges = est.select(
-        "p_label",
-        "target",
-        (F.col("mn") + (F.col("est_bucket") + 2) * F.col("width")).alias("hi"),
-        (F.col("mn") + (F.col("est_bucket") - 1) * F.col("width")).alias("lo"),
-    )
-    chk = (
-        li.crossJoin(F.broadcast(edges))
-        .groupBy("p_label")
-        .agg(
-            F.count(F.when(F.col("v") <= F.col("hi"), 1)).alias("cnt_le_hi"),
-            F.count(F.when(F.col("v") < F.col("lo"), 1)).alias("cnt_lt_lo"),
-        )
-    )
-    return est.join(chk, "p_label").select(
-        "p_label",
-        "n",
-        "est_bucket",
-        (
-            (F.col("cnt_le_hi") >= F.col("target"))
-            & (F.col("cnt_lt_lo") < F.col("target"))
-        ).alias("bounds_ok"),
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li,
+        "l_extendedprice",
+        [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)],
+        k=1024,
     )
 
 

@@ -1,0 +1,189 @@
+"""Edge-case unit tests for the round-7 staged wave (queries/wave7.py +
+operators/sketches.histogram_quantiles): degenerate inputs the fixture
+tables never produce, and rewrite-equivalence proofs against the classic
+window formulations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.operators.sketches import histogram_quantiles
+
+PROBS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def _by_label(rows):
+    return {r["p_label"]: r for r in rows}
+
+
+class TestHistogramQuantiles:
+    def test_constant_column_degenerates_to_bucket_zero(self, spark):
+        df = spark.range(500).select(F.lit(7.25).alias("v"))
+        out = _by_label(histogram_quantiles(df, "v", PROBS, k=16).collect())
+        assert set(out) == {"p50", "p90", "p99"}
+        for r in out.values():
+            assert r["n"] == 500
+            assert r["est_bucket"] == 0
+            assert r["bounds_ok"] is True
+
+    def test_single_row(self, spark):
+        df = spark.range(1).select(F.lit(3.0).alias("v"))
+        out = _by_label(histogram_quantiles(df, "v", PROBS, k=8).collect())
+        for r in out.values():
+            assert r["n"] == 1
+            assert r["est_bucket"] == 0
+            assert r["bounds_ok"] is True
+
+    def test_uniform_ints_hit_exact_quantile_bucket(self, spark):
+        # 0..999 with k=10: bucket b covers [99.9·b, 99.9·(b+1)); the
+        # sketch bucket must CONTAIN the exact rank-ceil(p·n) value.
+        n, k = 1000, 10
+        df = spark.range(n).select(F.col("id").cast("double").alias("v"))
+        out = _by_label(histogram_quantiles(df, "v", PROBS, k=k).collect())
+        width = 999.0 / k
+        for label, p in PROBS:
+            exact = math.ceil(p * n) - 1  # rank r in sorted 0..999 is value r-1
+            expect_bucket = min(int(exact // width), k - 1)
+            r = out[label]
+            assert r["est_bucket"] == expect_bucket, (label, r)
+            assert r["bounds_ok"] is True
+
+    @pytest.mark.parametrize("parts", [1, 7])
+    def test_partition_layout_invariant(self, spark, parts):
+        df = (
+            spark.range(3000)
+            .select(((F.col("id") * 37) % 1009).cast("double").alias("v"))
+            .repartition(parts)
+        )
+        rows = _by_label(histogram_quantiles(df, "v", PROBS, k=64).collect())
+        # layout must not change the estimate: compare against the
+        # single-partition truth computed the same way
+        base = _by_label(
+            histogram_quantiles(
+                spark.range(3000).select(
+                    ((F.col("id") * 37) % 1009).cast("double").alias("v")
+                ).coalesce(1),
+                "v",
+                PROBS,
+                k=64,
+            ).collect()
+        )
+        for label in base:
+            assert rows[label]["est_bucket"] == base[label]["est_bucket"]
+            assert rows[label]["bounds_ok"] is True
+
+    def test_skewed_values_keep_rank_guarantee(self, spark):
+        # 99% mass at 1.0, tail at 10_000 — rank ceil(p·n) stays in the
+        # head bucket through p99 (rank 990 is the LAST 1.0), and only a
+        # deeper probe reaches the tail bucket
+        df = spark.range(1000).select(
+            F.when(F.col("id") < 990, 1.0).otherwise(10000.0).alias("v")
+        )
+        probs = PROBS + [("p999", 0.999)]
+        out = _by_label(histogram_quantiles(df, "v", probs, k=32).collect())
+        assert out["p50"]["est_bucket"] == 0
+        assert out["p90"]["est_bucket"] == 0
+        assert out["p99"]["est_bucket"] == 0
+        assert out["p999"]["est_bucket"] == 31
+        for r in out.values():
+            assert r["bounds_ok"] is True
+
+
+class TestLatestWinsRewrite:
+    def test_max_struct_equals_row_number_pick(self, spark):
+        # ties on ts (the realistic hazard) break by unique event_id in
+        # BOTH formulations — the agg rewrite must match the window
+        rows = [
+            (1, "2024-01-01 00:00:00", 10, "a"),
+            (1, "2024-01-02 00:00:00", 11, "b"),
+            (1, "2024-01-02 00:00:00", 12, "c"),  # ts tie, higher id wins
+            (2, "2024-01-05 00:00:00", 20, "d"),
+            (3, "2024-01-03 00:00:00", 31, "e"),
+            (3, "2024-01-03 00:00:00", 30, "f"),  # ts tie, 31 wins
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts_s string, event_id long, event_type string"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "event_id", "event_type")
+        agg = (
+            ev.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_id", "event_type")).alias("last"),
+                F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            )
+            .select(
+                "user_id",
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("last_event_id"),
+                F.col("last.event_type").alias("last_event_type"),
+                "n_versions",
+            )
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        win = (
+            ev.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.row_number().over(w).alias("rn"),
+                F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias(
+                    "n_versions"
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("n_versions").cast("bigint").alias("n_versions"),
+            )
+        )
+        got = {r["user_id"]: tuple(r) for r in agg.collect()}
+        want = {r["user_id"]: tuple(r) for r in win.collect()}
+        assert got == want
+        assert got[1][2] == 12 and got[3][2] == 31
+
+    def test_empty_input(self, spark):
+        ev = spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        agg = ev.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("last")
+        )
+        assert agg.count() == 0
+
+
+class TestReservoirDeterminism:
+    def _sample(self, spark, parts):
+        df = spark.range(5000).repartition(parts)
+        priority = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        return [
+            r["id"]
+            for r in df.select("id", priority.alias("p"))
+            .orderBy("p", "id")
+            .limit(100)
+            .collect()
+        ]
+
+    def test_exact_k_and_layout_invariant(self, spark):
+        one = self._sample(spark, 1)
+        many = self._sample(spark, 13)
+        assert len(one) == 100
+        assert one == many
+
+    def test_plan_is_take_ordered(self, spark):
+        df = spark.range(5000)
+        priority = F.conv(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        q = df.select("id", priority.alias("p")).orderBy("p", "id").limit(100)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
