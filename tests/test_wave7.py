@@ -187,3 +187,73 @@ class TestReservoirDeterminism:
         q = df.select("id", priority.alias("p")).orderBy("p", "id").limit(100)
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestMedianFillRule:
+    def test_lower_median_matches_sorted_pick(self, spark):
+        # the rank-pick rule (rn == ceil(cnt/2) in (v, day) order) must
+        # select sorted(vals)[ceil(n/2) - 1] for odd AND even n
+        cases = [
+            [3.0], [3.0, 1.0], [5.0, 1.0, 3.0], [4.0, 2.0, 2.0, 8.0],
+            [9.0, 1.0, 5.0, 5.0, 2.0], [1.5, 1.5, 1.5, 1.5],
+        ]
+        rows = [
+            (uid, d, v)
+            for uid, vals in enumerate(cases)
+            for d, v in enumerate(vals)
+        ]
+        daily = spark.createDataFrame(rows, "user_id long, day long, v double")
+        w_rank = Window.partitionBy("user_id").orderBy("v", "day")
+        w_cnt = Window.partitionBy("user_id")
+        med = (
+            daily.select(
+                "user_id", "v",
+                F.row_number().over(w_rank).alias("rn"),
+                F.count(F.lit(1)).over(w_cnt).alias("cnt"),
+            )
+            .where(F.col("rn") == F.ceil(F.col("cnt") / F.lit(2.0)).cast("bigint"))
+            .select("user_id", "v")
+        )
+        got = {r["user_id"]: r["v"] for r in med.collect()}
+        want = {
+            uid: sorted(vals)[math.ceil(len(vals) / 2) - 1]
+            for uid, vals in enumerate(cases)
+        }
+        assert got == want
+
+
+class TestSessionStitchEncoding:
+    def test_components_resolve_min_user_across_link_types(self, spark):
+        from modevetl_spark.operators.components import connected_components
+
+        # users 1,2 share device 7; users 2,3 share email 7 (SAME raw k,
+        # different identifier space — must NOT merge with the device);
+        # user 9 is isolated on its own identifiers
+        edges = spark.createDataFrame(
+            [
+                (1, 100000 + 7), (2, 100000 + 7),   # device 7
+                (2, 200000 + 7), (3, 200000 + 7),   # email 7 (distinct node)
+                (9, 100000 + 50), (9, 200000 + 51),
+            ],
+            "src long, dst long",
+        )
+        comp = connected_components(edges)
+        users = {
+            r["node"]: r["component"]
+            for r in comp.where(F.col("node") < 100000).collect()
+        }
+        assert users == {1: 1, 2: 1, 3: 1, 9: 9}
+
+    def test_device_email_spaces_stay_disjoint(self, spark):
+        from modevetl_spark.operators.components import connected_components
+
+        # identical raw k on device vs email must not connect users
+        edges = spark.createDataFrame(
+            [(1, 100000 + 5), (2, 200000 + 5)], "src long, dst long"
+        )
+        comp = connected_components(edges)
+        users = {
+            r["node"]: r["component"]
+            for r in comp.where(F.col("node") < 100000).collect()
+        }
+        assert users == {1: 1, 2: 2}
