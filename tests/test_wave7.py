@@ -257,3 +257,50 @@ class TestSessionStitchEncoding:
             for r in comp.where(F.col("node") < 100000).collect()
         }
         assert users == {1: 1, 2: 2}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_histogram_quantiles_bracket_exact_rank(spark, vals, k):
+    """Property: for arbitrary float data and bucket counts, every
+    quantile estimate carries a TRUE rank-check verdict, and the exact
+    rank-``ceil(p·n)`` value's bucket never sits more than one bucket
+    from the estimate (the sketch's a-priori error bound)."""
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {
+        r["p_label"]: r
+        for r in histogram_quantiles(df, "v", PROBS, k=k).collect()
+    }
+    n = len(vals)
+    srt = sorted(vals)
+    mn, mx = srt[0], srt[-1]
+    width = (mx - mn) / k
+    for label, p in PROBS:
+        r = out[label]
+        assert r["n"] == n
+        assert r["bounds_ok"] is True, (label, r, vals)
+        exact = srt[math.ceil(p * n) - 1]
+        if width > 0:
+            exact_bucket = min(int((exact - mn) // width), k - 1)
+            assert abs(r["est_bucket"] - exact_bucket) <= 1, (
+                label, r["est_bucket"], exact_bucket, vals,
+            )
+        else:
+            assert r["est_bucket"] == 0
