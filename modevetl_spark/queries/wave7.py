@@ -1,6 +1,6 @@
 """Round-7 breadth wave, STAGED during round 6.
 
-Six operators rounding out families the registry already carries —
+Seven operators rounding out families the registry already carries —
 implemented, oracle-gated and driver-sim verified in round 6, but held
 OUT of the round-6 grading window: they register at staging priority
 (behind the never-graded drain cohort and the deferred-changed keys, see
@@ -25,6 +25,9 @@ Contents:
 - ``q_dedup_latest_wins`` — latest-version-per-key dedup as ONE
   hash aggregation (max-of-struct), the window-free form of the
   classic ``row_number() = 1`` pattern.
+- ``q_embedding_quantize`` — int8 scalar quantization of the
+  embedding corpus (per-dim min/max calibration), the 4× memory /
+  bandwidth scale path under ANN serving.
 
 Reference parity: SURVEY.md §2's windowed-aggregate, sampling, dedup
 and event families ([UPSTREAM MoDevETL/pyLibrary/queries]); each query
@@ -481,4 +484,117 @@ def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.event_id").alias("last_event_id"),
         F.col("last.event_type").alias("last_event_type"),
         "n_versions",
+    )
+
+
+# --- Int8 scalar quantization of embeddings -----------------------------
+
+_QUANTIZE_ORACLE = """
+WITH ex AS (
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+coded AS (
+    SELECT e.vec_id, e.dim, e.x, s.mn, s.mx,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(FLOOR(((e.x - s.mn) / (s.mx - s.mn)) * 255)
+                          AS BIGINT)
+                ELSE 0 END AS code
+    FROM ex e JOIN stats s USING (dim)
+),
+cells AS (
+    SELECT vec_id, dim, code,
+           CASE WHEN mx > mn
+                THEN ABS(x - (mn + code * ((mx - mn) / 255)))
+                     <= ((mx - mn) / 255) * CAST(1.000001 AS DOUBLE)
+                ELSE TRUE END AS ok
+    FROM coded
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
+       BOOL_AND(ok) AS quant_ok
+FROM cells
+GROUP BY vec_id
+"""
+
+
+@q("q_embedding_quantize", oracle_sql=_QUANTIZE_ORACLE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ scale path [EXT]: int8 scalar quantization of the embedding
+    corpus — per-dimension min/max calibration, then each float maps to
+    ``floor((x−mn)/(mx−mn)·255)`` ∈ 0..255: the standard 4× memory /
+    bandwidth compression that lets an ANN serving tier hold the
+    corpus in RAM (IVF cells + int8 codes is the classic pairing with
+    this repo's ``q_sim_topk_ivf``). Deterministic end-to-end — the
+    calibration is order-free min/max and the code is two exact IEEE
+    ops both engines evaluate identically (everything cast to DOUBLE
+    first: float arithmetic wouldn't round identically to double's).
+
+    ``quant_ok`` verifies the quantization error bound |x − x̂| ≤ step
+    per element from the raw values (1e-6 relative slack absorbs the
+    one-ulp division rounding at cell boundaries; the oracle
+    recomputes the same predicate, not a literal). Codes emit as an
+    ordered CSV string (the array-output hash hazard).
+
+    Plan shape: calibration is one posexplode → per-dim hash agg —
+    the explode inflates 64× IN-TASK only; map-side combine collapses
+    the exchange to |dims| rows per task. The 64-row stats table rides
+    back as two broadcast arrays on a one-row crossJoin, and the
+    encoding is a per-row array transform — zero shuffle of the
+    corpus. At 100 TB: one streaming calibration pass, one streaming
+    encode pass."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    statarr = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r.mn).alias("mns"),
+        F.transform("s", lambda r: r.mx).alias("mxs"),
+    )
+
+    def _code(x, i):
+        mn = F.element_at("mns", i + F.lit(1))
+        mx = F.element_at("mxs", i + F.lit(1))
+        xd = x.cast("double")
+        return (
+            F.when(
+                mx > mn,
+                F.floor(((xd - mn) / (mx - mn)) * F.lit(255)).cast("bigint"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+        )
+
+    def _ok(x, i):
+        mn = F.element_at("mns", i + F.lit(1))
+        mx = F.element_at("mxs", i + F.lit(1))
+        xd = x.cast("double")
+        step = (mx - mn) / F.lit(255)
+        recon = mn + _code(x, i) * step
+        return F.when(
+            mx > mn, F.abs(xd - recon) <= step * F.lit(1.000001)
+        ).otherwise(F.lit(True))
+
+    return emb.crossJoin(F.broadcast(statarr)).select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("embedding"), lambda x, i: _code(x, i).cast("string")
+            ),
+            ",",
+        ).alias("codes"),
+        F.forall(
+            F.zip_with(
+                F.col("embedding"),
+                F.sequence(F.lit(0), F.size("embedding") - 1),
+                lambda x, i: _ok(x, i),
+            ),
+            lambda b: b,
+        ).alias("quant_ok"),
     )
