@@ -368,3 +368,36 @@ class TestWave7PlanGates:
                 # the only range exchange is global_running's, keyed on
                 # the bucket id — never on the raw value column
                 assert "bucket" in line, line
+
+
+class TestEmbeddingQuantize:
+    def test_codes_match_numpy_and_constant_dim_is_zero(self, spark, sf_dir, duck):
+        import numpy as np
+
+        from modevetl_spark.queries.wave7 import QUERIES
+
+        out = {
+            r["vec_id"]: r
+            for r in QUERIES["q_embedding_quantize"](spark, sf_dir).collect()
+        }
+        emb = duck.execute(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+        ).fetchall()
+        mat = np.array([list(e) for _, e in emb], dtype=np.float64)
+        mn, mx = mat.min(axis=0), mat.max(axis=0)
+        span = mx - mn
+        for j, (vid, vec) in enumerate(emb[:20]):
+            want = []
+            for d, x in enumerate(vec):
+                if span[d] > 0:
+                    want.append(int(np.floor(((float(x) - mn[d]) / span[d]) * 255)))
+                else:
+                    want.append(0)
+            got = [int(c) for c in out[vid]["codes"].split(",")]
+            assert got == want, (vid, got[:8], want[:8])
+            assert out[vid]["quant_ok"] is True
+        # every code in 0..255
+        allcodes = [
+            int(c) for r in out.values() for c in r["codes"].split(",")
+        ]
+        assert min(allcodes) >= 0 and max(allcodes) <= 255
