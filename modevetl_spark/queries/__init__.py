@@ -222,7 +222,7 @@ _STAGED_R7 = frozenset(
     {
         "q_tpch_late_shipments", "q_sketch_quantiles", "q_sample_reservoir",
         "q_session_stitch", "q_gapfill_percentile", "q_dedup_latest_wins",
-        "q_embedding_quantize",
+        "q_embedding_quantize", "q_sim_topk_quantized",
     }
 )
 

@@ -1,6 +1,6 @@
 """Round-7 breadth wave, STAGED during round 6.
 
-Seven operators rounding out families the registry already carries —
+Eight operators rounding out families the registry already carries —
 implemented, oracle-gated and driver-sim verified in round 6, but held
 OUT of the round-6 grading window: they register at staging priority
 (behind the never-graded drain cohort and the deferred-changed keys, see
@@ -28,6 +28,9 @@ Contents:
 - ``q_embedding_quantize`` — int8 scalar quantization of the
   embedding corpus (per-dim min/max calibration), the 4× memory /
   bandwidth scale path under ANN serving.
+- ``q_sim_topk_quantized`` — quantized ANN: ADC candidate search
+  over the reconstructed codes + exact rerank, recall@k graded as
+  data (full-replay oracle).
 
 Reference parity: SURVEY.md §2's windowed-aggregate, sampling, dedup
 and event families ([UPSTREAM MoDevETL/pyLibrary/queries]); each query
@@ -597,4 +600,209 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda b: b,
         ).alias("quant_ok"),
+    )
+
+
+# --- Quantized ANN: ADC candidate search + exact rerank -----------------
+
+_TOPK_QUANT_ORACLE = """
+WITH ex AS (
+    SELECT vec_id,
+           unnest(range(1, len(embedding) + 1)) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+coded AS (
+    SELECT e.vec_id, e.dim, s.mn, s.mx,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(FLOOR(((e.x - s.mn) / (s.mx - s.mn)) * 255)
+                          AS BIGINT)
+                ELSE 0 END AS code
+    FROM ex e JOIN stats s USING (dim)
+),
+recon AS (
+    SELECT vec_id,
+           list(CASE WHEN mx > mn
+                     THEN mn + (code + CAST(0.5 AS DOUBLE))
+                               * ((mx - mn) / 255)
+                     ELSE mn END ORDER BY dim) AS r_vec
+    FROM coded GROUP BY vec_id
+),
+qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+    FROM embeddings WHERE vec_id < 20
+),
+adc AS (
+    SELECT q.query_id, r.vec_id AS neighbor_id, q.q_vec,
+           ROUND(list_cosine_similarity(q.q_vec, r.r_vec), 6) AS adc
+    FROM qs q JOIN recon r ON r.vec_id <> q.query_id
+),
+cand AS (
+    SELECT query_id, neighbor_id, q_vec FROM adc
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc DESC, neighbor_id) <= 10
+),
+rer AS (
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(
+                   c.q_vec, CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       c.q_vec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                   c.neighbor_id) AS rn
+        FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+    ) WHERE rn <= 5
+),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                       q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                   c.vec_id) AS rn
+        FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+    ) WHERE rn <= 5
+),
+hits AS (
+    SELECT r.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS h
+    FROM rer r
+    LEFT JOIN truth t ON t.query_id = r.query_id
+                     AND t.neighbor_id = r.neighbor_id
+    GROUP BY r.query_id
+)
+SELECT r.query_id, r.neighbor_id, r.cos_sim,
+       h.h / CAST(5 AS DOUBLE) AS recall_at_k
+FROM rer r JOIN hits h USING (query_id)
+"""
+
+
+@q("q_sim_topk_quantized", oracle_sql=_TOPK_QUANT_ORACLE)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ scale path [EXT]: quantized ANN — asymmetric distance
+    computation (ADC) over the int8-reconstructed corpus picks top-2k
+    candidates per query, then an exact rerank of those candidates
+    yields the final top-k, with recall@k against the exact
+    brute-force truth emitted per query. This is the serving-tier
+    pairing of ``q_embedding_quantize``: the scan phase reads 4×-
+    compressed codes (reconstruction ``mn + (code+0.5)·step`` is two
+    exact IEEE ops), and only ≤2k full-precision vectors per query are
+    ever touched.
+
+    FULL-REPLAY ORACLE (the LSH-oracle pattern, not a bounds gate):
+    DuckDB recomputes the identical calibration, codes, reconstruction,
+    ADC ranking and rerank — approximation error doesn't matter for
+    parity because both engines run the same approximation; the
+    ``recall_at_k`` column grades retrieval quality as data (an exact
+    integer count / 5).
+
+    Plan shape: calibration as in q_embedding_quantize (|dims|-row
+    agg); the ADC pass is corpus × broadcast-20-queries with a
+    query-partitioned (never global) top-10 window; the rerank joins
+    10·|queries| candidate rows back to the corpus by id — at 100 TB
+    the corpus is scanned once as codes and once point-probed by id,
+    and with persisted codes (the deployment shape; the fixture
+    derives them inline) the full-precision table is only touched by
+    the point probes."""
+    from modevetl_spark.operators.similarity import cosine
+
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    statarr = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r.mn).alias("mns"),
+        F.transform("s", lambda r: r.mx).alias("mxs"),
+    )
+
+    def _recon(x, i):
+        mn = F.element_at("mns", i + F.lit(1))
+        mx = F.element_at("mxs", i + F.lit(1))
+        xd = x.cast("double")
+        code = F.floor(((xd - mn) / (mx - mn)) * F.lit(255)).cast("bigint")
+        return F.when(
+            mx > mn, mn + (code + F.lit(0.5)) * ((mx - mn) / F.lit(255))
+        ).otherwise(mn)
+
+    recon = emb.crossJoin(F.broadcast(statarr)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(F.col("embedding"), _recon).alias("r_vec"),
+    )
+    qs = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        recon.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("adc"),
+        )
+        .withColumn("rn", F.row_number().over(w_adc))
+        .where(F.col("rn") <= 10)
+        .drop("rn", "adc")
+    )
+    exact = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    w_rer = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    rer = (
+        cand.join(exact, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_rer))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.col("tcos").desc(), F.col("neighbor_id")
+    )
+    truth = (
+        exact.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("tcos"),
+        )
+        .withColumn("rn", F.row_number().over(w_truth))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        rer.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    full_hits = rer.select("query_id").distinct().join(hits, "query_id", "left")
+    return (
+        rer.join(
+            full_hits.select(
+                "query_id", F.coalesce("h", F.lit(0)).alias("h")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            (F.col("h") / F.lit(5.0)).alias("recall_at_k"),
+        )
     )
