@@ -175,9 +175,9 @@ _GRADED_R5 = frozenset(
 # ROUND-7 BOOKKEEPING (do this first next round): add _GRADED_R6 from
 # CORRECTNESS_r06.json; the r7 window then auto-pins the 15-key drain
 # residual (q_rate_confint … q_tukey_outliers), the 3 _CHANGED_R6_DEFERRED
-# re-pins, and the 7 _STAGED_R7 keys (retire the staged set into normal
+# re-pins, and the 8 _STAGED_R7 keys (retire the staged set into normal
 # never-graded priority 0 by deleting it, or fold it into a changed-pin
-# set) — ~25 slots; keep any brand-new r7 keys ≤ the remaining ~25 so
+# set) — 26 slots; keep any brand-new r7 keys ≤ the remaining ~24 so
 # nothing spills past the window again.
 #
 # Round-6 policy: DRAIN THE TAIL. 65 keys have never been driver-graded
