@@ -172,63 +172,54 @@ _GRADED_R5 = frozenset(
     }
 )
 
-# ROUND-7 BOOKKEEPING (do this first next round): add _GRADED_R6 from
-# CORRECTNESS_r06.json; the r7 window then auto-pins the 15-key drain
-# residual (q_rate_confint … q_tukey_outliers), the 3 _CHANGED_R6_DEFERRED
-# re-pins, and the 8 _STAGED_R7 keys (retire the staged set into normal
-# never-graded priority 0 by deleting it, or fold it into a changed-pin
-# set) — 26 slots; keep any brand-new r7 keys ≤ the remaining ~24 so
-# nothing spills past the window again.
-#
-# Round-6 policy: DRAIN THE TAIL. 65 keys have never been driver-graded
-# (the registry outgrew the 50-key/round window in round 5), so round 6
-# adds (near) zero new registry keys and pins the never-graded cohort
-# first — the r6 window grades 50 of them; the residual (~15) auto-pins
-# into round 7 by the same rule.
-#
-# Keys whose implementation CHANGED in round 6 but which hold green r5
-# evidence sit in _CHANGED_R6_DEFERRED: the r5 verdict explicitly defers
-# their re-pin to round 7 ("if round-6 window arithmetic is tight, defer
-# the re-pin to r7 but land the code now") so they cannot displace a
-# never-graded key. They sort at priority 0.5 — immediately behind the
-# never-graded cohort, ahead of all rotation — so they enter the window
-# the moment the tail drains. Each was re-verified MATCH by the
-# in-session driver sim before commit.
-#   q_tpch_top_supplier     global-max Window.partitionBy() rewritten to
-#                           a one-row aggregate + broadcast crossJoin
-#                           (the repo's Q22 scalar pattern); same values.
-#   q_window_percent_rank   W5 rewritten onto global_rank closed forms
-#                           (total order ⇒ percent_rank/ntile/cume_dist
-#                           are exact functions of (rank, n)); same
-#                           values, bit-parity argument in docstring.
-#   q_dedup_snm             transitively changed: global_rank (which it
-#                           consumes via sorted_neighborhood_pairs)
-#                           moved to operators/ranking.py with
-#                           window-free offsets; values unchanged and
-#                           re-verified MATCH in the full-registry
-#                           sweep, but the plan changed, so it re-pins.
-_CHANGED_R6_DEFERRED = frozenset(
-    {"q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm"}
+# The 50 keys CORRECTNESS_r06 graded (50/50 full rows+schema+hash
+# passes, zero errors — the drain round: every key drawn from the
+# never-graded tail).
+_GRADED_R6 = frozenset(
+    {
+        "q_abc_classification", "q_apportion_slots", "q_attribution_position",
+        "q_benford_digits", "q_bigram_surprisal", "q_bounce_rate",
+        "q_changepoint_cusum", "q_cohort_ltv", "q_concurrent_users_sweep",
+        "q_copurchase_lift", "q_customer_rfm", "q_date_spine_coverage",
+        "q_decile_lift", "q_dedup_cluster_stats", "q_dedup_eval_pr",
+        "q_dedup_levenshtein", "q_discount_elasticity", "q_events_heatmap",
+        "q_ewma_trunc", "q_feature_hashing", "q_graph_hits", "q_graph_kcore",
+        "q_heavy_hitters", "q_hist_equidepth", "q_hist_log_bins",
+        "q_inverted_index", "q_join_asof_tolerance", "q_join_interval_overlap",
+        "q_nb_langid", "q_order_interarrival", "q_psi_stability",
+        "q_revenue_gini", "q_roc_auc", "q_running_distinct", "q_runs_test",
+        "q_sample_systematic", "q_seasonal_index", "q_ship_lag_percentiles",
+        "q_skyline_pareto", "q_sql_frontend", "q_stats_ks_test",
+        "q_stats_mannwhitney", "q_streak_islands", "q_target_encoding",
+        "q_text_containment", "q_tokens_zipf", "q_topk_dense_ties",
+        "q_trending_tokens", "q_vocab_growth", "q_weighted_median",
+    }
 )
 
-# Round-7 breadth, STAGED during round 6 (queries/wave7.py): implemented
-# and driver-sim verified (sf0.001 + sf0.01, two parallelism configs,
-# 6/6 MATCH) in round 6, but registered at priority 0.75 — BEHIND the
-# 65-key never-graded drain cohort (priority 0) and the deferred-changed
-# keys (0.5) — so they sit at emission positions ≥ 69 and cannot
-# displace anything from the round-6 window. They enter the grading
-# window in round 7 as the tail drains.
-_STAGED_R7 = frozenset(
-    {
-        "q_tpch_late_shipments", "q_sketch_quantiles", "q_sample_reservoir",
-        "q_session_stitch", "q_gapfill_percentile", "q_dedup_latest_wins",
-        "q_embedding_quantize", "q_sim_topk_quantized",
-    }
+# Round-7 window arithmetic (executes the r6 verdict's top item): with
+# _GRADED_R6 landed and the r6 staged/deferred sets retired, the window
+# pins, in order: the 15-key drain residual (q_rate_confint …
+# q_tukey_outliers, never graded, priority 0), the 8 wave7 keys (never
+# graded, priority 0, module order puts them after the diagnostics
+# spill), any brand-new r7 keys (priority 0), then the 3 r6-changed
+# re-pins below (priority 0.5), then stalest-evidence rotation
+# (r1/r3-vintage cohort first). Keep new r7 keys ≤ ~15 so ≥5 rotation
+# slots refresh pre-r4 evidence (verdict item 2).
+#
+# Keys whose implementation changed in round 6 against green r5
+# evidence (judge-sanctioned deferral; all sim-verified MATCH, judge
+# independently re-graded MATCH) — they re-pin here at 0.5:
+#   q_tpch_top_supplier     global-max window → one-row agg + broadcast.
+#   q_window_percent_rank   W5 → global_rank closed forms.
+#   q_dedup_snm             global_rank moved to operators/ranking.py.
+_CHANGED_R7_PIN = frozenset(
+    {"q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm"}
 )
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (6, _GRADED_R6),
         (5, _GRADED_R5),
         (4, _GRADED_R4),
         (3, _GRADED_R3),
@@ -241,12 +232,10 @@ def _freshest_round(key: str) -> int:
 
 
 def _grading_priority(key: str) -> float:
-    if key in _STAGED_R7:
-        return 0.75  # staged for round 7: behind the drain cohort + deferred
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R6_DEFERRED:
-        return 0.5  # changed this round; re-pin deferred behind the tail
+    if key in _CHANGED_R7_PIN:
+        return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.
     return _freshest_round(key)
