@@ -145,10 +145,16 @@ def global_running(
        partition's rows.
 
     ``sums`` maps output column name → source column (name or Column
-    expression). Decimal inputs stay decimal end-to-end (window sum,
-    offset sum, and their addition are all exact), so the cross-engine
-    float discipline survives. Optional ``rank_col`` adds the global
-    row number from the same machinery for free.
+    expression). An output name may equal its OWN source column
+    (in-place cumulation) or any other source column: every running
+    sum is computed into a ``_cum_<name>`` temporary in one projection
+    over the original columns, then renamed — so
+    ``{"cnt": "cnt", "total": "cnt"}`` reads the pre-cumulation
+    ``cnt`` for both entries instead of the second silently windowing
+    over the first's output. Decimal inputs stay decimal end-to-end
+    (window sum, offset sum, and their addition are all exact), so the
+    cross-engine float discipline survives. Optional ``rank_col`` adds
+    the global row number from the same machinery for free.
     """
     local = _numbered(df, key_cols, partitions)
     names = list(sums)
@@ -161,9 +167,16 @@ def global_running(
     w_loc = Window.partitionBy("_pid").orderBy("_lrn").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    out = local.join(F.broadcast(offs), "_pid")
+    out = local.join(F.broadcast(offs), "_pid").withColumns(
+        {
+            f"_cum_{nm}": F.sum(src[nm]).over(w_loc) + F.col(f"_soff_{nm}")
+            for nm in names
+        }
+    )
     for nm in names:
-        out = out.withColumn(nm, F.sum(src[nm]).over(w_loc) + F.col(f"_soff_{nm}"))
+        if nm in out.columns:
+            out = out.drop(nm)
+        out = out.withColumnRenamed(f"_cum_{nm}", nm)
     if rank_col is not None:
         out = out.withColumn(
             rank_col, (F.col("_lrn") + F.col("_off") + 1).cast("bigint")

@@ -409,8 +409,11 @@ def curate_batch(
     way the curated content converges to the single-shot run. ``batch_id``
     must be deterministic for the delta — :func:`curate_job` passes the
     delta's max doc_id, the streaming face passes the checkpointed
-    foreachBatch epoch id. ``None`` (direct ad-hoc calls) falls back to
-    plain appends WITHOUT the replay guarantee."""
+    foreachBatch epoch id. ``None`` (direct ad-hoc calls) appends into
+    the reserved ``_batch=adhoc`` partition — same partitioned layout
+    as id'd batches (mixing flat files and partition directories in one
+    sink would break parquet partition discovery), but WITHOUT the
+    replay guarantee (appends duplicate on replay)."""
     import os
 
     from modevetl_spark.sources.fs import fs_has_parquet_files
@@ -437,7 +440,12 @@ def curate_batch(
         if n_out:
             curated = os.path.join(sink_path, "curated")
             if batch_id is None:
-                survivors.write.mode("append").parquet(curated)
+                (
+                    survivors.withColumn("_batch", F.lit("adhoc"))
+                    .write.partitionBy("_batch")
+                    .mode("append")
+                    .parquet(curated)
+                )
             else:
                 (
                     survivors.withColumn("_batch", F.lit(str(batch_id)))

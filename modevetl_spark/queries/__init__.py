@@ -212,8 +212,17 @@ _GRADED_R6 = frozenset(
 #   q_tpch_top_supplier     global-max window → one-row agg + broadcast.
 #   q_window_percent_rank   W5 → global_rank closed forms.
 #   q_dedup_snm             global_rank moved to operators/ranking.py.
+# Plus keys transitively changed in round 7 itself (r6-fresh evidence,
+# so they would otherwise sort last): global_running gained the
+# temp-column projection that makes output-name/source-name shadowing
+# safe — same values for every existing caller, but the projection
+# shape changed, so its r6-graded consumers re-pin:
+#   q_abc_classification, q_vocab_growth.
 _CHANGED_R7_PIN = frozenset(
-    {"q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm"}
+    {
+        "q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm",
+        "q_abc_classification", "q_vocab_growth",
+    }
 )
 
 

@@ -40,7 +40,7 @@ protocol, with the physical shape chosen for the 1000-executor case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.queries import prep
@@ -300,6 +300,12 @@ def session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph whose connected components are the stitched identities
     (stitched id = min user id in the component; identifier node ids
     are offset into disjoint ranges so the min is always a user).
+    The range arithmetic is GUARDED, not assumed: every user id and
+    identifier key is range-checked inline (``raise_error`` branch
+    fused into the node expression, so Catalyst cannot prune it) —
+    a key outside [0, 100000) would silently collide the user /
+    device / email node spaces and merge unrelated identities while
+    the oracle, replicating the same encoding, stayed green.
 
     Plan shape: edge derivation is one user-keyed aggregate of the
     signup slice (two ``min_by``/``max_by`` — no window, no sort);
@@ -323,13 +329,30 @@ def session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("k", "event_id").alias("dev_k"),
         F.max_by("k", "event_id").alias("email_k"),
     )
+
+    lim = 100000
+
+    def _ranged(col: Column, offset: int) -> Column:
+        # Range-guard fused into the node id so it survives pruning:
+        # any id outside [0, lim) aborts the job instead of silently
+        # colliding node spaces (user < lim <= device < 2·lim <= email).
+        ok = (col >= 0) & (col < F.lit(lim))
+        return F.when(ok, F.lit(offset) + col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"session_stitch: id out of [0, {lim}): "),
+                    col.cast("string"),
+                )
+            )
+        )
+
     edges = fl.select(
-        F.col("user_id").alias("src"),
-        (F.lit(100000) + F.col("dev_k")).alias("dst"),
+        _ranged(F.col("user_id"), 0).alias("src"),
+        _ranged(F.col("dev_k"), lim).alias("dst"),
     ).union(
         fl.select(
-            F.col("user_id").alias("src"),
-            (F.lit(200000) + F.col("email_k")).alias("dst"),
+            _ranged(F.col("user_id"), 0).alias("src"),
+            _ranged(F.col("email_k"), 2 * lim).alias("dst"),
         )
     )
     comp = connected_components(edges)
@@ -362,7 +385,7 @@ ranked AS (
     SELECT user_id, v,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v, day) AS rn,
            COUNT(*) OVER (PARTITION BY user_id) AS cnt
-    FROM daily
+    FROM daily WHERE v IS NOT NULL
 ),
 med AS (
     SELECT user_id, v AS med_v FROM ranked
@@ -392,6 +415,12 @@ def gapfill_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     middle pair, so no new float is manufactured and the cross-engine
     .5-boundary rounding trap (round-5 k-means lesson) cannot occur —
     the oracle picks the identical row by the identical rank rule.
+    NULL daily sums (a user-day whose every ``value`` is NULL) are
+    excluded from the median rank on BOTH engines — Spark orders NULLs
+    first while SQL ROW_NUMBER orders them last, so letting them into
+    the rank would silently shift the pick (and could even fill gaps
+    with NULL); the fill for such a day still comes from the non-null
+    median via COALESCE.
 
     Plan shape: one (user, day) hash agg; the per-user median is a
     user-partitioned window rank (balanced — partitioned by key, never
@@ -410,7 +439,8 @@ def gapfill_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("user_id").orderBy("v", "day")
     w_cnt = Window.partitionBy("user_id")
     med = (
-        daily.select(
+        daily.where(F.col("v").isNotNull())
+        .select(
             "user_id",
             "v",
             F.row_number().over(w_rank).alias("rn"),

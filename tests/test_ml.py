@@ -273,6 +273,29 @@ def test_curate_job_split_equivalence_and_replay(spark, tmp_path, sf_dir):
     assert n1 == len(ref) and n_b2 <= n1
 
 
+def test_curate_batch_adhoc_shares_partition_layout(spark, tmp_path, sf_dir):
+    """An ad-hoc (batch_id=None) curate into a sink that already holds
+    id'd batches must keep the partitioned layout: one spark.read of
+    curated/ sees both cohorts under _batch partitions (mixing flat
+    files and partition dirs breaks parquet partition discovery)."""
+    from modevetl_spark.plans.jobs import curate_batch
+    from modevetl_spark.sources.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    sink = str(tmp_path / "mixed")
+    n_a = curate_batch(spark, docs.where(F.col("doc_id") <= cut), sink, batch_id=1)
+    n_b = curate_batch(
+        spark, docs.where(F.col("doc_id") > cut), sink, batch_id=None
+    )
+    assert n_a > 0 and n_b > 0
+    curated = spark.read.parquet(f"{sink}/curated")
+    assert "_batch" in curated.columns
+    parts = {r._batch for r in curated.select("_batch").distinct().collect()}
+    assert parts == {"1", "adhoc"}
+    assert curated.count() == n_a + n_b
+
+
 def test_curate_crash_between_writes_converges(spark, tmp_path, sf_dir, monkeypatch):
     """The OTHER crash window (round-6 advice): curated partition
     committed, seen-hash append lost. The replay must overwrite the

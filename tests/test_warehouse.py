@@ -572,3 +572,22 @@ def test_ranking_operators_degenerate_inputs(spark):
     assert (r["id"], r["rn"]) == (1, 1)
     [r] = global_running(one, ["v", "id"], {"c": "v"}, rank_col="rn").collect()
     assert (r["c"], r["rn"]) == (5, 1)
+
+
+def test_global_running_output_name_shadows_source(spark):
+    """An output name that equals a source column consumed by ANOTHER
+    entry must not shadow it: {"cnt": "cnt", "total": "cnt"} reads the
+    pre-cumulation cnt for BOTH sums (the advisor's round-6 trap — the
+    old per-name withColumn loop made the second sum window over the
+    already-cumulated column)."""
+    from modevetl_spark.operators.ranking import global_running
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, cnt long")
+    rows = {
+        r["id"]: (r["cnt"], r["total"])
+        for r in global_running(
+            df, ["id"], {"cnt": "cnt", "total": "cnt"}, partitions=2
+        ).collect()
+    }
+    # Both entries cumulate the ORIGINAL cnt: 10, 30, 60.
+    assert rows == {1: (10, 10), 2: (30, 30), 3: (60, 60)}
