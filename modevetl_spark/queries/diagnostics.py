@@ -2415,14 +2415,26 @@ active AS (
     SELECT region FROM rev GROUP BY region HAVING SUM(n_orders) >= 2950
     EXCEPT
     SELECT region FROM rev WHERE n_orders < 260
+),
+yoy AS (
+    SELECT region, order_year, revenue, n_orders,
+           LAG(revenue) OVER (PARTITION BY region ORDER BY order_year)
+               AS prev_rev,
+           CAST(SUM(n_orders) OVER (
+                    PARTITION BY region ORDER BY order_year
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_orders
+    FROM rev
 )
 SELECT /*+ BROADCAST(a) */
        rv.region, rv.order_year, rv.revenue, rv.n_orders,
        CAST(RANK() OVER (PARTITION BY rv.order_year ORDER BY rv.revenue DESC)
             AS BIGINT) AS region_rank,
+       rv.revenue - rv.prev_rev AS rev_delta,
+       rv.cum_orders,
        CAST(COALESCE(a.flag, 0) AS BIGINT) AS is_active,
        CAST((SELECT COUNT(*) FROM active) AS BIGINT) AS n_active_regions
-FROM rev rv
+FROM yoy rv
 LEFT JOIN (SELECT region, 1 AS flag FROM active) a ON rv.region = a.region
 """
 
@@ -2439,7 +2451,13 @@ def sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     without adding a key: it now also exercises HAVING, EXCEPT, a
     derived-table LEFT JOIN, and an uncorrelated scalar subquery — the
     added logic is integer-only (counts), so portability needs no new
-    float discipline.
+    float discipline. Round 7 widened it again (r6 verdict item 6): a
+    CHAINED CTE (``yoy`` reads ``rev``) carrying LAG and a frame-spec'd
+    running window (``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW``). Float discipline holds for free: ``rev_delta`` is ONE IEEE
+    subtract of two already-2dp-rounded doubles (exact, engine-
+    identical) and ``cum_orders`` is an integer window sum cast BIGINT
+    (the HUGEINT-repr lesson).
 
     Plan shape: identical to the DataFrame star queries — Catalyst
     compiles the SQL text to the same logical plan (broadcast dims,
