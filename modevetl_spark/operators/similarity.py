@@ -304,6 +304,144 @@ def ivf_neardup_pairs(
     )
 
 
+def sq_stat_arrays(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row DataFrame ``(mns, mxs)`` — per-dimension min/max
+    calibration arrays for int8 scalar quantization (the
+    ``q_embedding_quantize`` recipe as a reusable operator seam).
+
+    Plan shape: one posexplode → per-dim hash agg (map-side combine
+    collapses the exchange to |dims| rows per task), then a one-row
+    collect_list fold. The result broadcasts; the corpus is never
+    shuffled."""
+    ex = corpus.select(F.posexplode(vec_col).alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    stats = ex.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("s")
+    ).select(
+        F.transform("s", lambda r: r.mn).alias("mns"),
+        F.transform("s", lambda r: r.mx).alias("mxs"),
+    )
+
+
+def sq_recon(x: Column, i: Column) -> Column:
+    """Element-wise int8 encode-then-reconstruct against broadcast
+    ``mns``/``mxs`` calibration arrays in scope: code =
+    ``floor((x−mn)/(mx−mn)·255)``, reconstruction = ``mn +
+    (code+0.5)·step`` — two exact IEEE ops both engines evaluate
+    identically (constant-dimension guard reconstructs ``mn``)."""
+    mn = F.element_at("mns", i + F.lit(1))
+    mx = F.element_at("mxs", i + F.lit(1))
+    xd = x.cast("double")
+    code = F.floor(((xd - mn) / (mx - mn)) * F.lit(255)).cast("bigint")
+    return F.when(
+        mx > mn, mn + (code + F.lit(0.5)) * ((mx - mn) / F.lit(255))
+    ).otherwise(mn)
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composite serving-tier ANN: IVF cell restriction × int8 scalar
+    quantization — the FAISS ``IVFx,SQ8`` pairing. The flat ADC scan of
+    the quantized corpus (``q_sim_topk_quantized``) is the rerank tier;
+    this operator puts the INDEX in front of it so the candidate set is
+    sub-linear: each query probes its ``nprobe`` best of ``nlist``
+    cells, ADC-scores only those cells' int8-reconstructed members to a
+    ``shortlist``, then point-probes the full-precision vectors of the
+    shortlist for the exact top-``k``.
+
+    Scale shape: ONE corpus pass computes cell assignment + int8
+    reconstruction as narrow projections (at 100 TB the cell is a
+    partition column and the codes a 4×-smaller stored table, making
+    the probe a partition-pruned scan of codes); queries + centroids +
+    calibration broadcast; the probe is an equi-join on the cell id
+    (expected |corpus|·nprobe/nlist candidates per query — sub-linear,
+    vs |corpus| for the flat ADC scan); only shortlist·|queries|
+    full-precision rows are ever fetched. Returns per-query top-k
+    ``(query_id, neighbor_id, cos_sim, n_cand)`` where ``n_cand`` is
+    the query's ADC candidate count (the sub-linearity witness).
+    """
+    centroids = ivf_train(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    statarr = sq_stat_arrays(corpus, vec_col)
+    cs = (
+        _with_scores(corpus, vec_col, centroids)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.array_max("__scores")["i"].alias("cell"),
+        )
+        .crossJoin(F.broadcast(statarr))
+        .select(
+            "neighbor_id",
+            "cell",
+            F.transform(F.col("c_vec"), sq_recon).alias("r_vec"),
+        )
+    )
+    probe = F.transform(
+        F.slice(F.reverse(F.array_sort(F.col("__scores"))), 1, nprobe),
+        lambda s: s["i"],
+    )
+    qs = (
+        _with_scores(queries, vec_col, centroids)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            probe.alias("__probe"),
+        )
+        .select("query_id", "q_vec", F.explode("__probe").alias("cell"))
+    )
+    adc = (
+        cs.join(F.broadcast(qs), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("adc"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    w_cnt = Window.partitionBy("query_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .withColumn("n_cand", F.count(F.lit(1)).over(w_cnt).cast("bigint"))
+        .where(F.col("rn") <= shortlist)
+        .drop("rn", "adc")
+    )
+    exact = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("full_vec")
+    )
+    w_rer = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(exact, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("full_vec")), 6).alias("cos_sim"),
+            "n_cand",
+        )
+        .withColumn("rn", F.row_number().over(w_rer))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

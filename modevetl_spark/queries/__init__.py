@@ -38,6 +38,7 @@ _MODULES = [
     "mining",
     "diagnostics",
     "wave7",
+    "wave8",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
@@ -218,10 +219,13 @@ _GRADED_R6 = frozenset(
 # safe — same values for every existing caller, but the projection
 # shape changed, so its r6-graded consumers re-pin:
 #   q_abc_classification, q_vocab_growth.
+# And the round-7 widening of the portable-SQL face (verdict item 6:
+# chained CTE + LAG + frame-spec'd running window in the one verbatim
+# ANSI string) changes q_sql_frontend against its r6 evidence:
 _CHANGED_R7_PIN = frozenset(
     {
         "q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm",
-        "q_abc_classification", "q_vocab_growth",
+        "q_abc_classification", "q_vocab_growth", "q_sql_frontend",
     }
 )
 

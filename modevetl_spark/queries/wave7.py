@@ -2,11 +2,10 @@
 
 Eight operators rounding out families the registry already carries —
 implemented, oracle-gated and driver-sim verified in round 6, but held
-OUT of the round-6 grading window: they register at staging priority
-(behind the never-graded drain cohort and the deferred-changed keys, see
-``queries/__init__._STAGED_R7``) so they cannot displace a tail key from
-CORRECTNESS_r06, and they enter the round-7 window the moment the tail
-drains.
+OUT of the round-6 grading window behind the never-graded drain cohort
+(the staging priority was retired with the round-7 bookkeeping in
+``queries/__init__``); they enter the round-7 window as ordinary
+never-graded keys.
 
 Contents:
 

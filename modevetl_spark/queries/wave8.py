@@ -1,0 +1,448 @@
+"""Round-7 breadth wave: the three verdict-named serving/scale operators.
+
+- ``q_sketch_merge_quantiles`` — a MERGEABLE deterministic rank-sample
+  quantile sketch (the Munro–Paterson/MRL lineage) with a full-replay
+  oracle AND a rank-bounds verdict. KLL and t-digest carry the same
+  mergeable ε-rank guarantee but their randomized compaction / centroid
+  order cannot be replayed bit-for-bit by a second engine; systematic
+  sampling on per-cell ranks is the deterministic member of the family,
+  so the WHOLE sketch (cells, compaction, merge, estimate) is
+  SQL-expressible and hash-graded, not just bounds-checked. Unlike the
+  fixed-width histogram sketch (``q_sketch_quantiles``), its error
+  bound is on RANK, not value — exactly what heavy-tailed domains need
+  (a K-bucket equi-width grid puts almost all of a heavy tail in one
+  bucket; a rank sketch is distribution-free).
+- ``q_join_containment`` — exact Jaccard-containment join
+  (|A∩B|/|A| ≥ t, directed) via the LOSSLESS prefix filter, the
+  asymmetric companion of the PPJoin similarity join
+  (``q_dedup_ngram_jaccard``).
+- ``q_sim_topk_ivf_sq`` — the composite serving-tier ANN: IVF cell
+  restriction in front of the int8 ADC scan (FAISS ``IVFx,SQ8``),
+  making ``q_sim_topk_quantized``'s flat scan sub-linear.
+
+Reference parity: SURVEY.md §2's aggregate/join/similarity families;
+each query re-expresses the documented semantics per SURVEY §0's
+protocol with the physical shape chosen for the 1000-executor case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+
+# --- Mergeable rank-sample quantile sketch (full replay + bounds) -------
+
+_SK_EPS = 0.02  # rank-error budget as a fraction of n
+_SK_P = 32  # sketch cells (deterministic hash partitions)
+
+_MERGE_Q_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderkey, o_totalprice AS v,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_SK_P} AS pid
+    FROM orders
+),
+numbered AS (
+    SELECT pid, v, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY v, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY pid) AS n_p
+    FROM src
+),
+kept AS (
+    SELECT v, o_orderkey, LEAST(step, n_p - rn + 1) AS w
+    FROM (SELECT *,
+                 GREATEST(1, CAST(FLOOR(CAST({_SK_EPS} AS DOUBLE) * n_p)
+                                  AS BIGINT)) AS step
+          FROM numbered)
+    WHERE (rn - 1) % step = 0
+),
+cum AS (SELECT v, SUM(w) OVER (ORDER BY v, o_orderkey) AS cum FROM kept),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+probs AS (
+    SELECT UNNEST(['p10', 'p50', 'p90', 'p99']) AS p_label,
+           UNNEST([CAST(0.10 AS DOUBLE), CAST(0.50 AS DOUBLE),
+                   CAST(0.90 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p
+),
+tgt AS (
+    SELECT p.p_label, CAST(CEIL(p.p * t.n) AS BIGINT) AS target, t.n
+    FROM probs p, tot t
+),
+est AS (
+    SELECT t.p_label, t.target, t.n, MIN(c.v) AS est
+    FROM tgt t JOIN cum c ON c.cum >= t.target
+    GROUP BY 1, 2, 3
+),
+chk AS (
+    SELECT e.p_label,
+           CAST(COUNT(CASE WHEN o.o_totalprice < e.est THEN 1 END)
+                AS BIGINT) AS rank_lo,
+           CAST(COUNT(CASE WHEN o.o_totalprice <= e.est THEN 1 END)
+                AS BIGINT) AS rank_hi
+    FROM orders o, est e GROUP BY 1
+)
+SELECT e.p_label, e.n, e.est, c.rank_lo, c.rank_hi,
+       (c.rank_lo < e.target
+        AND c.rank_hi >= e.target
+            - CAST(FLOOR(CAST({_SK_EPS} AS DOUBLE) * e.n) AS BIGINT))
+           AS bounds_ok
+FROM est e JOIN chk c USING (p_label)
+"""
+
+
+@q("q_sketch_merge_quantiles", oracle_sql=_MERGE_Q_ORACLE)
+def sketch_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 scale path [EXT]: MERGEABLE deterministic quantile sketch with
+    a provable rank bound — p10/p50/p90/p99 of ``o_totalprice`` from a
+    systematic rank sample per deterministic hash cell (the
+    Munro–Paterson/MRL family; see module docstring for why this
+    deterministic member stands in for KLL/t-digest here).
+
+    The sketch: rows hash (shared md5) into P={P} cells; each cell
+    sorts its n_p rows by ``(v, key)`` and keeps every step-th row
+    (step = max(1, ⌊ε·n_p⌋), ε={EPS}) with weight = the size of the
+    rank block it represents (weights sum to n_p exactly). Cell
+    sketches MERGE by union — the estimate is the minimum kept value
+    whose merged cumulative weight reaches target = ⌈q·n⌉.
+
+    Rank guarantee (each kept row is the MINIMUM of its rank block, so
+    a block only ever straddles a value threshold upward, at most one
+    block per cell): count(v < est) < target exactly, and
+    count(v ≤ est) ≥ target − Σ(step_p − 1) ≥ target − ⌊ε·n⌋. The
+    output carries the exact ranks (``rank_lo``/``rank_hi``, one
+    verification scan) and the ``bounds_ok`` verdict; DuckDB replays
+    the ENTIRE sketch — cells, compaction, merge, estimate — so est
+    itself is hash-graded, not just bounds-checked.
+
+    Plan shape: the per-cell number/count windows partition by the hash
+    cell (balanced, never global); the kept sketch is ≤ P·(1/ε + 1)
+    rows (~{SZ} here) — a config-bounded relation — so its cumulative
+    merge runs through ``operators/ranking.global_running``; targets
+    and estimates ride one-row/4-row broadcast crossJoins (the Q22
+    scalar pattern), and verification is one more streamed fact scan
+    with map-side combine to 4 groups. At 100 TB: two fact scans + one
+    bounded exchange; the sketch is also the INCREMENTAL shape — new
+    partitions sketch independently and merge by union."""
+    from modevetl_spark.operators.ranking import global_running
+
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    pid = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _SK_P
+    )
+    src = o.select("o_orderkey", F.col("o_totalprice").alias("v"), pid.alias("pid"))
+    w_rank = Window.partitionBy("pid").orderBy("v", "o_orderkey")
+    w_cell = Window.partitionBy("pid")
+    numbered = src.select(
+        "pid",
+        "v",
+        "o_orderkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cell).alias("n_p"),
+    ).withColumn(
+        "step",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(_SK_EPS) * F.col("n_p")).cast("bigint"),
+        ),
+    )
+    kept = numbered.where((F.col("rn") - 1) % F.col("step") == 0).select(
+        "v",
+        "o_orderkey",
+        F.least(F.col("step"), F.col("n_p") - F.col("rn") + 1).alias("w"),
+    )
+    cum = global_running(kept, ["v", "o_orderkey"], sums={"cum": "w"})
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    probs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("p_label"),
+                        F.lit(p).cast("double").alias("p"),
+                    )
+                    for lbl, p in [
+                        ("p10", 0.10),
+                        ("p50", 0.50),
+                        ("p90", 0.90),
+                        ("p99", 0.99),
+                    ]
+                ]
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    tgt = probs.crossJoin(F.broadcast(tot)).select(
+        "p_label",
+        F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("target"),
+        "n",
+    )
+    est = (
+        cum.join(F.broadcast(tgt), F.col("cum") >= F.col("target"))
+        .groupBy("p_label", "target", "n")
+        .agg(F.min("v").alias("est"))
+    )
+    chk = (
+        o.crossJoin(F.broadcast(est))
+        .groupBy("p_label", "target", "n", "est")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") < F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_hi"),
+        )
+    )
+    slack = F.floor(F.lit(_SK_EPS) * F.col("n")).cast("bigint")
+    return chk.select(
+        "p_label",
+        "n",
+        "est",
+        "rank_lo",
+        "rank_hi",
+        (
+            (F.col("rank_lo") < F.col("target"))
+            & (F.col("rank_hi") >= F.col("target") - slack)
+        ).alias("bounds_ok"),
+    )
+
+
+sketch_merge_quantiles.__doc__ = sketch_merge_quantiles.__doc__.format(
+    P=_SK_P, EPS=_SK_EPS, SZ=_SK_P * (int(1 / _SK_EPS) + 1)
+)
+
+
+# --- Exact containment join via lossless prefix filter ------------------
+
+_T_CONTAIN = 0.6
+
+_CONTAIN_JOIN_ORACLE = rf"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+toks AS (
+    SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+        FROM w, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+        WHERE i + 2 <= len(w)
+    )
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.shared,
+       ROUND(CAST(i.shared AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a_id
+WHERE CAST(i.shared AS DOUBLE) / sa.n >= CAST({_T_CONTAIN} AS DOUBLE)
+"""
+
+
+@q("q_join_containment", oracle_sql=_CONTAIN_JOIN_ORACLE)
+def join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+/L1+ [EXT]: exact DIRECTED containment join — every ordered
+    pair (A, B) with trigram-shingle-set containment |A∩B|/|A| ≥ t={T},
+    via the LOSSLESS prefix filter. ``q_text_containment`` is the
+    heuristic sibling (df-banded shingles — the band is part of its
+    semantics and pairs witnessed only by df=1 or boilerplate shingles
+    are invisible to it); this is the exact algorithmic one: if
+    C(A→B) ≥ t then fewer than |A| − ⌈t·|A|⌉ + 1 of A's shingles miss
+    B, so A's prefix of that length (shingles ordered rarest-global-df
+    first) provably shares a shingle with B — candidates from
+    (A-prefix ⋈ B-full) lose nothing, and the oracle stays plain
+    all-pairs SQL. Shingle (not single-word) sets are the semantics:
+    word sets over a shared vocabulary make near-universal containment
+    (measured: 201k of 250k ordered pairs at t=0.6 on this fixture),
+    while 3-shingles are near-unique so containment means quotation.
+
+    Asymmetry matters: the probe side prefixes, the indexed side keeps
+    FULL postings (containment can't truncate B losslessly). The
+    df-first token order makes prefixes the RAREST tokens of each set,
+    so hot-token postings only join against the few probes whose whole
+    set is hot — the expected-cost argument of All-Pairs/PPJoin.
+    Containment divides two integers — one exact IEEE op,
+    engine-identical (and t·|A| is one double multiply both engines
+    evaluate identically).
+
+    Plan shape: one explode → token-keyed df agg; prefix rank is a
+    doc-partitioned window (balanced); candidate generation is a
+    token-keyed equi-join probe-prefix × full-postings; verification
+    joins the ≤|cand| pairs back to the per-doc token arrays by id and
+    intersects in-task. At 100 TB postings would be bucketed by token
+    (``sources/formats.write_bucketed``) making the candidate join
+    co-located."""
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.text import tokens, word_shingles
+
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    sets = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
+    docfreq = sets.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sets.join(docfreq, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok"))
+        ),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(_T_CONTAIN) * F.col("n")) + 1
+    prefix = ranked.where(F.col("rn") <= prefix_len).select("doc_id", "tok")
+    a = prefix.select(F.col("doc_id").alias("a_id"), "tok")
+    b = sets.select(F.col("doc_id").alias("b_id"), "tok")
+    cand = (
+        a.join(b, on="tok")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("n_a"),
+    )
+    tb = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
+    shared = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    containment = shared.cast("double") / F.col("n_a")
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .where(containment >= F.lit(_T_CONTAIN))
+        .select(
+            "a_id",
+            "b_id",
+            shared.alias("shared"),
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
+join_containment.__doc__ = join_containment.__doc__.format(T=_T_CONTAIN)
+
+
+# --- Composite serving-tier ANN: IVF cells × int8 ADC -------------------
+
+_IVF_SQ_ORACLE = """
+WITH qs AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+    FROM embeddings WHERE vec_id < 20
+),
+ranked AS (
+    SELECT q.query_id, c.vec_id AS nid,
+           ROUND(list_cosine_similarity(q.q_vec,
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cs,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY ROUND(list_cosine_similarity(
+                   q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) DESC,
+               c.vec_id) AS rn
+    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+)
+SELECT query_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN nid END) AS BIGINT) AS exact_top1_id,
+       MAX(CASE WHEN rn = 1 THEN cs END) AS exact_top1_cos,
+       string_agg(CAST(nid AS VARCHAR), ',' ORDER BY rn) AS exact_top5_ids,
+       TRUE AS recall_ok,
+       TRUE AS cand_bounded
+FROM ranked WHERE rn <= 5
+GROUP BY query_id
+"""
+
+
+@q("q_sim_topk_ivf_sq", oracle_sql=_IVF_SQ_ORACLE)
+def sim_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ scale path [EXT]: the composite serving-tier ANN — IVF cell
+    restriction × int8 scalar quantization (FAISS ``IVF16,SQ8``),
+    executing the r6 verdict's composite: ``q_sim_topk_quantized``'s
+    flat ADC scan becomes the RERANK TIER behind a sub-linear index.
+    Per query: probe the 4 best of 16 IVF cells, ADC-score only those
+    cells' int8-reconstructed members (expected |corpus|·nprobe/nlist
+    candidates — sub-linear), shortlist 10, exact-rerank to top-5 by
+    point-probing full-precision vectors.
+
+    BOUNDS-ORACLE (the sanctioned q_sim_topk_ivf pattern — data-trained
+    centroids cannot embed in static SQL): per query the output carries
+    the exact brute-force top-1 (id + cosine) and the exact top-5 id
+    list as a CSV string — REAL oracle-recomputable hash content — plus
+    two quality verdicts the query computes against its own exact
+    baseline: ``recall_ok`` (overall recall@5 of the composite vs exact
+    ≥ 0.5, the unit-test floor) and ``cand_bounded`` (mean ADC
+    candidates per query ≤ 2.5×·nprobe/nlist·|corpus| — the sub-linear
+    claim graded as data; the flat ADC scan would be |corpus| per
+    query and fail it).
+
+    Plan shape (``operators/similarity.ivf_sq_topk``): ONE corpus pass
+    computes cell + reconstruction as narrow projections (at 100 TB the
+    cell is a partition column over stored 4×-smaller codes → the probe
+    is a partition-pruned scan); queries/centroids/calibration
+    broadcast; candidate generation is an equi-join on the cell id;
+    windows partition by query (never global); only 10·|queries|
+    full-precision rows are point-probed. The exact brute-force
+    baseline here is the self-grading harness, not the serving path."""
+    from modevetl_spark.operators.similarity import brute_force_topk, ivf_sq_topk
+
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 20)
+    res = ivf_sq_topk(e, qs, k=5, shortlist=10, nlist=16, nprobe=4)
+    exact = brute_force_topk(e, qs, k=5)
+
+    n_hit = exact.join(
+        res.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_tot = exact.agg(F.count(F.lit(1)).alias("n_tot"))
+    recall_flag = n_hit.crossJoin(n_tot).select(
+        (F.col("n_hit") >= 0.5 * F.col("n_tot")).alias("recall_ok")
+    )
+
+    corpus_n = e.agg(F.count(F.lit(1)).alias("n_corpus"))
+    cand_flag = (
+        res.select("query_id", "n_cand")
+        .distinct()
+        .agg(F.avg("n_cand").alias("avg_cand"))
+        .crossJoin(corpus_n)
+        .select(
+            (
+                F.col("avg_cand")
+                <= F.lit(2.5) * (F.lit(4) / F.lit(16)) * F.col("n_corpus")
+            ).alias("cand_bounded")
+        )
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    ranked = exact.withColumn("rn", F.row_number().over(w))
+    top = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("neighbor_id")))
+        .cast("bigint")
+        .alias("exact_top1_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("cos_sim"))).alias("exact_top1_cos"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "neighbor_id"))),
+                lambda s: s.neighbor_id.cast("string"),
+            ),
+            ",",
+        ).alias("exact_top5_ids"),
+    )
+    return top.crossJoin(F.broadcast(recall_flag)).crossJoin(
+        F.broadcast(cand_flag)
+    )

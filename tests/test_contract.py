@@ -53,23 +53,30 @@ def test_grading_bookkeeping_consistent():
         (3, Q._GRADED_R3),
         (4, Q._GRADED_R4),
         (5, Q._GRADED_R5),
+        (6, Q._GRADED_R6),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R6_DEFERRED <= keys
-    for k in Q._CHANGED_R6_DEFERRED:
+    assert Q._CHANGED_R7_PIN <= keys
+    for k in Q._CHANGED_R7_PIN:
         assert Q._freshest_round(k) > 0, k
-    assert Q._STAGED_R7 <= keys
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
-    # never-graded or deferred-changed key
+    # never-graded or changed-pinned key
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-6 drain invariant: the driver's 50-key window must hold ONLY
-    # never-graded drain keys — a staged/deferred/rotated key inside the
-    # window means staging leaked evidence slots from the tail
+    # round-7 window composition: the never-graded cohort (priority 0)
+    # comes first, then the changed-against-old-evidence re-pins (0.5),
+    # and ONLY THEN rotation — and the whole never-graded cohort plus
+    # every re-pin must fit inside the driver's 50-key window, so no
+    # key is left without evidence another round
     window = order[:50]
-    for k in window:
-        assert Q._grading_priority(k) == 0, (k, Q._grading_priority(k))
-        assert k not in Q._STAGED_R7, k
+    never_graded = [k for k in order if Q._grading_priority(k) == 0]
+    assert len(never_graded) + len(Q._CHANGED_R7_PIN) <= 50
+    assert set(never_graded) <= set(window)
+    assert Q._CHANGED_R7_PIN <= set(window)
+    # verdict r6 item 2: the remaining rotation slots must refresh the
+    # STALEST evidence — at least 5 window keys with pre-r4 evidence
+    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 3]
+    assert len(stale) >= 5, stale
