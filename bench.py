@@ -54,6 +54,11 @@ HEADLINE = [
     # visibility for the range-partitioned rank/prefix-sum plans
     "q_customer_rfm",
     "q_abc_classification",
+    # round 7 (the r6 verdict's bench-refresh list): bounded-exchange
+    # quantile trend, agg-vs-window dedup trend, serving-tier ANN trend
+    "q_sketch_quantiles",
+    "q_dedup_latest_wins",
+    "q_sim_topk_quantized",
 ]
 
 
