@@ -194,6 +194,124 @@ def run_heavy_hitters_tick(
     ).parquet(state_path)
 
 
+def kmv_state(hashed: DataFrame, k: int) -> DataFrame:
+    """One sketch pass of the K-minimum-values distinct sketch (Bar-Yossef
+    et al. 2002; the theta-sketch lineage): per physical partition, fold
+    the stream of 32-bit value hashes down to the partition's ``k``
+    smallest DISTINCT hashes.
+
+    ``hashed`` must carry one ``h`` bigint column — a uniform hash of
+    the sketched value computed JVM-side by the caller (the shared
+    md5-prefix hash, so a second engine replays it bit-for-bit). The
+    fold state is a bounded ndarray (≤ 2k values between trims, ≤ k
+    emitted), so the output union is ≤ k·P rows no matter the data
+    size — the full key space is never shuffled, which is the entire
+    reason to sketch instead of ``count_distinct``.
+
+    Mergeability IS the fold: two KMV states merge by unioning their
+    value sets and re-taking the k smallest — exactly what the per-batch
+    step does — so per-partition states, per-tick states, and
+    per-table-segment states all combine with the same operation and
+    the result is independent of partitioning and arrival order (any
+    globally-k-smallest hash is among its own partition's k smallest,
+    hence survives every intermediate trim).
+    """
+    import numpy as np
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = np.empty(0, dtype="int64")
+        for pdf in batches:
+            state = np.union1d(state, pdf["h"].to_numpy(dtype="int64"))
+            if len(state) > k:
+                state = state[:k]  # union1d returns sorted uniques
+        yield pd.DataFrame({"h": state})
+
+    return hashed.select("h").mapInPandas(fold, schema="h long")
+
+
+def kmv_distinct(df: DataFrame, col, k: int = 256) -> DataFrame:
+    """Mergeable distinct-count estimate with an exact-verify tier:
+    K-minimum-values over the shared 32-bit md5-prefix hash.
+
+    Estimator: with U = h_k / 2^32 the k-th smallest of D uniform
+    hashes, E[U] = k/(D+1), and D̂ = (k−1)/U is the unbiased KMV
+    estimator with relative standard error ≈ 1/√(k−2). Every op in the
+    estimate is exact or correctly-rounded IEEE (integer-valued doubles
+    below 2^41, one division), so a second engine replaying DISTINCT →
+    ORDER BY h LIMIT k → MAX(h) reproduces it bit-for-bit.
+
+    Returns one row: ``(k, n_rows, h_k, est_distinct, exact_distinct,
+    rel_err, bounds_ok)`` — the exact count and the 3σ verdict ride
+    along as data (the recall-as-data convention), graded by the
+    caller's oracle rather than trusted.
+
+    Plan shape: the sketch pass is one bounded mapInPandas fold (state
+    ≤ 2k int64s, output ≤ k·P rows) behind an eager localCheckpoint;
+    the global k-min is a TakeOrderedAndProject over that bounded
+    union; the estimate is scalar arithmetic on a one-row broadcast.
+    The exact-verify tier is the only stage that shuffles distinct
+    keys (partial_count(distinct) map-side combine) — at 100 TB you
+    run the sketch alone and keep the verify for audits, exactly like
+    ``heavy_hitters_exact``'s two-tier split.
+    """
+    hashed = df.select(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    ).where(F.col("h").isNotNull())
+    state = kmv_state(hashed, k).localCheckpoint(eager=True)
+    # the same value (hence hash) can appear in several partitions'
+    # k-min sets — the union must deduplicate BEFORE the global bottom-k
+    # or duplicates crowd out genuine k-th values (caught by
+    # test_non_full_sketch_is_exact; a sorted fixture can mask it).
+    # The distinct is a tiny exchange over the ≤ k·P-row union.
+    kmin = state.distinct().orderBy("h").limit(k)
+    hk = kmin.agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("k_got"))
+    exact = df.agg(
+        F.count_distinct(F.col(col)).cast("bigint").alias("exact_distinct"),
+        F.count(F.col(col)).cast("bigint").alias("n_rows"),
+    )
+    # a non-full sketch (k_got < k) holds EVERY distinct hash, so the
+    # count is exact by rule; the (k−1)/U estimator applies only to a
+    # full sketch (hash collisions make this ≤, not =, the true count —
+    # a 32-bit space is the shared-replay compromise, birthday error
+    # < 0.01% at the fixture scales and identical in both engines)
+    est = (
+        F.when(F.col("k_got") < k, F.col("k_got").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("k_got") - 1).cast("double")
+                * F.lit(float(2**32))
+                / F.col("h_k").cast("double"),
+                4,
+            )
+        )
+        .alias("est_distinct")
+    )
+    return (
+        hk.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("k_got").cast("bigint").alias("k"),
+            "n_rows",
+            "h_k",
+            est,
+            "exact_distinct",
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+        .withColumn(
+            "bounds_ok",
+            F.col("rel_err") <= F.lit(3.0) / F.sqrt(F.lit(float(k - 2))),
+        )
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     value_col: str,

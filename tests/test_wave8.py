@@ -271,9 +271,89 @@ class TestWave8Plans:
         assert "ShuffledHashJoin" not in plan
 
 
+class TestKmvDistinct:
+    def test_fixture_bounds_and_exact_tier(self, spark, sf_dir):
+        from modevetl_spark.queries.wave8 import sketch_distinct_kmv
+
+        r = sketch_distinct_kmv(spark, sf_dir).collect()[0]
+        li = load(spark, sf_dir, "lineitem")
+        true_d = li.select("l_orderkey").distinct().count()
+        assert r["exact_distinct"] == true_d
+        assert r["k"] == 256
+        assert r["bounds_ok"] is True, r
+        assert 0 < r["est_distinct"]
+
+    def test_non_full_sketch_is_exact(self, spark):
+        from modevetl_spark.operators.sketches import kmv_distinct
+
+        d = spark.range(1000).select((F.col("id") % 37).alias("v"))
+        r = kmv_distinct(d, "v", k=256).collect()[0]
+        assert r["k"] == 37
+        assert r["est_distinct"] == 37.0
+        assert r["exact_distinct"] == 37
+        assert r["rel_err"] == 0.0 and r["bounds_ok"] is True
+
+    def test_partitioning_invariance(self, spark):
+        """The k-min set — hence the whole output row — is a pure
+        function of the value set: any globally-k-smallest hash is
+        among its own partition's k smallest, so it survives every
+        per-partition trim under any layout."""
+        from modevetl_spark.operators.sketches import kmv_distinct
+
+        base = spark.range(20000).select((F.col("id") * 7919 % 6007).alias("v"))
+        a = kmv_distinct(base.repartition(1), "v", k=64).collect()
+        b = kmv_distinct(base.repartition(13), "v", k=64).collect()
+        assert a == b
+
+    def test_estimator_closed_form(self, spark):
+        """est = (k-1)*2^32/h_k with h_k the k-th smallest distinct
+        md5-prefix hash, recomputed independently JVM-side."""
+        from modevetl_spark.operators.sketches import kmv_distinct
+
+        base = spark.range(5000).select(F.col("id").alias("v"))
+        r = kmv_distinct(base, "v", k=128).collect()[0]
+        hk = (
+            base.select(
+                F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(128)
+            .agg(F.max("h"))
+            .collect()[0][0]
+        )
+        assert r["h_k"] == hk
+        assert r["est_distinct"] == round(127 * 2**32 / hk, 4)
+
+    def test_nulls_excluded(self, spark):
+        from modevetl_spark.operators.sketches import kmv_distinct
+
+        d = spark.createDataFrame(
+            [(1,), (2,), (None,), (2,)], "v int"
+        )
+        r = kmv_distinct(d, "v", k=8).collect()[0]
+        assert r["exact_distinct"] == 2 and r["k"] == 2
+        assert r["n_rows"] == 3  # non-null rows
+
+    def test_plan_global_kmin_is_take_ordered(self, spark, sf_dir):
+        from modevetl_spark.queries.wave8 import sketch_distinct_kmv
+
+        from tests.test_plans import plan
+
+        p = plan(sketch_distinct_kmv(spark, sf_dir))
+        # the global k-min over the checkpointed <= k*P-row union is a
+        # bottom-k TakeOrderedAndProject, and the fold itself hides
+        # behind the checkpoint scan (no InPandas in the driven plan)
+        assert "TakeOrderedAndProject" in p
+        assert "InPandas" not in p
+
+
 def test_wave8_keys_registered():
     assert set(QUERIES) == {
         "q_sketch_merge_quantiles",
         "q_join_containment",
         "q_sim_topk_ivf_sq",
+        "q_sketch_distinct_kmv",
     }
