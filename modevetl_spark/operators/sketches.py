@@ -229,6 +229,51 @@ def kmv_state(hashed: DataFrame, k: int) -> DataFrame:
     return hashed.select("h").mapInPandas(fold, schema="h long")
 
 
+def run_kmv_tick(spark, batch: DataFrame, col: str, k: int, state_path: str) -> None:
+    """Standing-job tick: fold one arriving batch into a persisted KMV
+    distinct sketch — the incremental shape of :func:`kmv_distinct`.
+
+    The batch folds to its own ≤ k·P-row candidate union (one
+    mapInPandas pass, no shuffle), which merges with the stored k-min
+    set by the sketch's one merge operation: union the value sets,
+    re-take the k smallest. The state is ≤ k rows BY CONFIG, so the
+    merge runs driver-side on a bounded collect and the store is a tiny
+    overwrite — like the Misra–Gries tick, state size never grows with
+    the corpus.
+
+    Replay contract: IDEMPOTENT, unlike the MG tick — set union is, so
+    re-delivering a batch leaves the state bit-identical and no
+    watermark discipline is required for correctness (pair with one
+    anyway to avoid wasted scans). A consumer estimates the lifetime
+    distinct count from the state alone: (k−1)·2³²/max(h) when full,
+    |state| exactly when not.
+    """
+    import numpy as np
+
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    hashed = batch.select(
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    ).where(F.col("h").isNotNull())
+    incoming = np.array(
+        [r["h"] for r in kmv_state(hashed, k).collect()], dtype="int64"
+    )
+    if fs_has_parquet_files(spark, state_path):
+        stored = np.array(
+            [r["h"] for r in spark.read.parquet(state_path).collect()],
+            dtype="int64",
+        )
+        incoming = np.union1d(incoming, stored)
+    else:
+        incoming = np.unique(incoming)
+    merged = incoming[:k]  # sorted uniques -> k smallest
+    spark.createDataFrame(
+        [(int(h),) for h in merged], "h long"
+    ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+
 def kmv_distinct(df: DataFrame, col, k: int = 256) -> DataFrame:
     """Mergeable distinct-count estimate with an exact-verify tier:
     K-minimum-values over the shared 32-bit md5-prefix hash.

@@ -350,6 +350,54 @@ class TestKmvDistinct:
         assert "InPandas" not in p
 
 
+def test_kmv_tick_merge_and_replay_idempotence(spark, tmp_path):
+    """Ticking a stream through ANY batch split yields the same state
+    as one-shot sketching the whole stream (union-mergeability), and
+    replaying a batch leaves the state bit-identical (set union is
+    idempotent — the MG tick can't say that)."""
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.operators.sketches import kmv_state, run_kmv_tick
+
+    vals = [(i * 104729) % 5003 for i in range(4000)]
+    k = 64
+    whole = spark.createDataFrame([(v,) for v in vals], "v int")
+    hashed = whole.select(
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    oneshot = sorted(
+        r["h"]
+        for r in kmv_state(hashed, k).distinct().orderBy("h").limit(k).collect()
+    )
+
+    states = []
+    for split in ([4000], [1500, 1500, 1000], [400] * 10):
+        path = str(tmp_path / f"kmv_{len(split)}")
+        i = 0
+        for size in split:
+            batch = spark.createDataFrame(
+                [(v,) for v in vals[i : i + size]], "v int"
+            ).repartition(4)
+            run_kmv_tick(spark, batch, "v", k=k, state_path=path)
+            i += size
+        states.append(
+            sorted(r["h"] for r in spark.read.parquet(path).collect())
+        )
+    assert states[0] == states[1] == states[2] == oneshot
+
+    # replay the last batch: state must not move
+    path = str(tmp_path / "kmv_10")
+    replay = spark.createDataFrame(
+        [(v,) for v in vals[3600:4000]], "v int"
+    )
+    run_kmv_tick(spark, replay, "v", k=k, state_path=path)
+    assert (
+        sorted(r["h"] for r in spark.read.parquet(path).collect()) == oneshot
+    )
+
+
 def test_wave8_keys_registered():
     assert set(QUERIES) == {
         "q_sketch_merge_quantiles",
