@@ -202,10 +202,10 @@ _GRADED_R6 = frozenset(
 # pins, in order: the 15-key drain residual (q_rate_confint …
 # q_tukey_outliers, never graded, priority 0), the 8 wave7 keys (never
 # graded, priority 0, module order puts them after the diagnostics
-# spill), the 4 wave8 keys (never graded, priority 0), then the 10
+# spill), the 5 wave8 keys (never graded, priority 0), then the 10
 # changed-key re-pins below (priority 0.5), then stalest-evidence
-# rotation (r1/r3-vintage cohort first) — 15+8+4+10 = 37 committed,
-# 13 rotation slots, all currently r2-vintage. Keep new r7 keys ≤ ~15
+# rotation (r1/r3-vintage cohort first) — 15+8+5+10 = 38 committed,
+# 12 rotation slots, all currently r2-vintage. Keep new r7 keys ≤ ~15
 # so ≥5 rotation slots refresh pre-r4 evidence (verdict item 2).
 #
 # Keys whose implementation changed in round 6 against green r5

@@ -220,6 +220,197 @@ sketch_merge_quantiles.__doc__ = sketch_merge_quantiles.__doc__.format(
 )
 
 
+# --- Grouped rank-quantile sketch (sketches as aggregation states) ------
+
+_GSK_P = 8  # sketch cells per group
+
+_GROUP_Q_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderpriority AS grp, o_totalprice AS v, o_orderkey,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_GSK_P} AS pid
+    FROM orders
+),
+numbered AS (
+    SELECT grp, pid, v, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY grp, pid ORDER BY v, o_orderkey)
+               AS rn,
+           COUNT(*) OVER (PARTITION BY grp, pid) AS n_p
+    FROM src
+),
+kept AS (
+    SELECT grp, v, o_orderkey, LEAST(step, n_p - rn + 1) AS w
+    FROM (SELECT *,
+                 GREATEST(1, CAST(FLOOR(CAST({_SK_EPS} AS DOUBLE) * n_p)
+                                  AS BIGINT)) AS step
+          FROM numbered)
+    WHERE (rn - 1) % step = 0
+),
+cum AS (
+    SELECT grp, v,
+           SUM(w) OVER (PARTITION BY grp ORDER BY v, o_orderkey) AS cum
+    FROM kept
+),
+tot AS (
+    SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+),
+probs AS (
+    SELECT UNNEST(['p50', 'p95']) AS p_label,
+           UNNEST([CAST(0.50 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS p
+),
+tgt AS (
+    SELECT t.grp, p.p_label, CAST(CEIL(p.p * t.n) AS BIGINT) AS target, t.n
+    FROM probs p, tot t
+),
+est AS (
+    SELECT t.grp, t.p_label, t.target, t.n, MIN(c.v) AS est
+    FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.target
+    GROUP BY 1, 2, 3, 4
+),
+chk AS (
+    SELECT e.grp, e.p_label,
+           CAST(COUNT(CASE WHEN o.o_totalprice < e.est THEN 1 END)
+                AS BIGINT) AS rank_lo,
+           CAST(COUNT(CASE WHEN o.o_totalprice <= e.est THEN 1 END)
+                AS BIGINT) AS rank_hi
+    FROM orders o JOIN est e ON o.o_orderpriority = e.grp
+    GROUP BY 1, 2
+)
+SELECT e.grp, e.p_label, e.n, e.est, c.rank_lo, c.rank_hi,
+       (c.rank_lo < e.target
+        AND c.rank_hi >= e.target
+            - CAST(FLOOR(CAST({_SK_EPS} AS DOUBLE) * e.n) AS BIGINT))
+           AS bounds_ok
+FROM est e JOIN chk c ON c.grp = e.grp AND c.p_label = e.p_label
+"""
+
+
+@q("q_sketch_group_quantiles", oracle_sql=_GROUP_Q_ORACLE)
+def sketch_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7++ grouped scale path [EXT]: the rank-sample quantile sketch as
+    a GROUPED aggregation state — p50/p95 of ``o_totalprice`` per
+    ``o_orderpriority``, one sketch per group, every guarantee of
+    ``q_sketch_merge_quantiles`` held per group. This is the shape a
+    100 TB pipeline actually runs (quantiles per tenant / per day / per
+    source), and it falls out of the same machinery because the sketch
+    is mergeable: a GROUP BY over sketches is just the per-group merge.
+
+    Plan shape: cells key by (group, hash cell) so the number/count
+    windows stay balanced; the kept relation is ≤ |groups|·P·(1/ε+1)
+    rows (per cell: ≤ 1/ε+1 kept when n_p > 1/ε, else all n_p < 1/ε
+    rows — so ≤ ~{SZ} per group here), which makes the per-group
+    cumulative window config-bounded per partition — NOT data-sized —
+    and the est/verify joins ride group-keyed broadcasts. Two fact
+    scans + bounded exchanges, like the global sketch; the rank bound
+    count(v < est) < target ≤ count(v ≤ est) + ⌊ε·n_g⌋ is verified per
+    (group, prob) and carried as ``bounds_ok`` data. DuckDB replays the
+    whole grouped sketch, so every estimate is hash-graded."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    pid = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % _GSK_P
+    )
+    src = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+        pid.alias("pid"),
+    )
+    w_rank = Window.partitionBy("grp", "pid").orderBy("v", "o_orderkey")
+    w_cell = Window.partitionBy("grp", "pid")
+    numbered = src.select(
+        "grp",
+        "v",
+        "o_orderkey",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cell).alias("n_p"),
+    ).withColumn(
+        "step",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(_SK_EPS) * F.col("n_p")).cast("bigint"),
+        ),
+    )
+    kept = numbered.where((F.col("rn") - 1) % F.col("step") == 0).select(
+        "grp",
+        "v",
+        "o_orderkey",
+        F.least(F.col("step"), F.col("n_p") - F.col("rn") + 1).alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = kept.select("grp", "v", F.sum("w").over(w_cum).alias("cum"))
+    tot = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    probs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lbl).alias("p_label"),
+                        F.lit(p).cast("double").alias("p"),
+                    )
+                    for lbl, p in [("p50", 0.50), ("p95", 0.95)]
+                ]
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    tgt = probs.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "p_label",
+        F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("target"),
+        "n",
+    )
+    est = (
+        cum.join(
+            F.broadcast(tgt),
+            (cum["grp"] == tgt["grp"]) & (F.col("cum") >= F.col("target")),
+        )
+        .drop(tgt["grp"])
+        .groupBy("grp", "p_label", "target", "n")
+        .agg(F.min("v").alias("est"))
+    )
+    chk = (
+        o.join(
+            F.broadcast(est), o["o_orderpriority"] == est["grp"]
+        )
+        .groupBy("grp", "p_label", "target", "n", "est")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") < F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_lo"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("est"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("rank_hi"),
+        )
+    )
+    slack = F.floor(F.lit(_SK_EPS) * F.col("n")).cast("bigint")
+    return chk.select(
+        "grp",
+        "p_label",
+        "n",
+        "est",
+        "rank_lo",
+        "rank_hi",
+        (
+            (F.col("rank_lo") < F.col("target"))
+            & (F.col("rank_hi") >= F.col("target") - slack)
+        ).alias("bounds_ok"),
+    )
+
+
+sketch_group_quantiles.__doc__ = sketch_group_quantiles.__doc__.format(
+    SZ=_GSK_P * (int(1 / _SK_EPS) + 1)
+)
+
+
 # --- Exact containment join via lossless prefix filter ------------------
 
 _T_CONTAIN = 0.6

@@ -350,6 +350,49 @@ class TestKmvDistinct:
         assert "InPandas" not in p
 
 
+class TestSketchGroupQuantiles:
+    def test_bounds_hold_per_group_on_fixture(self, spark, sf_dir):
+        from modevetl_spark.queries.wave8 import sketch_group_quantiles
+
+        rows = sketch_group_quantiles(spark, sf_dir).collect()
+        grps = {r["grp"] for r in rows}
+        assert len(grps) == 5  # the five order priorities
+        assert len(rows) == 10  # x {p50, p95}
+        for r in rows:
+            assert r["bounds_ok"] is True, r
+            assert r["rank_lo"] < r["rank_hi"], r
+
+    def test_skewed_groups_rank_guarantee(self, spark, sf_dir, tmp_path):
+        """One giant group next to a singleton group: the per-group
+        sketch must honor the rank bound in both regimes (cells with
+        n_p > 1/eps compact; the singleton keeps its only row and is
+        exact). Route adversarial data through the registry callable by
+        writing a minimal orders parquet."""
+        import pandas as pd
+
+        from modevetl_spark.queries.wave8 import sketch_group_quantiles
+
+        big_n = 5000
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": range(big_n + 1),
+                "o_orderpriority": ["1-BIG"] * big_n + ["2-ONE"],
+                # heavy tail: value = key^2 concentrates mass low
+                "o_totalprice": [float(i * i % 97 + i / 7.0) for i in range(big_n)]
+                + [42.0],
+            }
+        )
+        d = str(tmp_path / "orders.parquet")
+        pdf.to_parquet(d)
+        rows = sketch_group_quantiles(spark, str(tmp_path)).collect()
+        one = [r for r in rows if r["grp"] == "2-ONE"]
+        assert len(one) == 2
+        for r in one:
+            assert r["est"] == 42.0 and r["bounds_ok"] is True
+        for r in rows:
+            assert r["bounds_ok"] is True, r
+
+
 def test_kmv_tick_merge_and_replay_idempotence(spark, tmp_path):
     """Ticking a stream through ANY batch split yields the same state
     as one-shot sketching the whole stream (union-mergeability), and
@@ -404,4 +447,5 @@ def test_wave8_keys_registered():
         "q_join_containment",
         "q_sim_topk_ivf_sq",
         "q_sketch_distinct_kmv",
+        "q_sketch_group_quantiles",
     }
