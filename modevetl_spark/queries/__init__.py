@@ -202,11 +202,12 @@ _GRADED_R6 = frozenset(
 # pins, in order: the 15-key drain residual (q_rate_confint …
 # q_tukey_outliers, never graded, priority 0), the 8 wave7 keys (never
 # graded, priority 0, module order puts them after the diagnostics
-# spill), the 5 wave8 keys (never graded, priority 0), then the 10
+# spill), the 6 wave8 keys (never graded, priority 0), then the 10
 # changed-key re-pins below (priority 0.5), then stalest-evidence
-# rotation (r1/r3-vintage cohort first) — 15+8+5+10 = 38 committed,
-# 12 rotation slots, all currently r2-vintage. Keep new r7 keys ≤ ~15
-# so ≥5 rotation slots refresh pre-r4 evidence (verdict item 2).
+# rotation (r1/r3-vintage cohort first) — 15+8+6+10 = 39 committed,
+# 11 rotation slots, all currently r2-vintage. New r7 keys stop at 14
+# (≤ the ~15 cap) so ≥5 rotation slots refresh pre-r4 evidence
+# (verdict item 2).
 #
 # Keys whose implementation changed in round 6 against green r5
 # evidence (judge-sanctioned deferral; all sim-verified MATCH, judge

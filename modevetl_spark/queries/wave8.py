@@ -220,6 +220,170 @@ sketch_merge_quantiles.__doc__ = sketch_merge_quantiles.__doc__.format(
 )
 
 
+# --- KMV set-operation Jaccard: sketch-path corpus overlap --------------
+
+_J_K = 256
+_J_A, _J_B = "src0", "src1"
+
+_KMV_JACCARD_ORACLE = rf"""
+WITH w AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents WHERE source IN ('{_J_A}', '{_J_B}')
+),
+sh AS (
+    SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+    FROM w, UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS t(i)
+    WHERE i + 2 <= len(w)
+),
+h AS (
+    SELECT DISTINCT source,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+    FROM sh
+),
+ka AS (SELECT h FROM h WHERE source = '{_J_A}' ORDER BY h LIMIT {_J_K}),
+kb AS (SELECT h FROM h WHERE source = '{_J_B}' ORDER BY h LIMIT {_J_K}),
+m AS (
+    SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+    ORDER BY h LIMIT {_J_K}
+),
+sk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m_cnt,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM ka)
+                          AND h IN (SELECT h FROM kb)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS inter_sk
+    FROM m
+),
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS union_exact,
+           CAST(SUM(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS inter_exact
+    FROM (SELECT tok, COUNT(DISTINCT source) AS n_src FROM sh GROUP BY 1)
+),
+est AS (
+    SELECT CAST({_J_K} AS BIGINT) AS k, sk.m_cnt, sk.inter_sk,
+           CASE WHEN sk.m_cnt > 0
+                THEN ROUND(CAST(sk.inter_sk AS DOUBLE) / sk.m_cnt, 6)
+                ELSE CAST(0 AS DOUBLE) END AS j_est,
+           ex.inter_exact, ex.union_exact,
+           CASE WHEN ex.union_exact > 0
+                THEN ROUND(CAST(ex.inter_exact AS DOUBLE) / ex.union_exact, 6)
+                ELSE CAST(0 AS DOUBLE) END AS j_exact
+    FROM sk, ex
+)
+SELECT k, m_cnt, inter_sk, j_est, inter_exact, union_exact, j_exact,
+       ROUND(ABS(j_est - j_exact), 6) AS abs_err,
+       (ROUND(ABS(j_est - j_exact), 6)
+        <= 1.5 / sqrt(CAST({_J_K} AS DOUBLE))) AS bounds_ok
+FROM est
+"""
+
+
+@q("q_sketch_jaccard_kmv", oracle_sql=_KMV_JACCARD_ORACLE)
+def sketch_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1++ sketch path [EXT]: corpus-overlap estimation WITHOUT
+    shuffling either corpus's key space — Jaccard similarity between
+    two sources' trigram-shingle vocabularies from their KMV sketches
+    (the set-operation face of ``q_sketch_distinct_kmv``; Beyer et al.
+    2007). ``q_dedup_source_overlap`` answers "which sources ship the
+    same documents" exactly; this answers "how much does source A's
+    CONTENT DISTRIBUTION overlap B's" with k-bounded state per source —
+    the shape that screens all S² source pairs at 100 TB before any
+    exact work, since per-source sketches are computed once (one fold
+    each) and every pairwise estimate needs only two k-row sets.
+
+    Estimator: with M the k smallest of S_A ∪ S_B (the MERGED sketch —
+    a uniform sample of the union), Ĵ = |M ∩ S_A ∩ S_B| / |M|;
+    additive 3σ error ≤ 3·√(J(1−J)/k) ≤ 1.5/√k, carried as the
+    ``bounds_ok`` verdict next to the exact-tier Jaccard. A non-full
+    merged sketch contains the whole union, making Ĵ exact by rule (no
+    special case needed — the estimator degenerates correctly).
+
+    Plan shape: shingles explode straight into the per-partition KMV
+    fold (``operators/sketches.kmv_state`` dedupes as it goes — there
+    is NO distinct-key shuffle on the sketch path, the explode feeds
+    the fold pipelined); per-source k-min and the merged k-min are
+    distinct+TakeOrdered over ≤ k·P-row checkpointed unions; membership
+    is two broadcast semi-joins of k-row sets. The exact tier (one
+    (source, shingle) distinct + one hash agg) is the only data-sized
+    exchange and exists to be graded. Hash collisions fold into sketch
+    error identically in both engines (both operate on the hash sets)."""
+    from modevetl_spark.operators.sketches import kmv_state
+    from modevetl_spark.operators.text import tokens, word_shingles
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents").where(
+        F.col("source").isin(_J_A, _J_B)
+    )
+    sh = d.select(
+        "source", F.explode(word_shingles(tokens("text"), 3)).alias("tok")
+    )
+    hashed = sh.select(
+        "source",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+
+    def kmin(src: str):
+        st = kmv_state(hashed.where(F.col("source") == src), _J_K)
+        return (
+            st.localCheckpoint(eager=True).distinct().orderBy("h").limit(_J_K)
+        )
+
+    ka, kb = kmin(_J_A), kmin(_J_B)
+    merged = ka.unionByName(kb).distinct().orderBy("h").limit(_J_K)
+    sk = (
+        merged.join(F.broadcast(ka), "h", "left_semi")
+        .join(F.broadcast(kb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_sk"))
+        .crossJoin(
+            F.broadcast(
+                merged.agg(F.count(F.lit(1)).cast("bigint").alias("m_cnt"))
+            )
+        )
+    )
+    ex = (
+        sh.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("union_exact"),
+            F.sum(F.when(F.col("n_src") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("inter_exact"),
+        )
+    )
+    j_est = F.when(
+        F.col("m_cnt") > 0,
+        F.round(F.col("inter_sk").cast("double") / F.col("m_cnt"), 6),
+    ).otherwise(F.lit(0.0))
+    j_exact = F.when(
+        F.col("union_exact") > 0,
+        F.round(F.col("inter_exact").cast("double") / F.col("union_exact"), 6),
+    ).otherwise(F.lit(0.0))
+    out = (
+        sk.crossJoin(F.broadcast(ex))
+        .select(
+            F.lit(_J_K).cast("bigint").alias("k"),
+            "m_cnt",
+            "inter_sk",
+            j_est.alias("j_est"),
+            "inter_exact",
+            "union_exact",
+            j_exact.alias("j_exact"),
+        )
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("j_est") - F.col("j_exact")), 6)
+        )
+    )
+    return out.withColumn(
+        "bounds_ok",
+        F.col("abs_err") <= F.lit(1.5) / F.sqrt(F.lit(float(_J_K))),
+    )
+
+
 # --- Grouped rank-quantile sketch (sketches as aggregation states) ------
 
 _GSK_P = 8  # sketch cells per group

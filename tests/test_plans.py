@@ -84,6 +84,7 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         "q_heavy_hitters",
         # same checkpointed-fold pattern: the KMV sketch pass
         "q_sketch_distinct_kmv",
+        "q_sketch_jaccard_kmv",
     }
     for name in sorted(set(_Q) - udf_queries):
         p = plan(_Q[name](spark, sf_dir))

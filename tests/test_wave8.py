@@ -393,6 +393,67 @@ class TestSketchGroupQuantiles:
             assert r["bounds_ok"] is True, r
 
 
+class TestKmvJaccard:
+    def test_fixture_bounds(self, spark, sf_dir):
+        from modevetl_spark.queries.wave8 import sketch_jaccard_kmv
+
+        r = sketch_jaccard_kmv(spark, sf_dir).collect()[0]
+        assert r["bounds_ok"] is True, r
+        assert 0.0 <= r["j_est"] <= 1.0
+        assert r["inter_exact"] <= r["union_exact"]
+
+    def _docs(self, spark, tmp_path, texts_a, texts_b):
+        import pandas as pd
+
+        rows = [("src0", t) for t in texts_a] + [("src1", t) for t in texts_b]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t for _, t in rows],
+                "lang": "en",
+                "source": [s for s, _ in rows],
+                "n_chars": [len(t) for _, t in rows],
+            }
+        )
+        pdf.to_parquet(str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_identical_sources_estimate_one(self, spark, tmp_path):
+        from modevetl_spark.queries.wave8 import sketch_jaccard_kmv
+
+        texts = [
+            " ".join(f"w{(i * j) % 211}" for j in range(60)) for i in range(8)
+        ]
+        d = self._docs(spark, tmp_path, texts, texts)
+        r = sketch_jaccard_kmv(spark, d).collect()[0]
+        assert r["j_est"] == 1.0 and r["j_exact"] == 1.0
+        assert r["bounds_ok"] is True
+
+    def test_disjoint_sources_estimate_zero(self, spark, tmp_path):
+        from modevetl_spark.queries.wave8 import sketch_jaccard_kmv
+
+        a = [" ".join(f"a{i}_{j}" for j in range(80)) for i in range(6)]
+        b = [" ".join(f"b{i}_{j}" for j in range(80)) for i in range(6)]
+        d = self._docs(spark, tmp_path, a, b)
+        r = sketch_jaccard_kmv(spark, d).collect()[0]
+        assert r["j_est"] == 0.0 and r["j_exact"] == 0.0
+        assert r["bounds_ok"] is True
+
+    def test_non_full_merged_sketch_is_exact(self, spark, tmp_path):
+        """With |union| < k the merged sketch IS the union, so the
+        estimator degenerates to the exact Jaccard by rule."""
+        from modevetl_spark.queries.wave8 import sketch_jaccard_kmv
+
+        # ~50 shingles per side, half shared: union << k=256
+        a = ["common one two three four five six seven eight nine ten"]
+        b = ["common one two three four five alpha beta gamma delta eps"]
+        d = self._docs(spark, tmp_path, a, b)
+        r = sketch_jaccard_kmv(spark, d).collect()[0]
+        assert r["m_cnt"] == r["union_exact"]
+        assert r["j_est"] == r["j_exact"]
+        assert r["abs_err"] == 0.0
+
+
 def test_kmv_tick_merge_and_replay_idempotence(spark, tmp_path):
     """Ticking a stream through ANY batch split yields the same state
     as one-shot sketching the whole stream (union-mergeability), and
@@ -448,4 +509,5 @@ def test_wave8_keys_registered():
         "q_sim_topk_ivf_sq",
         "q_sketch_distinct_kmv",
         "q_sketch_group_quantiles",
+        "q_sketch_jaccard_kmv",
     }
