@@ -39,6 +39,7 @@ _MODULES = [
     "diagnostics",
     "wave7",
     "wave8",
+    "wave9",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
@@ -252,7 +253,19 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
+# Round-8 staged wave (queries/wave9.py): built and driver-sim verified
+# during round 7, pinned BEHIND the entire round-7 window — priority 9
+# sorts after every rotation vintage, so these two keys occupy the very
+# tail of the emission order and cannot displace a round-7 slot. Round-8
+# bookkeeping: add _GRADED_R7 from CORRECTNESS_r07, retire
+# _CHANGED_R7_PIN AND this set — the staged keys then drain as ordinary
+# never-graded (priority 0) keys, exactly the wave7 pattern from r6.
+_STAGED_R8 = frozenset({"q_sim_mmr_rerank", "q_filter_bloom"})
+
+
 def _grading_priority(key: str) -> float:
+    if key in _STAGED_R8:
+        return 9  # staged for round 8: behind the whole r7 window
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
     if key in _CHANGED_R7_PIN:

@@ -1,0 +1,411 @@
+"""Round-8 staged wave: serving-tier diversification + runtime pruning.
+
+Built and verified during round 7, STAGED behind every round-7 window
+slot (``_STAGED_R8`` pins them at priority 9 — after the full rotation —
+until the round-8 bookkeeping retires the set into normal never-graded
+drain, exactly the wave7 pattern from round 6).
+
+- ``q_sim_mmr_rerank`` — Maximal Marginal Relevance (Carbonell &
+  Goldstein 1998) diversified top-k: the standard serving-tier rerank
+  that trades pure relevance for coverage. The greedy argmax chain is
+  inherently sequential, but its horizon is the SHORTLIST, not the
+  corpus — so it unrolls into a fixed number of bounded DataFrame
+  stages and stays fully SQL-replayable.
+- ``q_filter_bloom`` — explicit Bloom-filter semi-join pruning: the
+  runtime-filter pattern (build a bit-position set from the dimension
+  side, broadcast it, prune the probe side before any join) with the
+  false-positive accounting graded as data and the zero-false-negative
+  guarantee asserted by the oracle.
+
+Reference parity: SURVEY.md §2's similarity/join families; both
+re-express documented semantics per SURVEY §0's protocol with the
+physical shape chosen for the 1000-executor case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+
+# --- MMR diversified rerank ----------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_N = 8  # shortlist size per query
+_MMR_K = 3  # diversified picks per query
+
+_MMR_ORACLE = f"""
+WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+cand AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cid,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6)
+               AS rel
+    FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.vec_id
+        ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])),
+                       6) DESC, c.vec_id
+    ) <= {_MMR_N}
+),
+pair AS (
+    SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+               AS sim
+    FROM cand a
+    JOIN cand b ON b.query_id = a.query_id AND b.cid <> a.cid
+    JOIN embeddings ea ON ea.vec_id = a.cid
+    JOIN embeddings eb ON eb.vec_id = b.cid
+),
+p1 AS (
+    SELECT query_id, cid, rel,
+           CAST({_MMR_LAMBDA} AS DOUBLE) * rel AS score
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, cid) = 1
+),
+s2 AS (
+    SELECT c.query_id, c.cid, c.rel,
+           CAST({_MMR_LAMBDA} AS DOUBLE) * c.rel
+               - CAST({1 - _MMR_LAMBDA} AS DOUBLE) * p.sim AS score
+    FROM cand c
+    JOIN p1 ON p1.query_id = c.query_id AND c.cid <> p1.cid
+    JOIN pair p ON p.query_id = c.query_id AND p.ca = c.cid AND p.cb = p1.cid
+),
+p2 AS (
+    SELECT query_id, cid, rel, score FROM s2
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, cid) = 1
+),
+s3 AS (
+    SELECT c.query_id, c.cid, c.rel,
+           CAST({_MMR_LAMBDA} AS DOUBLE) * c.rel
+               - CAST({1 - _MMR_LAMBDA} AS DOUBLE) * MAX(p.sim) AS score
+    FROM cand c
+    JOIN p1 ON p1.query_id = c.query_id AND c.cid <> p1.cid
+    JOIN p2 ON p2.query_id = c.query_id AND c.cid <> p2.cid
+    JOIN pair p ON p.query_id = c.query_id AND p.ca = c.cid
+               AND p.cb IN (p1.cid, p2.cid)
+    GROUP BY 1, 2, 3
+),
+p3 AS (
+    SELECT query_id, cid, rel, score FROM s3
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, cid) = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS pick_rank,
+       CAST(cid AS BIGINT) AS neighbor_id, rel, score AS mmr_score
+FROM p1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), CAST(cid AS BIGINT), rel, score FROM p2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), CAST(cid AS BIGINT), rel, score FROM p3
+"""
+
+
+@q("q_sim_mmr_rerank", oracle_sql=_MMR_ORACLE)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2++ serving tier [EXT]: Maximal Marginal Relevance rerank —
+    for each query, pick k={K} diversified results from its exact
+    top-{N} cosine shortlist by the greedy MMR rule
+    score(c) = λ·rel(c) − (1−λ)·max_{{s∈S}} sim(c, s), λ={LAM}.
+
+    MMR's greedy chain is sequential, but its horizon is the SHORTLIST
+    (≤ {N} candidates/query, a config bound), never the corpus — so the
+    chain unrolls into k−1 bounded DataFrame stages with NO iteration
+    over data-sized relations, and the whole selection is replayed by
+    the oracle. Scores stay RAW doubles (one multiply, one subtract on
+    round-6 cosines — the same IEEE ops in both engines produce the
+    same bits): rounding them would re-open the .5-boundary trap, since
+    0.7·(a 6dp value) is an exact 7dp decimal that can tie at 6dp
+    (observed: 0.7·0.371485 = 0.2600395). Argmax ties break on
+    neighbor id.
+
+    Plan shape: shortlist generation is the brute_force_topk harness
+    (corpus scanned once against broadcast queries — the declared
+    bounded kernel; at scale the IVF×SQ index replaces it, and MMR
+    consumes whatever shortlist the index emits); the candidate
+    pairwise-sim table is |q|·N·(N−1) rows (bounded); each greedy step
+    is a broadcast join of the picks-so-far onto the candidate set plus
+    one per-query max-struct argmax — windows partition by query_id,
+    never global. At 100 TB: rerank cost scales with |queries|·N², not
+    the corpus."""
+    from modevetl_spark.operators.similarity import brute_force_topk, cosine
+
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < 10)
+    cand = brute_force_topk(e, qs, k=_MMR_N).select(
+        "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")
+    ).localCheckpoint(eager=True)  # three greedy stages read it
+
+    vecs = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("v"))
+    ca = cand.select("query_id", F.col("cid").alias("ca")).join(
+        F.broadcast(vecs.withColumnRenamed("cid", "ca").withColumnRenamed("v", "va")),
+        "ca",
+    )
+    cb = cand.select("query_id", F.col("cid").alias("cb")).join(
+        F.broadcast(vecs.withColumnRenamed("cid", "cb").withColumnRenamed("v", "vb")),
+        "cb",
+    )
+    pair = (
+        ca.join(cb, "query_id")
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            "query_id",
+            "ca",
+            "cb",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # two greedy stages read it
+    )
+
+    lam = F.lit(_MMR_LAMBDA)
+    one_m = F.lit(1 - _MMR_LAMBDA)
+
+    def argmax(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p1 = argmax(
+        cand.select(
+            "query_id", "cid", "rel", (lam * F.col("rel")).alias("score")
+        )
+    )
+# pair derives from cand, so joining the two by attribute reference
+    # is a self-join lineage hazard (Spark warns about trivially-true
+    # predicates) — give pair's join columns their own names instead
+    pj = pair.select(
+        F.col("query_id").alias("qj"),
+        F.col("ca").alias("cj"),
+        "cb",
+        "sim",
+    )
+    s2 = (
+        cand.join(
+            F.broadcast(p1.select("query_id", F.col("cid").alias("p1"))),
+            "query_id",
+        )
+        .where(F.col("cid") != F.col("p1"))
+        .join(
+            F.broadcast(pj),
+            (F.col("qj") == F.col("query_id"))
+            & (F.col("cj") == F.col("cid"))
+            & (F.col("cb") == F.col("p1")),
+        )
+        .select(
+            "query_id",
+            "cid",
+            "rel",
+            (lam * F.col("rel") - one_m * F.col("sim")).alias("score"),
+        )
+    )
+    p2 = argmax(s2)
+    picks12 = p1.select("query_id", F.col("cid").alias("pid")).unionByName(
+        p2.select("query_id", F.col("cid").alias("pid"))
+    )
+    s3 = (
+        cand.join(
+            F.broadcast(picks12), "query_id"
+        )
+        .join(
+            F.broadcast(pj),
+            (F.col("qj") == F.col("query_id"))
+            & (F.col("cj") == F.col("cid"))
+            & (F.col("cb") == F.col("pid")),
+        )
+        .groupBy("query_id", "cid", "rel")
+        .agg(F.max("sim").alias("pen"))
+        .join(
+            F.broadcast(picks12.groupBy("query_id").agg(
+                F.collect_set("pid").alias("taken")
+            )),
+            "query_id",
+        )
+        .where(~F.array_contains(F.col("taken"), F.col("cid")))
+        .select(
+            "query_id",
+            "cid",
+            "rel",
+            (lam * F.col("rel") - one_m * F.col("pen")).alias("score"),
+        )
+    )
+    p3 = argmax(s3)
+
+    def out(p: DataFrame, rank: int) -> DataFrame:
+        return p.select(
+            "query_id",
+            F.lit(rank).cast("bigint").alias("pick_rank"),
+            F.col("cid").cast("bigint").alias("neighbor_id"),
+            "rel",
+            F.col("score").alias("mmr_score"),
+        )
+
+    return out(p1, 1).unionByName(out(p2, 2)).unionByName(out(p3, 3))
+
+
+sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(
+    K=_MMR_K, N=_MMR_N, LAM=_MMR_LAMBDA
+)
+
+
+# --- Explicit Bloom-filter semi-join pruning -----------------------------
+
+_BLOOM_M = 8192
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+    SELECT DISTINCT o_custkey AS ck FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+),
+bits AS (
+    SELECT DISTINCT b FROM (
+        SELECT CAST(('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS b FROM build
+        UNION ALL
+        SELECT CAST(('0x' || substr(md5(CAST(ck AS VARCHAR)), 9, 8))
+                    AS BIGINT) % {_BLOOM_M} AS b FROM build
+    )
+),
+probe AS (
+    SELECT c_custkey AS ck,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % {_BLOOM_M} AS h1,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                AS BIGINT) % {_BLOOM_M} AS h2
+    FROM customer
+),
+pass AS (
+    SELECT ck FROM probe
+    WHERE h1 IN (SELECT b FROM bits) AND h2 IN (SELECT b FROM bits)
+),
+counts AS (
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+         WHERE ck IN (SELECT ck FROM build)) AS n_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_pass,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+         WHERE ck IN (SELECT ck FROM build)
+           AND ck NOT IN (SELECT ck FROM pass)) AS n_false_neg
+)
+SELECT CAST({_BLOOM_M} AS BIGINT) AS m, n_build, n_probe, n_exact, n_pass,
+       n_pass - n_exact AS n_false_pos,
+       CASE WHEN n_probe > n_exact
+            THEN ROUND(CAST(n_pass - n_exact AS DOUBLE)
+                       / (n_probe - n_exact), 6)
+            ELSE CAST(0 AS DOUBLE) END AS fp_rate,
+       (n_false_neg = 0) AS no_false_negatives
+FROM counts
+"""
+
+
+@q("q_filter_bloom", oracle_sql=_BLOOM_ORACLE)
+def filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+ scale path [EXT]: explicit Bloom-filter semi-join pruning —
+    the runtime-filter pattern with its error budget graded as data.
+    Build side: custkeys holding URGENT orders fold to a bit-position
+    set (two md5-derived hashes into m={M} bits — ≤ m rows no matter
+    how many build keys, the whole point vs broadcasting the key set).
+    Probe side: customers pass iff BOTH their bit positions are set.
+    Output: the pruning ledger — build/probe/exact/passed counts, the
+    false-positive count and rate, and the ``no_false_negatives``
+    verdict (a Bloom filter may over-admit, it must never drop a true
+    match; the oracle recomputes that guarantee from scratch).
+
+    Plan shape: the bit set is a distinct over a 2·|build|-row
+    projection, capped at m rows — broadcast to the probe as two
+    semi-joins (the probe is scanned once, never shuffled); the exact
+    tier is one hash semi-join and exists to be graded. At 100 TB this
+    is what a join pre-filter looks like when the build side is too big
+    to broadcast as keys but the probe side is too expensive to
+    shuffle: m stays constant while |build| grows, and the measured
+    fp_rate tells you when m needs another bit. Spark's AQE bloom
+    runtime filters do this implicitly; here it is explicit, portable,
+    and error-accounted."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def h(col, start: int):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), start, 8), 16, 10)
+            .cast("bigint")
+            % _BLOOM_M
+        )
+
+    build = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    bits = (
+        build.select(h(F.col("ck"), 1).alias("b"))
+        .unionByName(build.select(h(F.col("ck"), 9).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by two semi-joins
+    )
+    probe = c.select(
+        F.col("c_custkey").alias("ck"),
+        h(F.col("c_custkey"), 1).alias("h1"),
+        h(F.col("c_custkey"), 9).alias("h2"),
+    )
+    passed = (
+        probe.join(
+            F.broadcast(bits.withColumnRenamed("b", "h1")), "h1", "left_semi"
+        )
+        .join(F.broadcast(bits.withColumnRenamed("b", "h2")), "h2", "left_semi")
+        .select("ck")
+        .localCheckpoint(eager=True)  # counted AND anti-probed below
+    )
+    exact = probe.join(F.broadcast(build), "ck", "left_semi").select("ck")
+    n_build = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    n_probe = probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass"))
+    n_fneg = (
+        exact.join(passed, "ck", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_neg"))
+    )
+    row = (
+        n_build.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_fneg))
+    )
+    fp_rate = F.when(
+        F.col("n_probe") > F.col("n_exact"),
+        F.round(
+            (F.col("n_pass") - F.col("n_exact")).cast("double")
+            / (F.col("n_probe") - F.col("n_exact")),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        F.lit(_BLOOM_M).cast("bigint").alias("m"),
+        "n_build",
+        "n_probe",
+        "n_exact",
+        "n_pass",
+        (F.col("n_pass") - F.col("n_exact")).alias("n_false_pos"),
+        fp_rate.alias("fp_rate"),
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+    )
+
+
+filter_bloom.__doc__ = filter_bloom.__doc__.format(M=_BLOOM_M)

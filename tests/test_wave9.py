@@ -1,0 +1,139 @@
+"""Unit tests for the round-8 staged wave (queries/wave9.py): MMR
+greedy-selection semantics on adversarial shortlists, the Bloom
+filter's no-false-negative guarantee under a deliberately undersized
+bit budget, plan-shape gates, and the staging contract (the two keys
+must sit BEHIND every round-7 window slot).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from modevetl_spark.queries.wave9 import (
+    _BLOOM_M,
+    _MMR_K,
+    _MMR_LAMBDA,
+    QUERIES,
+    filter_bloom,
+    sim_mmr_rerank,
+)
+
+
+class TestMmrRerank:
+    def test_fixture_shape_and_rule(self, spark, sf_dir):
+        rows = sim_mmr_rerank(spark, sf_dir).collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], {})[r["pick_rank"]] = r
+        assert len(by_q) == 10
+        for picks in by_q.values():
+            assert sorted(picks) == [1, 2, 3]
+            # distinct picks, and pick 1 is the pure-relevance argmax
+            ids = {p["neighbor_id"] for p in picks.values()}
+            assert len(ids) == 3
+            assert picks[1]["mmr_score"] == _MMR_LAMBDA * picks[1]["rel"]
+            # later picks never beat the unpenalized first score
+            assert picks[2]["mmr_score"] <= picks[1]["mmr_score"] + 1e-12
+            assert picks[3]["mmr_score"] <= picks[1]["mmr_score"] + 1e-12
+
+    def test_duplicates_forced_out(self, spark, tmp_path):
+        """A shortlist whose two most-relevant candidates are identical
+        vectors: pure top-3 would take both; MMR must take only one of
+        the pair and reach for the diverse axes. Query [1,1,1,0] sees
+        e0/e0/e1/e2 at equal relevance (1/sqrt(3)): pick 1 is the first
+        e0 copy (id tie-break), and the sim=1 penalty (0.3 under
+        lambda=0.7) then drops the twin's score to 0.7/sqrt(3)-0.3 ~
+        0.104, far below the orthogonal candidates' untouched 0.404."""
+        e0 = [1.0, 0.0, 0.0, 0.0]
+        e1 = [0.0, 1.0, 0.0, 0.0]
+        e2 = [0.0, 0.0, 1.0, 0.0]
+        fillers = [
+            [-1.0, 0.0, 0.0, 0.0],
+            [0.0, -1.0, 0.0, 0.0],
+            [0.0, 0.0, -1.0, 0.0],
+            [0.1, -0.9, 0.0, 0.0],
+        ]
+        q = [1.0, 1.0, 1.0, 0.0]
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [0, 100, 101, 104, 105, 102, 103, 106, 107],
+                "embedding": [q, e0, e0, e1, e2] + fillers,
+                "label": 0,
+            }
+        )
+        pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+        rows = sim_mmr_rerank(spark, str(tmp_path)).collect()
+        picks = [
+            r["neighbor_id"]
+            for r in sorted(rows, key=lambda r: r["pick_rank"])
+            if r["query_id"] == 0
+        ]
+        assert len(picks) == _MMR_K
+        # only ONE of the identical pair {100, 101} survives
+        assert len({100, 101} & set(picks)) == 1
+        # the orthogonal candidates displace the twin
+        assert 104 in picks and 105 in picks
+
+    def test_plan_no_corpus_shuffle_after_shortlist(self, spark, sf_dir):
+        from tests.test_plans import plan
+
+        p = plan(sim_mmr_rerank(spark, sf_dir))
+        # greedy stages operate on checkpointed bounded relations: no
+        # sort-merge join anywhere (everything joins broadcast-side)
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+
+
+class TestFilterBloom:
+    def test_fixture_ledger(self, spark, sf_dir):
+        r = filter_bloom(spark, sf_dir).collect()[0]
+        assert r["no_false_negatives"] is True
+        assert r["n_pass"] >= r["n_exact"]  # superset guarantee
+        assert r["n_false_pos"] == r["n_pass"] - r["n_exact"]
+        assert 0.0 <= r["fp_rate"] <= 1.0
+        assert r["m"] == _BLOOM_M
+
+    def test_no_false_negatives_even_saturated(self, spark, tmp_path):
+        """Saturate the filter (build keys >> m): fp_rate degrades
+        toward 1 but the superset guarantee must hold exactly."""
+        import modevetl_spark.queries.wave9 as w9
+
+        n = 30000
+        orders = pd.DataFrame(
+            {
+                "o_custkey": range(n),
+                "o_orderpriority": ["1-URGENT" if i % 2 == 0 else "3-MEDIUM" for i in range(n)],
+            }
+        )
+        cust = pd.DataFrame({"c_custkey": range(n)})
+        orders.to_parquet(str(tmp_path / "orders.parquet"))
+        cust.to_parquet(str(tmp_path / "customer.parquet"))
+        r = filter_bloom(spark, str(tmp_path)).collect()[0]
+        assert r["no_false_negatives"] is True
+        assert r["n_exact"] == n // 2
+        assert r["n_pass"] >= r["n_exact"]
+
+    def test_plan_probe_broadcast_pruned(self, spark, sf_dir):
+        from tests.test_plans import plan
+
+        p = plan(filter_bloom(spark, sf_dir))
+        # membership tests are broadcast semi-joins; the probe side is
+        # never sort-merge shuffled
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+
+
+def test_wave9_staged_behind_the_window():
+    """The staging contract: both keys carry oracles, and they occupy
+    the very TAIL of the emission order — no round-7 window slot (first
+    50) may be displaced by a staged round-8 key."""
+    from modevetl_spark import queries as Q
+
+    qs, oracle = Q.all_queries(), Q.all_oracle()
+    assert set(QUERIES) == {"q_sim_mmr_rerank", "q_filter_bloom"}
+    assert set(QUERIES) <= set(oracle)
+    order = list(qs)
+    tail = order[-len(Q._STAGED_R8):]
+    assert set(tail) == set(Q._STAGED_R8)
+    assert set(QUERIES) == set(Q._STAGED_R8)
