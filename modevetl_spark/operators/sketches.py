@@ -124,6 +124,104 @@ def heavy_hitters_exact(
     )
 
 
+def mg_summary_grouped(
+    df: DataFrame, grp_col: str, col: str, k: int
+) -> DataFrame:
+    """Grouped sketch pass: one Misra–Gries summary of ``k`` counters
+    PER GROUP per partition — the heavy-hitter analogue of the grouped
+    quantile sketch (sketches are aggregation states, so GROUP BY over
+    them is per-group maintenance of the same bounded fold).
+
+    Returns ``(grp, tok, n_part)``: candidate rows carry (grp, tok,
+    null) and one sentinel row per (partition, group) carries the
+    group's partition-local item count (tok null). State is bounded by
+    2k counters × |groups seen in the partition|; the per-group
+    guarantee is the flat one applied within the group's substream:
+    any token with group frequency > n_g/(k+1) exceeds that threshold
+    in some partition's group slice, hence survives that slice's trim —
+    so the candidate union is a superset of every group's true
+    heavy-hitter set regardless of partitioning.
+
+    NULL CONTRACT: null tokens are excluded (explicit pre-filter, same
+    as :func:`mg_summary`); null GROUPS are excluded too — a null group
+    key cannot be told apart from the sentinel encoding, and "heavy
+    hitters of the null group" is not a meaningful ask.
+    """
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[str, dict[str, int]] = {}
+        totals: dict[str, int] = {}
+        for pdf in batches:
+            counts = pdf.groupby([grp_col, col]).size()
+            for (g, tok), c in counts.items():
+                st = states.setdefault(g, {})
+                st[tok] = st.get(tok, 0) + int(c)
+                totals[g] = totals.get(g, 0) + int(c)
+                if len(st) > k:
+                    m = sorted(st.values(), reverse=True)[k]
+                    states[g] = {t: c2 - m for t, c2 in st.items() if c2 > m}
+        out_g, out_t, out_n = [], [], []
+        for g, st in states.items():
+            out_g += [g] * len(st) + [g]
+            out_t += list(st) + [None]
+            out_n += [None] * len(st) + [totals[g]]
+        yield pd.DataFrame(
+            {
+                grp_col: out_g,
+                col: out_t,
+                "n_part": pd.Series(out_n, dtype="Int64"),
+            }
+        )
+
+    return (
+        df.select(F.col(grp_col), F.col(col))
+        .where(F.col(col).isNotNull() & F.col(grp_col).isNotNull())
+        .mapInPandas(fold, schema=f"{grp_col} string, {col} string, n_part long")
+    )
+
+
+def heavy_hitters_grouped_exact(
+    stream: DataFrame, grp_col: str, col: str, k: int, denom: int
+) -> DataFrame:
+    """Grouped candidate-then-verify heavy hitters: for every group,
+    every ``col`` value whose exact in-group frequency strictly exceeds
+    n_g/denom — the per-tenant/per-language shape of
+    :func:`heavy_hitters_exact`, with the same two-tier plan: the
+    sketch never shuffles the key space (candidates ≤ k·P·|groups|
+    rows, broadcastable), the verify hash-aggregates candidate
+    (group, token) pairs only."""
+    if k < denom:
+        raise ValueError(f"k={k} must be >= denom={denom} for the guarantee")
+    summ = mg_summary_grouped(stream, grp_col, col, k).localCheckpoint(
+        eager=True
+    )
+    cands = (
+        summ.where(F.col(col).isNotNull()).select(grp_col, col).distinct()
+    )
+    totals = (
+        summ.where(F.col(col).isNull())
+        .groupBy(grp_col)
+        .agg(F.sum("n_part").cast("long").alias("n_grp"))
+    )
+    exact = (
+        stream.join(F.broadcast(cands), [grp_col, col])
+        .groupBy(grp_col, col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(totals), grp_col)
+        .where(F.col("cnt") * denom > F.col("n_grp"))
+        .select(
+            grp_col,
+            col,
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_grp"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
 def run_heavy_hitters_tick(
     spark, batch: DataFrame, col: str, k: int, state_path: str
 ) -> None:

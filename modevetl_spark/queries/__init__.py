@@ -260,7 +260,9 @@ def _freshest_round(key: str) -> int:
 # bookkeeping: add _GRADED_R7 from CORRECTNESS_r07, retire
 # _CHANGED_R7_PIN AND this set — the staged keys then drain as ordinary
 # never-graded (priority 0) keys, exactly the wave7 pattern from r6.
-_STAGED_R8 = frozenset({"q_sim_mmr_rerank", "q_filter_bloom"})
+_STAGED_R8 = frozenset(
+    {"q_sim_mmr_rerank", "q_filter_bloom", "q_heavy_hitters_grouped"}
+)
 
 
 def _grading_priority(key: str) -> float:

@@ -16,6 +16,10 @@ drain, exactly the wave7 pattern from round 6).
   side, broadcast it, prune the probe side before any join) with the
   false-positive accounting graded as data and the zero-false-negative
   guarantee asserted by the oracle.
+- ``q_heavy_hitters_grouped`` — per-group Misra–Gries + exact verify,
+  completing the grouped-sketch trilogy (quantiles → cardinality →
+  heavy hitters): the per-tenant hot-key report without shuffling any
+  group's vocabulary.
 
 Reference parity: SURVEY.md §2's similarity/join families; both
 re-express documented semantics per SURVEY §0's protocol with the
@@ -260,6 +264,72 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(
     K=_MMR_K, N=_MMR_N, LAM=_MMR_LAMBDA
+)
+
+
+# --- Grouped heavy hitters (per-group Misra-Gries + exact verify) -------
+
+_HHG_K = 32
+_HHG_DENOM = 30
+
+_HH_GROUPED_ORACLE = f"""
+WITH toks AS (
+    SELECT lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents WHERE lang IS NOT NULL
+),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grp FROM toks GROUP BY 1)
+SELECT c.lang, c.tok, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / t.n_grp, 6) AS share
+FROM (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2) c
+JOIN tot t ON t.lang = c.lang
+WHERE c.cnt * {_HHG_DENOM} > t.n_grp
+"""
+
+
+@q("q_heavy_hitters_grouped", oracle_sql=_HH_GROUPED_ORACLE)
+def heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2++ grouped scale path [EXT]: per-LANGUAGE heavy-hitter tokens —
+    every token whose in-language frequency exceeds n_lang/{D}, found by
+    per-(partition, group) Misra–Gries summaries (k={K} counters per
+    group) and exact-verified, completing the grouped-sketch trilogy
+    (quantiles → cardinality → heavy hitters): a sketch is an
+    aggregation state, so GROUP BY over sketches is per-group
+    maintenance of the same bounded fold.
+
+    Per-group guarantee (the flat pigeonhole applied within each
+    group's substream): a token above n_g/{D} in group g exceeds
+    n_{{p,g}}/(k+1) in some partition's g-slice, so it survives that
+    slice's trim and reaches the verify pass — the output is the TRUE
+    per-group heavy-hitter set with exact counts, independent of
+    partitioning, hash-graded against the plain GROUP BY/HAVING oracle.
+
+    Plan shape (``operators/sketches.heavy_hitters_grouped_exact``):
+    the sketch pass is one mapInPandas fold (state ≤ 2k·|groups|
+    counters, NO shuffle) behind an eager localCheckpoint; candidates
+    (≤ k·P·|groups| rows) broadcast into the verify pass, which
+    hash-aggregates candidate (lang, token) pairs only — the full
+    per-language vocabulary is never shuffled. At 100 TB this is the
+    per-tenant hot-key report: one stream pass + one broadcast-filtered
+    aggregate, however many tenants."""
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.sketches import heavy_hitters_grouped_exact
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    stream = d.where(F.col("lang").isNotNull()).select(
+        "lang", F.explode(tokens("text")).alias("tok")
+    )
+    return heavy_hitters_grouped_exact(
+        stream, "lang", "tok", k=_HHG_K, denom=_HHG_DENOM
+    )
+
+
+heavy_hitters_grouped.__doc__ = heavy_hitters_grouped.__doc__.format(
+    K=_HHG_K, D=_HHG_DENOM
 )
 
 

@@ -124,6 +124,67 @@ class TestFilterBloom:
         assert "Python" not in p
 
 
+class TestHeavyHittersGrouped:
+    def test_fixture_matches_exact_rule(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import (
+            _HHG_DENOM,
+            heavy_hitters_grouped,
+        )
+        from modevetl_spark.operators._util import spread
+        from modevetl_spark.operators.text import tokens
+        from modevetl_spark.sources.catalog import load
+
+        got = {
+            (r["lang"], r["tok"]): r["cnt"]
+            for r in heavy_hitters_grouped(spark, sf_dir).collect()
+        }
+        d = spread(load(spark, sf_dir, "documents"))
+        toks = d.where(F.col("lang").isNotNull()).select(
+            "lang", F.explode(tokens("text")).alias("tok")
+        )
+        cnt = toks.groupBy("lang", "tok").count()
+        tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n_grp"))
+        want = {
+            (r["lang"], r["tok"]): r["count"]
+            for r in cnt.join(tot, "lang")
+            .where(F.col("count") * _HHG_DENOM > F.col("n_grp"))
+            .collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_group_isolation_and_split_invariance(self, spark):
+        """A token overwhelmingly heavy in ONE group must be reported
+        for that group only, regardless of how rows are partitioned."""
+        from modevetl_spark.operators.sketches import (
+            heavy_hitters_grouped_exact,
+        )
+
+        rows = (
+            [("a", "hot")] * 120
+            + [("a", f"z{i}") for i in range(80)]
+            + [("b", "hot")] * 2
+            + [("b", f"y{i % 25}") for i in range(198)]
+        )
+        outs = []
+        for parts in (1, 7):
+            df = spark.createDataFrame(rows, "g string, t string").repartition(
+                parts
+            )
+            got = sorted(
+                (r["g"], r["t"], r["cnt"])
+                for r in heavy_hitters_grouped_exact(
+                    df, "g", "t", k=10, denom=10
+                ).collect()
+            )
+            outs.append(got)
+        assert outs[0] == outs[1]
+        got = dict(((g, t), c) for g, t, c in outs[0])
+        assert got[("a", "hot")] == 120  # 60% of group a
+        assert ("b", "hot") not in got  # 1% of group b: not heavy there
+        # group b's modal fillers are 198/25 < 10% — nothing qualifies
+        assert not any(g == "b" for (g, _), _ in got.items())
+
+
 def test_wave9_staged_behind_the_window():
     """The staging contract: both keys carry oracles, and they occupy
     the very TAIL of the emission order — no round-7 window slot (first
@@ -131,7 +192,11 @@ def test_wave9_staged_behind_the_window():
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
-    assert set(QUERIES) == {"q_sim_mmr_rerank", "q_filter_bloom"}
+    assert set(QUERIES) == {
+        "q_sim_mmr_rerank",
+        "q_filter_bloom",
+        "q_heavy_hitters_grouped",
+    }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
     tail = order[-len(Q._STAGED_R8):]
