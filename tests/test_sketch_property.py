@@ -1,0 +1,109 @@
+"""Property-based gates for the round-7 sketch additions: the Spark
+operators are replayed against naive pure-Python evaluators over
+hypothesis-generated inputs (the SURVEY §5.3 differential pattern, same
+conventions as test_diagnostics_property.py — few Spark examples, the
+python oracle does the sweeping)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _h32(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
+# --- KMV distinct sketch ------------------------------------------------
+
+
+def _kmv_python(values: list[int], k: int) -> dict:
+    hs = sorted({_h32(v) for v in values})
+    kmin = hs[:k]
+    k_got = len(kmin)
+    h_k = kmin[-1]
+    if k_got < k:
+        est = float(k_got)
+    else:
+        est = (k_got - 1) * 2**32 / h_k  # un-rounded; compare with tol
+    return {"k": k_got, "h_k": h_k, "est": est, "exact": len(set(values))}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(st.integers(0, 500), min_size=1, max_size=400),
+    k=st.sampled_from([4, 16, 64]),
+)
+def test_kmv_matches_python_replay(spark, values, k):
+    """kmv_distinct over an arbitrary multiset equals the direct python
+    computation: same k-min cardinality, same k-th hash, same exact
+    count, estimator within rounding tolerance — and the non-full
+    regime is exactly the distinct count. Duplicates, tiny domains, and
+    k larger than the domain are all in-distribution here (the regime
+    the fixture never exercises)."""
+    from modevetl_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").repartition(3)
+    r = kmv_distinct(df, "v", k=k).collect()[0]
+    want = _kmv_python(values, k)
+    assert r["k"] == want["k"]
+    assert r["h_k"] == want["h_k"]
+    assert r["exact_distinct"] == want["exact"]
+    assert abs(r["est_distinct"] - round(want["est"], 4)) <= 1e-6
+    if want["k"] < k:  # non-full sketch: exact by rule
+        assert r["est_distinct"] == want["exact"]
+        assert r["rel_err"] == 0.0
+
+
+# --- Grouped Misra-Gries heavy hitters ----------------------------------
+
+
+def _hh_grouped_python(rows: list[tuple[str, str]], denom: int) -> dict:
+    cnt: dict = {}
+    tot: dict = {}
+    for g, t in rows:
+        cnt[(g, t)] = cnt.get((g, t), 0) + 1
+        tot[g] = tot.get(g, 0) + 1
+    return {
+        (g, t): c for (g, t), c in cnt.items() if c * denom > tot[g]
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.text(alphabet="abcde", min_size=1, max_size=2),
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    denom=st.sampled_from([3, 6]),
+)
+def test_hh_grouped_matches_python_exact_rule(spark, rows, denom):
+    """heavy_hitters_grouped_exact over arbitrary grouped streams equals
+    the direct per-group frequency rule — the sketch+verify pipeline is
+    invisible in the result (the superset guarantee composed with the
+    exact filter), for any group mix, duplicate skew, or stream size,
+    under a partitioning the groups straddle."""
+    from modevetl_spark.operators.sketches import heavy_hitters_grouped_exact
+
+    df = spark.createDataFrame(rows, "g string, t string").repartition(4)
+    got = {
+        (r["g"], r["t"]): r["cnt"]
+        for r in heavy_hitters_grouped_exact(
+            df, "g", "t", k=denom, denom=denom
+        ).collect()
+    }
+    assert got == _hh_grouped_python(rows, denom)
