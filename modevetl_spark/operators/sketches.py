@@ -327,6 +327,117 @@ def kmv_state(hashed: DataFrame, k: int) -> DataFrame:
     return hashed.select("h").mapInPandas(fold, schema="h long")
 
 
+def kmv_state_grouped(hashed: DataFrame, grp_col: str, k: int) -> DataFrame:
+    """Grouped KMV sketch pass: per physical partition, the ``k``
+    smallest distinct hashes PER GROUP — :func:`kmv_state` as an
+    aggregation state (the grouped-sketch rule: GROUP BY over sketches
+    is per-group maintenance of the same bounded fold).
+
+    ``hashed`` carries (``grp_col``, ``h``); output is ≤ k·P·|groups|
+    rows. The per-group layout-invariance argument is the flat one
+    applied per group slice: any hash among a group's global k smallest
+    is among that group's k smallest in whatever partition each copy
+    lives. Null groups are excluded (no meaningful cardinality ask)."""
+    import numpy as np
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[str, "np.ndarray"] = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(grp_col)["h"]:
+                cur = states.get(g)
+                new = sub.to_numpy(dtype="int64")
+                merged = np.union1d(cur, new) if cur is not None else np.unique(new)
+                states[g] = merged[:k]
+        out_g: list = []
+        out_h: list = []
+        for g, arr in states.items():
+            out_g += [g] * len(arr)
+            out_h += [int(x) for x in arr]
+        yield pd.DataFrame({grp_col: out_g, "h": pd.Series(out_h, dtype="int64")})
+
+    return (
+        hashed.where(F.col(grp_col).isNotNull())
+        .select(grp_col, "h")
+        .mapInPandas(fold, schema=f"{grp_col} string, h long")
+    )
+
+
+def kmv_distinct_grouped(
+    df: DataFrame, grp_col: str, col, k: int = 256
+) -> DataFrame:
+    """Per-group distinct-count estimates — :func:`kmv_distinct` with
+    one sketch per group (distinct users per day, distinct tokens per
+    tenant: the most common production cardinality ask). Same contract
+    per group: full-replay estimator, exact-verify tier, non-full
+    sketch exact by rule, 3σ ``bounds_ok`` verdict as data.
+
+    Plan shape: one grouped bounded fold (≤ k·P·|groups| union rows)
+    behind an eager localCheckpoint; the per-group k-min is a
+    group-partitioned rank window over that bounded union (balanced by
+    group, never global); estimates are group-keyed arithmetic. The
+    exact tier's grouped count_distinct is the only distinct-key
+    shuffle and exists to be graded."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(grp_col).cast("string").alias("grp"),
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).where(F.col("h").isNotNull())
+    state = kmv_state_grouped(hashed, "grp", k).localCheckpoint(eager=True)
+    w = Window.partitionBy("grp").orderBy("h")
+    kmin = (
+        state.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    hk = kmin.groupBy("grp").agg(
+        F.max("h").alias("h_k"), F.count(F.lit(1)).cast("bigint").alias("k_got")
+    )
+    exact = df.where(F.col(grp_col).isNotNull()).groupBy(
+        F.col(grp_col).cast("string").alias("grp")
+    ).agg(
+        F.count_distinct(F.col(col)).cast("bigint").alias("exact_distinct"),
+        F.count(F.col(col)).cast("bigint").alias("n_rows"),
+    )
+    est = (
+        F.when(F.col("k_got") < k, F.col("k_got").cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("k_got") - 1).cast("double")
+                * F.lit(float(2**32))
+                / F.col("h_k").cast("double"),
+                4,
+            )
+        )
+        .alias("est_distinct")
+    )
+    return (
+        hk.join(F.broadcast(exact), "grp")
+        .select(
+            "grp",
+            F.col("k_got").cast("bigint").alias("k"),
+            "n_rows",
+            "h_k",
+            est,
+            "exact_distinct",
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+        .withColumn(
+            "bounds_ok",
+            F.col("rel_err") <= F.lit(3.0) / F.sqrt(F.lit(float(k - 2))),
+        )
+    )
+
+
 def run_kmv_tick(spark, batch: DataFrame, col: str, k: int, state_path: str) -> None:
     """Standing-job tick: fold one arriving batch into a persisted KMV
     distinct sketch — the incremental shape of :func:`kmv_distinct`.

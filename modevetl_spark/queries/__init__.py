@@ -261,7 +261,12 @@ def _freshest_round(key: str) -> int:
 # _CHANGED_R7_PIN AND this set — the staged keys then drain as ordinary
 # never-graded (priority 0) keys, exactly the wave7 pattern from r6.
 _STAGED_R8 = frozenset(
-    {"q_sim_mmr_rerank", "q_filter_bloom", "q_heavy_hitters_grouped"}
+    {
+        "q_sim_mmr_rerank",
+        "q_filter_bloom",
+        "q_heavy_hitters_grouped",
+        "q_sketch_group_distinct",
+    }
 )
 
 

@@ -85,8 +85,9 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         # same checkpointed-fold pattern: the KMV sketch pass
         "q_sketch_distinct_kmv",
         "q_sketch_jaccard_kmv",
-        # and the grouped Misra-Gries pass (staged r8)
+        # and the grouped Misra-Gries / grouped-KMV passes (staged r8)
         "q_heavy_hitters_grouped",
+        "q_sketch_group_distinct",
     }
     for name in sorted(set(_Q) - udf_queries):
         p = plan(_Q[name](spark, sf_dir))

@@ -185,6 +185,49 @@ class TestHeavyHittersGrouped:
         assert not any(g == "b" for (g, _), _ in got.items())
 
 
+class TestKmvGrouped:
+    def test_fixture_per_group_contract(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import sketch_group_distinct
+
+        rows = sketch_group_distinct(spark, sf_dir).collect()
+        assert len(rows) == 5  # one per priority
+        for r in rows:
+            assert r["bounds_ok"] is True, r
+            assert r["exact_distinct"] > 0
+
+    def test_mixed_regimes_and_partition_invariance(self, spark):
+        """One group above k (estimator regime), one below (exact by
+        rule) — both correct in the same result, identical under any
+        partitioning (duplicate hashes across partitions must not crowd
+        out a group's genuine k-th value)."""
+        from modevetl_spark.operators.sketches import kmv_distinct_grouped
+
+        k = 32
+        rows = [("big", (i * 7919) % 997) for i in range(3000)] + [
+            ("small", i % 9) for i in range(300)
+        ]
+        outs = []
+        for parts in (1, 11):
+            df = spark.createDataFrame(rows, "g string, v long").repartition(
+                parts
+            )
+            outs.append(
+                sorted(
+                    map(repr, kmv_distinct_grouped(df, "g", "v", k=k).collect())
+                )
+            )
+        assert outs[0] == outs[1]
+        df = spark.createDataFrame(rows, "g string, v long").repartition(11)
+        res = {
+            r["grp"]: r for r in kmv_distinct_grouped(df, "g", "v", k=k).collect()
+        }
+        small = res["small"]
+        assert small["k"] == 9 and small["est_distinct"] == 9.0
+        assert small["rel_err"] == 0.0
+        big = res["big"]
+        assert big["k"] == k and big["exact_distinct"] == 997
+
+
 def test_wave9_staged_behind_the_window():
     """The staging contract: both keys carry oracles, and they occupy
     the very TAIL of the emission order — no round-7 window slot (first
@@ -196,6 +239,7 @@ def test_wave9_staged_behind_the_window():
         "q_sim_mmr_rerank",
         "q_filter_bloom",
         "q_heavy_hitters_grouped",
+        "q_sketch_group_distinct",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
