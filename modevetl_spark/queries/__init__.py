@@ -266,6 +266,7 @@ _STAGED_R8 = frozenset(
         "q_filter_bloom",
         "q_heavy_hitters_grouped",
         "q_sketch_group_distinct",
+        "q_decayed_value",
     }
 )
 

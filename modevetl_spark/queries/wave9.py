@@ -24,6 +24,10 @@ drain, exactly the wave7 pattern from round 6).
   (distinct buyers per priority), one k-row sketch state per group;
   the sf0.001/sf0.01 fixture pair exercises the exact and estimator
   regimes respectively.
+- ``q_decayed_value`` — exponentially time-decayed customer value with
+  ZERO transcendentals: integer half-life weights are exact powers of
+  two, every term an exact decimal, the output an exact BIGINT of
+  microdollars — the decimal-fold discipline taken to its limit.
 
 Reference parity: SURVEY.md §2's similarity/join families; both
 re-express documented semantics per SURVEY §0's protocol with the
@@ -268,6 +272,93 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(
     K=_MMR_K, N=_MMR_N, LAM=_MMR_LAMBDA
+)
+
+
+# --- Exponential time-decay aggregation (exact powers of two) -----------
+
+_DECAY_HL_DAYS = 28
+_DECAY_MAX_W = 10
+
+_DECAY_ORACLE = f"""
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+base AS (
+    SELECT o_custkey, o_totalprice,
+           CAST(FLOOR(date_diff('day', o_orderdate, (SELECT a FROM anchor))
+                      / {_DECAY_HL_DAYS}.0) AS INTEGER) AS w
+    FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))
+                           * CAST(CAST(1 AS DOUBLE) / (1 << w)
+                                  AS DECIMAL(19,10)))
+                       AS DECIMAL(26,12)) * 1000000) AS BIGINT)
+           AS decayed_micro
+FROM base
+WHERE w BETWEEN 0 AND {_DECAY_MAX_W}
+GROUP BY 1
+"""
+
+
+@q("q_decayed_value", oracle_sql=_DECAY_ORACLE)
+def decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10++ feature path [EXT]: exponentially time-decayed customer
+    value — Σ price·2^(−w), w = elapsed {HL}-day half-lives at the
+    corpus anchor (max order date), window capped at w ≤ {W} — the
+    standard recency-weighted LTV / engagement feature, computed with
+    ZERO transcendentals: a half-life weight of 2^(−w) for integer w is
+    an exact power of two (1.0 / (1 << w) — one exact IEEE division,
+    and an exact {W}dp DECIMAL), so every term price(2dp)·2^(−w) is an
+    exact ≤12dp decimal, the sum accumulates exactly and order-free,
+    and the output is floor(sum·10⁶) as BIGINT — no double rounding
+    anywhere, immune to every .5-boundary trap by construction. This is
+    the repo's decimal-fold discipline taken to its limit: the entire
+    aggregate is integer-exact end to end. (pow(0.5, x) would be the
+    naive spelling — pow is not correctly rounded and not portable.)
+
+    Plan shape: the anchor is a one-row broadcast scalar; the decay
+    window (w ≤ {W} ⇒ orders newer than {WIN} days) prunes the scan —
+    at 100 TB with date-partitioned storage this is partition pruning,
+    and the aggregate is one hash agg by customer with map-side
+    combine. Incremental story: a stored decayed sum re-anchors by one
+    scalar multiply (decay is an exponential: S(t+Δ) = S(t)·2^(−Δ/hl)),
+    so per-segment states merge and roll forward without rescanning
+    history."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        o.crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "w",
+            F.floor(
+                F.datediff(F.col("anchor"), F.col("o_orderdate"))
+                / F.lit(float(_DECAY_HL_DAYS))
+            ).cast("int"),
+        )
+        .where(F.col("w").between(0, _DECAY_MAX_W))
+    )
+    weight = (F.lit(1.0) / F.expr("shiftleft(1, w)")).cast("decimal(11,10)")
+    term = F.col("o_totalprice").cast("decimal(12,2)") * weight
+    return (
+        base.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.floor(F.col("s").cast("decimal(26,12)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("decayed_micro"),
+        )
+    )
+
+
+decayed_value.__doc__ = decayed_value.__doc__.format(
+    HL=_DECAY_HL_DAYS, W=_DECAY_MAX_W, WIN=_DECAY_HL_DAYS * (_DECAY_MAX_W + 1)
 )
 
 

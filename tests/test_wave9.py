@@ -228,6 +228,57 @@ class TestKmvGrouped:
         assert big["k"] == k and big["exact_distinct"] == 997
 
 
+class TestDecayedValue:
+    def test_exact_against_fraction_arithmetic(self, spark, sf_dir):
+        """The whole aggregate is integer-exact by construction: replay
+        it in python with exact rational arithmetic (Fraction) — every
+        customer's decayed_micro must match to the last microdollar,
+        which no double-based implementation could promise."""
+        from fractions import Fraction
+
+        from modevetl_spark.queries.wave9 import (
+            _DECAY_HL_DAYS,
+            _DECAY_MAX_W,
+            decayed_value,
+        )
+        from modevetl_spark.sources.catalog import load
+
+        got = {
+            r["o_custkey"]: (r["n_orders"], r["decayed_micro"])
+            for r in decayed_value(spark, sf_dir).collect()
+        }
+        rows = load(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice", "o_orderdate"
+        ).collect()
+        anchor = max(r["o_orderdate"] for r in rows)
+        want: dict = {}
+        for r in rows:
+            w = (anchor - r["o_orderdate"]).days // _DECAY_HL_DAYS
+            if 0 <= w <= _DECAY_MAX_W:
+                cents = round(r["o_totalprice"] * 100)  # exact 2dp money
+                n, s = want.get(r["o_custkey"], (0, Fraction(0)))
+                want[r["o_custkey"]] = (
+                    n + 1,
+                    s + Fraction(cents, 100) / 2**w,
+                )
+        want_micro = {
+            ck: (n, int(s * 10**6))  # s has <=12dp: *10^6 then floor
+            for ck, (n, s) in want.items()
+        }
+        assert got == want_micro and len(got) > 50
+
+    def test_plan_pruned_scan_no_shuffle_join(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import decayed_value
+        from tests.test_plans import plan
+
+        p = plan(decayed_value(spark, sf_dir))
+        # one broadcast scalar, one hash agg: no sort-merge join, no
+        # Python, and the decay-window filter is in the plan
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+        assert "Filter" in p
+
+
 def test_wave9_staged_behind_the_window():
     """The staging contract: both keys carry oracles, and they occupy
     the very TAIL of the emission order — no round-7 window slot (first
@@ -240,6 +291,7 @@ def test_wave9_staged_behind_the_window():
         "q_filter_bloom",
         "q_heavy_hitters_grouped",
         "q_sketch_group_distinct",
+        "q_decayed_value",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
