@@ -648,3 +648,78 @@ def histogram_quantiles(
             & (F.col("cnt_lt_lo") < F.col("target"))
         ).alias("bounds_ok"),
     )
+
+
+def countmin_state(counted: DataFrame, key_col: str, cnt_col: str, w: int, d: int) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan 2005) from an
+    already-counted key table: ``d`` hash rows of ``w`` buckets, bucket
+    mass = Σ counts of keys hashing there. Built from ``(key, cnt)``
+    rather than the raw stream because the result is identical and the
+    explode fans out |keys|·d rows instead of |stream|·d.
+
+    Hash family: the shared 32-bit md5-prefix trick at ``d`` disjoint
+    hex offsets (``substr(md5(key), 1+8j, 8)``), so a second engine
+    replays every bucket assignment bit-for-bit. State is ≤ d·w rows no
+    matter how many keys — the whole point of the sketch; states from
+    disjoint streams MERGE by (j, b) addition (linear sketch).
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.col(key_col).cast("string")), 1 + 8 * j, 8),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % w
+                ).alias("b"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        counted.select(F.col(cnt_col).alias("_c"), F.explode(probes).alias("p"))
+        .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+        .agg(F.sum("_c").cast("bigint").alias("mass"))
+    )
+
+
+def countmin_estimate(
+    state: DataFrame, probes: DataFrame, key_col: str, w: int, d: int
+) -> DataFrame:
+    """Point-query the CM state for each probe key: est = min over the
+    d rows of that key's bucket mass. The state is bounded (≤ d·w rows)
+    so it broadcasts; the probe side is never shuffled. CM never
+    undercounts (each bucket holds the key's own mass plus collisions),
+    so ``est ≥ true`` deterministically — callers grade that as data.
+    """
+    hashed = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.col(key_col).cast("string")), 1 + 8 * j, 8
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % w
+                        ).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.j").alias("j"), F.col("p.b").alias("b"))
+    return (
+        hashed.join(F.broadcast(state), ["j", "b"])
+        .groupBy(key_col)
+        .agg(F.min("mass").cast("bigint").alias("est_cnt"))
+    )

@@ -267,6 +267,7 @@ _STAGED_R8 = frozenset(
         "q_heavy_hitters_grouped",
         "q_sketch_group_distinct",
         "q_decayed_value",
+        "q_sketch_countmin",
     }
 )
 

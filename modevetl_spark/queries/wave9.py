@@ -24,6 +24,10 @@ drain, exactly the wave7 pattern from round 6).
   (distinct buyers per priority), one k-row sketch state per group;
   the sf0.001/sf0.01 fixture pair exercises the exact and estimator
   regimes respectively.
+- ``q_sketch_countmin`` — Count-Min point-query audit: the linear
+  frequency sketch beside MG/KMV/MRL, d md5-offset hash rows over
+  w < |vocabulary| buckets so the collision regime is real; the
+  never-undercount guarantee is graded as a deterministic verdict.
 - ``q_decayed_value`` — exponentially time-decayed customer value with
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
@@ -650,3 +654,116 @@ def filter_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 filter_bloom.__doc__ = filter_bloom.__doc__.format(M=_BLOOM_M)
+
+
+# --- Count-Min sketch point-query audit ----------------------------------
+
+_CM_W = 16
+_CM_D = 4
+_CM_K = 20
+
+_CM_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+cm AS (
+    SELECT u.j,
+           CAST(('0x' || substr(md5(tok), 1 + 8 * u.j, 8)) AS BIGINT)
+               % {_CM_W} AS b,
+           CAST(SUM(c) AS BIGINT) AS mass
+    FROM cnt, UNNEST([0, 1, 2, 3]) AS u(j)
+    GROUP BY 1, 2
+),
+topk AS (
+    SELECT tok, c FROM cnt
+    QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok) <= {_CM_K}
+),
+probe AS (
+    SELECT t.tok, t.c, u.j,
+           CAST(('0x' || substr(md5(t.tok), 1 + 8 * u.j, 8)) AS BIGINT)
+               % {_CM_W} AS b
+    FROM topk t, UNNEST([0, 1, 2, 3]) AS u(j)
+),
+est AS (
+    SELECT p.tok, p.c AS exact_cnt, CAST(MIN(cm.mass) AS BIGINT) AS est_cnt
+    FROM probe p JOIN cm ON cm.j = p.j AND cm.b = p.b
+    GROUP BY 1, 2
+)
+SELECT tok, exact_cnt, est_cnt,
+       est_cnt - exact_cnt AS overest,
+       ROUND(CAST((est_cnt - exact_cnt) * {_CM_W} AS DOUBLE)
+             / (SELECT n FROM n), 6) AS rel_excess,
+       (est_cnt >= exact_cnt) AS never_under
+FROM est
+"""
+
+
+@q("q_sketch_countmin", oracle_sql=_CM_ORACLE)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+++ sketch family [EXT]: Count-Min point-query audit — the
+    linear frequency sketch (Cormode & Muthukrishnan 2005) next to the
+    repo's Misra-Gries (heavy hitters), KMV (cardinality) and MRL
+    (quantiles): d={D} md5-offset hash rows x w={W} buckets over the
+    corpus token stream, point-queried at the exact top-{K} tokens.
+    Output per token: exact count, CM estimate, the overestimate, its
+    size in eps*N = N/w units (``rel_excess``), and the deterministic
+    ``never_under`` verdict — CM can only OVERcount (a bucket holds the
+    key's own mass plus collisions), and the oracle replays every
+    bucket assignment bit-for-bit to prove it. All-integer arithmetic;
+    the one division (rel_excess) is exact-IEEE on integer-valued
+    doubles.
+
+    Plan shape: ONE map-side-combined token aggregate (the only
+    data-sized shuffle, materialized once behind a localCheckpoint and
+    read by the state/top-k/total branches — at 100 TB this is the
+    persisted count table); the CM state is <= d*w rows regardless of
+    vocabulary and broadcasts to the probe join; top-k is
+    TakeOrdered (bottom-k heaps, no global window); states from
+    disjoint corpus shards MERGE by (j, b) addition — the linear-sketch
+    property that makes CM the standing-tick/streaming choice where
+    exact counting would shuffle the vocabulary every batch."""
+    from modevetl_spark.operators._util import spread
+    from modevetl_spark.operators.sketches import countmin_estimate, countmin_state
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    cnt = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # state + top-k + total all read it
+    )
+    state = countmin_state(cnt, "tok", "c", w=_CM_W, d=_CM_D)
+    topk = cnt.orderBy(F.col("c").desc(), "tok").limit(_CM_K)
+    # est derives from the same checkpointed cnt as topk: rename its
+    # key column so the join is not a self-join lineage hazard
+    est = countmin_estimate(
+        state, topk.select("tok"), "tok", w=_CM_W, d=_CM_D
+    ).select(F.col("tok").alias("_tk"), "est_cnt")
+    n = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        topk.join(F.broadcast(est), F.col("tok") == F.col("_tk"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok",
+            F.col("c").alias("exact_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("c")).alias("overest"),
+            F.round(
+                ((F.col("est_cnt") - F.col("c")) * _CM_W).cast("double")
+                / F.col("n"),
+                6,
+            ).alias("rel_excess"),
+            (F.col("est_cnt") >= F.col("c")).alias("never_under"),
+        )
+    )
+
+
+sketch_countmin.__doc__ = sketch_countmin.__doc__.format(
+    D=_CM_D, W=_CM_W, K=_CM_K
+)

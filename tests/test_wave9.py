@@ -292,9 +292,90 @@ def test_wave9_staged_behind_the_window():
         "q_heavy_hitters_grouped",
         "q_sketch_group_distinct",
         "q_decayed_value",
+        "q_sketch_countmin",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
     tail = order[-len(Q._STAGED_R8):]
     assert set(tail) == set(Q._STAGED_R8)
     assert set(QUERIES) == set(Q._STAGED_R8)
+
+
+class TestCountMin:
+    def test_fixture_regime_and_verdicts(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import _CM_K, sketch_countmin
+
+        rows = sketch_countmin(spark, sf_dir).collect()
+        assert len(rows) == _CM_K
+        assert all(r["never_under"] for r in rows)
+        assert all(r["overest"] == r["est_cnt"] - r["exact_cnt"] for r in rows)
+        # w < vocabulary forces collisions: the estimator regime must
+        # actually be exercised, not vacuously exact
+        assert any(r["overest"] > 0 for r in rows)
+        assert any(r["overest"] == 0 for r in rows)  # min-of-d helps some
+
+    def test_python_md5_replay_exact(self, spark):
+        """The whole sketch is deterministic integer arithmetic on md5
+        prefixes: an independent python replay (hashlib) must reproduce
+        every bucket mass and every point estimate exactly."""
+        import hashlib
+
+        from modevetl_spark.operators.sketches import (
+            countmin_estimate,
+            countmin_state,
+        )
+
+        w, d = 8, 4
+        counts = {f"tok{i}": (i * 13) % 29 + 1 for i in range(40)}
+        counted = spark.createDataFrame(
+            list(counts.items()), "tok string, c long"
+        )
+        state = countmin_state(counted, "tok", "c", w=w, d=d)
+        est = countmin_estimate(state, counted.select("tok"), "tok", w=w, d=d)
+
+        def h(tok: str, j: int) -> int:
+            return int(hashlib.md5(tok.encode()).hexdigest()[8 * j : 8 * j + 8], 16) % w
+
+        cm: dict = {}
+        for tok, c in counts.items():
+            for j in range(d):
+                cm[(j, h(tok, j))] = cm.get((j, h(tok, j)), 0) + c
+        got_state = {(r["j"], r["b"]): r["mass"] for r in state.collect()}
+        assert got_state == cm
+        want_est = {
+            tok: min(cm[(j, h(tok, j))] for j in range(d)) for tok in counts
+        }
+        got_est = {r["tok"]: r["est_cnt"] for r in est.collect()}
+        assert got_est == want_est
+        assert all(got_est[t] >= c for t, c in counts.items())
+
+    def test_linear_sketch_merges(self, spark):
+        """CM is a linear sketch: state(A ⊎ B) == state(A) + state(B)
+        bucket-wise — the property that makes it the streaming/shard
+        merge choice."""
+        from modevetl_spark.operators.sketches import countmin_state
+
+        w, d = 8, 2
+        a = spark.createDataFrame(
+            [("x", 3), ("y", 5), ("z", 2)], "k string, c long"
+        )
+        b = spark.createDataFrame(
+            [("x", 4), ("w", 7)], "k string, c long"
+        )
+        sa = {(r["j"], r["b"]): r["mass"] for r in countmin_state(a, "k", "c", w=w, d=d).collect()}
+        sb = {(r["j"], r["b"]): r["mass"] for r in countmin_state(b, "k", "c", w=w, d=d).collect()}
+        both = a.unionByName(b).groupBy("k").agg(F.sum("c").alias("c"))
+        sab = {(r["j"], r["b"]): r["mass"] for r in countmin_state(both, "k", "c", w=w, d=d).collect()}
+        merged: dict = {}
+        for s in (sa, sb):
+            for kk, v in s.items():
+                merged[kk] = merged.get(kk, 0) + v
+        assert merged == sab
+
+    def test_plan_broadcast_probe_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import sketch_countmin
+        from tests.test_plans import plan
+
+        p = plan(sketch_countmin(spark, sf_dir))
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
