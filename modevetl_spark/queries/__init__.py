@@ -268,6 +268,7 @@ _STAGED_R8 = frozenset(
         "q_sketch_group_distinct",
         "q_decayed_value",
         "q_sketch_countmin",
+        "q_graph_adamic_adar",
     }
 )
 

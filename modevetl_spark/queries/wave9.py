@@ -28,6 +28,10 @@ drain, exactly the wave7 pattern from round 6).
   frequency sketch beside MG/KMV/MRL, d md5-offset hash rows over
   w < |vocabulary| buckets so the collision regime is real; the
   never-undercount guarantee is graded as a deterministic verdict.
+- ``q_graph_adamic_adar`` — Adamic-Adar link prediction over the
+  order-part bipartite graph: popularity-discounted shared-neighbor
+  scores as exact BIGINT micro-units (integer-arg log2 terms,
+  decimal fold), beside the raw co-occurrence count and Jaccard.
 - ``q_decayed_value`` — exponentially time-decayed customer value with
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
@@ -767,3 +771,114 @@ def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 sketch_countmin.__doc__ = sketch_countmin.__doc__.format(
     D=_CM_D, W=_CM_W, K=_CM_K
 )
+
+
+# --- Adamic-Adar link prediction over the order-part bipartite graph -----
+
+_AA_TOPK = 25
+
+_AA_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+sz AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS s FROM b GROUP BY 1),
+w AS (
+    SELECT ok,
+           CAST(ROUND(CAST(1 AS DOUBLE) / log2(CAST(s AS DOUBLE)), 9)
+                AS DECIMAL(18,9)) AS w9
+    FROM sz WHERE s >= 2
+),
+pairs AS (
+    SELECT a.ok, a.pk AS pa, c.pk AS pb
+    FROM b a JOIN b c ON c.ok = a.ok AND a.pk < c.pk
+),
+agg AS (
+    SELECT p.pa, p.pb,
+           CAST(COUNT(*) AS BIGINT) AS common_orders,
+           SUM(w.w9) AS s9
+    FROM pairs p JOIN w ON w.ok = p.ok
+    GROUP BY 1, 2
+),
+deg AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS dg FROM b GROUP BY 1)
+SELECT g.pa AS part_a, g.pb AS part_b, g.common_orders,
+       da.dg AS deg_a, db.dg AS deg_b,
+       CAST(g.common_orders AS DOUBLE)
+           / (da.dg + db.dg - g.common_orders) AS jaccard,
+       CAST(FLOOR(CAST(g.s9 AS DECIMAL(26,12)) * 1000000) AS BIGINT)
+           AS aa_micro
+FROM agg g
+JOIN deg da ON da.pk = g.pa
+JOIN deg db ON db.pk = g.pb
+QUALIFY ROW_NUMBER() OVER (ORDER BY aa_micro DESC, part_a, part_b)
+    <= {_AA_TOPK}
+"""
+
+
+@q("q_graph_adamic_adar", oracle_sql=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9+++ graph family [EXT]: Adamic-Adar link prediction (Adamic &
+    Adar 2003) over the order-part bipartite graph — the standard
+    related-items score that discounts each shared neighbor by its
+    popularity: AA(a,b) = sum over shared orders o of 1/log2(|basket
+    o|), alongside the raw common-neighbor count and the neighborhood
+    Jaccard. The log2-denominated variant keeps every term a ratio of
+    an exact double and an INTEGER-argument log2 (engine-identical,
+    unlike log2 on rationals); terms are rounded to 9dp and accumulated
+    in DECIMAL (the q_token_entropy fold), and the score is emitted as
+    exact BIGINT micro-units — no order-sensitive float sum, no
+    decimal-to-double cast at a ROUND boundary.
+
+    Plan shape: baskets dedup once; pair generation is a self
+    equi-join on the order key (fan-out bounded by basket size squared
+    — the fixture maxes at 13; a production guard caps baskets before
+    pairing, the standard market-basket discipline); the per-order
+    weight joins on the same key so all three legs share the exchange;
+    part degrees (|parts| rows, dimension-sized) broadcast into the
+    scoring join; top-k is TakeOrdered on the exact integer score,
+    never a global window. At 100 TB: cost scales with sum of squared
+    basket sizes, not pairs of parts — the co-occurrence shape that
+    makes basket link prediction tractable at all."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    sz = b.groupBy("ok").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    w = sz.where(F.col("s") >= 2).select(
+        "ok",
+        F.round(F.lit(1.0) / F.log2(F.col("s").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("w9"),
+    )
+    pa = b.select(F.col("ok").alias("oka"), F.col("pk").alias("pa"))
+    pb = b.select(F.col("ok").alias("okb"), F.col("pk").alias("pb"))
+    pairs = (
+        pa.join(pb, F.col("oka") == F.col("okb"))
+        .where(F.col("pa") < F.col("pb"))
+        .join(w, F.col("oka") == F.col("ok"))
+    )
+    agg = pairs.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common_orders"),
+        F.sum("w9").alias("s9"),
+    )
+    deg = b.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    da = deg.select(F.col("pk").alias("dka"), F.col("dg").alias("deg_a"))
+    db = deg.select(F.col("pk").alias("dkb"), F.col("dg").alias("deg_b"))
+    return (
+        agg.join(F.broadcast(da), F.col("pa") == F.col("dka"))
+        .join(F.broadcast(db), F.col("pb") == F.col("dkb"))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "common_orders",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common_orders").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_orders"))
+            ).alias("jaccard"),
+            F.floor(F.col("s9").cast("decimal(26,12)") * F.lit(1000000))
+            .cast("bigint")
+            .alias("aa_micro"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "part_a", "part_b")
+        .limit(_AA_TOPK)
+    )

@@ -293,6 +293,7 @@ def test_wave9_staged_behind_the_window():
         "q_sketch_group_distinct",
         "q_decayed_value",
         "q_sketch_countmin",
+        "q_graph_adamic_adar",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -379,3 +380,51 @@ class TestCountMin:
         p = plan(sketch_countmin(spark, sf_dir))
         assert "SortMergeJoin" not in p
         assert "Python" not in p
+
+
+class TestAdamicAdar:
+    def test_fixture_shape_and_invariants(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import _AA_TOPK, graph_adamic_adar
+
+        rows = graph_adamic_adar(spark, sf_dir).collect()
+        assert len(rows) == _AA_TOPK
+        micros = [r["aa_micro"] for r in rows]
+        assert micros == sorted(micros, reverse=True)
+        for r in rows:
+            assert r["part_a"] < r["part_b"]
+            assert 0 < r["common_orders"] <= min(r["deg_a"], r["deg_b"])
+            assert 0.0 < r["jaccard"] <= 1.0
+
+    def test_exact_scores_on_powers_of_two(self, spark, tmp_path):
+        """Baskets of size 2 and 4 make every AA weight exact (1/log2
+        is 1.0 and 0.5), so the micro-unit scores are hand-checkable
+        integers: AA(1,2) spans both orders = 1.5 -> 1500000; the pairs
+        only in the size-4 basket score 0.5 -> 500000."""
+        from modevetl_spark.queries.wave9 import graph_adamic_adar
+
+        rows = [(10, p) for p in (1, 2)] + [(20, p) for p in (1, 2, 3, 4)]
+        pd.DataFrame(
+            rows, columns=["l_orderkey", "l_partkey"]
+        ).to_parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            (r["part_a"], r["part_b"]): r
+            for r in graph_adamic_adar(spark, str(tmp_path)).collect()
+        }
+        assert got[(1, 2)]["aa_micro"] == 1_500_000
+        assert got[(1, 2)]["common_orders"] == 2
+        assert got[(1, 2)]["jaccard"] == 1.0  # deg 2 + 2 - 2 common
+        for pair in [(1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+            assert got[pair]["aa_micro"] == 500_000
+            assert got[pair]["common_orders"] == 1
+        assert got[(3, 4)]["jaccard"] == 1.0  # both only in order 20
+        assert len(got) == 6
+
+    def test_plan_broadcast_degrees_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import graph_adamic_adar
+        from tests.test_plans import plan
+
+        p = plan(graph_adamic_adar(spark, sf_dir))
+        assert "Python" not in p
+        # dimension-sized degree tables must broadcast into the scoring
+        # join (the pair self-join itself is legitimately shuffled)
+        assert "BroadcastHashJoin" in p
