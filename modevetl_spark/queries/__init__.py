@@ -269,6 +269,7 @@ _STAGED_R8 = frozenset(
         "q_decayed_value",
         "q_sketch_countmin",
         "q_graph_adamic_adar",
+        "q_privacy_kanonymity",
     }
 )
 

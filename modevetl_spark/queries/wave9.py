@@ -32,6 +32,9 @@ drain, exactly the wave7 pattern from round 6).
   order-part bipartite graph: popularity-discounted shared-neighbor
   scores as exact BIGINT micro-units (integer-arg log2 terms,
   decimal fold), beside the raw co-occurrence count and Jaccard.
+- ``q_privacy_kanonymity`` — k-anonymity audit over a generalization
+  ladder: one ROLLUP pass yields every level's equivalence-class
+  histogram and the re-identification risk verdicts.
 - ``q_decayed_value`` — exponentially time-decayed customer value with
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
@@ -882,3 +885,99 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "part_a", "part_b")
         .limit(_AA_TOPK)
     )
+
+
+# --- k-anonymity audit over a generalization ladder ----------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+WITH qi AS (
+    SELECT c_mktsegment AS seg, c_nationkey AS nat,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kb
+    FROM customer
+),
+cls AS (
+    SELECT GROUPING_ID(seg, nat, bal_kb) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS sz
+    FROM qi GROUP BY ROLLUP (seg, nat, bal_kb)
+),
+hist AS (
+    SELECT gid, sz,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows
+    FROM cls WHERE gid < 7
+    GROUP BY 1, 2
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM qi)
+SELECT CAST(gid AS BIGINT) AS level, sz AS class_size, n_classes, n_rows,
+       CAST(n_rows AS DOUBLE) / total_rows AS row_share,
+       (sz < {_KANON_K}) AS risky
+FROM hist, total
+"""
+
+
+@q("q_privacy_kanonymity", oracle_sql=_KANON_ORACLE)
+def privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4++ governance [EXT]: k-anonymity audit (Sweeney 2002) over a
+    generalization ladder — the re-identification risk report a
+    training-data release needs: how many customers sit in a
+    quasi-identifier equivalence class smaller than k={K}, and how each
+    generalization step (drop the account-balance bucket, then the
+    nation) repairs it. Output: per (generalization level, class size)
+    — class count, row count, row share, and the ``risky`` verdict
+    (size < k). Levels are the ROLLUP grouping ids over (segment,
+    nation, balance-kilobucket): 0 = full QI, 1 = balance generalized,
+    3 = nation too; the grand total (gid 7) is dropped.
+
+    Plan shape: the entire ladder is ONE rollup aggregate — Spark
+    expands the grouping sets map-side, so every level shares a single
+    map-side-combined exchange instead of one scan per level; the size
+    histogram is a second tiny agg over the class table (|classes|
+    rows, checkpointed so the grand-total branch does not re-scan), and
+    the total is the rollup's own gid-7 row broadcast as a scalar. At
+    100 TB: cost is the one QI shuffle; class tables are |distinct QI|
+    regardless of rows.
+    The balance bucket boundary is FLOOR over an exact-IEEE division
+    (k·1000.00 / 1000 is exact, so boundary rows cannot flip between
+    engines)."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("bigint")
+        .alias("bal_kb"),
+    )
+    cls0 = (
+        qi.rollup("seg", "nat", "bal_kb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz"),
+            F.grouping_id().alias("gid"),
+        )
+        # bounded (|classes| rows); materialized so the histogram and
+        # the grand-total branches share ONE customer scan
+        .localCheckpoint(eager=True)
+    )
+    hist = cls0.where(F.col("gid") < 7).groupBy("gid", "sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+    )
+    # the grand-total row (gid 7) IS the row count — rollup computed it
+    total = cls0.where(F.col("gid") == 7).select(
+        F.col("sz").alias("total_rows")
+    )
+    return hist.crossJoin(F.broadcast(total)).select(
+        F.col("gid").cast("bigint").alias("level"),
+        F.col("sz").alias("class_size"),
+        "n_classes",
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("total_rows")).alias(
+            "row_share"
+        ),
+        (F.col("sz") < _KANON_K).alias("risky"),
+    )
+
+
+privacy_kanonymity.__doc__ = privacy_kanonymity.__doc__.format(K=_KANON_K)

@@ -294,6 +294,7 @@ def test_wave9_staged_behind_the_window():
         "q_decayed_value",
         "q_sketch_countmin",
         "q_graph_adamic_adar",
+        "q_privacy_kanonymity",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -428,3 +429,69 @@ class TestAdamicAdar:
         # dimension-sized degree tables must broadcast into the scoring
         # join (the pair self-join itself is legitimately shuffled)
         assert "BroadcastHashJoin" in p
+
+
+class TestKAnonymity:
+    def test_fixture_ladder_invariants(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import (
+            _KANON_K,
+            privacy_kanonymity,
+        )
+
+        rows = privacy_kanonymity(spark, sf_dir).collect()
+        assert len(rows) > 0
+        assert {r["level"] for r in rows} <= {0, 1, 3}
+        for r in rows:
+            assert r["risky"] == (r["class_size"] < _KANON_K)
+            assert r["n_rows"] == r["class_size"] * r["n_classes"]
+            assert 0.0 < r["row_share"] <= 1.0
+        # every level partitions the same population
+        by_level: dict = {}
+        for r in rows:
+            by_level[r["level"]] = by_level.get(r["level"], 0) + r["n_rows"]
+        assert len(set(by_level.values())) == 1
+        # generalization only merges classes: the minimum class size is
+        # weakly increasing up the ladder
+        mins = {
+            lv: min(r["class_size"] for r in rows if r["level"] == lv)
+            for lv in by_level
+        }
+        assert mins.get(0, 1) <= mins.get(1, 10**9)
+        assert mins.get(1, 1) <= mins.get(3, 10**9)
+
+    def test_hand_built_classes(self, spark, tmp_path):
+        """Four customers, two QI classes at level 0 that merge at each
+        generalization step — the histogram is hand-checkable."""
+        from modevetl_spark.queries.wave9 import privacy_kanonymity
+
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4],
+                "c_nationkey": [7, 7, 7, 8],
+                "c_mktsegment": ["AUTO", "AUTO", "AUTO", "AUTO"],
+                "c_acctbal": [100.0, 200.0, 1500.0, 100.0],
+            }
+        ).to_parquet(str(tmp_path / "customer.parquet"))
+        got = {
+            (r["level"], r["class_size"]): (r["n_classes"], r["n_rows"])
+            for r in privacy_kanonymity(spark, str(tmp_path)).collect()
+        }
+        # level 0: (7,AUTO,0)x2, (7,AUTO,1)x1, (8,AUTO,0)x1
+        assert got[(0, 2)] == (1, 2) and got[(0, 1)] == (2, 2)
+        # level 1 (balance generalized): (7,AUTO)x3, (8,AUTO)x1
+        assert got[(1, 3)] == (1, 3) and got[(1, 1)] == (1, 1)
+        # level 3 (nation too): (AUTO)x4
+        assert got[(3, 4)] == (1, 4)
+        assert len(got) == 5
+
+    def test_plan_single_scan_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import privacy_kanonymity
+        from tests.test_plans import plan
+
+        p = plan(privacy_kanonymity(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        # the ladder's rollup ran eagerly behind the checkpoint; the
+        # visible plan must NOT rescan customer (zero file scans — both
+        # branches read the materialized class table)
+        assert "customer" not in p
