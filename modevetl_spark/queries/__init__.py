@@ -270,6 +270,7 @@ _STAGED_R8 = frozenset(
         "q_sketch_countmin",
         "q_graph_adamic_adar",
         "q_privacy_kanonymity",
+        "q_churn_hazard",
     }
 )
 

@@ -35,6 +35,9 @@ drain, exactly the wave7 pattern from round 6).
 - ``q_privacy_kanonymity`` — k-anonymity audit over a generalization
   ladder: one ROLLUP pass yields every level's equivalence-class
   histogram and the re-identification risk verdicts.
+- ``q_churn_hazard`` — discrete-time survival: the life-table churn
+  hazard and survival curves over order rank, derived entirely from
+  the tiny counts-of-counts distribution.
 - ``q_decayed_value`` — exponentially time-decayed customer value with
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
@@ -981,3 +984,97 @@ def privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 privacy_kanonymity.__doc__ = privacy_kanonymity.__doc__.format(K=_KANON_K)
+
+
+# --- Discrete-time survival / churn hazard --------------------------------
+
+_HAZARD_MAX_J = 20
+
+_HAZARD_ORACLE = f"""
+WITH n AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+),
+dist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM n GROUP BY 1),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM dist),
+grid AS (SELECT CAST(j AS BIGINT) AS j FROM UNNEST(range(1, {_HAZARD_MAX_J + 1})) AS t(j)),
+curve AS (
+    SELECT g.j,
+           CAST(SUM(d.cnt) AS BIGINT) AS n_at_risk,
+           CAST(SUM(CASE WHEN d.c = g.j THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS n_churned,
+           CAST(SUM(CASE WHEN d.c > g.j THEN d.cnt ELSE 0 END) AS BIGINT)
+               AS n_survived
+    FROM grid g JOIN dist d ON d.c >= g.j
+    GROUP BY 1
+)
+SELECT c.j AS order_rank, c.n_at_risk, c.n_churned, c.n_survived,
+       CAST(c.n_churned AS DOUBLE) / c.n_at_risk AS hazard,
+       CAST(c.n_survived AS DOUBLE) / t.n_total AS survival
+FROM curve c, total t
+WHERE c.n_at_risk > 0
+"""
+
+
+@q("q_churn_hazard", oracle_sql=_HAZARD_ORACLE)
+def churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10+ lifecycle analytics [EXT]: discrete-time survival — the
+    churn curve over order rank j: of the customers who reached their
+    j-th order, what fraction stopped there (hazard) and what fraction
+    of the whole cohort went past it (survival)? The life-table shape
+    (Kaplan-Meier on a discrete clock) that retention/q_cohort_ltv do
+    not cover: hazard(j) = |n = j| / |n >= j|, survival(j) =
+    |n > j| / |cohort|, both exact integer divisions on identical
+    integers in both engines, so the doubles are emitted RAW — no
+    rounding, no fold, no .5-boundary exposure.
+
+    Plan shape: ONE map-side-combined count by customer, collapsed to
+    its counts-of-counts distribution (<= max-orders-per-customer rows,
+    a tiny relation) — the life table then derives from a broadcast
+    theta-join of the literal rank grid (j <= {J}, config-bounded)
+    against that distribution: at 100 TB the only data-sized exchange
+    is the per-customer count; everything after operates on dozens of
+    rows. No window anywhere — the at-risk cumulative is the grid
+    theta-join, not a running sum over a data-derived relation."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    n = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    dist = (
+        n.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # tiny; read by curve + total
+    )
+    total = dist.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    grid = spark.range(1, _HAZARD_MAX_J + 1).select(F.col("id").alias("j"))
+    curve = (
+        grid.join(F.broadcast(dist), F.col("c") >= F.col("j"))
+        .groupBy("j")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_at_risk"),
+            F.sum(F.when(F.col("c") == F.col("j"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+            F.sum(F.when(F.col("c") > F.col("j"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_survived"),
+        )
+    )
+    return (
+        curve.crossJoin(F.broadcast(total))
+        .where(F.col("n_at_risk") > 0)
+        .select(
+            F.col("j").alias("order_rank"),
+            "n_at_risk",
+            "n_churned",
+            "n_survived",
+            (F.col("n_churned").cast("double") / F.col("n_at_risk")).alias(
+                "hazard"
+            ),
+            (F.col("n_survived").cast("double") / F.col("n_total")).alias(
+                "survival"
+            ),
+        )
+    )
+
+
+churn_hazard.__doc__ = churn_hazard.__doc__.format(J=_HAZARD_MAX_J)

@@ -295,6 +295,7 @@ def test_wave9_staged_behind_the_window():
         "q_sketch_countmin",
         "q_graph_adamic_adar",
         "q_privacy_kanonymity",
+        "q_churn_hazard",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -495,3 +496,52 @@ class TestKAnonymity:
         # visible plan must NOT rescan customer (zero file scans — both
         # branches read the materialized class table)
         assert "customer" not in p
+
+
+class TestChurnHazard:
+    def test_fixture_life_table_identities(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import churn_hazard
+
+        rows = sorted(
+            churn_hazard(spark, sf_dir).collect(),
+            key=lambda r: r["order_rank"],
+        )
+        assert rows and rows[0]["order_rank"] == 1
+        for r in rows:
+            assert r["n_churned"] + r["n_survived"] == r["n_at_risk"]
+            assert 0.0 <= r["hazard"] <= 1.0
+        for a, b in zip(rows, rows[1:]):
+            # those at risk at rank j+1 are exactly the survivors of j
+            assert b["n_at_risk"] == a["n_survived"]
+            assert b["survival"] <= a["survival"]
+
+    def test_hand_built_curve(self, spark, tmp_path):
+        """Order counts {1, 2, 2, 3}: the whole life table is
+        hand-checkable, including the exact hazard/survival ratios."""
+        from modevetl_spark.queries.wave9 import churn_hazard
+
+        counts = {10: 1, 20: 2, 30: 2, 40: 3}
+        rows = [
+            (ck, i) for ck, n in counts.items() for i in range(n)
+        ]
+        pd.DataFrame(
+            rows, columns=["o_custkey", "o_orderkey"]
+        ).to_parquet(str(tmp_path / "orders.parquet"))
+        got = {
+            r["order_rank"]: r
+            for r in churn_hazard(spark, str(tmp_path)).collect()
+        }
+        assert len(got) == 3
+        assert (got[1]["n_at_risk"], got[1]["n_churned"]) == (4, 1)
+        assert got[1]["hazard"] == 0.25 and got[1]["survival"] == 0.75
+        assert (got[2]["n_at_risk"], got[2]["n_churned"]) == (3, 2)
+        assert got[3]["n_at_risk"] == 1 and got[3]["survival"] == 0.0
+
+    def test_plan_broadcast_grid_no_window(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import churn_hazard
+        from tests.test_plans import plan
+
+        p = plan(churn_hazard(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "Window" not in p
