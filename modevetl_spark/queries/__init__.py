@@ -271,6 +271,7 @@ _STAGED_R8 = frozenset(
         "q_graph_adamic_adar",
         "q_privacy_kanonymity",
         "q_churn_hazard",
+        "q_model_calibration",
     }
 )
 

@@ -38,6 +38,9 @@ drain, exactly the wave7 pattern from round 6).
 - ``q_churn_hazard`` — discrete-time survival: the life-table churn
   hazard and survival curves over order rank, derived entirely from
   the tiny counts-of-counts distribution.
+- ``q_model_calibration`` — reliability diagram + Expected
+  Calibration Error on a deterministic train/test hash split: the
+  model-monitoring scalar beside ROC AUC and PSI.
 - ``q_decayed_value`` — exponentially time-decayed customer value with
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
@@ -1078,3 +1081,147 @@ def churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 churn_hazard.__doc__ = churn_hazard.__doc__.format(J=_HAZARD_MAX_J)
+
+
+# --- Model calibration: reliability diagram + ECE ------------------------
+
+_CAL_BIN_W = 30000.0
+_CAL_TRAIN_HI = "cccd"  # hash_threshold(0.8)
+
+_CAL_ORACLE = f"""
+WITH base AS (
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 9) AS bin,
+           (substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)
+                < '{_CAL_TRAIN_HI}') AS tr,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+    FROM orders
+),
+cells AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN tr THEN pos ELSE 0 END) AS BIGINT)
+               AS pos_train,
+           CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+           CAST(SUM(CASE WHEN NOT tr THEN pos ELSE 0 END) AS BIGINT)
+               AS pos_test
+    FROM base GROUP BY 1
+    HAVING SUM(CASE WHEN tr THEN 1 ELSE 0 END) > 0
+       AND SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) > 0
+),
+tot AS (SELECT CAST(SUM(n_test) AS BIGINT) AS n_test_total FROM cells),
+per AS (
+    SELECT c.bin, c.n_train, c.pos_train,
+           CAST(c.pos_train AS DOUBLE) / c.n_train AS conf,
+           c.n_test, c.pos_test,
+           CAST(c.pos_test AS DOUBLE) / c.n_test AS acc,
+           CAST(ROUND(ABS(CAST(c.pos_test AS DOUBLE) / c.n_test
+                          - CAST(c.pos_train AS DOUBLE) / c.n_train)
+                      * (CAST(c.n_test AS DOUBLE) / t.n_test_total), 9)
+                AS DECIMAL(12,9)) AS term9
+    FROM cells c, tot t
+),
+ece AS (
+    SELECT CAST(FLOOR(CAST(SUM(term9) AS DECIMAL(26,12)) * 1000000)
+                AS BIGINT) AS ece_micro
+    FROM per
+)
+SELECT p.bin, p.n_train, p.pos_train, p.conf, p.n_test, p.pos_test, p.acc,
+       p.acc - p.conf AS gap, e.ece_micro
+FROM per p, ece e
+"""
+
+
+@q("q_model_calibration", oracle_sql=_CAL_ORACLE)
+def model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+12 ML-eval family [EXT]: calibration audit — the reliability
+    diagram plus Expected Calibration Error for the simplest honest
+    model: train on a deterministic 80% hash split (the
+    ``operators/sampling.hash_split`` bucket convention), predict each
+    price bin's urgency rate, evaluate on the held-out 20%. Per bin:
+    train support/positives, predicted rate (``conf``), test
+    support/positives, observed rate (``acc``), the raw calibration gap
+    — and ECE = Σ (n_test_b/N_test)·|acc_b − conf_b| as exact BIGINT
+    micro-units, the model-monitoring scalar next to q_roc_auc
+    (discrimination) and q_psi_stability (drift). Gap and rates are
+    exact-IEEE divisions on identical integers, emitted raw; the ECE
+    fold rounds each bin term at 9dp into DECIMAL, so the sum is
+    order-free and the output integer-exact.
+
+    Plan shape: ONE map-side-combined aggregate over orders (bin ×
+    split counted in the same pass — no second scan for the split);
+    everything downstream operates on the ≤10-row bin table behind an
+    eager localCheckpoint (test total, per-bin rates, ECE fold are all
+    bounded); the ECE scalar broadcasts back onto the diagram rows. At
+    100 TB: cost is the single binning exchange, and the hash split
+    needs no persisted assignment table — membership is a pure function
+    of the key."""
+    from modevetl_spark.operators.sampling import _hash_bucket
+
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    tr = _hash_bucket(F.col("o_orderkey")) < _CAL_TRAIN_HI
+    pos = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    base = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(_CAL_BIN_W)).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        tr.alias("tr"),
+        pos.alias("pos"),
+    )
+    one = F.lit(1)
+    cells = (
+        base.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("tr"), one).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("tr"), F.col("pos")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_train"),
+            F.sum(F.when(~F.col("tr"), one).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+            F.sum(F.when(~F.col("tr"), F.col("pos")).otherwise(0))
+            .cast("bigint")
+            .alias("pos_test"),
+        )
+        .where((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .localCheckpoint(eager=True)  # ≤10 rows; read by three branches
+    )
+    tot = cells.agg(F.sum("n_test").cast("bigint").alias("n_test_total"))
+    conf = F.col("pos_train").cast("double") / F.col("n_train")
+    acc = F.col("pos_test").cast("double") / F.col("n_test")
+    per = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_train",
+        "pos_train",
+        conf.alias("conf"),
+        "n_test",
+        "pos_test",
+        acc.alias("acc"),
+        F.round(
+            F.abs(acc - conf)
+            * (F.col("n_test").cast("double") / F.col("n_test_total")),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("term9"),
+    )
+    ece = per.agg(
+        F.floor(F.sum("term9").cast("decimal(26,12)") * F.lit(1000000))
+        .cast("bigint")
+        .alias("ece_micro")
+    )
+    return per.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n_train",
+        "pos_train",
+        "conf",
+        "n_test",
+        "pos_test",
+        "acc",
+        (F.col("acc") - F.col("conf")).alias("gap"),
+        "ece_micro",
+    )
