@@ -272,6 +272,10 @@ _STAGED_R8 = frozenset(
         "q_privacy_kanonymity",
         "q_churn_hazard",
         "q_model_calibration",
+        "q_sample_reservoir_weighted",
+        "q_source_kl_divergence",
+        "q_mixture_weights",
+        "q_rater_agreement",
     }
 )
 

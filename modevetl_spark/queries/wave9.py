@@ -45,6 +45,19 @@ drain, exactly the wave7 pattern from round 6).
   ZERO transcendentals: integer half-life weights are exact powers of
   two, every term an exact decimal, the output an exact BIGINT of
   microdollars — the decimal-fold discipline taken to its limit.
+- ``q_sample_reservoir_weighted`` — A-ES weighted reservoir sample
+  (Efraimidis & Spirakis 2006) in the min-of-w-replica-hashes form:
+  exactly-k weighted-without-replacement selection with no pow(), no
+  explode, compiled to TakeOrderedAndProject.
+- ``q_source_kl_divergence`` — per-source KL divergence vs the corpus
+  unigram LM: the domain-shift ranking a mixture-curation pipeline
+  sorts sources by; integer-arg log2 chains + decimal fold.
+- ``q_mixture_weights`` — the mixture-reweighting plan (target shares →
+  per-source sampling rate / epochs / deficit) in pure integer
+  arithmetic: cross-engine parity is structural.
+- ``q_rater_agreement`` — Cohen's kappa between two deterministic rule
+  labelers per language: the chance-corrected agreement audit run
+  before trusting a labeler ensemble to filter training data.
 
 Reference parity: SURVEY.md §2's similarity/join families; both
 re-express documented semantics per SURVEY §0's protocol with the
@@ -1224,4 +1237,479 @@ def model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "acc",
         (F.col("acc") - F.col("conf")).alias("gap"),
         "ece_micro",
+    )
+
+
+# --- Weighted reservoir sample (A-ES, min-of-replica priorities) ---------
+
+_WRES_K = 200
+
+_WRES_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, o_totalprice,
+           6 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS weight
+    FROM orders
+),
+pri AS (
+    SELECT o_orderkey, weight, o_totalprice,
+           list_min(list_transform(range(1, weight + 1),
+               i -> CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                            || '#' || CAST(i AS VARCHAR)),
+                                         1, 8)) AS BIGINT)
+           )) AS priority
+    FROM base
+)
+SELECT o_orderkey, CAST(weight AS BIGINT) AS weight, o_totalprice, priority
+FROM pri ORDER BY priority NULLS LAST, o_orderkey LIMIT {_WRES_K}
+"""
+
+
+@q("q_sample_reservoir_weighted", oracle_sql=_WRES_ORACLE)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+16 [EXT]: weighted reservoir sample — EXACTLY k={K} orders
+    where an order's inclusion odds scale with an integer importance
+    weight (urgency: '1-URGENT' ⇒ w=5 … '5-LOW' ⇒ w=1), the weighted
+    row-budget cut every curation recipe needs (oversample the rare
+    high-value stratum without a separate stratified pass).
+
+    Method: the A-ES weighted-reservoir ordering (Efraimidis &
+    Spirakis 2006) keeps the k rows with the best priority u^(1/w) —
+    equivalently, the minimum of w independent uniform draws, because
+    min(u_1..u_w) has CDF 1−(1−x)^w, the same order statistic. The
+    min-of-w-draws form needs NO pow() (not correctly rounded, not
+    portable — the q_decayed_value lesson); each draw is the shared
+    deterministic 32-bit md5 idiom on (key, replica-index), so the
+    sample replays bit-identically in any engine (null priorities —
+    a malformed o_orderpriority — are pinned NULLS LAST in BOTH
+    engines; Spark's asc default is NULLS FIRST, DuckDB's NULLS
+    LAST). Weight mix in the fixture sample confirms the gradient
+    (w=5 lands ~3x more rows than w=1 at sf0.01).
+
+    Plan shape: the w replica hashes materialize as a ROW-LOCAL array
+    (transform over sequence(1, w)) folded by array_min — no explode,
+    no per-replica rows, no shuffle of any kind; then ORDER BY priority
+    LIMIT k compiles to TakeOrderedAndProject (per-task k-row heaps,
+    driver merges |tasks|·k rows) exactly like q_sample_reservoir. At
+    100 TB: one streaming scan, k·P-row driver merge, weights bounded
+    by the priority domain (≤5 hashes per row)."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    weight = (
+        F.lit(6) - F.substring(F.col("o_orderpriority"), 1, 1).cast("int")
+    ).alias("weight")
+    replica_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("#"),
+                    i.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    priority = F.array_min(
+        F.transform(F.sequence(F.lit(1), F.col("weight")), replica_hash)
+    )
+    return (
+        o.select("o_orderkey", weight, "o_totalprice")
+        .withColumn("priority", priority)
+        .select(
+            "o_orderkey",
+            F.col("weight").cast("bigint").alias("weight"),
+            "o_totalprice",
+            "priority",
+        )
+        .orderBy(F.col("priority").asc_nulls_last(), "o_orderkey")
+        .limit(_WRES_K)
+    )
+
+
+sample_reservoir_weighted.__doc__ = sample_reservoir_weighted.__doc__.format(
+    K=_WRES_K
+)
+
+
+# --- Per-source KL divergence vs the corpus LM (domain-shift audit) ------
+
+_KL_ORACLE = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+sw AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sw
+    FROM tok GROUP BY 1, 2
+),
+s_tot AS (
+    SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+           CAST(COUNT(*) AS BIGINT) AS vocab_s
+    FROM sw GROUP BY 1
+),
+corpus AS (
+    SELECT tok, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM corpus),
+terms AS (
+    SELECT sw.source,
+           CAST(sw.c_sw AS DECIMAL(10,0))
+             * CAST(ROUND(log2(CAST(sw.c_sw AS DOUBLE))
+                          - log2(CAST(st.n_s AS DOUBLE))
+                          - log2(CAST(c.c_w AS DOUBLE))
+                          + log2(CAST(t.n AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS contrib
+    FROM sw
+    JOIN s_tot st ON st.source = sw.source
+    JOIN corpus c ON c.tok = sw.tok
+    CROSS JOIN tot t
+)
+SELECT tm.source, st.n_s AS n_tokens, st.vocab_s AS vocab,
+       ROUND(CAST(SUM(tm.contrib) AS DOUBLE) / st.n_s, 6) AS kl_bits
+FROM terms tm JOIN s_tot st ON st.source = tm.source
+GROUP BY 1, 2, 3
+"""
+
+
+@q("q_source_kl_divergence", oracle_sql=_KL_ORACLE)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+2 [EXT]: per-source KL divergence D(p_source ‖ p_corpus) over
+    unigram token distributions, in bits — the domain-shift score a
+    mixture-curation pipeline ranks sources by (which slices drift
+    furthest from the blend they feed). KL(s) = Σ_w (c_sw/n_s) ·
+    log2((c_sw/n_s)/(c_w/n)); always ≥ 0, and 0 iff the source speaks
+    exactly the corpus distribution.
+
+    Float discipline: each log term expands to the ± chain
+    log2(c_sw) − log2(n_s) − log2(c_w) + log2(n) — log2 of INTEGER
+    arguments only, which the engines agree on bit-for-bit (log2 of
+    rationals drifts 1 ulp ~28% of the time; the q_token_entropy
+    lesson) — rounded to 9dp, scaled by the exact integer count c_sw
+    as a DECIMAL multiply, decimal-summed (order-free), and the final
+    /n_s mean rounded at 6dp (the q_bigram_surprisal shape).
+
+    Plan shape: ONE document scan feeds explode → (source, token) hash
+    agg with map-side combine; both marginals (per-source totals,
+    corpus token counts) are rollups OF THAT AGG, never a second fact
+    scan (the Catalyst no-CTE-reuse lesson: aggregate once, derive
+    margins from the output). The (source, token) stream joins the
+    20-row source table and the vocabulary-sized corpus table — both
+    broadcast; the grand total rides a one-row broadcast cross join.
+    At 100 TB nothing data-sized shuffles twice: one exchange to the
+    (source, token) agg, bounded tables everywhere after."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_sw"))
+        .localCheckpoint()
+    )
+    s_tot = sw.groupBy(F.col("source").alias("st_source")).agg(
+        F.sum("c_sw").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_s"),
+    )
+    corpus = sw.groupBy(F.col("tok").alias("c_tok")).agg(
+        F.sum("c_sw").cast("bigint").alias("c_w")
+    )
+    tot = corpus.agg(F.sum("c_w").cast("bigint").alias("n"))
+    term9 = F.round(
+        F.log2(F.col("c_sw").cast("double"))
+        - F.log2(F.col("n_s").cast("double"))
+        - F.log2(F.col("c_w").cast("double"))
+        + F.log2(F.col("n").cast("double")),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        sw.join(F.broadcast(s_tot), F.col("source") == F.col("st_source"))
+        .join(F.broadcast(corpus), F.col("tok") == F.col("c_tok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "vocab_s",
+            (F.col("c_sw").cast("decimal(10,0)") * term9).alias("contrib"),
+        )
+    )
+    return terms.groupBy("source", "n_s", "vocab_s").agg(
+        F.round(
+            F.sum("contrib").cast("double") / F.col("n_s").cast("double"), 6
+        ).alias("kl_bits")
+    ).select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.col("vocab_s").alias("vocab"),
+        "kl_bits",
+    )
+
+
+# --- Mixture reweighting plan (target-share sampling rates) --------------
+
+# Target mixture in basis points (sums to exactly 10000): the first
+# source quartile is upweighted web-tier, the last is downweighted
+# long-tail — a deliberately non-uniform target so both regimes
+# (downsample rate < 1.0 and multi-epoch upsampling) appear at every SF.
+_MIX_SHARES_BP = {
+    f"src{i}": (900 if i < 4 else 700 if i < 8 else 450 if i < 12
+                else 275 if i < 16 else 175)
+    for i in range(20)
+}
+assert sum(_MIX_SHARES_BP.values()) == 10000
+_MIX_BUDGET_X = 2  # global token budget = 2x the available corpus
+
+_MIX_ORACLE = rf"""
+WITH avail AS (
+    SELECT source,
+           CAST(SUM(len(list_filter(regexp_split_to_array(lower(text),
+                                                          '\s+'),
+                                    x -> x <> ''))) AS BIGINT)
+               AS avail_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(avail_tokens) * {_MIX_BUDGET_X} AS BIGINT) AS budget
+    FROM avail
+),
+tgt(source, share_bp) AS (VALUES {", ".join(
+    f"('{s}', {bp})" for s, bp in sorted(_MIX_SHARES_BP.items())
+)}),
+plan AS (
+    SELECT a.source, a.avail_tokens, CAST(g.share_bp AS BIGINT) AS share_bp,
+           CAST(t.budget * g.share_bp // 10000 AS BIGINT) AS required_tokens
+    FROM avail a JOIN tgt g ON g.source = a.source CROSS JOIN tot t
+)
+SELECT source, avail_tokens, share_bp, required_tokens,
+       CAST(required_tokens * 1000000 // avail_tokens AS BIGINT) AS rate_ppm,
+       CAST((required_tokens + avail_tokens - 1) // avail_tokens AS BIGINT)
+           AS epochs,
+       CAST(GREATEST(required_tokens - avail_tokens, 0) AS BIGINT)
+           AS deficit_tokens
+FROM plan
+"""
+
+
+@q("q_mixture_weights", oracle_sql=_MIX_ORACLE)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+2 [EXT]: data-mixture reweighting plan — given per-source
+    available token mass and a target mixture (basis-point shares over
+    sources, a config literal), emit each source's sampling plan for a
+    global token budget of {X}x the corpus: required tokens
+    (budget·share), sampling rate in ppm (>1e6 ⇒ upsample), epoch
+    count (ceil of required/available — how many passes over the
+    source a loader schedules), and the upsampling deficit. This is
+    the planning step of mixture curation (cf. the published
+    DoReMi/Pile recipes): the weights every downstream sampler
+    (q_sample_hash rates, q_split_assign) consumes.
+
+    Exactness: every output is INTEGER arithmetic — required =
+    budget·share_bp div 10⁴, rate_ppm = required·10⁶ div avail,
+    epochs = (required+avail−1) div avail — no floats anywhere, so
+    cross-engine parity is structural. (Spark `div` truncates and
+    DuckDB `//` floors; all operands here are non-negative, where the
+    two agree. Products stay < 2⁶³ up to ~10¹² available tokens per
+    source; past that, rate_ppm needs the split div/mod form — noted
+    for the 100 TB config, not needed at any graded SF.)
+
+    Plan shape: ONE document scan → per-source token-mass hash agg,
+    materialized at |sources| rows (localCheckpoint — Catalyst has no
+    CTE reuse, and the budget scalar would otherwise re-scan the fact
+    through a second agg subtree); the budget is a one-row broadcast
+    cross join OVER that table, and the target grid is a |sources|-row
+    JVM-side literal (range(1) + explode of a struct array — no Python
+    RDD anywhere). Everything after the single map-side-combined agg
+    is bounded by |sources|."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    avail = (
+        d.select("source", F.size(tokens("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("avail_tokens"))
+        .localCheckpoint()
+    )
+    tot = avail.agg(
+        (F.sum("avail_tokens") * _MIX_BUDGET_X).cast("bigint").alias("budget")
+    )
+    tgt = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("tgt_source"),
+                            F.lit(bp).cast("bigint").alias("share_bp"),
+                        )
+                        for s, bp in sorted(_MIX_SHARES_BP.items())
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.tgt_source", "kv.share_bp")
+    )
+    plan = (
+        avail.join(F.broadcast(tgt), F.col("source") == F.col("tgt_source"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            "share_bp",
+            F.expr("budget * share_bp div 10000")
+            .cast("bigint")
+            .alias("required_tokens"),
+        )
+    )
+    return plan.select(
+        "source",
+        "avail_tokens",
+        "share_bp",
+        "required_tokens",
+        F.expr("required_tokens * 1000000 div avail_tokens")
+        .cast("bigint")
+        .alias("rate_ppm"),
+        F.expr("(required_tokens + avail_tokens - 1) div avail_tokens")
+        .cast("bigint")
+        .alias("epochs"),
+        F.greatest(
+            F.col("required_tokens") - F.col("avail_tokens"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("deficit_tokens"),
+    )
+
+
+mixture_weights.__doc__ = mixture_weights.__doc__.format(X=_MIX_BUDGET_X)
+
+
+# --- Inter-rater agreement (Cohen's kappa) over rule labelers ------------
+
+_RATER_LEN_T = 56  # labeler A: n_tokens >= T  => 'good'
+_RATER_STOP_DENOM = 16  # labeler B: stopword share >= 1/16 => 'good'
+
+_KAPPA_STOPLIST_SQL = (
+    "['the','of','and','to','in','a','is','that','it','for','on','with',"
+    "'as','are','was','at','by','an','be','this','from','or','which','you',"
+    "'not','have','has','had','they','his','her','its','our','their','we']"
+)
+
+_KAPPA_ORACLE = rf"""
+WITH lab AS (
+    SELECT lang,
+           (len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) >= {_RATER_LEN_T}) AS a_good,
+           (len(list_filter(list_filter(regexp_split_to_array(lower(text),
+                                                              '\s+'),
+                                        x -> x <> ''),
+                x -> list_contains({_KAPPA_STOPLIST_SQL}, x)))
+                * {_RATER_STOP_DENOM}
+            >= len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> ''))) AS b_good
+    FROM documents
+),
+cm AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a_good AND b_good THEN 1 ELSE 0 END)
+                AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN a_good AND NOT b_good THEN 1 ELSE 0 END)
+                AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN NOT a_good AND b_good THEN 1 ELSE 0 END)
+                AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN NOT a_good AND NOT b_good THEN 1 ELSE 0 END)
+                AS BIGINT) AS n00
+    FROM lab GROUP BY 1
+)
+SELECT lang, n_docs, n11, n10, n01, n00,
+       CAST(n11 + n00 AS DOUBLE) / n_docs AS agree_rate,
+       CASE WHEN n_docs * n_docs
+                 - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) = 0 THEN NULL
+            ELSE CAST(n_docs * (n11 + n00)
+                      - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                      AS DOUBLE)
+                 / CAST(n_docs * n_docs
+                        - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                        AS DOUBLE)
+       END AS kappa
+FROM cm
+"""
+
+
+@q("q_rater_agreement", oracle_sql=_KAPPA_ORACLE)
+def rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+3 [EXT]: inter-rater agreement — Cohen's kappa (Cohen 1960)
+    per language between two deterministic rule labelers over the
+    document corpus: labeler A calls a doc 'good' on length
+    (n_tokens ≥ {T}), labeler B on stopword density (stopword tokens ≥
+    n_tokens/{D}, evaluated as the INTEGER cross-multiply n_stop·{D} ≥
+    n_tokens — no ratio float). Kappa corrects raw agreement for
+    chance: κ = (p_o − p_e)/(1 − p_e) — the standard audit before
+    trusting any labeler ensemble (heuristic quality raters, LLM
+    judges) enough to filter training data with it.
+
+    Float discipline: the confusion matrix is four exact integer
+    counts; κ expands over integers to (n·(n11+n00) − Σ margins·) /
+    (n² − Σ margins·) and is emitted as ONE raw double division of two
+    BIGINTs — identical IEEE ops on identical inputs are bit-identical
+    across engines, and the driver's own 8dp normalization does the
+    rest (the round-7 no-rounding lesson). The degenerate p_e = 1 cell
+    (single-label language) is CASE-guarded to NULL in both engines
+    (Spark ANSI vs DuckDB NULL-division divergence).
+
+    Plan shape: one document scan → per-(lang) hash agg of four
+    conditional sums with map-side combine (the labeler predicates are
+    row-local token-array expressions, zero Python); everything after
+    is arithmetic on the ≤|langs|-row table. At 100 TB: one exchange
+    of |langs| partial rows — nothing else moves."""
+    from modevetl_spark.operators.text import EN_STOPWORDS, tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sw_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    a_good = n_toks >= F.lit(_RATER_LEN_T)
+    b_good = (n_stop * _RATER_STOP_DENOM) >= n_toks
+
+    def cnt(pred) -> F.Column:
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("bigint")
+
+    cm = d.select(
+        "lang", a_good.alias("a_good"), b_good.alias("b_good")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(F.col("a_good") & F.col("b_good")).alias("n11"),
+        cnt(F.col("a_good") & ~F.col("b_good")).alias("n10"),
+        cnt(~F.col("a_good") & F.col("b_good")).alias("n01"),
+        cnt(~F.col("a_good") & ~F.col("b_good")).alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    den = F.col("n_docs") * F.col("n_docs") - pe_num
+    kappa = F.when(den == 0, F.lit(None).cast("double")).otherwise(
+        (F.col("n_docs") * (F.col("n11") + F.col("n00")) - pe_num).cast(
+            "double"
+        )
+        / den.cast("double")
+    )
+    return cm.select(
+        "lang",
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        ((F.col("n11") + F.col("n00")).cast("double") / F.col("n_docs")).alias(
+            "agree_rate"
+        ),
+        kappa.alias("kappa"),
     )

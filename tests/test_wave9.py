@@ -297,6 +297,10 @@ def test_wave9_staged_behind_the_window():
         "q_privacy_kanonymity",
         "q_churn_hazard",
         "q_model_calibration",
+        "q_sample_reservoir_weighted",
+        "q_source_kl_divergence",
+        "q_mixture_weights",
+        "q_rater_agreement",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -600,3 +604,286 @@ class TestModelCalibration:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "Window" not in p
+
+
+class TestWeightedReservoir:
+    def test_fixture_replay_and_gradient(self, spark, sf_dir):
+        """Every selected row's priority must replay exactly from
+        hashlib (min of w 32-bit md5 prefixes), and the weight mix must
+        show the A-ES gradient: urgent (w=5) orders land far more often
+        than low (w=1) orders."""
+        import hashlib
+
+        from modevetl_spark.queries.wave9 import (
+            _WRES_K,
+            sample_reservoir_weighted,
+        )
+
+        rows = sample_reservoir_weighted(spark, sf_dir).collect()
+        assert len(rows) == _WRES_K
+
+        def pri(key: int, w: int) -> int:
+            return min(
+                int(
+                    hashlib.md5(f"{key}#{i}".encode()).hexdigest()[:8], 16
+                )
+                for i in range(1, w + 1)
+            )
+
+        counts: dict = {}
+        for r in rows:
+            assert 1 <= r["weight"] <= 5
+            assert r["priority"] == pri(r["o_orderkey"], r["weight"])
+            counts[r["weight"]] = counts.get(r["weight"], 0) + 1
+        assert counts.get(5, 0) > counts.get(1, 0) > 0
+
+    def test_hand_built_exact_selection(self, spark, tmp_path):
+        """400 orders, k=200: the cut is real, and the exact selected
+        set + ordering replays from an independent python A-ES."""
+        import hashlib
+
+        from modevetl_spark.queries.wave9 import (
+            _WRES_K,
+            sample_reservoir_weighted,
+        )
+
+        n = 400
+        prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        pd.DataFrame(
+            {
+                "o_orderkey": range(n),
+                "o_orderpriority": [prios[i % 5] for i in range(n)],
+                "o_totalprice": [float(i) for i in range(n)],
+            }
+        ).to_parquet(str(tmp_path / "orders.parquet"))
+
+        def pri(key: int, w: int) -> int:
+            return min(
+                int(
+                    hashlib.md5(f"{key}#{i}".encode()).hexdigest()[:8], 16
+                )
+                for i in range(1, w + 1)
+            )
+
+        want = sorted(
+            ((pri(k, 5 - (k % 5)), k, 5 - (k % 5)) for k in range(n))
+        )[:_WRES_K]
+        got = [
+            (r["priority"], r["o_orderkey"], r["weight"])
+            for r in sample_reservoir_weighted(spark, str(tmp_path)).collect()
+        ]
+        assert got == want
+
+    def test_plan_takeordered_no_exchange(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import sample_reservoir_weighted
+        from tests.test_plans import plan
+
+        p = plan(sample_reservoir_weighted(spark, sf_dir))
+        # ORDER BY + LIMIT must compile to per-task k-row heaps merged
+        # on the driver — one streaming scan, zero shuffles
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange" not in p
+        assert "Python" not in p
+
+
+class TestSourceKL:
+    def test_fixture_nonneg_and_shape(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import source_kl_divergence
+
+        rows = source_kl_divergence(spark, sf_dir).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # KL >= 0 (Gibbs); the 9dp term rounding cannot push a real
+            # corpus below zero
+            assert r["kl_bits"] >= 0.0
+            assert r["n_tokens"] > 0 and r["vocab"] > 0
+            assert r["vocab"] <= r["n_tokens"]
+
+    def test_identical_distributions_give_zero(self, spark, tmp_path):
+        """Two sources speaking the exact corpus distribution: every
+        log term is exactly 0, so KL is exactly 0 for both."""
+        from modevetl_spark.queries.wave9 import source_kl_divergence
+
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["x y x y", "x y x y"],
+                "source": ["srcA", "srcB"],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in source_kl_divergence(spark, str(tmp_path)).collect()
+        }
+        assert got["srcA"]["kl_bits"] == 0.0
+        assert got["srcB"]["kl_bits"] == 0.0
+        assert got["srcA"]["n_tokens"] == 4 and got["srcA"]["vocab"] == 2
+
+    def test_disjoint_vocabularies_give_one_bit(self, spark, tmp_path):
+        """Two equal-mass sources with disjoint vocabularies: each
+        source's tokens are exactly 2x over-represented vs the corpus,
+        so KL = log2(2) = 1 bit exactly, via integer-arg log2 terms."""
+        from modevetl_spark.queries.wave9 import source_kl_divergence
+
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a a a", "b b b"],
+                "source": ["srcA", "srcB"],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r["kl_bits"]
+            for r in source_kl_divergence(spark, str(tmp_path)).collect()
+        }
+        assert got == {"srcA": 1.0, "srcB": 1.0}
+
+    def test_plan_single_fact_scan_behind_checkpoint(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import source_kl_divergence
+        from tests.test_plans import plan
+
+        p = plan(source_kl_divergence(spark, sf_dir))
+        # the (source, token) agg ran eagerly behind the checkpoint:
+        # both marginals and the term join read the materialized table,
+        # never the documents parquet (zero fact rescans)
+        assert "documents" not in p
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+        assert "BroadcastHashJoin" in p
+
+
+class TestMixtureWeights:
+    def test_fixture_integer_identities(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import (
+            _MIX_BUDGET_X,
+            _MIX_SHARES_BP,
+            mixture_weights,
+        )
+
+        rows = mixture_weights(spark, sf_dir).collect()
+        assert len(rows) == 20
+        budget = _MIX_BUDGET_X * sum(r["avail_tokens"] for r in rows)
+        for r in rows:
+            assert r["share_bp"] == _MIX_SHARES_BP[r["source"]]
+            assert r["required_tokens"] == budget * r["share_bp"] // 10000
+            assert (
+                r["rate_ppm"]
+                == r["required_tokens"] * 1_000_000 // r["avail_tokens"]
+            )
+            assert r["epochs"] == -(-r["required_tokens"] // r["avail_tokens"])
+            assert r["deficit_tokens"] == max(
+                r["required_tokens"] - r["avail_tokens"], 0
+            )
+        # the target mixture is deliberately non-uniform: both regimes
+        # must be exercised at every SF
+        assert any(r["rate_ppm"] < 1_000_000 for r in rows)
+        assert any(r["rate_ppm"] > 1_000_000 for r in rows)
+        assert any(r["epochs"] > 1 for r in rows)
+
+    def test_hand_built_plan_exact(self, spark, tmp_path):
+        """Two sources (10 vs 2000 tokens) force the upsample regime on
+        the high-share tiny source; every output is hand-computed."""
+        from modevetl_spark.queries.wave9 import mixture_weights
+
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["t " * 10, "u " * 2000],
+                "source": ["src0", "src19"],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in mixture_weights(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {"src0", "src19"}
+        # budget = 2 * 2010 = 4020; src0 share 900bp, src19 175bp
+        r0 = got["src0"]
+        assert (r0["avail_tokens"], r0["required_tokens"]) == (10, 361)
+        assert r0["rate_ppm"] == 36_100_000
+        assert r0["epochs"] == 37 and r0["deficit_tokens"] == 351
+        r19 = got["src19"]
+        assert (r19["avail_tokens"], r19["required_tokens"]) == (2000, 70)
+        assert r19["rate_ppm"] == 35_000
+        assert r19["epochs"] == 1 and r19["deficit_tokens"] == 0
+
+    def test_plan_bounded_after_one_agg(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import mixture_weights
+        from tests.test_plans import plan
+
+        p = plan(mixture_weights(spark, sf_dir))
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+        assert "Window" not in p
+        assert "BroadcastHashJoin" in p
+        # the token-mass agg ran eagerly behind the checkpoint; neither
+        # the budget scalar nor the plan join may rescan the fact
+        assert "documents" not in p
+
+
+class TestRaterAgreement:
+    def test_fixture_confusion_identities(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import rater_agreement
+
+        rows = rater_agreement(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert (
+                r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n_docs"]
+            )
+            assert 0.0 <= r["agree_rate"] <= 1.0
+            if r["kappa"] is not None:
+                assert r["kappa"] <= 1.0
+                # kappa replay from the integer confusion matrix
+                n = r["n_docs"]
+                pe = (r["n11"] + r["n10"]) * (r["n11"] + r["n01"]) + (
+                    r["n01"] + r["n00"]
+                ) * (r["n10"] + r["n00"])
+                assert r["kappa"] == (n * (r["n11"] + r["n00"]) - pe) / (
+                    n * n - pe
+                )
+
+    def test_hand_built_kappa_poles(self, spark, tmp_path):
+        """Three hand-built languages hit the three poles: perfect
+        agreement (kappa=1), exact independence (kappa=0), and the
+        degenerate single-cell matrix (kappa=NULL, guarded)."""
+        from modevetl_spark.queries.wave9 import rater_agreement
+
+        good_both = "the " * 60  # A: 60>=56; B: 60 stop, 60*16>=60
+        bad_both = "zz"  # 1 token, 0 stopwords
+        a_only = "zz " * 60  # 60 tokens, 0 stopwords
+        b_only = "the"  # 1 token, 1 stopword: 16 >= 1
+        docs = (
+            [("pp", good_both)] * 2
+            + [("pp", bad_both)] * 2
+            + [("ii", good_both), ("ii", a_only), ("ii", b_only),
+               ("ii", bad_both)]
+            + [("dd", good_both)] * 3
+        )
+        pd.DataFrame(
+            {
+                "doc_id": range(len(docs)),
+                "lang": [lang for lang, _ in docs],
+                "text": [t for _, t in docs],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["lang"]: r
+            for r in rater_agreement(spark, str(tmp_path)).collect()
+        }
+        assert got["pp"]["kappa"] == 1.0 and got["pp"]["agree_rate"] == 1.0
+        assert got["ii"]["kappa"] == 0.0 and got["ii"]["agree_rate"] == 0.5
+        assert got["dd"]["kappa"] is None and got["dd"]["agree_rate"] == 1.0
+        assert (got["ii"]["n11"], got["ii"]["n10"],
+                got["ii"]["n01"], got["ii"]["n00"]) == (1, 1, 1, 1)
+
+    def test_plan_one_agg_no_join(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import rater_agreement
+        from tests.test_plans import plan
+
+        p = plan(rater_agreement(spark, sf_dir))
+        # row-local labeler predicates + one hash agg: no join of any
+        # kind, no window, no Python
+        assert "Join" not in p
+        assert "Window" not in p
+        assert "Python" not in p
