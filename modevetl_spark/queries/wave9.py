@@ -1247,7 +1247,8 @@ _WRES_K = 200
 _WRES_ORACLE = f"""
 WITH base AS (
     SELECT o_orderkey, o_totalprice,
-           6 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS weight
+           GREATEST(6 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER), 1)
+               AS weight
     FROM orders
 ),
 pri AS (
@@ -1279,11 +1280,14 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-of-w-draws form needs NO pow() (not correctly rounded, not
     portable — the q_decayed_value lesson); each draw is the shared
     deterministic 32-bit md5 idiom on (key, replica-index), so the
-    sample replays bit-identically in any engine (null priorities —
-    a malformed o_orderpriority — are pinned NULLS LAST in BOTH
-    engines; Spark's asc default is NULLS FIRST, DuckDB's NULLS
-    LAST). Weight mix in the fixture sample confirms the gradient
-    (w=5 lands ~3x more rows than w=1 at sf0.01).
+    sample replays bit-identically in any engine. Two malformed-input
+    guards keep parity structural: weight is clamped to ≥1 in BOTH
+    engines (a priority digit ≥6 would give w≤0, where Spark's
+    sequence(1, w) runs DESCENDING while DuckDB's range(1, w+1) is
+    empty→NULL — a silent divergence), and null priorities are pinned
+    NULLS LAST in BOTH engines (Spark's asc default is NULLS FIRST,
+    DuckDB's NULLS LAST). Weight mix in the fixture sample confirms
+    the gradient (w=5 lands ~3x more rows than w=1 at sf0.01).
 
     Plan shape: the w replica hashes materialize as a ROW-LOCAL array
     (transform over sequence(1, w)) folded by array_min — no explode,
@@ -1294,8 +1298,9 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the priority domain (≤5 hashes per row)."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
-    weight = (
-        F.lit(6) - F.substring(F.col("o_orderpriority"), 1, 1).cast("int")
+    weight = F.greatest(
+        F.lit(6) - F.substring(F.col("o_orderpriority"), 1, 1).cast("int"),
+        F.lit(1),
     ).alias("weight")
     replica_hash = lambda i: F.conv(  # noqa: E731
         F.substring(
@@ -1484,6 +1489,7 @@ plan AS (
     SELECT a.source, a.avail_tokens, CAST(g.share_bp AS BIGINT) AS share_bp,
            CAST(t.budget * g.share_bp // 10000 AS BIGINT) AS required_tokens
     FROM avail a JOIN tgt g ON g.source = a.source CROSS JOIN tot t
+    WHERE a.avail_tokens > 0
 )
 SELECT source, avail_tokens, share_bp, required_tokens,
        CAST(required_tokens * 1000000 // avail_tokens AS BIGINT) AS rate_ppm,
@@ -1515,7 +1521,10 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `//` floors; all operands here are non-negative, where the
     two agree. Products stay < 2⁶³ up to ~10¹² available tokens per
     source; past that, rate_ppm needs the split div/mod form — noted
-    for the 100 TB config, not needed at any graded SF.)
+    for the 100 TB config, not needed at any graded SF.) Zero-mass
+    sources (every document empty) are filtered in BOTH engines —
+    no sampling rate exists for them, and the division would raise
+    in DuckDB and under Spark ANSI rather than NULL quietly.
 
     Plan shape: ONE document scan → per-source token-mass hash agg,
     materialized at |sources| rows (localCheckpoint — Catalyst has no
@@ -1556,7 +1565,8 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kv.tgt_source", "kv.share_bp")
     )
     plan = (
-        avail.join(F.broadcast(tgt), F.col("source") == F.col("tgt_source"))
+        avail.filter(F.col("avail_tokens") > 0)
+        .join(F.broadcast(tgt), F.col("source") == F.col("tgt_source"))
         .crossJoin(F.broadcast(tot))
         .select(
             "source",

@@ -887,3 +887,53 @@ class TestRaterAgreement:
         assert "Join" not in p
         assert "Window" not in p
         assert "Python" not in p
+
+
+class TestWeightedReservoirMalformed:
+    def test_weight_clamped_to_one(self, spark, tmp_path):
+        """A malformed priority digit >= 6 would give w <= 0, where
+        Spark's sequence(1, w) runs DESCENDING while DuckDB's
+        range(1, w+1) is empty -> NULL: the clamp pins both engines to
+        w = 1 (single replica hash), keeping the row sampleable."""
+        import hashlib
+
+        from modevetl_spark.queries.wave9 import sample_reservoir_weighted
+
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_orderpriority": ["9-BOGUS", "6-ZERO", "1-URGENT"],
+                "o_totalprice": [1.0, 2.0, 3.0],
+            }
+        ).to_parquet(str(tmp_path / "orders.parquet"))
+        rows = {
+            r["o_orderkey"]: r
+            for r in sample_reservoir_weighted(spark, str(tmp_path)).collect()
+        }
+        assert len(rows) == 3
+        assert rows[1]["weight"] == 1 and rows[2]["weight"] == 1
+        assert rows[3]["weight"] == 5
+        for k in (1, 2):
+            assert rows[k]["priority"] == int(
+                hashlib.md5(f"{k}#1".encode()).hexdigest()[:8], 16
+            )
+
+
+class TestMixtureWeightsZeroMass:
+    def test_zero_mass_source_filtered(self, spark, tmp_path):
+        """A source whose every document is empty has no sampling rate
+        (division by zero in both engines): it is filtered, and its
+        zero mass does not perturb the budget."""
+        from modevetl_spark.queries.wave9 import mixture_weights
+
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["t " * 100, "", "   "],
+                "source": ["src0", "src1", "src1"],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        rows = mixture_weights(spark, str(tmp_path)).collect()
+        assert {r["source"] for r in rows} == {"src0"}
+        # budget = 2 * 100; src0 share 900bp -> required 18
+        assert rows[0]["required_tokens"] == 18
