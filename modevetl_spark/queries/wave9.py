@@ -1404,9 +1404,13 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (the Catalyst no-CTE-reuse lesson: aggregate once, derive
     margins from the output). The (source, token) stream joins the
     20-row source table and the vocabulary-sized corpus table — both
-    broadcast; the grand total rides a one-row broadcast cross join.
-    At 100 TB nothing data-sized shuffles twice: one exchange to the
-    (source, token) agg, bounded tables everywhere after."""
+    broadcast here (the fixture vocabulary is tiny); the grand total
+    rides a one-row broadcast cross join. At 100 TB one exchange
+    reaches the (source, token) agg and the |sources| margins stay
+    broadcast; only if the vocabulary outgrows broadcast (~100M+
+    tokens) does the corpus-margin join drop the hint and fall back
+    to a hash exchange keyed on token — linear in the AGG's size
+    (vocabulary × sources), never in corpus rows."""
     from modevetl_spark.operators.text import tokens
 
     prep(spark)
