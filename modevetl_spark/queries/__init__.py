@@ -276,6 +276,7 @@ _STAGED_R8 = frozenset(
         "q_source_kl_divergence",
         "q_mixture_weights",
         "q_rater_agreement",
+        "q_dedup_substring_runs",
     }
 )
 

@@ -301,6 +301,7 @@ def test_wave9_staged_behind_the_window():
         "q_source_kl_divergence",
         "q_mixture_weights",
         "q_rater_agreement",
+        "q_dedup_substring_runs",
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -937,3 +938,61 @@ class TestMixtureWeightsZeroMass:
         assert {r["source"] for r in rows} == {"src0"}
         # budget = 2 * 100; src0 share 900bp -> required 18
         assert rows[0]["required_tokens"] == 18
+
+
+class TestSubstringRuns:
+    def test_fixture_run_invariants(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import _RUNS_N, dedup_substring_runs
+
+        rows = dedup_substring_runs(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r["n_runs"] >= 1
+            assert r["longest_run"] >= _RUNS_N
+            assert r["longest_run"] <= r["dup_tokens"] <= r["n_tokens"]
+            assert r["dup_ratio"] == r["dup_tokens"] / r["n_tokens"]
+
+    def test_hand_built_runs_exact(self, spark, tmp_path):
+        """Three constructions pin the interval algebra: a 10-token
+        passage shared across two docs merges its three overlapping
+        duplicated grams into ONE 10-token run (union, not 3x8); a doc
+        repeating an 8-token block at gap > 8 yields TWO disjoint
+        8-token runs; a fully unique doc is absent."""
+        from modevetl_spark.queries.wave9 import dedup_substring_runs
+
+        P = " ".join(f"p{i}" for i in range(10))
+        Q = " ".join(f"q{i}" for i in range(8))
+        docs = {
+            0: P + " " + " ".join(f"a{i}" for i in range(10)),
+            1: " ".join(f"b{i}" for i in range(10)) + " " + P,
+            2: Q + " " + " ".join(f"c{i}" for i in range(9)) + " " + Q,
+            3: " ".join(f"d{i}" for i in range(30)),
+        }
+        pd.DataFrame(
+            {"doc_id": list(docs), "text": list(docs.values())}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in dedup_substring_runs(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {0, 1, 2}
+        for k in (0, 1):
+            r = got[k]
+            assert (r["n_tokens"], r["n_runs"]) == (20, 1)
+            assert r["dup_tokens"] == 10 and r["longest_run"] == 10
+            assert r["dup_ratio"] == 0.5
+        r = got[2]
+        assert (r["n_tokens"], r["n_runs"]) == (25, 2)
+        assert r["dup_tokens"] == 16 and r["longest_run"] == 8
+        assert r["dup_ratio"] == 16 / 25
+
+    def test_plan_doc_keyed_windows_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave9 import dedup_substring_runs
+        from tests.test_plans import plan
+
+        p = plan(dedup_substring_runs(spark, sf_dir))
+        assert "Python" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # run assembly must ride doc-partitioned windows (the registry
+        # gate separately proves no global window anywhere)
+        assert "Window" in p
