@@ -1,8 +1,9 @@
 """Unit tests for the round-8 staged wave (queries/wave9.py): MMR
 greedy-selection semantics on adversarial shortlists, the Bloom
 filter's no-false-negative guarantee under a deliberately undersized
-bit budget, plan-shape gates, and the staging contract (the two keys
-must sit BEHIND every round-7 window slot).
+bit budget, hand-built exactness fixtures for every operator,
+plan-shape gates, and the staging contract (all staged keys must sit
+BEHIND every round-7 window slot).
 """
 
 from __future__ import annotations
