@@ -107,3 +107,81 @@ def test_hh_grouped_matches_python_exact_rule(spark, rows, denom):
         ).collect()
     }
     assert got == _hh_grouped_python(rows, denom)
+
+
+# --- Exact-substring duplicated runs (interval merge) ---------------------
+
+
+def _runs_python(texts: dict[int, str], n: int = 8) -> dict:
+    """Naive reference: positional n-grams, global occurrence counts,
+    per-doc interval union of [p, p+n-1] for duplicated positions."""
+    grams: dict = {}
+    pos_by_doc: dict = {}
+    for doc, text in texts.items():
+        tk = [t for t in text.lower().split() if t]
+        pos_by_doc[doc] = []
+        for i in range(len(tk) - n + 1):
+            g = " ".join(tk[i : i + n])
+            grams[g] = grams.get(g, 0) + 1
+            pos_by_doc[doc].append((i + 1, g))
+    out: dict = {}
+    for doc, text in texts.items():
+        tk = [t for t in text.lower().split() if t]
+        dup = sorted(p for p, g in pos_by_doc[doc] if grams[g] > 1)
+        if not dup:
+            continue
+        runs = []
+        for p in dup:
+            if runs and p - runs[-1][1] <= n:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        lens = [e - s + n for s, e in runs]
+        out[doc] = {
+            "n_tokens": len(tk),
+            "n_runs": len(runs),
+            "dup_tokens": sum(lens),
+            "longest_run": max(lens),
+        }
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet + short docs force heavy cross-doc and
+            # within-doc gram collisions, the interval-merge stress case
+            st.sampled_from(["a", "b", "c"]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_substring_runs_differential(spark, tmp_path_factory, docs):
+    import pandas as pd
+
+    from modevetl_spark.queries.wave9 import dedup_substring_runs
+
+    texts = {i: " ".join(toks) for i, toks in enumerate(docs)}
+    want = _runs_python(texts)
+    tmp = tmp_path_factory.mktemp("runsdiff")
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ).to_parquet(str(tmp / "documents.parquet"))
+    got = {
+        r["doc_id"]: {
+            "n_tokens": r["n_tokens"],
+            "n_runs": r["n_runs"],
+            "dup_tokens": r["dup_tokens"],
+            "longest_run": r["longest_run"],
+        }
+        for r in dedup_substring_runs(spark, str(tmp)).collect()
+    }
+    assert got == want
