@@ -723,3 +723,28 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min("mass").cast("bigint").alias("est_cnt"))
     )
+
+
+def hll_state(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
+    """HyperLogLog register state (Flajolet et al. 2007) over a key
+    column: the shared 32-bit md5 prefix splits into a ``b``-bit
+    register index ``j`` (top bits) and a ``32-b``-bit rank word ``w``;
+    the register holds the max leading-zero rank rho = (32-b)+1 for
+    w=0, else (32-b) - floor(log2(w)) — log2 of an INTEGER argument,
+    so a second engine replays every register bit-for-bit. State is
+    ≤ 2^b rows no matter the cardinality; states from any row split
+    MERGE by per-register max (idempotent — duplicates are free, which
+    is the sketch's whole contract).
+    """
+    wbits = 32 - b
+    h32 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    jr = df.select(
+        (h32 / F.lit(1 << wbits)).cast("bigint").alias("j"),
+        (h32 % F.lit(1 << wbits)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.floor(F.log2("w")).cast("bigint")
+    )
+    return jr.groupBy("j").agg(F.max(rho).alias("mj"))

@@ -40,6 +40,7 @@ _MODULES = [
     "wave7",
     "wave8",
     "wave9",
+    "wave10",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
@@ -281,7 +282,21 @@ _STAGED_R8 = frozenset(
 )
 
 
+# Round-9 staged wave (queries/wave10.py): built and driver-sim verified
+# during round 7, pinned BEHIND the round-8 staged wave — priority 9.5
+# sorts after _STAGED_R8's 9, so these keys can displace neither a
+# round-7 window slot nor a round-8 drain slot. Round-9 bookkeeping:
+# after _STAGED_R8 retires (round 8), retire this set the same way.
+_STAGED_R9 = frozenset(
+    {
+        "q_sketch_hll",
+    }
+)
+
+
 def _grading_priority(key: str) -> float:
+    if key in _STAGED_R9:
+        return 9.5  # staged for round 9: behind the r8 staged wave too
     if key in _STAGED_R8:
         return 9  # staged for round 8: behind the whole r7 window
     if _freshest_round(key) == 0:
