@@ -290,6 +290,7 @@ _STAGED_R8 = frozenset(
 _STAGED_R9 = frozenset(
     {
         "q_sketch_hll",
+        "q_cooccur_pmi",
     }
 )
 

@@ -167,3 +167,144 @@ for _k, _v in (
 ):
     _doc = _doc.replace(_k, _v)
 sketch_hll.__doc__ = _doc
+
+
+# --- Windowed co-occurrence PPMI associations ------------------------------
+
+_PMI_W = 4  # skip-gram window: pairs (tok_i, tok_{i+d}), d = 1..W
+_PMI_MIN = 5  # minimum pair count (kills one-off noise pairs)
+_PMI_K = 50
+
+_PMI_ORACLE = rf"""
+WITH t AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+p0 AS (
+    SELECT unnest(flatten(list_transform(range(1, {_PMI_W + 1}),
+               d -> list_transform(range(1, len(tk) - d + 1),
+                    i -> {{'a': tk[i], 'b': tk[i+d]}})))) AS pr
+    FROM t
+),
+pairs AS (
+    SELECT least(pr.a, pr.b) AS tok_a, greatest(pr.a, pr.b) AS tok_b
+    FROM p0 WHERE pr.a <> pr.b
+),
+cab AS (
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+    FROM pairs GROUP BY 1, 2
+),
+marg AS (
+    SELECT tok, CAST(SUM(c_ab) AS BIGINT) AS c_t FROM (
+        SELECT tok_a AS tok, c_ab FROM cab
+        UNION ALL
+        SELECT tok_b AS tok, c_ab FROM cab
+    ) GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab)
+SELECT c.tok_a, c.tok_b, c.c_ab, ma.c_t AS c_a, mb.c_t AS c_b,
+       log2(c.c_ab) + log2(t.n) - log2(ma.c_t) - log2(mb.c_t) AS pmi
+FROM cab c
+JOIN marg ma ON ma.tok = c.tok_a
+JOIN marg mb ON mb.tok = c.tok_b
+CROSS JOIN tot t
+WHERE c.c_ab >= {_PMI_MIN}
+ORDER BY pmi DESC, c.tok_a, c.tok_b
+LIMIT {_PMI_K}
+"""
+
+
+@q("q_cooccur_pmi", oracle_sql=_PMI_ORACLE)
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+4 [EXT]: windowed co-occurrence PMI — the top-{K} strongest
+    word associations by pointwise mutual information over unordered
+    skip-gram pairs (tok_i with tok_{{i+d}}, d ≤ {W}, self-pairs
+    dropped), with a c_ab ≥ {MIN} support floor. This is the PPMI-
+    matrix row construction of distributional semantics (Church &
+    Hanks 1990; Levy & Goldberg 2014): the association table embedding
+    and collocation pipelines precompute.
+
+    PMI = log2(c_ab·N / (c_a·c_b)) expands to the ± chain
+    log2(c_ab) + log2(N) − log2(c_a) − log2(c_b): log2 of INTEGER
+    arguments only, engine-identical; the 4-term add/subtract tree is
+    a fixed sequence of IEEE ops on identical doubles, so the score is
+    bit-identical across engines with NO rounding (the round-7 lesson)
+    and the DESC ordering + (tok_a, tok_b) tie-break replays exactly.
+    Marginals here are PAIR-slot counts (each pair feeds both tokens'
+    totals), the convention that makes Σ marginals = 2N exactly.
+
+    Plan shape: pairs are generated ROW-LOCALLY from each token array
+    (a flatten of {W} zip_with offsets — never a positional self-join,
+    which would shuffle |tokens| against itself); ONE exchange reaches
+    the (tok_a, tok_b) hash agg with map-side combine; both marginals
+    are rollups OF THAT AGG's output (union of its two slots — no
+    second fact scan), joined back broadcast; N rides a one-row
+    broadcast. The final top-k is ORDER BY + LIMIT =
+    TakeOrderedAndProject. At 100 TB the only data-sized relations are
+    the pair stream (scan-side, pipelined into the partial agg) and
+    the pair-count table (vocabulary-bounded)."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    _BIG = 1 << 30
+    pair_lists = F.flatten(
+        F.array(
+            *[
+                F.filter(
+                    F.zip_with(
+                        toks,
+                        F.slice(toks, dd + 1, _BIG),
+                        lambda a, b: F.struct(
+                            F.least(a, b).alias("a"),
+                            F.greatest(a, b).alias("b"),
+                            (a == b).alias("selfp"),
+                            b.isNull().alias("pad"),
+                        ),
+                    ),
+                    lambda s: ~s["pad"] & ~s["selfp"],
+                )
+                for dd in range(1, _PMI_W + 1)
+            ]
+        )
+    )
+    pairs = d.select(F.explode(pair_lists).alias("pr")).select(
+        F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b")
+    )
+    cab = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .localCheckpoint()
+    )
+    marg = (
+        cab.select(F.col("tok_a").alias("tok"), "c_ab")
+        .unionByName(cab.select(F.col("tok_b").alias("tok"), "c_ab"))
+        .groupBy("tok")
+        .agg(F.sum("c_ab").cast("bigint").alias("c_t"))
+    )
+    tot = cab.agg(F.sum("c_ab").cast("bigint").alias("n"))
+    ma = marg.select(F.col("tok").alias("ma_tok"), F.col("c_t").alias("c_a"))
+    mb = marg.select(F.col("tok").alias("mb_tok"), F.col("c_t").alias("c_b"))
+    pmi = (
+        F.log2("c_ab")
+        + F.log2("n")
+        - F.log2("c_a")
+        - F.log2("c_b")
+    )
+    return (
+        cab.where(F.col("c_ab") >= _PMI_MIN)
+        .join(F.broadcast(ma), F.col("tok_a") == F.col("ma_tok"))
+        .join(F.broadcast(mb), F.col("tok_b") == F.col("mb_tok"))
+        .crossJoin(F.broadcast(tot))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(_PMI_K)
+    )
+
+
+_doc = cooccur_pmi.__doc__
+for _k, _v in (("{K}", str(_PMI_K)), ("{W}", str(_PMI_W)), ("{MIN}", str(_PMI_MIN))):
+    _doc = _doc.replace(_k, _v)
+cooccur_pmi.__doc__ = _doc

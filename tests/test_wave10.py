@@ -103,3 +103,115 @@ class TestHll:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "Window" not in p
+
+
+class TestCooccurPmi:
+    def test_fixture_replay_and_contract(self, spark, sf_dir):
+        """Every emitted PMI must replay exactly from its own integer
+        counts through the same log2 chain; pairs are unordered,
+        non-self, above the support floor."""
+        import math
+
+        from modevetl_spark.queries.wave10 import (
+            _PMI_K,
+            _PMI_MIN,
+            cooccur_pmi,
+        )
+
+        rows = cooccur_pmi(spark, sf_dir).collect()
+        assert len(rows) == _PMI_K
+        for r in rows:
+            assert r["tok_a"] < r["tok_b"]  # unordered + non-self
+            assert r["c_ab"] >= _PMI_MIN
+            assert r["c_a"] >= r["c_ab"] and r["c_b"] >= r["c_ab"]
+        # replay needs N; recover it from any row (pmi = log2(cab) +
+        # log2(N) - log2(ca) - log2(cb)) => all rows must agree on N.
+        # Python's math.log2 and the JVM's differ by 1 ulp on some
+        # integer args, so the replay is tolerance-based here — the
+        # bit-exact cross-ENGINE check is the driver oracle's job.
+        ns = {
+            round(
+                2
+                ** (
+                    r["pmi"]
+                    - math.log2(r["c_ab"])
+                    + math.log2(r["c_a"])
+                    + math.log2(r["c_b"])
+                )
+            )
+            for r in rows
+        }
+        assert len(ns) == 1
+        n = ns.pop()
+        for r in rows:
+            want = (
+                math.log2(r["c_ab"])
+                + math.log2(n)
+                - math.log2(r["c_a"])
+                - math.log2(r["c_b"])
+            )
+            assert abs(r["pmi"] - want) < 1e-10
+        # descending order with deterministic tie-break
+        keys = [(-r["pmi"], r["tok_a"], r["tok_b"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_hand_built_exclusive_pair_wins(self, spark, tmp_path):
+        """An exclusive couple (u, v always and only together) must
+        out-rank a promiscuous pair of frequent tokens; both PMIs
+        hand-checked against a full python reference."""
+        import math
+
+        from modevetl_spark.queries.wave10 import (
+            _PMI_MIN,
+            _PMI_W,
+            cooccur_pmi,
+        )
+
+        # 6 docs "u v" (exclusive couple), 8 docs of shuffled frequent
+        # fillers where x and y co-occur often but also roam
+        docs = ["u v"] * 6 + ["x y z w", "x z y w", "y x w z", "x y w z"] * 2
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+
+        # python reference over the same pair convention
+        from collections import Counter
+
+        cab: Counter = Counter()
+        for t in docs:
+            tk = t.split()
+            for d in range(1, _PMI_W + 1):
+                for i in range(len(tk) - d):
+                    a, b = tk[i], tk[i + d]
+                    if a != b:
+                        cab[(min(a, b), max(a, b))] += 1
+        marg: Counter = Counter()
+        for (a, b), c in cab.items():
+            marg[a] += c
+            marg[b] += c
+        n = sum(cab.values())
+        want = {
+            p: math.log2(c) + math.log2(n) - math.log2(marg[p[0]]) - math.log2(marg[p[1]])
+            for p, c in cab.items()
+            if c >= _PMI_MIN
+        }
+        got = {
+            (r["tok_a"], r["tok_b"]): r["pmi"]
+            for r in cooccur_pmi(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == set(want)
+        for p in want:  # 1-ulp JVM-vs-python log2 tolerance
+            assert abs(got[p] - want[p]) < 1e-12, p
+        assert got[("u", "v")] == max(got.values())
+        assert got[("u", "v")] > got[("x", "y")]
+
+    def test_plan_rowlocal_pairs_broadcast_margins(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import cooccur_pmi
+        from tests.test_plans import plan
+
+        p = plan(cooccur_pmi(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "TakeOrderedAndProject" in p
+        # marginals read the checkpointed pair table, never the fact
+        assert "documents" not in p
