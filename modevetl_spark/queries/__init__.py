@@ -291,6 +291,7 @@ _STAGED_R9 = frozenset(
     {
         "q_sketch_hll",
         "q_cooccur_pmi",
+        "q_linkage_weights",
     }
 )
 

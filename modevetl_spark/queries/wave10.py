@@ -308,3 +308,175 @@ _doc = cooccur_pmi.__doc__
 for _k, _v in (("{K}", str(_PMI_K)), ("{W}", str(_PMI_W)), ("{MIN}", str(_PMI_MIN))):
     _doc = _doc.replace(_k, _v)
 cooccur_pmi.__doc__ = _doc
+
+
+# --- Frequency-weighted record-linkage scoring (Fellegi–Sunter u-weights) --
+
+_LINK_K = 100
+_LINK_SHIFT = 100_000  # cents shift: acctbal >= -1000 => shifted >= 0
+
+_LINK_ORACLE = f"""
+WITH c AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_LINK_SHIFT} AS cents
+    FROM customer
+),
+f AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment, cents,
+           cents // 10000 AS band
+    FROM c
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+wseg AS (
+    SELECT CAST(FLOOR(CAST(ROUND(2 * log2(n.n) - log2(s.s2), 9)
+                           AS DECIMAL(18,9)) * 1000000) AS BIGINT) AS w
+    FROM (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM (SELECT COUNT(*) AS cnt FROM f GROUP BY c_mktsegment)) s
+    CROSS JOIN n
+),
+wband AS (
+    SELECT CAST(FLOOR(CAST(ROUND(2 * log2(n.n) - log2(s.s2), 9)
+                           AS DECIMAL(18,9)) * 1000000) AS BIGINT) AS w
+    FROM (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM (SELECT COUNT(*) AS cnt FROM f GROUP BY band)) s
+    CROSS JOIN n
+),
+wcents AS (
+    SELECT CAST(FLOOR(CAST(ROUND(2 * log2(n.n) - log2(s.s2), 9)
+                           AS DECIMAL(18,9)) * 1000000) AS BIGINT) AS w
+    FROM (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+          FROM (SELECT COUNT(*) AS cnt FROM f GROUP BY cents)) s
+    CROSS JOIN n
+),
+pairs AS (
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST(a.c_mktsegment = b.c_mktsegment AS BIGINT) AS same_seg,
+           CAST(a.band = b.band AS BIGINT) AS same_band,
+           CAST(a.cents = b.cents AS BIGINT) AS same_cents
+    FROM f a JOIN f b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+)
+SELECT p.cust_a, p.cust_b, p.same_seg, p.same_band, p.same_cents,
+       CAST(p.same_seg * ws.w + p.same_band * wb.w + p.same_cents * wc.w
+            AS BIGINT) AS score_microbits
+FROM pairs p CROSS JOIN wseg ws CROSS JOIN wband wb CROSS JOIN wcents wc
+ORDER BY score_microbits DESC, p.cust_a, p.cust_b
+LIMIT {_LINK_K}
+"""
+
+
+@q("q_linkage_weights", oracle_sql=_LINK_ORACLE)
+def linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+18 [EXT]: frequency-weighted record-linkage scoring — the
+    Fellegi–Sunter (1969) agreement-weight construction in its
+    frequency-based (u-weight) form: within nation blocks, candidate
+    customer pairs score Σ_f agree_f · w_f over three fields
+    (market segment, $100 balance band, exact balance cents), where
+    w_f = −log2(u_f) and u_f = Σ_v c_v²/N² is the chance-agreement
+    probability — agreeing on a RARE value (exact cents) is strong
+    match evidence, agreeing on a 5-value segment is weak. This is the
+    classic entity-resolution scoring tier that sits on top of any
+    blocking family (SNM, LSH, containment) already in the registry.
+
+    Exactness: u expands to w = 2·log2(N) − log2(Σ c_v²) — integer-arg
+    log2 (engine-identical) — rounded at 9dp, scaled to exact BIGINT
+    MICRO-BITS; the pair score is then pure integer arithmetic
+    (parity structural, the q_mixture_weights shape). Balances shift
+    by +$1000 in cents before banding so integer division never sees
+    a negative operand (Spark div truncates toward zero, DuckDB //
+    floors — they agree only on non-negatives). Deterministic top-k
+    tie-break by (cust_a, cust_b).
+
+    Plan shape: the pair stage is a BLOCKED equi-self-join on the
+    nation key (fan-out Σ_blocks b², never N² — the blocking-join
+    family's contract; at 100 TB the block key widens to
+    nation × balance-band to bound b). ALL THREE field histograms come
+    from ONE grouping-sets aggregate (grouping sets expand map-side —
+    the q_privacy_kanonymity trick — so the dim is scanned once for
+    every weight, not twice per field), pivoted by grouping_id into a
+    single one-row weight table broadcast into the pair stream; the
+    top-k compiles to TakeOrderedAndProject."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    f = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            + F.lit(_LINK_SHIFT)
+        ).alias("cents"),
+    ).withColumn("band", F.expr("cents div 10000"))
+
+    # one pass for all three per-field value histograms; gid bit = 1
+    # marks an AGGREGATED column, so (seg)=3, (band)=5, (cents)=6
+    cells = f.groupingSets(
+        [["c_mktsegment"], ["band"], ["cents"]],
+        "c_mktsegment",
+        "band",
+        "cents",
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
+    stats = cells.groupBy("gid").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("s2"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    wmicro = (
+        F.floor(
+            F.round(2 * F.log2("n") - F.log2("s2"), 9).cast("decimal(18,9)")
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("w")
+    )
+    ws = stats.select("gid", wmicro)
+    wrow = ws.agg(
+        F.max(F.when(F.col("gid") == 3, F.col("w"))).alias("w_seg"),
+        F.max(F.when(F.col("gid") == 5, F.col("w"))).alias("w_band"),
+        F.max(F.when(F.col("gid") == 6, F.col("w"))).alias("w_cents"),
+    )
+
+    a = f.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = f.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("band").alias("band_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nat_a") == F.col("nat_b"))
+        & (F.col("cust_a") < F.col("cust_b")),
+    ).select(
+        "cust_a",
+        "cust_b",
+        (F.col("seg_a") == F.col("seg_b")).cast("bigint").alias("same_seg"),
+        (F.col("band_a") == F.col("band_b")).cast("bigint").alias("same_band"),
+        (F.col("cents_a") == F.col("cents_b"))
+        .cast("bigint")
+        .alias("same_cents"),
+    )
+    score = (
+        F.col("same_seg") * F.col("w_seg")
+        + F.col("same_band") * F.col("w_band")
+        + F.col("same_cents") * F.col("w_cents")
+    ).cast("bigint")
+    return (
+        pairs.crossJoin(F.broadcast(wrow))
+        .select(
+            "cust_a",
+            "cust_b",
+            "same_seg",
+            "same_band",
+            "same_cents",
+            score.alias("score_microbits"),
+        )
+        .orderBy(F.col("score_microbits").desc(), "cust_a", "cust_b")
+        .limit(_LINK_K)
+    )

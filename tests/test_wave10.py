@@ -215,3 +215,85 @@ class TestCooccurPmi:
         assert "TakeOrderedAndProject" in p
         # marginals read the checkpointed pair table, never the fact
         assert "documents" not in p
+
+
+class TestLinkageWeights:
+    def test_fixture_scoring_contract(self, spark, sf_dir):
+        """Scores are a pure function of the agreement pattern (all
+        rows with the same flags share one score), non-negative, and
+        monotone in agreements; ordering is deterministic."""
+        from modevetl_spark.queries.wave10 import _LINK_K, linkage_weights
+
+        rows = linkage_weights(spark, sf_dir).collect()
+        assert len(rows) == _LINK_K
+        by_pattern: dict = {}
+        for r in rows:
+            pat = (r["same_seg"], r["same_band"], r["same_cents"])
+            by_pattern.setdefault(pat, set()).add(r["score_microbits"])
+            assert r["cust_a"] < r["cust_b"]
+            assert r["score_microbits"] >= 0
+        for scores in by_pattern.values():
+            assert len(scores) == 1
+        # monotone: adding an agreement never lowers the score
+        for pat, scores in by_pattern.items():
+            for pat2, scores2 in by_pattern.items():
+                if all(a >= b for a, b in zip(pat, pat2)):
+                    assert next(iter(scores)) >= next(iter(scores2))
+        keys = [
+            (-r["score_microbits"], r["cust_a"], r["cust_b"]) for r in rows
+        ]
+        assert keys == sorted(keys)
+
+    def test_hand_built_exact_weights(self, spark, tmp_path):
+        """Six customers in one nation block, distributions chosen so
+        the u-weights are hand-computable: w_seg = log2(36/18) = 1 bit
+        exactly, w_band = log2(3) -> 1584962 microbits, w_cents =
+        log2(4.5) -> 2169925 microbits. All 15 pair scores asserted."""
+        from modevetl_spark.queries.wave10 import linkage_weights
+
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4, 5, 6],
+                "c_nationkey": [7] * 6,
+                "c_mktsegment": ["A", "A", "B", "B", "A", "B"],
+                "c_acctbal": [1.00, 2.00, 101.00, 102.00, 500.00, 500.00],
+            }
+        ).to_parquet(str(tmp_path / "customer.parquet"))
+        got = {
+            (r["cust_a"], r["cust_b"]): r["score_microbits"]
+            for r in linkage_weights(spark, str(tmp_path)).collect()
+        }
+        w_seg, w_band, w_cents = 1_000_000, 1_584_962, 2_169_925
+        want = {}
+        segs = {1: "A", 2: "A", 3: "B", 4: "B", 5: "A", 6: "B"}
+        bands = {1: 10, 2: 10, 3: 11, 4: 11, 5: 15, 6: 15}
+        cents = {1: 100100, 2: 100200, 3: 110100, 4: 110200,
+                 5: 150000, 6: 150000}
+        for a_ in range(1, 7):
+            for b_ in range(a_ + 1, 7):
+                want[(a_, b_)] = (
+                    (segs[a_] == segs[b_]) * w_seg
+                    + (bands[a_] == bands[b_]) * w_band
+                    + (cents[a_] == cents[b_]) * w_cents
+                )
+        assert got == want
+        # the exact-cents collision out-scores every same-seg+band pair
+        assert want[(5, 6)] == w_band + w_cents == max(want.values())
+
+    def test_plan_blocked_join_no_cartesian(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import linkage_weights
+        from tests.test_plans import plan
+
+        p = plan(linkage_weights(spark, sf_dir))
+        assert "Python" not in p
+        # the pair stage must key on the block (hash join on the
+        # nation key) — never an unkeyed cartesian. The only
+        # nested-loop joins allowed are the three ONE-ROW weight
+        # scalars riding broadcast cross joins (the mixture_weights
+        # shape), so every BNLJ in the plan must be a Cross build.
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        # exactly ONE nested-loop join: the one-row weight scalar
+        assert p.count("BroadcastNestedLoopJoin (") <= 1
+        assert "Expand" in p  # all three histograms from one pass
+        assert "TakeOrderedAndProject" in p
