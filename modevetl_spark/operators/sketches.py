@@ -748,3 +748,36 @@ def hll_state(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
         F.lit(wbits) - F.floor(F.log2("w")).cast("bigint")
     )
     return jr.groupBy("j").agg(F.max(rho).alias("mj"))
+
+
+def run_hll_tick(spark, batch: DataFrame, col: str, state_path: str, b: int = 6) -> None:
+    """Standing-job tick: fold one arriving batch into a persisted
+    HyperLogLog register table — the incremental shape of
+    :func:`hll_state`.
+
+    The batch reduces to its own ≤ 2^b register rows (one
+    map-side-combined max aggregate), which merge with the stored
+    registers by the sketch's one merge operation: per-register MAX.
+    State is ≤ 2^b rows BY CONFIG, so the merge is a bounded collect
+    and a tiny overwrite — state size never grows with the corpus.
+
+    Replay contract: IDEMPOTENT (max is), like the KMV tick and unlike
+    Misra–Gries — re-delivering a batch leaves the registers
+    bit-identical, so no watermark discipline is required for
+    correctness. A consumer estimates the lifetime distinct count from
+    the state alone via the harmonic form (exact powers of two; see
+    queries/wave10.q_sketch_hll).
+    """
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    incoming = {
+        r["j"]: r["mj"] for r in hll_state(batch, col, b=b).collect()
+    }
+    if fs_has_parquet_files(spark, state_path):
+        for r in spark.read.parquet(state_path).collect():
+            j = r["j"]
+            incoming[j] = max(incoming.get(j, 0), r["mj"])
+    spark.createDataFrame(
+        sorted((int(j), int(mj)) for j, mj in incoming.items()),
+        "j long, mj long",
+    ).coalesce(1).write.mode("overwrite").parquet(state_path)

@@ -297,3 +297,33 @@ class TestLinkageWeights:
         assert p.count("BroadcastNestedLoopJoin (") <= 1
         assert "Expand" in p  # all three histograms from one pass
         assert "TakeOrderedAndProject" in p
+
+
+class TestHllTick:
+    def test_incremental_equals_batch_and_idempotent(self, spark, tmp_path):
+        """Three batch ticks == one whole-corpus fold, and re-delivering
+        a batch changes nothing (max-merge idempotence)."""
+        from modevetl_spark.operators.sketches import hll_state, run_hll_tick
+
+        state = str(tmp_path / "hll_state")
+        batches = [range(0, 40), range(30, 90), range(85, 150)]
+        for bt in batches:
+            df = spark.createDataFrame([(i,) for i in bt], "k long")
+            run_hll_tick(spark, df, "k", state)
+        got = {
+            r["j"]: r["mj"] for r in spark.read.parquet(state).collect()
+        }
+        whole = spark.createDataFrame([(i,) for i in range(150)], "k long")
+        want = {r["j"]: r["mj"] for r in hll_state(whole, "k").collect()}
+        assert got == want
+        # replay the middle batch: state must be bit-identical
+        run_hll_tick(
+            spark,
+            spark.createDataFrame([(i,) for i in batches[1]], "k long"),
+            "k",
+            state,
+        )
+        again = {
+            r["j"]: r["mj"] for r in spark.read.parquet(state).collect()
+        }
+        assert again == got
