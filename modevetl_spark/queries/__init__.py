@@ -292,6 +292,7 @@ _STAGED_R9 = frozenset(
         "q_sketch_hll",
         "q_cooccur_pmi",
         "q_linkage_weights",
+        "q_token_burstiness",
     }
 )
 

@@ -480,3 +480,103 @@ def linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_microbits").desc(), "cust_a", "cust_b")
         .limit(_LINK_K)
     )
+
+
+# --- Token burstiness (variance-to-mean dispersion) ------------------------
+
+_BURST_MIN_T = 50  # minimum corpus frequency to be rated
+_BURST_K = 40
+
+_BURST_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+per AS (
+    SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+),
+st AS (
+    SELECT tok,
+           CAST(SUM(c) AS BIGINT) AS total,
+           CAST(SUM(c * c) AS BIGINT) AS sumsq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_with
+    FROM per GROUP BY 1
+)
+SELECT st.tok, st.total, st.n_docs_with,
+       ((st.sumsq - CAST(st.total AS DOUBLE) * st.total / d.n_docs)
+        / (d.n_docs - 1))
+       / (CAST(st.total AS DOUBLE) / d.n_docs) AS vmr
+FROM st CROSS JOIN d
+WHERE st.total >= {_BURST_MIN_T}
+ORDER BY vmr DESC, st.tok
+LIMIT {_BURST_K}
+"""
+
+
+@q("q_token_burstiness", oracle_sql=_BURST_ORACLE)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+5 [EXT]: token burstiness — the variance-to-mean ratio
+    (Fisher dispersion index) of per-document token counts, zeros
+    included, for every token with corpus frequency ≥ {MIN}; top-{K}
+    by dispersion. Burstiness separates CONTENT words (they arrive in
+    bursts: a document is about something or it isn't — VMR ≫ 1) from
+    FUNCTION words (spread Poisson-like, VMR ≈ 1): the Church–Gale
+    (1995) diagnostic that complements frequency-rank statistics
+    (q_tokens_zipf, q_vocab_growth) and drives stopword discovery and
+    quality features.
+
+    Exactness: per-token sums (total, Σc², docs-with) are exact
+    BIGINTs; the zero-inclusive variance needs no per-doc zero rows —
+    Σ(x−μ)² over ALL D docs = Σc² − T²/D, since absent docs contribute
+    exactly μ² each. VMR is then ONE fixed tree of IEEE divisions on
+    exact integers, written in the identical shape in both engines
+    (raw, no rounding — the round-7 lesson); ordering and the top-k
+    cut replay exactly, ties broken by token.
+
+    Plan shape: explode → (token, doc) hash agg (map-side combine) →
+    per-token rollup of that agg — the two-level aggregation never
+    rescans the fact; D rides a one-row broadcast cross join; the
+    top-k compiles to TakeOrderedAndProject. At 100 TB: two keyed
+    exchanges, both collapsing (tokens-per-doc, then tokens), nothing
+    data-sized after the first agg."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("tk")).localCheckpoint()
+    d = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    per = (
+        t.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    st = per.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with"),
+    )
+    vmr = (
+        (
+            F.col("sumsq")
+            - F.col("total").cast("double") * F.col("total") / F.col("n_docs")
+        )
+        / (F.col("n_docs") - 1)
+    ) / (F.col("total").cast("double") / F.col("n_docs"))
+    return (
+        st.crossJoin(F.broadcast(d))
+        .where(F.col("total") >= _BURST_MIN_T)
+        .select("tok", "total", "n_docs_with", vmr.alias("vmr"))
+        .orderBy(F.col("vmr").desc(), "tok")
+        .limit(_BURST_K)
+    )
+
+
+_doc = token_burstiness.__doc__
+token_burstiness.__doc__ = _doc.replace("{MIN}", str(_BURST_MIN_T)).replace(
+    "{K}", str(_BURST_K)
+)

@@ -327,3 +327,52 @@ class TestHllTick:
             r["j"]: r["mj"] for r in spark.read.parquet(state).collect()
         }
         assert again == got
+
+
+class TestBurstiness:
+    def test_fixture_dispersion_contract(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import (
+            _BURST_K,
+            _BURST_MIN_T,
+            token_burstiness,
+        )
+
+        rows = token_burstiness(spark, sf_dir).collect()
+        assert 0 < len(rows) <= _BURST_K
+        for r in rows:
+            assert r["total"] >= _BURST_MIN_T
+            assert 1 <= r["n_docs_with"] <= r["total"]
+            assert r["vmr"] >= 0.0
+        keys = [(-r["vmr"], r["tok"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_hand_built_exact_vmr(self, spark, tmp_path):
+        """Integer-exact poles: a token evenly spread (15 per doc,
+        4 docs) has VMR exactly 0; a token dumped entirely into one
+        doc (60 in doc 1) has VMR exactly 60."""
+        from modevetl_spark.queries.wave10 import token_burstiness
+
+        docs = ["h " * 60 + "f " * 15] + ["f " * 15] * 3
+        pd.DataFrame(
+            {"doc_id": range(4), "text": docs}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["tok"]: r
+            for r in token_burstiness(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {"h", "f"}
+        assert got["h"]["vmr"] == 60.0 and got["h"]["n_docs_with"] == 1
+        assert got["f"]["vmr"] == 0.0 and got["f"]["n_docs_with"] == 4
+        assert got["h"]["total"] == 60 and got["f"]["total"] == 60
+
+    def test_plan_two_level_agg_no_rescan(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import token_burstiness
+        from tests.test_plans import plan
+
+        p = plan(token_burstiness(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "Window" not in p
+        assert "TakeOrderedAndProject" in p
+        # D comes from the checkpointed token table, never a rescan
+        assert "documents" not in p
