@@ -293,6 +293,7 @@ _STAGED_R9 = frozenset(
         "q_cooccur_pmi",
         "q_linkage_weights",
         "q_token_burstiness",
+        "q_bpe_merges",
     }
 )
 

@@ -580,3 +580,159 @@ _doc = token_burstiness.__doc__
 token_burstiness.__doc__ = _doc.replace("{MIN}", str(_BURST_MIN_T)).replace(
     "{K}", str(_BURST_K)
 )
+
+
+# --- BPE merge training (tokenizer vocabulary learning) --------------------
+
+_BPE_ROUNDS = 8
+_BPE_END = "</w>"
+
+
+def _bpe_oracle() -> str:
+    rounds = []
+    prev = "w0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        rounds.append(f"""
+p{r} AS (
+    SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(string_split(repr, ' '))),
+                   i -> {{'a': string_split(repr, ' ')[i],
+                          'b': string_split(repr, ' ')[i+1]}})) AS pr
+        FROM {prev}
+    ) GROUP BY 1, 2
+),
+b{r} AS (
+    SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{r} AS (
+    SELECT w.word, w.freq,
+           trim(replace(' ' || w.repr || ' ',
+                        ' ' || b.a || ' ' || b.b || ' ',
+                        ' ' || b.a || b.b || ' ')) AS repr
+    FROM {prev} w CROSS JOIN b{r} b
+)""")
+        prev = f"w{r}"
+    merges = "\nUNION ALL\n".join(
+        f"SELECT {r} AS step, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return rf"""
+WITH tok AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+),
+w0 AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+           array_to_string(list_transform(range(1, len(word) + 1),
+                                          i -> word[i]), ' ')
+               || ' {_BPE_END}' AS repr
+    FROM tok GROUP BY 1
+),{",".join(rounds)}
+{merges}
+"""
+
+
+@q("q_bpe_merges", oracle_sql=_bpe_oracle())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+6 [EXT]: BPE merge TRAINING (Sennrich et al. 2016) — learn
+    the first {R} byte-pair-encoding merges from the corpus vocabulary:
+    each round counts frequency-weighted adjacent symbol pairs over
+    the word representations, merges the most frequent pair
+    (tie-break: count DESC, then left/right symbol — fully
+    deterministic), and rewrites every word. This is the LEARNING step
+    in front of q_vocab_encode's encoding step: the pipeline that
+    builds the tokenizer a data engine's token-counting ops assume.
+
+    Exactness: the whole operator is strings and integer counts — NO
+    floats anywhere, so cross-engine parity is structural. The merge
+    rewrite is a single-space-delimited string replace of ' a b ' with
+    ' ab ' inside sentinel-padded reprs: both engines scan
+    left-to-right, non-overlapping, continuing after each replacement
+    — verified on the overlapping 'a a a' case (→ 'aa a', the greedy
+    BPE contract). The end-of-word marker {E} is multi-character so it
+    can never collide with a single-character symbol.
+
+    Plan shape: BPE trains on the WORD-FREQUENCY table, not the
+    corpus — one explode + hash agg reduces the fact to |vocabulary|
+    rows (checkpointed), and every round after that touches only that
+    table: pair explode (row-local transform over the symbol array) →
+    map-side-combined count → a ONE-ROW argmax (TakeOrdered) broadcast
+    back into the rewrite. Per-round state is checkpointed (the
+    k-means/HITS iteration pattern), so {R} rounds are {R} flat tiny
+    jobs. At 100 TB the vocabulary table is millions of rows, not
+    petabytes — the corpus is scanned exactly once."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.concat_ws(" ", chars), F.lit(" " + _BPE_END)
+            ).alias("repr"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        syms = F.split(F.col("repr"), " ")
+        pair_structs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + F.lit(1)).alias("b"),
+            ),
+        )
+        best = (
+            words.select("freq", F.explode(pair_structs).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.lit(" "),
+                             F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"),
+                             F.lit(" ")),
+                )
+            ).alias("repr"),
+        ).localCheckpoint()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+_doc = bpe_merges.__doc__
+bpe_merges.__doc__ = _doc.replace("{R}", str(_BPE_ROUNDS)).replace(
+    "{E}", _BPE_END
+)

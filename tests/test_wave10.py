@@ -376,3 +376,67 @@ class TestBurstiness:
         assert "TakeOrderedAndProject" in p
         # D comes from the checkpointed token table, never a rescan
         assert "documents" not in p
+
+
+class TestBpeMerges:
+    def test_fixture_merge_contract(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import _BPE_ROUNDS, bpe_merges
+
+        rows = sorted(
+            bpe_merges(spark, sf_dir).collect(), key=lambda r: r["step"]
+        )
+        assert [r["step"] for r in rows] == list(range(1, _BPE_ROUNDS + 1))
+        seen = set()
+        for r in rows:
+            assert r["merged"] == r["left_sym"] + r["right_sym"]
+            assert r["pair_count"] > 0
+            assert (r["left_sym"], r["right_sym"]) not in seen
+            seen.add((r["left_sym"], r["right_sym"]))
+        # a pair created by a merge occurs at most as often as its
+        # constituents did, so best-pair counts are non-increasing
+        counts = [r["pair_count"] for r in rows]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_hand_built_sennrich_example(self, spark, tmp_path):
+        """The classic BPE corpus {low:5, lower:2, newest:6, widest:3}
+        (Sennrich et al. 2016): all eight merges and their weighted
+        counts are hand-derived, including the lexicographic
+        tie-breaks among equal-count pairs."""
+        from modevetl_spark.queries.wave10 import bpe_merges
+
+        docs = {
+            0: "low low low low low",
+            1: "lower lower",
+            2: "newest newest newest newest newest newest",
+            3: "widest widest widest",
+        }
+        pd.DataFrame(
+            {"doc_id": list(docs), "text": list(docs.values())}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in sorted(
+                bpe_merges(spark, str(tmp_path)).collect(),
+                key=lambda r: r["step"],
+            )
+        ]
+        assert got == [
+            ("e", "s", 9),
+            ("es", "t", 9),
+            ("est", "</w>", 9),
+            ("l", "o", 7),
+            ("lo", "w", 7),
+            ("e", "w", 6),
+            ("ew", "est</w>", 6),
+            ("n", "ewest</w>", 6),
+        ]
+
+    def test_plan_trains_on_checkpointed_vocab(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import bpe_merges
+        from tests.test_plans import plan
+
+        p = plan(bpe_merges(spark, sf_dir))
+        assert "Python" not in p
+        # every round ran eagerly on the checkpointed word-frequency
+        # table; the visible plan never rescans the corpus
+        assert "documents" not in p
