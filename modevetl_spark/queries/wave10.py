@@ -21,6 +21,12 @@ never-graded drain, the same two-step pattern wave7 and wave9 used).
   over blocked candidate pairs: frequency-based agreement weights
   (rarer agreeing values ⇒ stronger match evidence), exact integer
   micro-bit weights via the decimal fold.
+- ``q_token_burstiness`` — Fisher variance-to-mean dispersion of
+  per-document token counts (zeros included algebraically): the
+  Church–Gale content-vs-function-word diagnostic.
+- ``q_bpe_merges`` — BPE merge training (Sennrich et al. 2016): the
+  tokenizer-learning loop over the word-frequency table; strings and
+  integer counts only, so cross-engine parity is structural.
 
 Reference parity: SURVEY.md §2's sketch/dedup families; re-expressed
 per SURVEY §0's protocol with bounded formulations chosen for the
