@@ -210,13 +210,17 @@ marg AS (
 ),
 tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM cab)
 SELECT c.tok_a, c.tok_b, c.c_ab, ma.c_t AS c_a, mb.c_t AS c_b,
-       log2(c.c_ab) + log2(t.n) - log2(ma.c_t) - log2(mb.c_t) AS pmi
+       CAST(FLOOR((CAST(ROUND(log2(c.c_ab), 9) AS DECIMAL(18,9))
+                   + CAST(ROUND(log2(t.n), 9) AS DECIMAL(18,9))
+                   - CAST(ROUND(log2(ma.c_t), 9) AS DECIMAL(18,9))
+                   - CAST(ROUND(log2(mb.c_t), 9) AS DECIMAL(18,9)))
+                  * 1000000) AS BIGINT) AS pmi_microbits
 FROM cab c
 JOIN marg ma ON ma.tok = c.tok_a
 JOIN marg mb ON mb.tok = c.tok_b
 CROSS JOIN tot t
 WHERE c.c_ab >= {_PMI_MIN}
-ORDER BY pmi DESC, c.tok_a, c.tok_b
+ORDER BY pmi_microbits DESC, c.tok_a, c.tok_b
 LIMIT {_PMI_K}
 """
 
@@ -233,12 +237,17 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     PMI = log2(c_ab·N / (c_a·c_b)) expands to the ± chain
     log2(c_ab) + log2(N) − log2(c_a) − log2(c_b): log2 of INTEGER
-    arguments only, engine-identical; the 4-term add/subtract tree is
-    a fixed sequence of IEEE ops on identical doubles, so the score is
-    bit-identical across engines with NO rounding (the round-7 lesson)
-    and the DESC ordering + (tok_a, tok_b) tie-break replays exactly.
-    Marginals here are PAIR-slot counts (each pair feeds both tokens'
-    totals), the convention that makes Σ marginals = 2N exactly.
+    arguments only — but log2 is NOT a correctly-rounded IEEE op, and
+    at argument magnitudes ~10⁵ the engines' log2 disagree by 1 ulp
+    (~4e-15), which a 4-term sum amplifies (caught by the exact local
+    gate; the driver's 8dp hash would have hidden it). So each term
+    folds at 9dp into DECIMAL (exact, order-free — the
+    q_token_entropy discipline) and the score is emitted as exact
+    BIGINT MICRO-BITS (floor(sum·10⁶) — the q_graph_adamic_adar
+    shape), making the DESC ordering + (tok_a, tok_b) tie-break replay
+    structural. Marginals here are PAIR-slot counts (each pair feeds
+    both tokens' totals), the convention that makes Σ marginals = 2N
+    exactly.
 
     Plan shape: pairs are generated ROW-LOCALLY from each token array
     (a flatten of {W} zip_with offsets — never a positional self-join,
@@ -293,19 +302,28 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cab.agg(F.sum("c_ab").cast("bigint").alias("n"))
     ma = marg.select(F.col("tok").alias("ma_tok"), F.col("c_t").alias("c_a"))
     mb = marg.select(F.col("tok").alias("mb_tok"), F.col("c_t").alias("c_b"))
-    pmi = (
-        F.log2("c_ab")
-        + F.log2("n")
-        - F.log2("c_a")
-        - F.log2("c_b")
+
+    def t9(col: str):
+        return F.round(F.log2(col), 9).cast("decimal(18,9)")
+
+    pmi_micro = (
+        F.floor((t9("c_ab") + t9("n") - t9("c_a") - t9("c_b")) * 1000000)
+        .cast("bigint")
     )
     return (
         cab.where(F.col("c_ab") >= _PMI_MIN)
         .join(F.broadcast(ma), F.col("tok_a") == F.col("ma_tok"))
         .join(F.broadcast(mb), F.col("tok_b") == F.col("mb_tok"))
         .crossJoin(F.broadcast(tot))
-        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            pmi_micro.alias("pmi_microbits"),
+        )
+        .orderBy(F.col("pmi_microbits").desc(), "tok_a", "tok_b")
         .limit(_PMI_K)
     )
 

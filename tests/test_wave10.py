@@ -124,16 +124,17 @@ class TestCooccurPmi:
             assert r["tok_a"] < r["tok_b"]  # unordered + non-self
             assert r["c_ab"] >= _PMI_MIN
             assert r["c_a"] >= r["c_ab"] and r["c_b"] >= r["c_ab"]
-        # replay needs N; recover it from any row (pmi = log2(cab) +
-        # log2(N) - log2(ca) - log2(cb)) => all rows must agree on N.
-        # Python's math.log2 and the JVM's differ by 1 ulp on some
-        # integer args, so the replay is tolerance-based here — the
-        # bit-exact cross-ENGINE check is the driver oracle's job.
+        # replay needs N; recover it from any row (micro-bits ≈ 1e6 *
+        # (log2(cab) + log2(N) - log2(ca) - log2(cb))) => all rows
+        # must agree on N. Python's math.log2 and the JVM's differ by
+        # 1 ulp on some integer args, so the replay allows ±1
+        # microbit per term — the bit-exact cross-ENGINE check is the
+        # driver oracle's job.
         ns = {
             round(
                 2
                 ** (
-                    r["pmi"]
+                    r["pmi_microbits"] / 1e6
                     - math.log2(r["c_ab"])
                     + math.log2(r["c_a"])
                     + math.log2(r["c_b"])
@@ -144,15 +145,18 @@ class TestCooccurPmi:
         assert len(ns) == 1
         n = ns.pop()
         for r in rows:
-            want = (
-                math.log2(r["c_ab"])
-                + math.log2(n)
-                - math.log2(r["c_a"])
-                - math.log2(r["c_b"])
+            want = math.floor(
+                (
+                    round(math.log2(r["c_ab"]), 9)
+                    + round(math.log2(n), 9)
+                    - round(math.log2(r["c_a"]), 9)
+                    - round(math.log2(r["c_b"]), 9)
+                )
+                * 1e6
             )
-            assert abs(r["pmi"] - want) < 1e-10
+            assert abs(r["pmi_microbits"] - want) <= 4
         # descending order with deterministic tie-break
-        keys = [(-r["pmi"], r["tok_a"], r["tok_b"]) for r in rows]
+        keys = [(-r["pmi_microbits"], r["tok_a"], r["tok_b"]) for r in rows]
         assert keys == sorted(keys)
 
     def test_hand_built_exclusive_pair_wins(self, spark, tmp_path):
@@ -191,17 +195,25 @@ class TestCooccurPmi:
             marg[b] += c
         n = sum(cab.values())
         want = {
-            p: math.log2(c) + math.log2(n) - math.log2(marg[p[0]]) - math.log2(marg[p[1]])
+            p: math.floor(
+                (
+                    round(math.log2(c), 9)
+                    + round(math.log2(n), 9)
+                    - round(math.log2(marg[p[0]]), 9)
+                    - round(math.log2(marg[p[1]]), 9)
+                )
+                * 1e6
+            )
             for p, c in cab.items()
             if c >= _PMI_MIN
         }
         got = {
-            (r["tok_a"], r["tok_b"]): r["pmi"]
+            (r["tok_a"], r["tok_b"]): r["pmi_microbits"]
             for r in cooccur_pmi(spark, str(tmp_path)).collect()
         }
         assert set(got) == set(want)
-        for p in want:  # 1-ulp JVM-vs-python log2 tolerance
-            assert abs(got[p] - want[p]) < 1e-12, p
+        for p in want:  # ±1-microbit JVM-vs-python log2 tolerance
+            assert abs(got[p] - want[p]) <= 4, p
         assert got[("u", "v")] == max(got.values())
         assert got[("u", "v")] > got[("x", "y")]
 
