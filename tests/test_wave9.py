@@ -306,8 +306,10 @@ def test_wave9_staged_behind_the_window():
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
-    tail = order[-len(Q._STAGED_R8):]
-    assert set(tail) == set(Q._STAGED_R8)
+    # the r8 staged keys sit directly behind the whole r7 rotation,
+    # with only the r9 staged wave (priority 9.5) after them
+    n8, n9 = len(Q._STAGED_R8), len(Q._STAGED_R9)
+    assert set(order[-(n8 + n9):-n9]) == set(Q._STAGED_R8)
     assert set(QUERIES) == set(Q._STAGED_R8)
 
 
