@@ -536,7 +536,7 @@ SELECT st.tok, st.total, st.n_docs_with,
         / (d.n_docs - 1))
        / (CAST(st.total AS DOUBLE) / d.n_docs) AS vmr
 FROM st CROSS JOIN d
-WHERE st.total >= {_BURST_MIN_T}
+WHERE st.total >= {_BURST_MIN_T} AND d.n_docs > 1
 ORDER BY vmr DESC, st.tok
 LIMIT {_BURST_K}
 """
@@ -593,7 +593,10 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (F.col("total").cast("double") / F.col("n_docs"))
     return (
         st.crossJoin(F.broadcast(d))
-        .where(F.col("total") >= _BURST_MIN_T)
+        # n_docs > 1: a single-document corpus has no between-doc
+        # variance (D-1 = 0) — filtered identically in both engines
+        # rather than letting the engines' /0 semantics diverge
+        .where((F.col("total") >= _BURST_MIN_T) & (F.col("n_docs") > 1))
         .select("tok", "total", "n_docs_with", vmr.alias("vmr"))
         .orderBy(F.col("vmr").desc(), "tok")
         .limit(_BURST_K)

@@ -452,3 +452,14 @@ class TestBpeMerges:
         # every round ran eagerly on the checkpointed word-frequency
         # table; the visible plan never rescans the corpus
         assert "documents" not in p
+
+
+def test_burstiness_single_doc_corpus_empty(spark, tmp_path):
+    """A one-document corpus has no between-document variance: the
+    D > 1 guard empties the result instead of dividing by zero."""
+    from modevetl_spark.queries.wave10 import token_burstiness
+
+    pd.DataFrame({"doc_id": [0], "text": ["h " * 60]}).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    assert token_burstiness(spark, str(tmp_path)).count() == 0
