@@ -624,9 +624,9 @@ p{r} AS (
     SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt
     FROM (
         SELECT freq,
-               unnest(list_transform(range(1, len(string_split(repr, ' '))),
-                   i -> {{'a': string_split(repr, ' ')[i],
-                          'b': string_split(repr, ' ')[i+1]}})) AS pr
+               unnest(list_transform(range(1, len(string_split(repr, '  '))),
+                   i -> {{'a': string_split(repr, '  ')[i],
+                          'b': string_split(repr, '  ')[i+1]}})) AS pr
         FROM {prev}
     ) GROUP BY 1, 2
 ),
@@ -635,9 +635,10 @@ b{r} AS (
 ),
 w{r} AS (
     SELECT w.word, w.freq,
-           trim(replace(' ' || w.repr || ' ',
-                        ' ' || b.a || ' ' || b.b || ' ',
-                        ' ' || b.a || b.b || ' ')) AS repr
+           array_to_string(string_split_regex(trim(
+               replace(' ' || w.repr || ' ',
+                       ' ' || b.a || '  ' || b.b || ' ',
+                       ' ' || b.a || b.b || ' ')), ' +'), '  ') AS repr
     FROM {prev} w CROSS JOIN b{r} b
 )""")
         prev = f"w{r}"
@@ -655,8 +656,8 @@ WITH tok AS (
 w0 AS (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
            array_to_string(list_transform(range(1, len(word) + 1),
-                                          i -> word[i]), ' ')
-               || ' {_BPE_END}' AS repr
+                                          i -> word[i]), '  ')
+               || '  {_BPE_END}' AS repr
     FROM tok GROUP BY 1
 ),{",".join(rounds)}
 {merges}
@@ -676,12 +677,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the whole operator is strings and integer counts — NO
     floats anywhere, so cross-engine parity is structural. The merge
-    rewrite is a single-space-delimited string replace of ' a b ' with
-    ' ab ' inside sentinel-padded reprs: both engines scan
-    left-to-right, non-overlapping, continuing after each replacement
-    — verified on the overlapping 'a a a' case (→ 'aa a', the greedy
-    BPE contract). The end-of-word marker {E} is multi-character so it
-    can never collide with a single-character symbol.
+    rewrite is the DOUBLE-SPACE scheme: symbols are joined by two
+    spaces and the pattern ' a··b ' (one leading, two inner, one
+    trailing space) is replaced by ' ab ' — the match consumes only
+    ONE of the two boundary spaces, so the leftover space starts the
+    next match and ADJACENT matches all merge in one pass: 'a b a b'
+    → [ab, ab] and a run of four a's → [aa, aa], the canonical
+    leftmost-greedy BPE contract (a single-space scheme silently
+    skips every other adjacent match — caught by the hypothesis
+    differential, verified identical in both engines on the
+    abab / a×3 / a×4 / a×5 cases). Reprs re-normalize to double-space
+    after each round. The end-of-word marker {E} is multi-character
+    so it can never collide with a single-character symbol.
 
     Plan shape: BPE trains on the WORD-FREQUENCY table, not the
     corpus — one explode + hash agg reduces the fact to |vocabulary|
@@ -708,14 +715,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "freq",
             F.concat(
-                F.concat_ws(" ", chars), F.lit(" " + _BPE_END)
+                F.array_join(chars, "  "), F.lit("  " + _BPE_END)
             ).alias("repr"),
         )
         .localCheckpoint()
     )
     merges = []
     for step in range(1, _BPE_ROUNDS + 1):
-        syms = F.split(F.col("repr"), " ")
+        syms = F.split(F.col("repr"), "  ")
         pair_structs = F.transform(
             F.sequence(F.lit(1), F.size(syms) - 1),
             lambda i: F.struct(
@@ -724,7 +731,13 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         best = (
-            words.select("freq", F.explode(pair_structs).alias("pr"))
+            # fully-merged one-symbol words carry no pairs; filtering
+            # them mirrors the oracle's empty range(1, 1) — without it
+            # Spark's sequence(1, 0) runs DESCENDING and element_at
+            # throws (the q_sample_reservoir_weighted lesson; caught
+            # by the hypothesis differential on single-char words)
+            words.where(F.size(syms) >= 2)
+            .select("freq", F.explode(pair_structs).alias("pr"))
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -743,14 +756,20 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = words.crossJoin(F.broadcast(best)).select(
             "word",
             "freq",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("a"), F.lit(" "),
-                             F.col("b"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("a"), F.col("b"),
-                             F.lit(" ")),
-                )
+            F.array_join(
+                F.split(
+                    F.trim(
+                        F.replace(
+                            F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+                            F.concat(F.lit(" "), F.col("a"), F.lit("  "),
+                                     F.col("b"), F.lit(" ")),
+                            F.concat(F.lit(" "), F.col("a"), F.col("b"),
+                                     F.lit(" ")),
+                        )
+                    ),
+                    " +",
+                ),
+                "  ",
             ).alias("repr"),
         ).localCheckpoint()
     out = merges[0]

@@ -185,3 +185,79 @@ def test_substring_runs_differential(spark, tmp_path_factory, docs):
         for r in dedup_substring_runs(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+# --- BPE merge training (greedy pair merges, deterministic ties) -----------
+
+
+def _bpe_python(word_freq: dict, rounds: int) -> list:
+    """Naive reference: per round, count frequency-weighted adjacent
+    pairs, merge the (count DESC, left, right) minimum-tie pair with
+    greedy left-to-right non-overlapping rewrites."""
+    reprs = {
+        w: [*w, "</w>"] for w in word_freq
+    }
+    merges = []
+    for _ in range(rounds):
+        counts: dict = {}
+        for w, syms in reprs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in reprs.items():
+            out: list = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+    return merges
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    freqs=st.lists(st.integers(1, 9), min_size=8, max_size=8),
+)
+def test_bpe_merges_differential(spark, tmp_path_factory, words, freqs):
+    """Random two-letter-alphabet vocabularies maximize merged-symbol
+    collisions ('aa' merging next to 'a'), the hard case for the
+    string-replace rewrite."""
+    import pandas as pd
+
+    from modevetl_spark.queries.wave10 import _BPE_ROUNDS, bpe_merges
+
+    wf = {w: f for w, f in zip(words, freqs)}
+    want = _bpe_python(wf, _BPE_ROUNDS)
+    tmp = tmp_path_factory.mktemp("bpediff")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(wf)),
+            "text": [(w + " ") * f for w, f in wf.items()],
+        }
+    ).to_parquet(str(tmp / "documents.parquet"))
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in sorted(
+            bpe_merges(spark, str(tmp)).collect(), key=lambda r: r["step"]
+        )
+    ]
+    assert got == want
