@@ -261,3 +261,130 @@ def test_bpe_merges_differential(spark, tmp_path_factory, words, freqs):
         )
     ]
     assert got == want
+
+
+# --- Fellegi–Sunter linkage scoring ----------------------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # nation (few blocks)
+            st.sampled_from(["A", "B"]),  # segment
+            st.integers(-50, 50),        # balance in whole dollars
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_linkage_weights_differential(spark, tmp_path_factory, rows):
+    import math
+
+    import pandas as pd
+
+    from modevetl_spark.queries.wave10 import _LINK_SHIFT, linkage_weights
+
+    tmp = tmp_path_factory.mktemp("linkdiff")
+    pd.DataFrame(
+        {
+            "c_custkey": range(1, len(rows) + 1),
+            "c_nationkey": [n for n, _, _ in rows],
+            "c_mktsegment": [s for _, s, _ in rows],
+            "c_acctbal": [float(b) for _, _, b in rows],
+        }
+    ).to_parquet(str(tmp / "customer.parquet"))
+
+    recs = {
+        i + 1: (n, s, b * 100 + _LINK_SHIFT)
+        for i, (n, s, b) in enumerate(rows)
+    }
+
+    def u_w(values):
+        from collections import Counter
+
+        c = Counter(values)
+        s2 = sum(v * v for v in c.values())
+        n = len(values)
+        return math.floor(
+            round(2 * math.log2(n) - math.log2(s2), 9) * 1_000_000
+        )
+
+    w_seg = u_w([s for _, s, _ in recs.values()])
+    w_band = u_w([c // 10000 for _, _, c in recs.values()])
+    w_cents = u_w([c for _, _, c in recs.values()])
+    want = {}
+    ids = sorted(recs)
+    for x in ids:
+        for y in ids:
+            if x < y and recs[x][0] == recs[y][0]:
+                seg = recs[x][1] == recs[y][1]
+                band = recs[x][2] // 10000 == recs[y][2] // 10000
+                cents = recs[x][2] == recs[y][2]
+                want[(x, y)] = (
+                    seg * w_seg + band * w_band + cents * w_cents,
+                    (int(seg), int(band), int(cents)),
+                )
+    got = {
+        (r["cust_a"], r["cust_b"]): (
+            r["score_microbits"],
+            (r["same_seg"], r["same_band"], r["same_cents"]),
+        )
+        for r in linkage_weights(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][1] == want[p][1], p  # agreement flags exact
+        # weights tolerate ±1 microbit of python-vs-JVM log2 drift each
+        assert abs(got[p][0] - want[p][0]) <= 3, p
+
+
+# --- Token burstiness (zero-inclusive dispersion) ---------------------------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r"]), min_size=0, max_size=60),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_burstiness_differential(spark, tmp_path_factory, docs):
+    import pandas as pd
+
+    import modevetl_spark.queries.wave10 as w10
+
+    tmp = tmp_path_factory.mktemp("burstdiff")
+    pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+    ).to_parquet(str(tmp / "documents.parquet"))
+    d_cnt = len(docs)
+    per: dict = {}
+    for i, d in enumerate(docs):
+        for t in d:
+            per.setdefault(t, {}).setdefault(i, 0)
+            per[t][i] += 1
+    want = {}
+    for t, m in per.items():
+        total = sum(m.values())
+        if total < w10._BURST_MIN_T:
+            continue
+        sumsq = sum(v * v for v in m.values())
+        vmr = ((sumsq - float(total) * total / d_cnt) / (d_cnt - 1)) / (
+            float(total) / d_cnt
+        )
+        want[t] = (total, len(m), vmr)
+    got = {
+        r["tok"]: (r["total"], r["n_docs_with"], r["vmr"])
+        for r in w10.token_burstiness(spark, str(tmp)).collect()
+    }
+    assert got == want  # +,-,*,/ are correctly rounded: bit-equal
