@@ -294,6 +294,7 @@ _STAGED_R9 = frozenset(
         "q_linkage_weights",
         "q_token_burstiness",
         "q_bpe_merges",
+        "q_textrank_keywords",
     }
 )
 

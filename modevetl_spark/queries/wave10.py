@@ -27,6 +27,10 @@ never-graded drain, the same two-step pattern wave7 and wave9 used).
 - ``q_bpe_merges`` — BPE merge training (Sennrich et al. 2016): the
   tokenizer-learning loop over the word-frequency table; strings and
   integer counts only, so cross-engine parity is structural.
+- ``q_textrank_keywords`` — TextRank keyword extraction (Mihalcea &
+  Tarau 2004): weighted PageRank over the skip-gram co-occurrence
+  graph, composing the shared pair front-end with the
+  operators/graph.pagerank iteration discipline.
 
 Reference parity: SURVEY.md §2's sketch/dedup families; re-expressed
 per SURVEY §0's protocol with bounded formulations chosen for the
@@ -181,6 +185,46 @@ _PMI_W = 4  # skip-gram window: pairs (tok_i, tok_{i+d}), d = 1..W
 _PMI_MIN = 5  # minimum pair count (kills one-off noise pairs)
 _PMI_K = 50
 
+
+def _skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered non-self skip-gram pair counts (window ``_PMI_W``) over
+    the document corpus — the shared co-occurrence front-end of
+    ``q_cooccur_pmi`` and ``q_textrank_keywords``. Pairs are generated
+    ROW-LOCALLY (a flatten of W offset zip_withs — never a positional
+    self-join), so the only exchange is the map-side-combined pair
+    aggregate."""
+    from modevetl_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    _BIG = 1 << 30
+    pair_lists = F.flatten(
+        F.array(
+            *[
+                F.filter(
+                    F.zip_with(
+                        toks,
+                        F.slice(toks, dd + 1, _BIG),
+                        lambda a, b: F.struct(
+                            F.least(a, b).alias("a"),
+                            F.greatest(a, b).alias("b"),
+                            (a == b).alias("selfp"),
+                            b.isNull().alias("pad"),
+                        ),
+                    ),
+                    lambda s: ~s["pad"] & ~s["selfp"],
+                )
+                for dd in range(1, _PMI_W + 1)
+            ]
+        )
+    )
+    return (
+        d.select(F.explode(pair_lists).alias("pr"))
+        .select(F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
+
 _PMI_ORACLE = rf"""
 WITH t AS (
     SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -259,40 +303,8 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100 TB the only data-sized relations are
     the pair stream (scan-side, pipelined into the partial agg) and
     the pair-count table (vocabulary-bounded)."""
-    from modevetl_spark.operators.text import tokens
-
     prep(spark)
-    d = load(spark, sf_dir, "documents")
-    toks = tokens("text")
-    _BIG = 1 << 30
-    pair_lists = F.flatten(
-        F.array(
-            *[
-                F.filter(
-                    F.zip_with(
-                        toks,
-                        F.slice(toks, dd + 1, _BIG),
-                        lambda a, b: F.struct(
-                            F.least(a, b).alias("a"),
-                            F.greatest(a, b).alias("b"),
-                            (a == b).alias("selfp"),
-                            b.isNull().alias("pad"),
-                        ),
-                    ),
-                    lambda s: ~s["pad"] & ~s["selfp"],
-                )
-                for dd in range(1, _PMI_W + 1)
-            ]
-        )
-    )
-    pairs = d.select(F.explode(pair_lists).alias("pr")).select(
-        F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b")
-    )
-    cab = (
-        pairs.groupBy("tok_a", "tok_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .localCheckpoint()
-    )
+    cab = _skipgram_pair_counts(spark, sf_dir).localCheckpoint()
     marg = (
         cab.select(F.col("tok_a").alias("tok"), "c_ab")
         .unionByName(cab.select(F.col("tok_b").alias("tok"), "c_ab"))
@@ -782,3 +794,167 @@ _doc = bpe_merges.__doc__
 bpe_merges.__doc__ = _doc.replace("{R}", str(_BPE_ROUNDS)).replace(
     "{E}", _BPE_END
 )
+
+
+# --- TextRank keyword extraction (weighted PageRank on the word graph) -----
+
+_TR_ITERS = 6
+_TR_K = 20
+
+
+def _textrank_oracle() -> str:
+    """Unrolls the weighted-PageRank recurrence CTE-per-iteration (the
+    q_graph_pagerank oracle pattern): per-edge terms round at 9dp into
+    DECIMAL(18,9) (exact, order-free), the teleport is written as
+    arithmetic `1.0 - 0.85` (0.15 literal differs in binary), and each
+    new score re-rounds at 9dp so every iteration is bit-replayable."""
+    head = rf"""WITH t AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS tk
+    FROM documents
+),
+p0 AS (
+    SELECT unnest(flatten(list_transform(range(1, {_PMI_W + 1}),
+               d -> list_transform(range(1, len(tk) - d + 1),
+                    i -> {{'a': tk[i], 'b': tk[i+d]}})))) AS pr
+    FROM t
+),
+cab AS MATERIALIZED (
+    SELECT least(pr.a, pr.b) AS tok_a, greatest(pr.a, pr.b) AS tok_b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM p0 WHERE pr.a <> pr.b
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_PMI_MIN}
+),
+adj AS MATERIALIZED (
+    SELECT tok_a AS s, tok_b AS d2, c FROM cab
+    UNION ALL
+    SELECT tok_b AS s, tok_a AS d2, c FROM cab
+),
+wt AS MATERIALIZED (SELECT s, CAST(SUM(c) AS BIGINT) AS wtot FROM adj GROUP BY 1),
+verts AS MATERIALIZED (SELECT DISTINCT s AS node FROM adj),
+r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM verts)"""
+    step = """r{k} AS MATERIALIZED (
+    SELECT v.node,
+           ROUND((CAST(1.0 AS DOUBLE) - 0.85e0)
+                 + 0.85e0 * COALESCE(c.s_in, 0.0e0), 9) AS score
+    FROM verts v
+    LEFT JOIN (
+        SELECT a.d2 AS node,
+               CAST(SUM(CAST(ROUND(r.score * a.c / w.wtot, 9)
+                             AS DECIMAL(18,9))) AS DOUBLE) AS s_in
+        FROM adj a
+        JOIN r{p} r ON r.node = a.s
+        JOIN wt w ON w.s = a.s
+        GROUP BY a.d2
+    ) c ON c.node = v.node
+)"""
+    parts = [head] + [
+        step.format(k=k, p=k - 1) for k in range(1, _TR_ITERS + 1)
+    ]
+    return ",\n".join(parts) + f"""
+SELECT r.node AS tok, w2.wtot AS weight_total, ROUND(r.score, 8) AS score
+FROM r{_TR_ITERS} r JOIN wt w2 ON w2.s = r.node
+ORDER BY score DESC, tok
+LIMIT {_TR_K}"""
+
+
+@q("q_textrank_keywords", oracle_sql=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+7 [EXT]: TextRank keyword extraction (Mihalcea & Tarau 2004)
+    — the top-{K} corpus keywords by weighted PageRank over the word
+    co-occurrence graph: nodes are tokens, undirected edges weighted by
+    skip-gram co-occurrence counts (the q_cooccur_pmi pair convention,
+    support floor {MIN}), scores iterated {R} rounds of
+    WS(v) = (1−d) + d·Σ_u (w_uv / Σ_x w_ux)·WS(u), d = 0.85. This
+    composes two existing disciplines: the shared co-occurrence
+    front-end and operators/graph.pagerank's bit-replayable iteration
+    contract (per-edge terms rounded 9dp → DECIMAL(18,9) exact sums →
+    new scores re-rounded 9dp; teleport written `1.0 − 0.85`, never
+    the 0.15 literal, which differs in binary).
+
+    The undirected co-occurrence graph has no dangling nodes (every
+    node entered via an edge), so the dangling-mass term of the
+    PageRank recurrence vanishes structurally — one fewer per-iteration
+    aggregate than q_graph_pagerank.
+
+    Plan shape: one corpus scan to the pair aggregate; the graph
+    relations (adjacency, weight totals, vertices) are
+    vocabulary-bounded and checkpointed once; each iteration is ONE
+    src-keyed join + ONE dst-keyed map-side-combined aggregate over
+    the bounded adjacency — the q_graph_pagerank per-iteration shape
+    minus the dangling scalar. Top-k compiles to
+    TakeOrderedAndProject. At 100 TB the corpus is touched once;
+    iterations cost |edges| ≤ |vocabulary|² rows bounded by the
+    support floor."""
+    prep(spark)
+    cab = _skipgram_pair_counts(spark, sf_dir).where(
+        F.col("c_ab") >= _PMI_MIN
+    )
+    adj = (
+        cab.select(
+            F.col("tok_a").alias("s"), F.col("tok_b").alias("d2"), "c_ab"
+        )
+        .unionByName(
+            cab.select(
+                F.col("tok_b").alias("s"), F.col("tok_a").alias("d2"), "c_ab"
+            )
+        )
+        .localCheckpoint()
+    )
+    wt = adj.groupBy("s").agg(F.sum("c_ab").cast("bigint").alias("wtot"))
+    adjw = (
+        adj.join(wt.select(F.col("s").alias("ws"), "wtot"),
+                 F.col("s") == F.col("ws"))
+        .select("s", "d2", "c_ab", "wtot")
+        .localCheckpoint()
+    )
+    verts = adj.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    scores = verts.select("node", F.lit(1.0).alias("score"))
+    for _ in range(_TR_ITERS):
+        s_in = (
+            adjw.join(
+                scores.select(F.col("node").alias("rn"), "score"),
+                F.col("s") == F.col("rn"),
+            )
+            .select(
+                F.col("d2").alias("sn"),
+                F.round(F.col("score") * F.col("c_ab") / F.col("wtot"), 9)
+                .cast("decimal(18,9)")
+                .alias("term"),
+            )
+            .groupBy("sn")
+            .agg(F.sum("term").cast("double").alias("s_in"))
+        )
+        scores = (
+            verts.join(s_in, F.col("node") == F.col("sn"), "left")
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - F.lit(0.85))
+                    + F.lit(0.85) * F.coalesce(F.col("s_in"), F.lit(0.0)),
+                    9,
+                ).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        scores.join(
+            F.broadcast(wt.select(F.col("s").alias("wn"), "wtot")),
+            F.col("node") == F.col("wn"),
+        )
+        .select(
+            F.col("node").alias("tok"),
+            F.col("wtot").alias("weight_total"),
+            F.round("score", 8).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "tok")
+        .limit(_TR_K)
+    )
+
+
+_doc = textrank_keywords.__doc__
+for _k, _v in (("{K}", str(_TR_K)), ("{MIN}", str(_PMI_MIN)),
+               ("{R}", str(_TR_ITERS))):
+    _doc = _doc.replace(_k, _v)
+textrank_keywords.__doc__ = _doc

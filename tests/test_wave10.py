@@ -463,3 +463,63 @@ def test_burstiness_single_doc_corpus_empty(spark, tmp_path):
         str(tmp_path / "documents.parquet")
     )
     assert token_burstiness(spark, str(tmp_path)).count() == 0
+
+
+class TestTextRank:
+    def test_fixture_score_contract(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import _TR_K, textrank_keywords
+
+        rows = textrank_keywords(spark, sf_dir).collect()
+        assert len(rows) == _TR_K
+        for r in rows:
+            # no isolated nodes: every score strictly beats teleport
+            assert r["score"] > 0.15
+            assert r["weight_total"] > 0
+        keys = [(-r["score"], r["tok"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_symmetric_clique_fixpoint_is_one(self, spark, tmp_path):
+        """A perfectly symmetric triangle (x, y, z always co-occurring
+        with equal weights) has the analytic fixpoint WS = 1.0 at EVERY
+        iteration: each node receives exactly half of each neighbor's
+        unit score. The engines must hit 1.0 exactly."""
+        from modevetl_spark.queries.wave10 import textrank_keywords
+
+        pd.DataFrame(
+            {"doc_id": range(10), "text": ["x y z"] * 10}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["tok"]: r
+            for r in textrank_keywords(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {"x", "y", "z"}
+        for t in "xyz":
+            assert got[t]["score"] == 1.0
+            assert got[t]["weight_total"] == 20
+
+    def test_hub_dominates_spokes(self, spark, tmp_path):
+        """Hub-and-spoke: h co-occurs with both a and b, a and b only
+        with h — h must out-rank the (symmetric, equal-scored)
+        spokes."""
+        from modevetl_spark.queries.wave10 import textrank_keywords
+
+        docs = ["h a"] * 6 + ["h b"] * 6
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": docs}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["tok"]: r["score"]
+            for r in textrank_keywords(spark, str(tmp_path)).collect()
+        }
+        assert set(got) == {"h", "a", "b"}
+        assert got["a"] == got["b"]  # symmetry is exact
+        assert got["h"] > got["a"]
+
+    def test_plan_iterations_on_checkpointed_graph(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import textrank_keywords
+        from tests.test_plans import plan
+
+        p = plan(textrank_keywords(spark, sf_dir))
+        assert "Python" not in p
+        assert "documents" not in p  # graph built once, checkpointed
+        assert "TakeOrderedAndProject" in p
