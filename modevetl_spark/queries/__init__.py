@@ -295,6 +295,7 @@ _STAGED_R9 = frozenset(
         "q_token_burstiness",
         "q_bpe_merges",
         "q_textrank_keywords",
+        "q_doc_lm_score",
     }
 )
 

@@ -31,6 +31,9 @@ never-graded drain, the same two-step pattern wave7 and wave9 used).
   Tarau 2004): weighted PageRank over the skip-gram co-occurrence
   graph, composing the shared pair front-end with the
   operators/graph.pagerank iteration discipline.
+- ``q_doc_lm_score`` — per-document unigram cross-entropy against the
+  corpus LM in bits/token: the CCNet-style LM quality filter, the
+  document-level companion to the source-level KL drift score.
 
 Reference parity: SURVEY.md §2's sketch/dedup families; re-expressed
 per SURVEY §0's protocol with bounded formulations chosen for the
@@ -958,3 +961,109 @@ for _k, _v in (("{K}", str(_TR_K)), ("{MIN}", str(_PMI_MIN)),
                ("{R}", str(_TR_ITERS))):
     _doc = _doc.replace(_k, _v)
 textrank_keywords.__doc__ = _doc
+
+
+# --- Per-document LM score (unigram cross-entropy quality filter) ----------
+
+_LM_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+dw AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c_wd
+    FROM tok GROUP BY 1, 2
+),
+corpus AS (
+    SELECT tok, CAST(SUM(c_wd) AS BIGINT) AS c_w FROM dw GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM corpus),
+nd AS (
+    SELECT doc_id, CAST(SUM(c_wd) AS BIGINT) AS n_tokens FROM dw GROUP BY 1
+),
+terms AS (
+    SELECT dw.doc_id,
+           CAST(dw.c_wd AS DECIMAL(10,0))
+             * CAST(ROUND(log2(CAST(t.n AS DOUBLE))
+                          - log2(CAST(c.c_w AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS contrib
+    FROM dw
+    JOIN corpus c ON c.tok = dw.tok
+    CROSS JOIN tot t
+)
+SELECT tm.doc_id, nd.n_tokens,
+       ROUND(CAST(SUM(tm.contrib) AS DOUBLE) / nd.n_tokens, 6)
+           AS bits_per_token
+FROM terms tm JOIN nd ON nd.doc_id = tm.doc_id
+GROUP BY 1, 2
+"""
+
+
+@q("q_doc_lm_score", oracle_sql=_LM_ORACLE)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+19 [EXT]: per-document language-model score — the unigram
+    cross-entropy H(doc ‖ corpus LM) in bits per token: the
+    CCNet-style LM quality filter (Wenzek et al. 2020) that ranks
+    documents by how surprising they are under the corpus's own
+    distribution (high bits/token ⇒ rare-token-heavy outliers, low ⇒
+    boilerplate). The document-level companion to
+    q_source_kl_divergence's source-level drift score, feeding the
+    same curation decisions as q_text_quality's heuristic tier.
+
+    H_d = Σ_w (c_wd/n_d)·(log2(N) − log2(c_w)): each per-token term is
+    the integer-arg log2 ± pair rounded at 9dp (log2 is not correctly
+    rounded — the q_cooccur_pmi lesson), scaled by the exact count via
+    a decimal multiply, decimal-summed order-free, and the final /n_d
+    mean rounded at 6dp — the q_source_kl_divergence shape exactly.
+
+    Plan shape: ONE fact scan to the (doc, token) hash agg
+    (checkpointed); the corpus marginal, the grand total, and per-doc
+    totals are all rollups of that output — no second corpus scan;
+    the term join touches the agg stream against the broadcast
+    vocabulary table and a one-row broadcast total. At 100 TB one
+    data-sized exchange total, same fallback note as the KL key if
+    the vocabulary outgrows broadcast."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_wd"))
+        .localCheckpoint()
+    )
+    corpus = dw.groupBy(F.col("tok").alias("c_tok")).agg(
+        F.sum("c_wd").cast("bigint").alias("c_w")
+    )
+    tot = corpus.agg(F.sum("c_w").cast("bigint").alias("n"))
+    nd = dw.groupBy(F.col("doc_id").alias("nd_doc")).agg(
+        F.sum("c_wd").cast("bigint").alias("n_tokens")
+    )
+    term9 = F.round(
+        F.log2(F.col("n").cast("double")) - F.log2(F.col("c_w").cast("double")),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        dw.join(F.broadcast(corpus), F.col("tok") == F.col("c_tok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.col("c_wd").cast("decimal(10,0)") * term9).alias("contrib"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("csum"))
+        .join(F.broadcast(nd), F.col("doc_id") == F.col("nd_doc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("csum").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("bits_per_token"),
+        )
+    )

@@ -523,3 +523,58 @@ class TestTextRank:
         assert "Python" not in p
         assert "documents" not in p  # graph built once, checkpointed
         assert "TakeOrderedAndProject" in p
+
+
+class TestDocLmScore:
+    def test_fixture_contract(self, spark, sf_dir):
+        import duckdb
+
+        from modevetl_spark.queries.wave10 import doc_lm_score
+
+        rows = doc_lm_score(spark, sf_dir).collect()
+        n_docs = (
+            duckdb.connect()
+            .execute(
+                f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+                " WHERE len(list_filter(regexp_split_to_array(lower(text),"
+                r" '\s+'), x -> x <> '')) > 0"
+            )
+            .fetchone()[0]
+        )
+        assert len(rows) == n_docs
+        for r in rows:
+            # cross-entropy vs the corpus LM is positive for any doc
+            # that isn't the whole corpus
+            assert r["bits_per_token"] >= 0.0
+            assert r["n_tokens"] > 0
+
+    def test_hand_built_exact_bits(self, spark, tmp_path):
+        """Two docs with hand-computable cross-entropies: the all-common
+        doc scores log2(5/4) bits/token, the rare singleton scores
+        log2(5) — the LM-filter ordering (rare-token docs rank high)."""
+        import math
+
+        from modevetl_spark.queries.wave10 import doc_lm_score
+
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["x x x x", "y"]}
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: r["bits_per_token"]
+            for r in doc_lm_score(spark, str(tmp_path)).collect()
+        }
+        want0 = round(round(math.log2(5) - math.log2(4), 9), 6)
+        want1 = round(round(math.log2(5) - math.log2(1), 9), 6)
+        assert got[0] == want0  # 0.321928
+        assert got[1] == want1  # 2.321928
+        assert got[1] > got[0]
+
+    def test_plan_single_fact_scan_behind_checkpoint(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import doc_lm_score
+        from tests.test_plans import plan
+
+        p = plan(doc_lm_score(spark, sf_dir))
+        assert "documents" not in p
+        assert "SortMergeJoin" not in p
+        assert "Python" not in p
+        assert "BroadcastHashJoin" in p
