@@ -388,3 +388,76 @@ def test_burstiness_differential(spark, tmp_path_factory, docs):
         for r in w10.token_burstiness(spark, str(tmp)).collect()
     }
     assert got == want  # +,-,*,/ are correctly rounded: bit-equal
+
+
+# --- TextRank weighted-PageRank replay --------------------------------------
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["k", "l", "m", "n"]), min_size=2,
+                 max_size=10),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_textrank_differential(spark, tmp_path_factory, docs):
+    """Random small word graphs: replay the 6-round weighted-PageRank
+    recurrence in python (same 9dp quantization; half-up vs banker's
+    rounding and 1-ulp drift absorbed by a 2e-8 tolerance)."""
+    import pandas as pd
+
+    import modevetl_spark.queries.wave10 as w10
+
+    tmp = tmp_path_factory.mktemp("trdiff")
+    pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+    ).to_parquet(str(tmp / "documents.parquet"))
+
+    # python reference over the same pair convention
+    from collections import Counter
+
+    cab: Counter = Counter()
+    for d in docs:
+        for dd in range(1, w10._PMI_W + 1):
+            for i in range(len(d) - dd):
+                a, b = d[i], d[i + dd]
+                if a != b:
+                    cab[(min(a, b), max(a, b))] += 1
+    cab = {p: c for p, c in cab.items() if c >= w10._PMI_MIN}
+    got = {
+        r["tok"]: r["score"]
+        for r in w10.textrank_keywords(spark, str(tmp)).collect()
+    }
+    if not cab:
+        assert got == {}
+        return
+    adj: dict = {}
+    for (a, b), c in cab.items():
+        adj.setdefault(a, {})[b] = c
+        adj.setdefault(b, {})[a] = c
+    wtot = {v: sum(nb.values()) for v, nb in adj.items()}
+    score = {v: 1.0 for v in adj}
+    for _ in range(w10._TR_ITERS):
+        new = {}
+        for v in adj:
+            s_in = sum(
+                round(score[u] * w / wtot[u], 9)
+                for u, w in adj[v].items()
+            )
+            new[v] = round((1.0 - 0.85) + 0.85 * s_in, 9)
+        score = new
+    want = dict(
+        sorted(
+            ((v, round(s, 8)) for v, s in score.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[: w10._TR_K]
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 2e-8, v
