@@ -296,6 +296,7 @@ _STAGED_R9 = frozenset(
         "q_bpe_merges",
         "q_textrank_keywords",
         "q_doc_lm_score",
+        "q_unseen_mass",
     }
 )
 

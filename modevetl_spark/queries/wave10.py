@@ -34,6 +34,9 @@ never-graded drain, the same two-step pattern wave7 and wave9 used).
 - ``q_doc_lm_score`` — per-document unigram cross-entropy against the
   corpus LM in bits/token: the CCNet-style LM quality filter, the
   document-level companion to the source-level KL drift score.
+- ``q_unseen_mass`` — Good–Turing unseen-mass estimate per source
+  (P₀ = hapax/N): the vocabulary-saturation signal that tells a
+  curation loop which sources still surprise.
 
 Reference parity: SURVEY.md §2's sketch/dedup families; re-expressed
 per SURVEY §0's protocol with bounded formulations chosen for the
@@ -1066,4 +1069,78 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("bits_per_token"),
         )
+    )
+
+
+# --- Good–Turing unseen-mass estimate per source ----------------------------
+
+_GT_ORACLE = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+sw AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(c)
+           AS unseen_mass
+FROM sw
+GROUP BY 1
+"""
+
+
+@q("q_unseen_mass", oracle_sql=_GT_ORACLE)
+def unseen_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+8 [EXT]: Good–Turing unseen-mass estimate per source — the
+    probability that the NEXT token drawn from a source is a
+    never-seen type, P₀ = N₁/N (Good 1953; Gale & Sampson 1995),
+    where N₁ is the hapax-legomena count. The vocabulary-saturation
+    signal beside q_vocab_growth (Heaps) and q_tokens_zipf: a source
+    with high unseen mass is still surprising (keep sampling it); one
+    near zero is exhausted. Hapax and dis legomena counts ride along
+    as the raw frequency-of-frequency inputs any smoother (Katz,
+    Simple Good–Turing) starts from.
+
+    Exactness: all inputs are exact BIGINT counts; the estimate is
+    ONE raw double division of two BIGINTs — correctly-rounded IEEE
+    division of identical inputs is bit-identical across engines (the
+    q_rater_agreement rule; no transcendentals anywhere). N ≥ 1 for
+    every emitted source (sources with zero tokens simply don't
+    appear), so the division is total.
+
+    Plan shape: one fact scan → (source, token) hash agg with
+    map-side combine → per-source rollup of that agg (counts-of-counts
+    as conditional sums — no second scan, no explode of the frequency
+    spectrum). At 100 TB: two collapsing keyed exchanges, nothing
+    else."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dis"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.sum("c")
+        ).alias("unseen_mass"),
     )

@@ -578,3 +578,48 @@ class TestDocLmScore:
         assert "SortMergeJoin" not in p
         assert "Python" not in p
         assert "BroadcastHashJoin" in p
+
+
+class TestUnseenMass:
+    def test_fixture_identities_and_regimes(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import unseen_mass
+
+        rows = unseen_mass(spark, sf_dir).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r["hapax"] + r["dis"] <= r["vocab"] <= r["n_tokens"]
+            # single correctly-rounded division: bit-exact replay
+            assert r["unseen_mass"] == r["hapax"] / r["n_tokens"]
+        # the rare-token tail puts SOME sources in each regime
+        assert any(r["hapax"] > 0 for r in rows)
+        assert any(r["hapax"] == 0 for r in rows)
+
+    def test_hand_built_exact_mass(self, spark, tmp_path):
+        """Source A 'x x y z': hapax {y, z}, dis {x} — unseen mass
+        exactly 2/4. Source B all-repeats: exactly 0."""
+        from modevetl_spark.queries.wave10 import unseen_mass
+
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["x x y z", "w w w w"],
+                "source": ["A", "B"],
+            }
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["source"]: r for r in unseen_mass(spark, str(tmp_path)).collect()
+        }
+        a = got["A"]
+        assert (a["n_tokens"], a["vocab"], a["hapax"], a["dis"]) == (4, 3, 2, 1)
+        assert a["unseen_mass"] == 0.5
+        b = got["B"]
+        assert (b["hapax"], b["dis"], b["unseen_mass"]) == (0, 0, 0.0)
+
+    def test_plan_two_collapsing_aggs_no_join(self, spark, sf_dir):
+        from modevetl_spark.queries.wave10 import unseen_mass
+        from tests.test_plans import plan
+
+        p = plan(unseen_mass(spark, sf_dir))
+        assert "Python" not in p
+        assert "Join" not in p
+        assert "Window" not in p
