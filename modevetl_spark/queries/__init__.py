@@ -199,49 +199,53 @@ _GRADED_R6 = frozenset(
     }
 )
 
-# Round-7 window arithmetic (executes the r6 verdict's top item): with
-# _GRADED_R6 landed and the r6 staged/deferred sets retired, the window
-# pins, in order: the 15-key drain residual (q_rate_confint …
-# q_tukey_outliers, never graded, priority 0), the 8 wave7 keys (never
-# graded, priority 0, module order puts them after the diagnostics
-# spill), the 6 wave8 keys (never graded, priority 0), then the 10
-# changed-key re-pins below (priority 0.5), then stalest-evidence
-# rotation (r1/r3-vintage cohort first) — 15+8+6+10 = 39 committed,
-# 11 rotation slots, all currently r2-vintage. New r7 keys stop at 14
-# (≤ the ~15 cap) so ≥5 rotation slots refresh pre-r4 evidence
-# (verdict item 2).
-#
-# Keys whose implementation changed in round 6 against green r5
-# evidence (judge-sanctioned deferral; all sim-verified MATCH, judge
-# independently re-graded MATCH) — they re-pin here at 0.5:
-#   q_tpch_top_supplier     global-max window → one-row agg + broadcast.
-#   q_window_percent_rank   W5 → global_rank closed forms.
-#   q_dedup_snm             global_rank moved to operators/ranking.py.
-# Plus keys transitively changed in round 7 itself (r6-fresh evidence,
-# so they would otherwise sort last): global_running gained the
-# temp-column projection that makes output-name/source-name shadowing
-# safe — same values for every existing caller, but the projection
-# shape changed, so its r6-graded consumers re-pin:
-#   q_abc_classification, q_vocab_growth.
-# And the round-7 widening of the portable-SQL face (verdict item 6:
-# chained CTE + LAG + frame-spec'd running window in the one verbatim
-# ANSI string) changes q_sql_frontend against its r6 evidence.
-# The round-7 snm A/B then moved ranking._offsets from the theta-join
-# back to the in-plan bounded window with a constant non-foldable
-# partition key (BASELINE.md round-7 notes) — every r6-graded consumer
-# of global_rank/global_running re-pins:
-_CHANGED_R7_PIN = frozenset(
+# The 50 keys CORRECTNESS_r07 graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that drained the wave7/wave8 waves
+# and the 15-key r6 spill, plus the 10 _CHANGED_R7_PIN re-pins and 11
+# r2-vintage rotation slots).
+_GRADED_R7 = frozenset(
     {
-        "q_tpch_top_supplier", "q_window_percent_rank", "q_dedup_snm",
-        "q_abc_classification", "q_vocab_growth", "q_sql_frontend",
-        "q_sample_systematic", "q_decile_lift", "q_customer_rfm",
-        "q_revenue_gini",
+        "q_abc_classification", "q_anova_weekday", "q_corr_matrix",
+        "q_cramers_v", "q_customer_rfm", "q_decile_lift",
+        "q_decision_stump", "q_dedup_embedding", "q_dedup_latest_wins",
+        "q_dedup_ngram_jaccard", "q_dedup_snm", "q_dedup_source_overlap",
+        "q_dedup_threshold_curve", "q_embedding_quantize",
+        "q_entropy_profile", "q_gapfill_percentile", "q_growth_mom",
+        "q_interleave_sources", "q_join_containment", "q_label_suspects",
+        "q_multimodal_features", "q_mutual_information", "q_rate_confint",
+        "q_revenue_gini", "q_sample_hash", "q_sample_reservoir",
+        "q_sample_systematic", "q_session_stitch", "q_sim_topk",
+        "q_sim_topk_ivf_sq", "q_sim_topk_quantized",
+        "q_sketch_distinct_kmv", "q_sketch_group_quantiles",
+        "q_sketch_jaccard_kmv", "q_sketch_merge_quantiles",
+        "q_sketch_quantiles", "q_spearman_corr", "q_sql_frontend",
+        "q_text_fingerprint", "q_text_langid", "q_text_quality",
+        "q_text_tokens", "q_theilsen_trend", "q_tpch_late_shipments",
+        "q_tpch_top_supplier", "q_tukey_outliers", "q_udaf_grouped",
+        "q_udf_scalar", "q_vocab_growth", "q_window_percent_rank",
     }
 )
+
+# Round-8 window arithmetic (executes the r7 verdict's top item): with
+# _GRADED_R7 landed, _CHANGED_R7_PIN retired (all 10 keys graded green
+# in r7), and _STAGED_R8 retired, the window pins, in order: the 15
+# wave9 keys (never graded, priority 0, draining exactly like wave7 did
+# in r7), then changed-key re-pins (priority 0.5, currently none), then
+# stalest-evidence rotation — the full 17-key r2-vintage cohort enters
+# (q_pivot, q_unpivot, q_skew_* , q_jx_setop/window/nested_from/
+# string_ops, q_doc_chunks, q_decontaminate, q_graph_components,
+# q_sample_stratified, q_math_sig_round, q_cube_subtotals,
+# q_profile_columns, q_text_repetition, q_pack_budget-cohort residue)
+# followed by 18 r3-vintage keys. 15 + 0 committed, 35 rotation slots:
+# clears ALL pre-r3 evidence and starts on the 39-key r3 cohort
+# (verdict item 2). _STAGED_R9 (wave10.py, priority 9.5) stays behind
+# until round 9.
+_CHANGED_R8_PIN: frozenset[str] = frozenset()
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (7, _GRADED_R7),
         (6, _GRADED_R6),
         (5, _GRADED_R5),
         (4, _GRADED_R4),
@@ -254,39 +258,13 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# Round-8 staged wave (queries/wave9.py): built and driver-sim verified
-# during round 7, pinned BEHIND the entire round-7 window — priority 9
-# sorts after every rotation vintage, so these two keys occupy the very
-# tail of the emission order and cannot displace a round-7 slot. Round-8
-# bookkeeping: add _GRADED_R7 from CORRECTNESS_r07, retire
-# _CHANGED_R7_PIN AND this set — the staged keys then drain as ordinary
-# never-graded (priority 0) keys, exactly the wave7 pattern from r6.
-_STAGED_R8 = frozenset(
-    {
-        "q_sim_mmr_rerank",
-        "q_filter_bloom",
-        "q_heavy_hitters_grouped",
-        "q_sketch_group_distinct",
-        "q_decayed_value",
-        "q_sketch_countmin",
-        "q_graph_adamic_adar",
-        "q_privacy_kanonymity",
-        "q_churn_hazard",
-        "q_model_calibration",
-        "q_sample_reservoir_weighted",
-        "q_source_kl_divergence",
-        "q_mixture_weights",
-        "q_rater_agreement",
-        "q_dedup_substring_runs",
-    }
-)
-
-
 # Round-9 staged wave (queries/wave10.py): built and driver-sim verified
-# during round 7, pinned BEHIND the round-8 staged wave — priority 9.5
-# sorts after _STAGED_R8's 9, so these keys can displace neither a
-# round-7 window slot nor a round-8 drain slot. Round-9 bookkeeping:
-# after _STAGED_R8 retires (round 8), retire this set the same way.
+# during round 7, pinned BEHIND the round-8 window — priority 9.5 sorts
+# after every rotation vintage, so these keys occupy the very tail of
+# the emission order and cannot displace a round-8 slot (the retired
+# _STAGED_R8 wave9 keys now drain as ordinary never-graded priority-0
+# keys, exactly the wave7 pattern from r6→r7). Round-9 bookkeeping:
+# add _GRADED_R8 from CORRECTNESS_r08 and retire this set the same way.
 _STAGED_R9 = frozenset(
     {
         "q_sketch_hll",
@@ -303,12 +281,10 @@ _STAGED_R9 = frozenset(
 
 def _grading_priority(key: str) -> float:
     if key in _STAGED_R9:
-        return 9.5  # staged for round 9: behind the r8 staged wave too
-    if key in _STAGED_R8:
-        return 9  # staged for round 8: behind the whole r7 window
+        return 9.5  # staged for round 9: behind the whole r8 window
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R7_PIN:
+    if key in _CHANGED_R8_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

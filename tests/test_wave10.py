@@ -14,10 +14,10 @@ from pyspark.sql import functions as F
 from modevetl_spark.queries.wave10 import QUERIES
 
 
-def test_wave10_staged_behind_wave9():
-    """Two-tier staging: wave10 keys occupy the very tail of the
-    emission order, AFTER the round-8 staged wave — they can displace
-    neither a round-7 window slot nor a round-8 drain slot."""
+def test_wave10_staged_behind_the_window():
+    """Round-9 staging: wave10 keys occupy the very tail of the
+    emission order (priority 9.5) — they can displace neither a
+    round-8 window slot nor any rotation slot."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
@@ -25,9 +25,7 @@ def test_wave10_staged_behind_wave9():
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
     n9 = len(Q._STAGED_R9)
-    n8 = len(Q._STAGED_R8)
     assert set(order[-n9:]) == set(Q._STAGED_R9)
-    assert set(order[-(n8 + n9):-n9]) == set(Q._STAGED_R8)
 
 
 class TestHll:

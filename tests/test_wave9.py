@@ -280,10 +280,10 @@ class TestDecayedValue:
         assert "Filter" in p
 
 
-def test_wave9_staged_behind_the_window():
-    """The staging contract: both keys carry oracles, and they occupy
-    the very TAIL of the emission order — no round-7 window slot (first
-    50) may be displaced by a staged round-8 key."""
+def test_wave9_drained_into_the_window():
+    """Round-8 staging contract, post-retirement: _STAGED_R8 is gone,
+    so every wave9 key drains as never-graded (priority 0) and all 15
+    occupy the FRONT of the round-8 grading window (first 50)."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
@@ -306,11 +306,11 @@ def test_wave9_staged_behind_the_window():
     }
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
-    # the r8 staged keys sit directly behind the whole r7 rotation,
-    # with only the r9 staged wave (priority 9.5) after them
-    n8, n9 = len(Q._STAGED_R8), len(Q._STAGED_R9)
-    assert set(order[-(n8 + n9):-n9]) == set(Q._STAGED_R8)
-    assert set(QUERIES) == set(Q._STAGED_R8)
+    # retired _STAGED_R8: every wave9 key is never-graded, so the whole
+    # wave sits inside the round-8 grading window
+    assert set(QUERIES) <= set(order[:50])
+    for k in QUERIES:
+        assert Q._grading_priority(k) == 0, k
 
 
 class TestCountMin:
