@@ -174,7 +174,14 @@ def mg_summary_grouped(
         )
 
     return (
-        df.select(F.col(grp_col), F.col(col))
+        # cast BOTH inputs to string up front (the kmv_distinct_grouped
+        # defense): the mapInPandas output schema is declared string, so
+        # a non-string group/token column would otherwise hit an Arrow
+        # type error (or silent coercion) only at execution time
+        df.select(
+            F.col(grp_col).cast("string").alias(grp_col),
+            F.col(col).cast("string").alias(col),
+        )
         .where(F.col(col).isNotNull() & F.col(grp_col).isNotNull())
         .mapInPandas(fold, schema=f"{grp_col} string, {col} string, n_part long")
     )
@@ -730,11 +737,15 @@ def hll_state(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
     column: the shared 32-bit md5 prefix splits into a ``b``-bit
     register index ``j`` (top bits) and a ``32-b``-bit rank word ``w``;
     the register holds the max leading-zero rank rho = (32-b)+1 for
-    w=0, else (32-b) - floor(log2(w)) — log2 of an INTEGER argument,
-    so a second engine replays every register bit-for-bit. State is
-    ≤ 2^b rows no matter the cardinality; states from any row split
-    MERGE by per-register max (idempotent — duplicates are free, which
-    is the sketch's whole contract).
+    w=0, else (32-b)+1 - length(bin(w)) — the rank is DERIVED FROM BIT
+    LENGTH (``bin`` drops leading zeros in both engines), not from
+    floor(log2(w)): bit length is pure integer/string arithmetic, so a
+    second engine replays every register bit-for-bit with no
+    transcendental anywhere near a power-of-two boundary (the
+    floor(log2) form is exact today but nothing pins it — round-8
+    advice). State is ≤ 2^b rows no matter the cardinality; states
+    from any row split MERGE by per-register max (idempotent —
+    duplicates are free, which is the sketch's whole contract).
     """
     wbits = 32 - b
     h32 = F.conv(
@@ -745,7 +756,7 @@ def hll_state(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
         (h32 % F.lit(1 << wbits)).alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
-        F.lit(wbits) - F.floor(F.log2("w")).cast("bigint")
+        F.lit(wbits + 1) - F.length(F.bin("w")).cast("bigint")
     )
     return jr.groupBy("j").agg(F.max(rho).alias("mj"))
 

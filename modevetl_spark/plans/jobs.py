@@ -374,6 +374,35 @@ def curate_job(
         pending.unpersist()
 
 
+def _migrate_flat_curated(spark: SparkSession, curated: str) -> None:
+    """One-time layout migration for sinks written by the
+    pre-partitioned ``curate_batch``: flat parquet files at the curated
+    root, with ``_batch=`` partition directories about to land beside
+    them, are exactly the mixed layout parquet partition discovery
+    rejects — so the first partitioned append into an old sink would
+    corrupt it for every reader (round-8 advice). Rewrite the flat
+    files into the reserved ``_batch=legacy`` partition, then delete
+    them. Replay-safe: the rewrite is a dynamic partition OVERWRITE of
+    ``_batch=legacy`` only, so a crash between rewrite and delete
+    replays to the identical partition content instead of appending a
+    duplicate copy."""
+    from modevetl_spark.sources.fs import fs_delete, fs_root_parquet_files
+
+    flat = fs_root_parquet_files(spark, curated)
+    if not flat:
+        return
+    (
+        spark.read.parquet(*flat)
+        .withColumn("_batch", F.lit("legacy"))
+        .write.partitionBy("_batch")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(curated)
+    )
+    for f in flat:
+        fs_delete(spark, f)
+
+
 def _append_seen(survivors: DataFrame, seen_path: str) -> None:
     """The seen-store append, as a seam so the crash-replay test can
     fail it deliberately (simulating a crash after the curated write
@@ -439,6 +468,7 @@ def curate_batch(
         n_out = survivors.count()
         if n_out:
             curated = os.path.join(sink_path, "curated")
+            _migrate_flat_curated(spark, curated)
             if batch_id is None:
                 (
                     survivors.withColumn("_batch", F.lit("adhoc"))

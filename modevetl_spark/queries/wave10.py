@@ -76,7 +76,7 @@ jr AS (
 reg AS (
     SELECT j,
            MAX(CASE WHEN w = 0 THEN {_HLL_WBITS + 1}
-                    ELSE {_HLL_WBITS} - CAST(FLOOR(log2(w)) AS BIGINT)
+                    ELSE {_HLL_WBITS + 1} - CAST(length(bin(w)) AS BIGINT)
                END) AS mj
     FROM jr GROUP BY 1
 ),
@@ -117,8 +117,9 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_agg_approx_sketches). Here the WHOLE sketch is replayable: the
     shared 32-bit md5 idiom splits into a {B}-bit register index j and
     a {W}-bit rank word w; the register rank is the leading-zero count
-    rho = {W}+1 (w=0) else {W} − floor(log2(w)) — log2 of an INTEGER
-    argument, engine-identical; registers are a {M}-row max-aggregate.
+    rho = {W}+1 (w=0) else {W}+1 − length(bin(w)) — derived from BIT
+    LENGTH (pure integer/string ops, both engines drop leading zeros),
+    no transcendental at all; registers are a {M}-row max-aggregate.
 
     Float discipline: every harmonic term 2^−M[j] is computed as
     1.0 / (1 << M[j]) — an EXACT power of two (no pow(), the

@@ -78,6 +78,45 @@ def fs_has_parquet_files(spark: SparkSession | None, path: str) -> bool:
     return False
 
 
+def fs_root_parquet_files(spark: SparkSession | None, path: str) -> list[str]:
+    """The .parquet data files sitting DIRECTLY at ``path`` (non-recursive)
+    — files inside partition subdirectories don't count. This is the
+    detector for a mixed flat-file/partition-directory parquet layout,
+    which Spark's partition discovery rejects: a sink written by
+    pre-partitioned code holds flat files at the root, and the first
+    partitioned append next to them corrupts the sink for every reader.
+    """
+    if not _require_session(spark, path):
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+            and os.path.isfile(os.path.join(path, f))
+        )
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        if status.isFile() and p.getName().endswith(".parquet"):
+            out.append(p.toString())
+    return sorted(out)
+
+
+def fs_delete(spark: SparkSession | None, path: str) -> None:
+    """Delete one file, following the path's scheme."""
+    if not _require_session(spark, path):
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    fs, hpath = _fs_and_path(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+
+
 def read_json_state(spark: SparkSession | None, path: str):
     """Small JSON state file -> dict, or None if absent.
 

@@ -296,6 +296,43 @@ def test_curate_batch_adhoc_shares_partition_layout(spark, tmp_path, sf_dir):
     assert curated.count() == n_a + n_b
 
 
+def test_curate_batch_migrates_flat_legacy_sink(spark, tmp_path, sf_dir):
+    """Round-8 advice: a sink created by the OLD unpartitioned
+    curate_batch holds flat parquet files at the curated root; the
+    first partitioned append next to them would produce exactly the
+    mixed flat-file/partition-directory layout parquet partition
+    discovery rejects. The migration guard must rewrite the flat files
+    into _batch=legacy so one spark.read of curated/ sees BOTH cohorts,
+    nothing lost."""
+    from modevetl_spark.plans.jobs import curate_batch, curate_transform
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.sources.fs import fs_root_parquet_files
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    sink = str(tmp_path / "legacy")
+    curated = f"{sink}/curated"
+    # simulate the pre-partitioned sink: flat files directly at the root
+    legacy = curate_transform(docs.where(F.col("doc_id") <= cut)).where(
+        (F.col("quality") >= 0.0) & (F.col("n_tokens") >= 1)
+    )
+    legacy.coalesce(2).write.parquet(curated)
+    n_legacy = legacy.count()
+    assert fs_root_parquet_files(spark, curated), "fixture must be flat"
+
+    n_new = curate_batch(
+        spark, docs.where(F.col("doc_id") > cut), sink, batch_id=None
+    )
+    assert n_new > 0
+    # no flat files survive, and partition discovery sees both cohorts
+    assert fs_root_parquet_files(spark, curated) == []
+    merged = spark.read.parquet(curated)
+    parts = {r._batch for r in merged.select("_batch").distinct().collect()}
+    assert parts == {"legacy", "adhoc"}
+    assert merged.where(F.col("_batch") == "legacy").count() == n_legacy
+    assert merged.count() == n_legacy + n_new
+
+
 def test_curate_crash_between_writes_converges(spark, tmp_path, sf_dir, monkeypatch):
     """The OTHER crash window (round-6 advice): curated partition
     committed, seen-hash append lost. The replay must overwrite the

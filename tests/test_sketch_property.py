@@ -109,6 +109,31 @@ def test_hh_grouped_matches_python_exact_rule(spark, rows, denom):
     assert got == _hh_grouped_python(rows, denom)
 
 
+def test_hh_grouped_accepts_non_string_columns(spark):
+    """Round-8 advice: mg_summary_grouped declares a string/string
+    mapInPandas output schema — a caller passing integer group or token
+    columns must get the string-cast fold (the kmv_distinct_grouped
+    defense), not an Arrow type error at execution."""
+    from modevetl_spark.operators.sketches import (
+        heavy_hitters_grouped_exact,
+        mg_summary_grouped,
+    )
+
+    rows = [(g, t) for g in (1, 2) for t in (10, 10, 10, 20, 30, 10)]
+    df = spark.createDataFrame(rows, "g int, t bigint").repartition(3)
+    summ = mg_summary_grouped(df, "g", "t", k=4).collect()
+    assert summ, "fold produced no candidate state"
+    got = {
+        (r["g"], r["t"]): r["cnt"]
+        for r in heavy_hitters_grouped_exact(df, "g", "t", k=4, denom=3).collect()
+    }
+    # token 10 holds 4/6 of each integer group — well above 1/3; the
+    # exact-verify tier joins back against the ORIGINAL stream, so the
+    # output keeps the caller's column types (only the bounded sketch
+    # fold is string-typed internally)
+    assert got == {(1, 10): 4, (2, 10): 4}
+
+
 # --- Exact-substring duplicated runs (interval merge) ---------------------
 
 

@@ -102,6 +102,41 @@ class TestHll:
         assert "SortMergeJoin" not in p
         assert "Window" not in p
 
+    def test_rho_exact_on_every_power_of_two_both_engines(self, spark):
+        """Round-8 advice: pin the rank derivation on the power-of-two
+        boundary words where a floor(log2) form COULD misbucket. rho is
+        now derived from bit length — length(bin(w)) in both engines —
+        so this sweeps every boundary word w ∈ {2^0..2^25, 2^k−1,
+        2^k+1} through the Spark expression AND the DuckDB oracle
+        fragment and asserts both equal python's w.bit_length() truth."""
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        wbits = 26
+        words = sorted(
+            {1 << k for k in range(wbits)}
+            | {(1 << k) - 1 for k in range(1, wbits + 1)}
+            | {(1 << k) + 1 for k in range(1, wbits - 1)}
+        )
+        words = [w for w in words if 0 < w < (1 << wbits)]
+        truth = {w: wbits + 1 - w.bit_length() for w in words}
+        sdf = spark.createDataFrame([(w,) for w in words], "w long").select(
+            "w",
+            (F.lit(wbits + 1) - F.length(F.bin("w")).cast("bigint")).alias("rho"),
+        )
+        assert {r["w"]: r["rho"] for r in sdf.collect()} == truth
+        duck = dict(
+            duckdb.connect()
+            .execute(
+                "SELECT w, %d + 1 - CAST(length(bin(w)) AS BIGINT) "
+                "FROM (SELECT UNNEST(?::BIGINT[]) AS w)" % wbits,
+                [words],
+            )
+            .fetchall()
+        )
+        assert duck == truth
+
 
 class TestCooccurPmi:
     def test_fixture_replay_and_contract(self, spark, sf_dir):
