@@ -59,6 +59,12 @@ HEADLINE = [
     "q_sketch_quantiles",
     "q_dedup_latest_wins",
     "q_sim_topk_quantized",
+    # round 8 (the r7 verdict's bench-refresh list): zero-exchange
+    # weighted sampling, linear-sketch trend, serving-tier
+    # diversification trend
+    "q_sample_reservoir_weighted",
+    "q_sketch_countmin",
+    "q_sim_mmr_rerank",
 ]
 
 
