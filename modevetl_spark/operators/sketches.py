@@ -792,3 +792,190 @@ def run_hll_tick(spark, batch: DataFrame, col: str, state_path: str, b: int = 6)
         sorted((int(j), int(mj)) for j, mj in incoming.items()),
         "j long, mj long",
     ).coalesce(1).write.mode("overwrite").parquet(state_path)
+
+
+def rank_sample_state(
+    df: DataFrame, val_col: str, key_col: str, eps: float = 0.03125, p: int = 16
+) -> DataFrame:
+    """One batch's mergeable rank-quantile sketch (the deterministic
+    Munro–Paterson/MRL-family member of ``queries/wave8.
+    q_sketch_merge_quantiles``, factored as an operator): rows hash
+    (shared md5 on ``key_col``) into ``p`` cells; each cell sorts by
+    ``(v, key)`` and keeps the MINIMUM of every step-sized rank block
+    (step = max(1, ⌊eps·n_cell⌋)) with the block size as its weight.
+
+    Output: ``(v double, w long)`` — ≤ p·(1/eps + 1) rows, weights sum
+    to the batch rowcount EXACTLY, and for any threshold t the sketch
+    cumulative weight satisfies
+    ``true_count(v ≤ t) ≤ sketch_cum(t) ≤ true_count(v ≤ t) + ⌊eps·n⌋``
+    (each kept row is its block's minimum, so only the one straddling
+    block per cell overcounts, by ≤ step−1). Sketches MERGE by plain
+    union — the error ledgers add.
+
+    Plan shape: one batch-sized exchange on the hash cell, windows
+    partitioned per cell (balanced, spill-aware — never a global sort);
+    the output is config-bounded.
+    """
+    from pyspark.sql import Window
+
+    pid = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % p
+    )
+    src = df.select(
+        F.col(val_col).cast("double").alias("v"),
+        F.col(key_col).cast("string").alias("tk"),
+        pid.alias("pid"),
+    )
+    w_rank = Window.partitionBy("pid").orderBy("v", "tk")
+    w_cell = Window.partitionBy("pid")
+    numbered = src.select(
+        "pid",
+        "v",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cell).alias("n_p"),
+    ).withColumn(
+        "step",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.lit(float(eps)) * F.col("n_p")).cast("bigint"),
+        ),
+    )
+    return numbered.where((F.col("rn") - 1) % F.col("step") == 0).select(
+        "v",
+        F.least(F.col("step"), F.col("n_p") - F.col("rn") + 1).alias("w"),
+    )
+
+
+def _mrl_compact(
+    pts: list[tuple[float, int]], w_total: int, eps: float
+) -> tuple[list[tuple[float, int]], int]:
+    """Driver-side compaction of a bounded merged point set: sort by v,
+    replace every step-weight block by its minimum v carrying the
+    block's exact total weight. Returns (points, added_error): block
+    cumulative weights at kept points are EXACT partial sums of the
+    input, so per threshold only the one straddling block overcounts,
+    by ≤ (W_block − w_first) — the returned ledger increment is the max
+    over blocks."""
+    step = max(1, int(eps * w_total))
+    pts = sorted(pts)
+    out: list[tuple[float, int]] = []
+    added_err = 0
+    bv, bw, bfirst = None, 0, 0
+    for v, w in pts:
+        if bv is None:
+            bv, bw, bfirst = v, int(w), int(w)
+        else:
+            bw += int(w)
+        if bw >= step:
+            out.append((bv, bw))
+            added_err = max(added_err, bw - bfirst)
+            bv, bw, bfirst = None, 0, 0
+    if bv is not None:
+        out.append((bv, bw))
+        added_err = max(added_err, bw - bfirst)
+    return out, added_err
+
+
+def run_mrl_tick(
+    spark,
+    batch: DataFrame,
+    val_col: str,
+    key_col: str,
+    state_path: str,
+    eps: float = 0.03125,
+    p: int = 16,
+    k_max: int = 2048,
+) -> None:
+    """Standing-job tick: fold one arriving batch into a persisted
+    mergeable rank-quantile sketch — the incremental shape of
+    ``q_sketch_merge_quantiles``, completing the tick family (MG, KMV
+    and HLL ticks exist; the rank sketch didn't — round-8 verdict).
+
+    The batch reduces to its own ≤ p·(1/eps+1) sample rows
+    (:func:`rank_sample_state` — one batch-sized exchange, nothing
+    corpus-sized), which MERGE with the stored points by plain union;
+    when the union exceeds ``k_max`` rows it re-compacts driver-side
+    (:func:`_mrl_compact`). State is bounded BY CONFIG at k_max points
+    + one meta row no matter how many ticks run.
+
+    HONEST ERROR LEDGER, stored as state: every batch adds ⌊eps·n_b⌋
+    and every compaction adds its measured max block excess; the
+    consumer-facing guarantee (asserted by the pytest differential
+    against exact ranks) is
+    ``count(v < est) < target`` and ``count(v ≤ est) ≥ target − err``
+    for est = :func:`mrl_quantile_estimates`'s answer at target =
+    ⌈q·n_total⌉. Size eps/k_max so the ledger stays inside the target
+    rank tolerance for the expected batch count (err grows by ≤
+    ⌊eps·n_b⌋ + max-block-excess per tick, i.e. O(eps·n_total) for
+    balanced batch sizes).
+
+    State schema: ``v double, w long, err long`` — data rows carry
+    (v, w, NULL); the single meta row carries (NULL, n_total,
+    err_bound).
+
+    Replay contract: NOT idempotent (replaying a batch re-adds its
+    weight) — pair with a watermark pull exactly like the Misra–Gries
+    tick documents; the KMV/HLL ticks are the idempotent members.
+    """
+    from modevetl_spark.sources.fs import fs_has_parquet_files
+
+    new = rank_sample_state(batch, val_col, key_col, eps=eps, p=p).collect()
+    pts = [(float(r["v"]), int(r["w"])) for r in new]
+    n_b = sum(w for _, w in pts)
+    n_total, err_bound = n_b, int(eps * n_b)
+    if fs_has_parquet_files(spark, state_path):
+        for r in spark.read.parquet(state_path).collect():
+            if r["v"] is None:
+                n_total += int(r["w"])
+                err_bound += int(r["err"])
+            else:
+                pts.append((float(r["v"]), int(r["w"])))
+    if len(pts) > k_max:
+        pts, added = _mrl_compact(pts, n_total, eps)
+        err_bound += added
+    out = [(v, w, None) for v, w in sorted(pts)] + [(None, n_total, err_bound)]
+    spark.createDataFrame(out, "v double, w long, err long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(state_path)
+
+
+def mrl_quantile_estimates(
+    spark, state_path: str, probs: list[float]
+) -> list[dict]:
+    """Answer quantile queries from a persisted :func:`run_mrl_tick`
+    state alone (bounded read, no corpus access): est(q) = the minimum
+    stored point whose cumulative weight reaches target = ⌈q·n_total⌉.
+    Returns one dict per prob: {p, target, est, n_total, err_bound} —
+    the ledger rides along so the consumer knows the rank tolerance the
+    estimate carries."""
+    import math
+
+    pts, n_total, err_bound = [], 0, 0
+    for r in spark.read.parquet(state_path).collect():
+        if r["v"] is None:
+            n_total, err_bound = int(r["w"]), int(r["err"])
+        else:
+            pts.append((float(r["v"]), int(r["w"])))
+    pts.sort()
+    out = []
+    for q_ in probs:
+        target = max(1, math.ceil(q_ * n_total))
+        cum = 0
+        est = pts[-1][0] if pts else None
+        for v, w in pts:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        out.append(
+            {
+                "p": q_,
+                "target": target,
+                "est": est,
+                "n_total": n_total,
+                "err_bound": err_bound,
+            }
+        )
+    return out

@@ -502,6 +502,98 @@ def test_kmv_tick_merge_and_replay_idempotence(spark, tmp_path):
     )
 
 
+def _mrl_exact_check(spark, path, raw_vals, probs=(0.10, 0.50, 0.90, 0.99)):
+    """Assert the consumer-facing rank guarantee of a persisted MRL
+    state against the EXACT ranks of the raw stream: for each prob,
+    count(v < est) < target and count(v <= est) >= target − err."""
+    from modevetl_spark.operators.sketches import mrl_quantile_estimates
+
+    sv = sorted(raw_vals)
+    for e in mrl_quantile_estimates(spark, path, list(probs)):
+        assert e["n_total"] == len(raw_vals)
+        rank_lo = sum(1 for v in sv if v < e["est"])
+        rank_hi = sum(1 for v in sv if v <= e["est"])
+        assert rank_lo < e["target"], e
+        assert rank_hi >= e["target"] - e["err_bound"], e
+
+
+def test_mrl_tick_bounds_hold_under_any_batch_split(spark, tmp_path):
+    """The rank-quantile tick (round-8: completes the tick family —
+    MG/KMV/HLL had standing ticks, the MRL sketch didn't): ticking a
+    stream through ANY batch split yields a state whose estimates honor
+    the stored error ledger against the exact ranks of the whole
+    stream, and the state stays bounded by config."""
+    from modevetl_spark.operators.sketches import run_mrl_tick
+
+    vals = [float((i * 104729) % 9973) + ((i * 31) % 7) / 10 for i in range(6000)]
+    for split in ([6000], [2500, 2500, 1000], [600] * 10):
+        path = str(tmp_path / f"mrl_{len(split)}")
+        i = 0
+        for size in split:
+            batch = spark.createDataFrame(
+                [(v, str(i + j)) for j, v in enumerate(vals[i : i + size])],
+                "x double, k string",
+            ).repartition(4)
+            run_mrl_tick(spark, batch, "x", "k", path, eps=1 / 64, p=8)
+            i += size
+        rows = spark.read.parquet(path).collect()
+        n_pts = sum(1 for r in rows if r["v"] is not None)
+        assert n_pts <= 2048 + 1
+        meta = [r for r in rows if r["v"] is None]
+        assert len(meta) == 1 and meta[0]["w"] == 6000
+        # weights of the data rows sum exactly to the stream size
+        assert sum(r["w"] for r in rows if r["v"] is not None) == 6000
+        _mrl_exact_check(spark, path, vals)
+
+
+def test_mrl_tick_compaction_keeps_state_bounded_and_honest(spark, tmp_path):
+    """Force compaction every tick (tiny k_max): the state never
+    exceeds its configured bound no matter how many ticks run, the
+    error ledger grows to cover the measured compaction excess, and
+    the exact-rank guarantee still holds at the end."""
+    from modevetl_spark.operators.sketches import run_mrl_tick
+
+    vals = [float((i * 7919) % 4001) for i in range(5000)]
+    path = str(tmp_path / "mrl_small")
+    i = 0
+    for size in [500] * 10:
+        batch = spark.createDataFrame(
+            [(v, str(i + j)) for j, v in enumerate(vals[i : i + size])],
+            "x double, k string",
+        ).repartition(3)
+        run_mrl_tick(spark, batch, "x", "k", path, eps=1 / 32, p=4, k_max=96)
+        i += size
+        rows = spark.read.parquet(path).collect()
+        assert sum(1 for r in rows if r["v"] is not None) <= 96 + 4 * 33
+    _mrl_exact_check(spark, path, vals)
+
+
+def test_rank_sample_state_is_exact_weighted_cover(spark):
+    """The batch sketch itself: weights sum to n exactly, size is
+    config-bounded, and for EVERY threshold the sketch cumulative
+    weight sits in [true_count, true_count + floor(eps*n)] — the
+    invariant the merge/compose proof stands on."""
+    from modevetl_spark.operators.sketches import rank_sample_state
+
+    vals = [float((i * 613) % 500) for i in range(3000)]
+    df = spark.createDataFrame(
+        [(v, str(i)) for i, v in enumerate(vals)], "x double, k string"
+    ).repartition(5)
+    eps, p = 1 / 16, 8
+    pts = [
+        (r["v"], r["w"])
+        for r in rank_sample_state(df, "x", "k", eps=eps, p=p).collect()
+    ]
+    assert sum(w for _, w in pts) == len(vals)
+    assert len(pts) <= p * (int(1 / eps) + 1)
+    sv = sorted(vals)
+    slack = int(eps * len(vals))
+    for t in sorted({v for v, _ in pts} | {0.0, 250.0, 499.0}):
+        true_cum = sum(1 for v in sv if v <= t)
+        sk_cum = sum(w for v, w in pts if v <= t)
+        assert true_cum <= sk_cum <= true_cum + slack, (t, true_cum, sk_cum)
+
+
 def test_wave8_keys_registered():
     assert set(QUERIES) == {
         "q_sketch_merge_quantiles",
