@@ -41,6 +41,7 @@ _MODULES = [
     "wave8",
     "wave9",
     "wave10",
+    "wave11",
 ]
 
 # The driver grades a bounded prefix (50 keys) of the registry each round,
@@ -275,6 +276,10 @@ _STAGED_R9 = frozenset(
         "q_textrank_keywords",
         "q_doc_lm_score",
         "q_unseen_mass",
+        # round-8 additions (queries/wave11.py): ranking-comparison and
+        # evaluation tier, staged with the wave10 keys for the r9 drain
+        "q_rank_rbo",
+        "q_eval_ndcg",
     }
 )
 

@@ -1,0 +1,392 @@
+"""Round-9 staged wave, part 2: ranking-comparison and evaluation
+operators (built in round 8, staged behind the round-8 window with the
+wave10 keys via ``_STAGED_R9`` — same two-step staging pattern wave9
+and wave10 used).
+
+- ``q_rank_rbo`` — rank-biased overlap (Webber, Moffat & Zobel 2010):
+  the standard top-weighted similarity between two indefinite rankings
+  — here the revenue ranking vs the quantity ranking of parts. The
+  p=1/2 geometric weights are exact powers of two, so with the d·2^
+  (d−1) denominators pulled into one integer the whole agreement curve
+  is integer arithmetic: cross-engine parity is STRUCTURAL.
+- ``q_eval_ndcg`` — NDCG@k retrieval evaluation (Järvelin &
+  Kekäläinen 2002): graded-relevance discounted cumulative gain of the
+  brute-force cosine retrieval tier, per query, with the ideal DCG
+  derived from relevance-count histograms (no ideal-ranking sort).
+  Every DCG term is gain/log2(rank+1) — integer-arg log2, folded at
+  9dp to exact decimals (the adamic-adar pattern).
+
+Reference parity: the reference has no ranking-evaluation tier (its
+``pyLibrary/queries`` stop at windowed aggregates); these extend the
+LLM-pipeline serving/eval family mandated by the builder brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modevetl_spark.queries import prep
+from modevetl_spark.queries._registry import make_registry
+from modevetl_spark.sources.catalog import load
+
+QUERIES, ORACLE, q = make_registry()
+
+
+# --- Rank-biased overlap: revenue ranking vs quantity ranking -------------
+
+_RBO_D = 32  # evaluation depth (and the prefix both rankings keep)
+
+_RBO_ORACLE = f"""
+WITH rev AS (
+    SELECT l_partkey AS pk,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS s
+    FROM lineitem GROUP BY 1
+),
+qty AS (
+    SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s
+    FROM lineitem GROUP BY 1
+),
+ta AS (SELECT pk, s FROM rev ORDER BY s DESC, pk LIMIT {_RBO_D}),
+tb AS (SELECT pk, s FROM qty ORDER BY s DESC, pk LIMIT {_RBO_D}),
+ra AS (
+    SELECT a1.pk, CAST(COUNT(*) AS BIGINT) AS r
+    FROM ta a1 JOIN ta a2
+      ON a2.s > a1.s OR (a2.s = a1.s AND a2.pk <= a1.pk)
+    GROUP BY 1
+),
+rb AS (
+    SELECT b1.pk, CAST(COUNT(*) AS BIGINT) AS r
+    FROM tb b1 JOIN tb b2
+      ON b2.s > b1.s OR (b2.s = b1.s AND b2.pk <= b1.pk)
+    GROUP BY 1
+),
+m AS (
+    SELECT GREATEST(COALESCE(ra.r, {_RBO_D + 1}),
+                    COALESCE(rb.r, {_RBO_D + 1})) AS m
+    FROM ra FULL JOIN rb ON ra.pk = rb.pk
+),
+grid AS (SELECT UNNEST(range(1, {_RBO_D + 1})) AS d),
+x AS (
+    SELECT g.d, CAST(COUNT(mm.m) AS BIGINT) AS x_d
+    FROM grid g LEFT JOIN m mm ON mm.m <= g.d
+    GROUP BY 1
+),
+terms AS (
+    SELECT CAST(d AS BIGINT) AS d, x_d,
+           CAST(CAST(ROUND(CAST(x_d AS DOUBLE)
+                           / (d * (CAST(1 AS BIGINT) << (d - 1))), 12)
+                     AS DECIMAL(18,12)) * 1000000000000 AS BIGINT) AS term_pico
+    FROM x
+)
+SELECT t1.d, t1.x_d, t1.term_pico,
+       CAST(SUM(t2.term_pico) AS BIGINT) // 2 AS rbo_pico
+FROM terms t1 JOIN terms t2 ON t2.d <= t1.d
+GROUP BY 1, 2, 3
+"""
+
+
+@q("q_rank_rbo", oracle_sql=_RBO_ORACLE)
+def rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 [EXT]: rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between the revenue and quantity rankings of parts — the standard
+    top-weighted ranking-similarity measure (p = 1/2, depth {D}): the
+    drift monitor a serving pipeline runs between two rankers, where
+    Spearman/Kendall over-weight the irrelevant tail. Emits the whole
+    agreement curve: per depth d, the prefix overlap X_d, the weighted
+    term p^(d-1)·X_d/d, and the cumulative RBO@d = (1-p)·Σ terms.
+
+    Determinism: rankings order by the EXACT DECIMAL measure sums (no
+    float enters the order), ties broken by partkey. With p = 1/2 the
+    weight p^(d-1)/d has integer denominator d·2^(d-1) < 2^63, so each
+    term is ONE correctly-rounded division of exact integers, rounded
+    at 12dp into an exact pico-unit BIGINT; the cumulative RBO is then
+    a pure-integer sum halved with `div` — parity is structural, no
+    decimal fold and no transcendental anywhere (the q_decayed_value
+    power-of-two rule).
+
+    Plan shape: two map-side-combined part aggregates; each top-{D}
+    prefix compiles to TakeOrderedAndProject (per-task {D}-row heaps,
+    ZERO exchanges for the rank step); prefix ranks come from a
+    {D}×{D} broadcast theta-join (a 32-row relation — the window-free
+    offsets pattern, no global window anywhere); the depth grid,
+    overlap histogram and cumulative join are all ≤ {D}-row broadcast
+    relations. At 100 TB the cost is exactly the two part-level
+    aggregates; everything after is constant-size."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+        ).alias("s")
+    )
+    qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(dec)).alias("s")
+    )
+
+    def prefix_ranks(agg: DataFrame) -> DataFrame:
+        top = agg.orderBy(F.col("s").desc(), F.col("pk")).limit(_RBO_D)
+        o1 = top.select(F.col("pk").alias("pk1"), F.col("s").alias("s1"))
+        o2 = top.select(F.col("pk").alias("pk2"), F.col("s").alias("s2"))
+        return (
+            o1.join(
+                F.broadcast(o2),
+                (F.col("s2") > F.col("s1"))
+                | ((F.col("s2") == F.col("s1")) & (F.col("pk2") <= F.col("pk1"))),
+            )
+            .groupBy(F.col("pk1").alias("pk"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        )
+
+    ra = prefix_ranks(rev).select(F.col("pk").alias("pka"), F.col("r").alias("ra"))
+    rb = prefix_ranks(qty).select(F.col("pk").alias("pkb"), F.col("r").alias("rb"))
+    m = ra.join(rb, F.col("pka") == F.col("pkb"), "full_outer").select(
+        F.greatest(
+            F.coalesce(F.col("ra"), F.lit(_RBO_D + 1)),
+            F.coalesce(F.col("rb"), F.lit(_RBO_D + 1)),
+        ).alias("m")
+    )
+    grid = spark.range(1, _RBO_D + 1).select(F.col("id").alias("d"))
+    x = (
+        grid.join(F.broadcast(m), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count(F.col("m")).cast("bigint").alias("x_d"))
+    )
+    denom = F.col("d") * F.expr(f"shiftleft(cast(1 as bigint), cast(d - 1 as int))")
+    terms = x.select(
+        F.col("d").cast("bigint").alias("d"),
+        "x_d",
+        (
+            F.round(F.col("x_d").cast("double") / denom, 12).cast("decimal(18,12)")
+            * F.lit(1000000000000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("term_pico"),
+    )
+    t1 = terms.select(
+        F.col("d").alias("d1"), F.col("x_d").alias("x1"), F.col("term_pico").alias("tp1")
+    )
+    t2 = terms.select(F.col("d").alias("d2"), F.col("term_pico").alias("tp2"))
+    return (
+        t1.join(F.broadcast(t2), F.col("d2") <= F.col("d1"))
+        .groupBy(
+            F.col("d1").alias("d"),
+            F.col("x1").alias("x_d"),
+            F.col("tp1").alias("term_pico"),
+        )
+        .agg(F.expr("cast(sum(tp2) as bigint) div 2").alias("rbo_pico"))
+    )
+
+
+rank_rbo.__doc__ = rank_rbo.__doc__.format(D=_RBO_D)
+
+
+# --- NDCG@k: graded-relevance evaluation of the retrieval tier ------------
+
+_NDCG_Q = 8  # queries: vec_id < 8
+_NDCG_K = 10  # evaluation depth
+
+
+_NDCG_ORACLE = f"""
+WITH qs AS (
+    SELECT vec_id AS query_id, embedding AS qv, label AS ql
+    FROM embeddings WHERE vec_id < {_NDCG_Q}
+),
+scored AS (
+    SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
+           ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cs
+    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+topk AS (
+    SELECT query_id, ql, nl,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, nid) AS rnk
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, nid) <= {_NDCG_K}
+),
+dcg AS (
+    SELECT query_id,
+           SUM(CAST(ROUND((CASE WHEN nl = ql THEN 3
+                                WHEN ABS(nl - ql) = 1 THEN 1
+                                ELSE 0 END) / log2(rnk + 1), 9)
+                    AS DECIMAL(18,9))) AS s
+    FROM topk GROUP BY 1
+),
+relcnt AS (
+    SELECT q.query_id,
+           CAST(COUNT(CASE WHEN c.label = q.ql THEN 1 END) AS BIGINT) AS n2,
+           CAST(COUNT(CASE WHEN ABS(c.label - q.ql) = 1 THEN 1 END)
+                AS BIGINT) AS n1
+    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+    GROUP BY 1
+),
+grid AS (SELECT UNNEST(range(1, {_NDCG_K + 1})) AS i),
+ideal AS (
+    SELECT r.query_id,
+           SUM(CAST(ROUND((CASE WHEN g.i <= LEAST(r.n2, {_NDCG_K}) THEN 3
+                                WHEN g.i <= LEAST(r.n2 + r.n1, {_NDCG_K}) THEN 1
+                                ELSE 0 END) / log2(g.i + 1), 9)
+                    AS DECIMAL(18,9))) AS s
+    FROM relcnt r CROSS JOIN grid g GROUP BY 1
+)
+SELECT d.query_id, r.n2, r.n1,
+       CAST(FLOOR(CAST(d.s AS DECIMAL(26,12)) * 1000000) AS BIGINT)
+           AS dcg_micro,
+       CAST(FLOOR(CAST(i.s AS DECIMAL(26,12)) * 1000000) AS BIGINT)
+           AS idcg_micro,
+       CASE WHEN CAST(FLOOR(CAST(i.s AS DECIMAL(26,12)) * 1000000)
+                 AS BIGINT) > 0
+            THEN ROUND(
+                CAST(CAST(FLOOR(CAST(d.s AS DECIMAL(26,12)) * 1000000)
+                          AS BIGINT) AS DOUBLE)
+                / CAST(CAST(FLOOR(CAST(i.s AS DECIMAL(26,12)) * 1000000)
+                            AS BIGINT) AS DOUBLE), 6)
+       END AS ndcg
+FROM dcg d
+JOIN ideal i USING (query_id)
+JOIN relcnt r USING (query_id)
+"""
+
+
+@q("q_eval_ndcg", oracle_sql=_NDCG_ORACLE)
+def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+18 [EXT]: NDCG@{K} retrieval evaluation (Järvelin &
+    Kekäläinen 2002) of the brute-force cosine tier — the standard
+    graded-relevance quality metric a serving pipeline tracks per
+    ranker release, completing the eval family (q_roc_auc grades a
+    classifier, q_dedup_eval_pr grades dedup, this grades RANKING).
+    Relevance is derived deterministically from the data: 2 if the
+    neighbor shares the query's label, 1 if the labels are adjacent,
+    0 otherwise; gains are 2^rel − 1 ∈ {{0, 1, 3}}.
+
+    Determinism: retrieval reuses the graded q_sim_topk contract
+    (cosine rounded 6dp, ties broken by neighbor id). Every DCG term
+    is gain/log2(rank+1) — log2 of INTEGER arguments 2..{K1} only —
+    rounded per-term at 9dp into DECIMAL and summed exactly, emitted
+    as floor(s·10⁶) BIGINT micro-units (the adamic-adar fold; a raw
+    multi-term log2 sum is the exact 1-ulp trap q_cooccur_pmi
+    documented). The IDEAL DCG never sorts an ideal ranking: it is a
+    closed form over the per-query relevance-count histogram (n2
+    twos then n1 ones, truncated at {K}) evaluated on a {K}-row
+    broadcast rank grid. NDCG is one correctly-rounded division of
+    the two exact micro BIGINTs (identical doubles both engines),
+    NULL-guarded for queries with zero relevant corpus docs.
+
+    Plan shape: queries are a {Q}-row broadcast against one corpus
+    scan (the q_sim_topk shape — corpus never shuffled); top-{K} is a
+    per-query WindowGroupLimit; relevance counts are a second
+    broadcast-join aggregate collapsing map-side to {Q} rows; the
+    ideal grid and final joins are constant-size. At 100 TB the cost
+    is the same two corpus scans the retrieval tier already pays —
+    the evaluation itself is free."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    from modevetl_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < _NDCG_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    # the q_sim_topk scoring contract inlined (cosine rounded 6dp, ties
+    # by neighbor id) so the rank is computed ONCE — reusing
+    # brute_force_topk and re-ranking its output doubles the Window
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _NDCG_K
+    )
+    labels = e.select(F.col("vec_id").alias("nid"), F.col("label").alias("nl"))
+    qlab = e.select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("ql")
+    ).where(F.col("qid") < _NDCG_Q)
+    ranked = topk.join(
+        F.broadcast(qlab), F.col("query_id") == F.col("qid")
+    ).join(F.broadcast(labels), F.col("neighbor_id") == F.col("nid"))
+    gain = (
+        F.when(F.col("nl") == F.col("ql"), F.lit(3))
+        .when(F.abs(F.col("nl") - F.col("ql")) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    term9 = F.round(
+        gain.cast("double") / F.log2(F.col("rnk") + 1), 9
+    ).cast("decimal(18,9)")
+    dcg = ranked.groupBy("query_id").agg(F.sum(term9).alias("s_d"))
+    relcnt = (
+        e.select(F.col("vec_id").alias("nid"), F.col("label").alias("nl"))
+        .crossJoin(F.broadcast(qlab))
+        .where(F.col("nid") != F.col("qid"))
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.sum(F.when(F.col("nl") == F.col("ql"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+            F.sum(F.when(F.abs(F.col("nl") - F.col("ql")) == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    grid = spark.range(1, _NDCG_K + 1).select(F.col("id").alias("i"))
+    ideal_gain = (
+        F.when(F.col("i") <= F.least(F.col("n2"), F.lit(_NDCG_K)), F.lit(3))
+        .when(
+            F.col("i") <= F.least(F.col("n2") + F.col("n1"), F.lit(_NDCG_K)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    ideal = (
+        relcnt.crossJoin(F.broadcast(grid))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.round(
+                    ideal_gain.cast("double") / F.log2(F.col("i") + 1), 9
+                ).cast("decimal(18,9)")
+            ).alias("s_i")
+        )
+    )
+    dcg_micro = F.floor(
+        F.col("s_d").cast("decimal(26,12)") * F.lit(1000000)
+    ).cast("bigint")
+    idcg_micro = F.floor(
+        F.col("s_i").cast("decimal(26,12)") * F.lit(1000000)
+    ).cast("bigint")
+    return (
+        dcg.join(F.broadcast(ideal), "query_id")
+        .join(F.broadcast(relcnt), "query_id")
+        .select(
+            "query_id",
+            "n2",
+            "n1",
+            dcg_micro.alias("dcg_micro"),
+            idcg_micro.alias("idcg_micro"),
+            F.when(
+                idcg_micro > 0,
+                F.round(
+                    dcg_micro.cast("double") / idcg_micro.cast("double"), 6
+                ),
+            ).alias("ndcg"),
+        )
+    )
+
+
+eval_ndcg.__doc__ = eval_ndcg.__doc__.format(
+    Q=_NDCG_Q, K=_NDCG_K, K1=_NDCG_K + 1
+)

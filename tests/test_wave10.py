@@ -21,7 +21,8 @@ def test_wave10_staged_behind_the_window():
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
-    assert set(QUERIES) == set(Q._STAGED_R9)
+    # wave10 shares _STAGED_R9 with the round-8-built wave11 keys
+    assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
     n9 = len(Q._STAGED_R9)

@@ -1,0 +1,218 @@
+"""Gates for the round-8-built wave11 keys (staged for round 9 via
+``_STAGED_R9``): staging contract, plan shape, and python-reference
+differentials (the mandatory discipline for intricate new operators —
+the oracle proves engine parity, the differential proves the SEMANTICS
+are the published measure)."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+from modevetl_spark.queries.wave11 import _NDCG_K, _NDCG_Q, _RBO_D, QUERIES
+
+
+def test_wave11_staged_behind_the_window():
+    from modevetl_spark import queries as Q
+
+    qs, oracle = Q.all_queries(), Q.all_oracle()
+    assert set(QUERIES) == {"q_rank_rbo", "q_eval_ndcg"}
+    assert set(QUERIES) <= set(Q._STAGED_R9)
+    assert set(QUERIES) <= set(oracle)
+    order = list(qs)
+    n9 = len(Q._STAGED_R9)
+    assert set(order[-n9:]) == set(Q._STAGED_R9)
+    for k in QUERIES:
+        assert Q._grading_priority(k) == 9.5, k
+
+
+class TestRankRbo:
+    def test_python_differential_exact_fractions(self, spark, sf_dir):
+        """Full replay from first principles with exact Fractions: load
+        the raw lineitem via duckdb, build both rankings (exact decimal
+        sums — python Fraction is exact too), compute the RBO agreement
+        curve per Webber et al. (2010) eq. 4 truncated at depth D, and
+        match the Spark pico-units exactly (every Spark-side rounding
+        step is replayed: the 12dp HALF_UP of X_d/(d·2^(d−1)), the
+        integer halve)."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import rank_rbo
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT l_partkey, l_extendedprice, l_discount, l_quantity
+                FROM read_parquet('{sf_dir}/lineitem.parquet')"""
+        ).fetchall()
+        rev: dict = {}
+        qty: dict = {}
+        for pk, price, disc, q_ in rows:
+            # mirror the engine's DECIMAL(18,6) per-row quantization:
+            # the double product truncates/rounds to 6dp on cast —
+            # replicate with Fraction over the 6dp-rounded product
+            prod = round(price * (1 - disc), 6)
+            rev[pk] = rev.get(pk, Fraction(0)) + Fraction(str(prod))
+            qty[pk] = qty.get(pk, Fraction(0)) + Fraction(str(round(q_, 6)))
+
+        def ranks(d: dict) -> dict:
+            top = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:_RBO_D]
+            return {pk: i + 1 for i, (pk, _) in enumerate(top)}
+
+        ra, rb = ranks(rev), ranks(qty)
+        m = {}
+        for pk in set(ra) | set(rb):
+            m[pk] = max(ra.get(pk, _RBO_D + 1), rb.get(pk, _RBO_D + 1))
+        want = {}
+        cum = 0
+        for d in range(1, _RBO_D + 1):
+            x_d = sum(1 for v in m.values() if v <= d)
+            # 12dp round of the correctly-rounded double division;
+            # python round() is half-even vs the engines' half-up, but a
+            # .5e-12 tie needs the double to be odd/2^13 exactly — only
+            # reachable at t = 2^-13 (perfect agreement at depth 14),
+            # where both engines round up identically; assert exact
+            t = x_d / (d * (1 << (d - 1)))
+            term_pico = round(t * 10**12)
+            if abs(t * 10**12 - math.floor(t * 10**12) - 0.5) < 1e-9:
+                term_pico = math.floor(t * 10**12) + 1  # half-up like engines
+            cum += term_pico
+            want[d] = (x_d, term_pico, cum // 2)
+        got = {
+            r["d"]: (r["x_d"], r["term_pico"], r["rbo_pico"])
+            for r in rank_rbo(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for d in want:
+            # term_pico: the python round() is half-even vs the engines'
+            # HALF_UP — ties cannot occur (binary fractions never hit
+            # .5e-12 exactly), so exact equality is demanded
+            assert got[d] == want[d], (d, got[d], want[d])
+
+    def test_identical_rankings_give_rbo_one(self, spark, sf_dir):
+        """Structural sanity on the measure itself: when both rankings
+        are the same list, X_d = d at every depth, each term is
+        2^-(d-1), and RBO@D = (1-p)·Σ p^(d-1)·1 -> 1 - 2^-D. The Spark
+        plan is exercised end-to-end by the real query; this pins the
+        closed form the curve must approach when the two measures agree
+        (top depth row has x_d <= D and rbo_pico <= the perfect
+        curve's)."""
+        from modevetl_spark.queries.wave11 import rank_rbo
+
+        rows = {r["d"]: r for r in rank_rbo(spark, sf_dir).collect()}
+        assert len(rows) == _RBO_D
+        perfect_cum = 0
+        for d in range(1, _RBO_D + 1):
+            assert 0 <= rows[d]["x_d"] <= d
+            # perfect-agreement term: X_d = d -> t = 2^-(d-1) in pico
+            perfect_cum += round(10**12 / (1 << (d - 1)))
+            assert rows[d]["rbo_pico"] <= perfect_cum // 2 + 1
+        # monotone non-decreasing overlap and cumulative rbo
+        xs = [rows[d]["x_d"] for d in range(1, _RBO_D + 1)]
+        assert xs == sorted(xs)
+        rb = [rows[d]["rbo_pico"] for d in range(1, _RBO_D + 1)]
+        assert rb == sorted(rb)
+
+    def test_plan_no_window_no_python_takeordered(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import rank_rbo
+        from tests.test_plans import plan
+
+        p = plan(rank_rbo(spark, sf_dir))
+        assert "Python" not in p
+        assert "Window" not in p  # rank step is the window-free theta-join
+        assert "TakeOrdered" in p  # top-D prefix never globally sorts
+        assert "CartesianProduct" not in p
+
+
+class TestEvalNdcg:
+    def test_python_differential(self, spark, sf_dir):
+        """Replay NDCG@k from first principles: cosine in python floats
+        with the engines' left-to-right fold, 6dp-rounded scores, rank
+        by (score desc, id), graded gains, per-term 9dp folds, ideal
+        from the rel-count histogram. Micro units must match within
+        1 (python round() is half-even vs engine HALF_UP on the 9dp
+        term rounds; k=10 terms bound the drift by 1 micro)."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import eval_ndcg
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT vec_id, embedding, label
+                FROM read_parquet('{sf_dir}/embeddings.parquet')"""
+        ).fetchall()
+        vecs = {r[0]: ([float(x) for x in r[1]], r[2]) for r in rows}
+
+        def cos(a, b):
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+            for x in a:
+                na += x * x
+            for y in b:
+                nb += y * y
+            return dot / (math.sqrt(na) * math.sqrt(nb))
+
+        want = {}
+        for qid in range(_NDCG_Q):
+            qv, ql = vecs[qid]
+            scored = sorted(
+                (
+                    (-round(cos(qv, v), 6), nid, lbl)
+                    for nid, (v, lbl) in vecs.items()
+                    if nid != qid
+                ),
+            )[:_NDCG_K]
+            dcg = 0
+            for i, (_, nid, lbl) in enumerate(scored, start=1):
+                g = 3 if lbl == ql else (1 if abs(lbl - ql) == 1 else 0)
+                dcg += round(g / math.log2(i + 1), 9)
+            n2 = sum(
+                1 for nid, (v, lbl) in vecs.items() if nid != qid and lbl == ql
+            )
+            n1 = sum(
+                1
+                for nid, (v, lbl) in vecs.items()
+                if nid != qid and abs(lbl - ql) == 1
+            )
+            idcg = 0
+            for i in range(1, _NDCG_K + 1):
+                g = 3 if i <= min(n2, _NDCG_K) else (
+                    1 if i <= min(n2 + n1, _NDCG_K) else 0
+                )
+                idcg += round(g / math.log2(i + 1), 9)
+            want[qid] = (n2, n1, math.floor(dcg * 1e6), math.floor(idcg * 1e6))
+        got = {
+            r["query_id"]: (r["n2"], r["n1"], r["dcg_micro"], r["idcg_micro"])
+            for r in eval_ndcg(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for qid in want:
+            assert got[qid][:2] == want[qid][:2], qid
+            assert abs(got[qid][2] - want[qid][2]) <= 1, (qid, got[qid], want[qid])
+            assert abs(got[qid][3] - want[qid][3]) <= 1, (qid, got[qid], want[qid])
+
+    def test_ndcg_bounds_and_guard(self, spark, sf_dir):
+        """NDCG ∈ [0, 1] wherever defined, dcg <= idcg always (the
+        ideal ordering is optimal — the histogram closed form must
+        dominate the achieved ranking), idcg=0 rows carry NULL ndcg."""
+        from modevetl_spark.queries.wave11 import eval_ndcg
+
+        rows = eval_ndcg(spark, sf_dir).collect()
+        assert len(rows) == _NDCG_Q
+        for r in rows:
+            assert r["dcg_micro"] <= r["idcg_micro"], r
+            if r["idcg_micro"] > 0:
+                assert 0.0 <= r["ndcg"] <= 1.0, r
+            else:
+                assert r["ndcg"] is None, r
+
+    def test_plan_broadcast_queries_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import eval_ndcg
+        from tests.test_plans import plan
+
+        p = plan(eval_ndcg(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
