@@ -276,10 +276,12 @@ _STAGED_R9 = frozenset(
         "q_textrank_keywords",
         "q_doc_lm_score",
         "q_unseen_mass",
-        # round-8 additions (queries/wave11.py): ranking-comparison and
-        # evaluation tier, staged with the wave10 keys for the r9 drain
+        # round-8 additions (queries/wave11.py): ranking-comparison,
+        # evaluation and corpus-spectrum tier, staged with the wave10
+        # keys for the round-9 drain
         "q_rank_rbo",
         "q_eval_ndcg",
+        "q_embedding_pca",
     }
 )
 

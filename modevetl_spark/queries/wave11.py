@@ -15,6 +15,12 @@ and wave10 used).
   derived from relevance-count histograms (no ideal-ranking sort).
   Every DCG term is gain/log2(rank+1) — integer-arg log2, folded at
   9dp to exact decimals (the adamic-adar pattern).
+- ``q_embedding_pca`` — power-iteration top principal component of the
+  embedding corpus: one n·D² corpus pass to the covariance, then
+  D²-bounded iterations under an ALL-INTEGER quantization discipline
+  (FLOOR(x·10ⁿ) BIGINTs, never a >9dp decimal→double cast) that makes
+  the .5-boundary cast trap structurally impossible — the sf0.1
+  differential caught the round-and-cast form flipping.
 
 Reference parity: the reference has no ranking-evaluation tier (its
 ``pyLibrary/queries`` stop at windowed aggregates); these extend the
@@ -390,3 +396,279 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 eval_ndcg.__doc__ = eval_ndcg.__doc__.format(
     Q=_NDCG_Q, K=_NDCG_K, K1=_NDCG_K + 1
 )
+
+
+# --- Power-iteration top principal component of the embeddings ------------
+
+_PCA_D = 64  # embedding dimensionality
+_PCA_T = 6  # fixed power-iteration count (parity > convergence, like pagerank)
+
+
+def _pca_oracle_sql(iterations: int = _PCA_T) -> str:
+    """Unrolls the power iteration into chained MATERIALIZED CTEs, one
+    per step (the q_graph_pagerank oracle pattern) — but with a STRICTER
+    float discipline than pagerank's round-and-cast: every quantization
+    is FLOOR(x·10^n) into an exact BIGINT, and every value re-enters the
+    float domain as BIGINT/10^n (both exact in both engines), so NO
+    decimal→double cast of a >9dp decimal exists anywhere. The first
+    sf0.1 run of the round-and-cast form hit the .5-boundary cast trap
+    (a matvec DECIMAL sum ending in …500 at 12dp split the engines'
+    casts by 1 ulp, and the norm division amplified the flip to 5e-8 in
+    the vector) — the all-integer form makes that structurally
+    impossible."""
+    d1 = _PCA_D + 1
+    sql = [
+        f"""WITH e AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM e),
+idx AS (SELECT UNNEST(range(1, {d1})) AS j),
+sums AS MATERIALIZED (
+    SELECT i.j AS j,
+           SUM(CAST(ROUND(e.x[i.j], 9) AS DECIMAL(18,9))) AS s
+    FROM e CROSS JOIN idx i GROUP BY 1
+),
+m AS MATERIALIZED (
+    SELECT i.j AS j, k.k AS k,
+           SUM(CAST(ROUND(e.x[i.j] * e.x[k.k], 9) AS DECIMAL(18,9))) AS m
+    FROM e CROSS JOIN idx i
+    CROSS JOIN (SELECT UNNEST(range(1, {d1})) AS k) k
+    GROUP BY 1, 2
+),
+cov AS MATERIALIZED (
+    SELECT m.j, m.k,
+           CAST(FLOOR((ROUND(CAST(m.m AS DOUBLE), 9)
+                       - ROUND(CAST(sj.s AS DOUBLE), 9)
+                         * ROUND(CAST(sk.s AS DOUBLE), 9) / nn.n)
+                      / nn.n * 1.0e9) AS BIGINT) AS cn
+    FROM m
+    JOIN sums sj ON sj.j = m.j
+    JOIN sums sk ON sk.j = m.k
+    CROSS JOIN nn
+),
+v0 AS MATERIALIZED (SELECT j, 0.125e0 AS v FROM idx)"""
+    ]
+    step = """w{t} AS MATERIALIZED (
+    SELECT c.j,
+           CAST(SUM(CAST(FLOOR(CAST(c.cn AS DOUBLE) / 1.0e9 * v.v * 1.0e12)
+                         AS BIGINT)) AS DOUBLE) / 1.0e12 AS w
+    FROM cov c JOIN v{p} v ON v.j = c.k GROUP BY 1
+),
+n{t} AS (
+    SELECT SQRT(CAST(SUM(CAST(FLOOR(w.w * w.w * 1.0e12) AS BIGINT))
+                     AS DOUBLE) / 1.0e12) AS nrm
+    FROM w{t} w
+),
+v{t} AS MATERIALIZED (
+    SELECT w.j,
+           CAST(CAST(FLOOR(w.w / s.nrm * 1.0e9) AS BIGINT) AS DOUBLE)
+               / 1.0e9 AS v
+    FROM w{t} w CROSS JOIN n{t} s
+)"""
+    for t in range(1, iterations + 1):
+        sql.append(step.format(t=t, p=t - 1))
+    last = f"v{iterations}"
+    sql.append(
+        f"""wf AS MATERIALIZED (
+    SELECT c.j,
+           CAST(SUM(CAST(FLOOR(CAST(c.cn AS DOUBLE) / 1.0e9 * v.v * 1.0e12)
+                         AS BIGINT)) AS DOUBLE) / 1.0e12 AS w
+    FROM cov c JOIN {last} v ON v.j = c.k GROUP BY 1
+),
+lam AS (
+    SELECT CAST(FLOOR(CAST(SUM(CAST(FLOOR(v.v * w.w * 1.0e12) AS BIGINT))
+                           AS DOUBLE) / 1.0e6) AS BIGINT) AS lambda_micro
+    FROM {last} v JOIN wf w ON w.j = v.j
+),
+tr AS (
+    SELECT CAST(FLOOR(CAST(SUM(cn) AS DOUBLE) / 1.0e3) AS BIGINT)
+               AS trace_micro
+    FROM cov WHERE j = k
+),
+sgn AS (
+    SELECT CASE WHEN v >= 0 THEN 1.0e0 ELSE -1.0e0 END AS s
+    FROM {last} ORDER BY ABS(v) DESC, j LIMIT 1
+)
+SELECT CAST(v.j AS BIGINT) AS dim,
+       g.s * v.v AS loading,
+       lam.lambda_micro, tr.trace_micro,
+       CAST(lam.lambda_micro AS DOUBLE) / tr.trace_micro AS explained_share
+FROM {last} v CROSS JOIN sgn g CROSS JOIN lam CROSS JOIN tr"""
+    )
+    return ",\n".join(sql)
+
+
+@q("q_embedding_pca", oracle_sql=_pca_oracle_sql())
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+19 [EXT]: top principal component of the embedding corpus by
+    POWER ITERATION (Mises & Pollaczek-Geiringer 1929; the classic
+    first step of corpus diagnostics — dominant-direction share,
+    anisotropy checks, whitening) — the iterative-linear-algebra shape
+    beside k-means and PageRank, fully oracle-replayed.
+
+    One corpus pass builds the D²-bounded second-moment matrix: each
+    row explodes ROW-LOCALLY to its D² (j,k,x_j·x_k) products (no
+    self-join, no shuffle before the partial agg), products round at
+    9dp into DECIMAL and sum exactly. From there EVERYTHING is
+    integer-quantized: covariance entries are FLOOR(tree·10⁹) BIGINTs,
+    each matvec term FLOOR(c·v·10¹²) BIGINT summed EXACTLY as BIGINT
+    (order-free, no decimal), the norm likewise, and every vector
+    component re-enters as BIGINT/10⁹ — an exact double. This is
+    deliberately STRICTER than the pagerank round-and-cast discipline:
+    the first sf0.1 run hit the .5-boundary decimal→double cast trap
+    (a matvec sum ending …500 at 12dp split the casts 1 ulp; dividing
+    by the norm ≈ 0.02 amplified it to 5e-8 in the vector), and the
+    all-integer form makes the trap structurally impossible rather
+    than improbable. {T} fixed iterations is the contract (parity over
+    convergence, like pagerank's 10); the Rayleigh quotient — emitted
+    as exact micro-units with the trace — stabilizes much faster than
+    the vector. The loading vector is sign-canonicalized (largest-
+    |component| entry non-negative, ties to the lowest dim) and
+    emitted RAW — already quantized, so an output ROUND could only
+    re-open the boundary (the round-5 lesson).
+
+    Plan shape: ONE data-sized pass (n·D² rows through a map-side
+    partial aggregate collapsing to D² groups — the standard
+    distributed covariance plan); everything after is {D}²-bounded:
+    broadcast matvec joins, one-row norm aggregates, localCheckpoint
+    lineage cuts per step (the pagerank/k-means iteration profile). At
+    100 TB the cost is the single corpus scan; the iteration tier
+    never touches data again."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("xd")
+    )
+    row1 = e.select("xd", F.posexplode("xd").alias("j0", "xj"))
+    prods = row1.select(
+        (F.col("j0") + 1).alias("j"),
+        "xj",
+        F.posexplode("xd").alias("k0", "xk"),
+    ).select(
+        "j",
+        (F.col("k0") + 1).alias("k"),
+        F.round(F.col("xj") * F.col("xk"), 9).cast("decimal(18,9)").alias("p9"),
+    )
+    m = prods.groupBy("j", "k").agg(F.sum("p9").alias("m"))
+    sums = (
+        row1.select(
+            (F.col("j0") + 1).alias("j"),
+            F.round("xj", 9).cast("decimal(18,9)").alias("x9"),
+        )
+        .groupBy("j")
+        .agg(F.sum("x9").alias("s"))
+    )
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    sj = sums.select(F.col("j").alias("j_"), F.col("s").alias("s_j"))
+    sk = sums.select(F.col("j").alias("k_"), F.col("s").alias("s_k"))
+    cov = (
+        m.join(F.broadcast(sj), F.col("j") == F.col("j_"))
+        .join(F.broadcast(sk), F.col("k") == F.col("k_"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j",
+            "k",
+            F.floor(
+                (
+                    F.round(F.col("m").cast("double"), 9)
+                    - F.round(F.col("s_j").cast("double"), 9)
+                    * F.round(F.col("s_k").cast("double"), 9)
+                    / F.col("n")
+                )
+                / F.col("n")
+                * F.lit(1.0e9)
+            )
+            .cast("bigint")
+            .alias("cn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = cov.select("j").distinct().select("j", F.lit(0.125).alias("v"))
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        term = F.floor(
+            F.col("cn").cast("double") / F.lit(1.0e9) * F.col("v") * F.lit(1.0e12)
+        ).cast("bigint")
+        return (
+            cov.join(
+                F.broadcast(vec.select(F.col("j").alias("k"), "v")), "k"
+            )
+            .groupBy("j")
+            .agg((F.sum(term).cast("double") / F.lit(1.0e12)).alias("w"))
+        )
+
+    for _ in range(_PCA_T):
+        w = matvec(v)
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("w") * F.col("w") * F.lit(1.0e12)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1.0e12)
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select(
+                "j",
+                (
+                    F.floor(
+                        F.col("w") / F.col("nrm") * F.lit(1.0e9)
+                    ).cast("bigint").cast("double")
+                    / F.lit(1.0e9)
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wf = matvec(v)
+    lam = (
+        v.join(
+            F.broadcast(wf.select(F.col("j").alias("jw"), "w")),
+            F.col("j") == F.col("jw"),
+        )
+        .agg(
+            F.floor(
+                F.sum(
+                    F.floor(F.col("v") * F.col("w") * F.lit(1.0e12)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.lit(1.0e6)
+            )
+            .cast("bigint")
+            .alias("lambda_micro")
+        )
+    )
+    tr = (
+        cov.where(F.col("j") == F.col("k"))
+        .agg(
+            F.floor(F.sum("cn").cast("double") / F.lit(1.0e3))
+            .cast("bigint")
+            .alias("trace_micro")
+        )
+    )
+    sgn = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("j"))
+        .limit(1)
+        .select(
+            F.when(F.col("v") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("j").cast("bigint").alias("dim"),
+            (F.col("s") * F.col("v")).alias("loading"),
+            "lambda_micro",
+            "trace_micro",
+            (
+                F.col("lambda_micro").cast("double") / F.col("trace_micro")
+            ).alias("explained_share"),
+        )
+    )
+
+
+embedding_pca.__doc__ = embedding_pca.__doc__.format(D=_PCA_D, T=_PCA_T)

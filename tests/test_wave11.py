@@ -9,14 +9,21 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
-from modevetl_spark.queries.wave11 import _NDCG_K, _NDCG_Q, _RBO_D, QUERIES
+from modevetl_spark.queries.wave11 import (
+    _NDCG_K,
+    _NDCG_Q,
+    _PCA_D,
+    _PCA_T,
+    _RBO_D,
+    QUERIES,
+)
 
 
 def test_wave11_staged_behind_the_window():
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
-    assert set(QUERIES) == {"q_rank_rbo", "q_eval_ndcg"}
+    assert set(QUERIES) == {"q_rank_rbo", "q_eval_ndcg", "q_embedding_pca"}
     assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -216,3 +223,121 @@ class TestEvalNdcg:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+class TestEmbeddingPca:
+    def _py_replay(self, sf_dir):
+        """Exact python replay of the whole integer-quantized pipeline:
+        9dp product folds (Fraction-exact sums), FLOOR(x·10^n) BIGINT
+        quantization at every step, floats only for the identical IEEE
+        trees — the same values both engines are REQUIRED to produce."""
+        import math
+        from fractions import Fraction
+
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+        xs = [[float(v) for v in r[0]] for r in rows]
+        n = len(xs)
+        D = _PCA_D
+        m = [[Fraction(0)] * D for _ in range(D)]
+        s = [Fraction(0)] * D
+        for x in xs:
+            for j in range(D):
+                s[j] += Fraction(str(round(x[j], 9)))
+                for k in range(D):
+                    m[j][k] += Fraction(str(round(x[j] * x[k], 9)))
+        cn = [[0] * D for _ in range(D)]
+        for j in range(D):
+            for k in range(D):
+                mm = float(m[j][k])  # nearest double of the exact 9dp sum
+                smj, smk = float(s[j]), float(s[k])
+                cn[j][k] = math.floor((mm - smj * smk / n) / n * 1.0e9)
+        v = [0.125] * D
+
+        def matvec(vec):
+            out = []
+            for j in range(D):
+                acc = 0
+                for k in range(D):
+                    acc += math.floor(cn[j][k] / 1.0e9 * vec[k] * 1.0e12)
+                out.append(float(acc) / 1.0e12)
+            return out
+
+        for _ in range(_PCA_T):
+            w = matvec(v)
+            ss = sum(math.floor(wi * wi * 1.0e12) for wi in w)
+            nrm = math.sqrt(float(ss) / 1.0e12)
+            v = [float(math.floor(wi / nrm * 1.0e9)) / 1.0e9 for wi in w]
+        w = matvec(v)
+        lam_micro = math.floor(
+            float(sum(math.floor(vi * wi * 1.0e12) for vi, wi in zip(v, w)))
+            / 1.0e6
+        )
+        tr_micro = math.floor(float(sum(cn[j][j] for j in range(D))) / 1.0e3)
+        jstar = max(range(D), key=lambda j: (abs(v[j]), -j))
+        sgn = 1.0 if v[jstar] >= 0 else -1.0
+        return [sgn * vi for vi in v], lam_micro, tr_micro
+
+    def test_python_differential_exact(self, spark, sf_dir):
+        """The Spark loadings, Rayleigh micro-units and trace must equal
+        the python replay EXACTLY — every number in the pipeline is
+        either an exact BIGINT or a double produced by the same IEEE
+        tree, so there is no tolerance to grant."""
+        from modevetl_spark.queries.wave11 import embedding_pca
+
+        want_v, want_lam, want_tr = self._py_replay(sf_dir)
+        rows = sorted(
+            embedding_pca(spark, sf_dir).collect(), key=lambda r: r["dim"]
+        )
+        assert len(rows) == _PCA_D
+        assert rows[0]["lambda_micro"] == want_lam
+        assert rows[0]["trace_micro"] == want_tr
+        for r in rows:
+            assert r["loading"] == want_v[r["dim"] - 1], r["dim"]
+
+    def test_rayleigh_bounded_by_numpy_top_eigenvalue(self, spark, sf_dir):
+        """Semantics gate: the Rayleigh quotient of ANY unit vector is
+        ≤ the top eigenvalue of the matrix (a theorem, asserted against
+        numpy's eigh on the very covariance the query built), and after
+        {T} iterations it must have climbed well past the average
+        eigenvalue (= trace/D): the iteration is genuinely converging
+        toward the dominant direction, not wandering."""
+        import numpy as np
+
+        from modevetl_spark.queries.wave11 import embedding_pca
+
+        rows = sorted(
+            embedding_pca(spark, sf_dir).collect(), key=lambda r: r["dim"]
+        )
+        lam = rows[0]["lambda_micro"] / 1.0e6
+        tr = rows[0]["trace_micro"] / 1.0e6
+        v = np.array([r["loading"] for r in rows])
+        # unit norm (9dp-quantized, so within 64 quanta)
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+        # sign canonicalization: the largest-|.| component is >= 0
+        jstar = int(np.argmax(np.abs(v)))
+        assert v[jstar] >= 0
+        # rebuild the covariance like the query and eigendecompose
+        import duckdb
+
+        raw = duckdb.connect().execute(
+            f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+        X = np.array([r[0] for r in raw], dtype=np.float64)
+        C = np.cov(X, rowvar=False, bias=True)
+        top = float(np.linalg.eigvalsh(C)[-1])
+        assert lam <= top + 1e-4
+        assert lam > tr / _PCA_D  # beats the average eigenvalue
+        assert 0.0 < rows[0]["explained_share"] <= 1.0
+
+    def test_plan_single_corpus_pass_no_python(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import embedding_pca
+        from tests.test_plans import plan
+
+        p = plan(embedding_pca(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
