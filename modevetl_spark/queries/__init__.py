@@ -282,6 +282,7 @@ _STAGED_R9 = frozenset(
         "q_rank_rbo",
         "q_eval_ndcg",
         "q_embedding_pca",
+        "q_source_js_divergence",
     }
 )
 

@@ -21,6 +21,10 @@ and wave10 used).
   (FLOOR(x·10ⁿ) BIGINTs, never a >9dp decimal→double cast) that makes
   the .5-boundary cast trap structurally impossible — the sf0.1
   differential caught the round-and-cast form flipping.
+- ``q_source_js_divergence`` — per-source Jensen–Shannon divergence vs
+  the corpus unigram LM: the bounded/symmetric companion to
+  q_source_kl_divergence; the mixture ratio collapses to integer-arg
+  log2 chains and the absent-token mass folds in algebraically.
 
 Reference parity: the reference has no ranking-evaluation tier (its
 ``pyLibrary/queries`` stop at windowed aggregates); these extend the
@@ -672,3 +676,146 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 embedding_pca.__doc__ = embedding_pca.__doc__.format(D=_PCA_D, T=_PCA_T)
+
+
+# --- Per-source Jensen-Shannon divergence vs the corpus LM ----------------
+
+_JS_ORACLE = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+sw AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+    FROM tok GROUP BY 1, 2
+),
+s_tot AS (
+    SELECT source, CAST(SUM(a) AS BIGINT) AS n_s,
+           CAST(COUNT(*) AS BIGINT) AS vocab_s
+    FROM sw GROUP BY 1
+),
+corpus AS (
+    SELECT tok, CAST(SUM(a) AS BIGINT) AS b FROM sw GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(b) AS BIGINT) AS n FROM corpus),
+terms AS (
+    SELECT sw.source,
+           CAST(sw.a AS DECIMAL(10,0))
+             * CAST(ROUND(1 + log2(CAST(sw.a * t.n AS DOUBLE))
+                            - log2(CAST(sw.a * t.n + c.b * st.n_s
+                                        AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS klp,
+           CAST(c.b AS DECIMAL(10,0))
+             * CAST(ROUND(1 + log2(CAST(c.b * st.n_s AS DOUBLE))
+                            - log2(CAST(sw.a * t.n + c.b * st.n_s
+                                        AS DOUBLE)), 9)
+                    AS DECIMAL(18,9)) AS klq,
+           c.b AS b
+    FROM sw
+    JOIN s_tot st ON st.source = sw.source
+    JOIN corpus c ON c.tok = sw.tok
+    CROSS JOIN tot t
+)
+SELECT tm.source, st.n_s AS n_tokens, st.vocab_s AS vocab,
+       ROUND((CAST(SUM(tm.klp) AS DOUBLE) / st.n_s
+              + CAST(SUM(tm.klq) + (t.n - SUM(tm.b)) AS DOUBLE) / t.n)
+             / 2, 6) AS js_bits
+FROM terms tm
+JOIN s_tot st ON st.source = tm.source
+CROSS JOIN tot t
+GROUP BY 1, 2, 3, t.n
+"""
+
+
+@q("q_source_js_divergence", oracle_sql=_JS_ORACLE)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+9 [EXT]: per-source Jensen–Shannon divergence
+    JSD(p_source ‖ p_corpus) over unigram distributions, in bits — the
+    BOUNDED companion to q_source_kl_divergence (JSD ∈ [0,1] bits, is
+    symmetric, and never blows up on tokens one side lacks), i.e. the
+    drift score that stays comparable across sources of wildly
+    different vocabularies. JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+
+    Float discipline (the KL key's, extended): with p_w = a/A and
+    q_w = b/B, the mixture ratio collapses to INTEGER-arg log2 chains —
+    p_w/m_w = 2aB/(aB+bA) ⇒ term 1 + log2(aB) − log2(aB+bA) — each
+    rounded 9dp, scaled by the exact integer count as a decimal
+    multiply, decimal-summed. The Q-side mass on tokens the SOURCE
+    LACKS (a = 0, where the term is exactly 1) is added ALGEBRAICALLY
+    as (B − Σ_present b) — no densified source×vocabulary grid, the
+    q_token_burstiness zeros trick. Products a·B, b·A < 2⁶³ (DuckDB
+    BIGINT is overflow-checked; corpus token counts keep them far
+    inside). Final ROUND at 6dp absorbs the decimal-sum cast ulp.
+
+    Plan shape: identical to the KL key — ONE document scan to the
+    checkpointed (source, token) agg; both marginals are rollups of
+    that agg (no second fact scan, the no-CTE-reuse lesson); margins
+    broadcast, grand total a one-row cross join. At 100 TB one
+    exchange reaches the agg; the corpus-margin join falls back to a
+    token-keyed hash exchange only past broadcast vocabulary size —
+    linear in vocabulary × sources, never corpus rows."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+        .localCheckpoint()
+    )
+    s_tot = sw.groupBy(F.col("source").alias("st_source")).agg(
+        F.sum("a").cast("bigint").alias("n_s"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_s"),
+    )
+    corpus = sw.groupBy(F.col("tok").alias("c_tok")).agg(
+        F.sum("a").cast("bigint").alias("b")
+    )
+    tot = corpus.agg(F.sum("b").cast("bigint").alias("n"))
+    mix = (F.col("a") * F.col("n") + F.col("b") * F.col("n_s")).cast("double")
+    t_p = F.round(
+        F.lit(1) + F.log2((F.col("a") * F.col("n")).cast("double")) - F.log2(mix),
+        9,
+    ).cast("decimal(18,9)")
+    t_q = F.round(
+        F.lit(1)
+        + F.log2((F.col("b") * F.col("n_s")).cast("double"))
+        - F.log2(mix),
+        9,
+    ).cast("decimal(18,9)")
+    terms = (
+        sw.join(F.broadcast(s_tot), F.col("source") == F.col("st_source"))
+        .join(F.broadcast(corpus), F.col("tok") == F.col("c_tok"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            "vocab_s",
+            "n",
+            "b",
+            (F.col("a").cast("decimal(10,0)") * t_p).alias("klp"),
+            (F.col("b").cast("decimal(10,0)") * t_q).alias("klq"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s", "vocab_s", "n")
+        .agg(
+            F.round(
+                (
+                    F.sum("klp").cast("double") / F.col("n_s").cast("double")
+                    + (F.sum("klq") + (F.col("n") - F.sum("b"))).cast("double")
+                    / F.col("n").cast("double")
+                )
+                / 2,
+                6,
+            ).alias("js_bits")
+        )
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("vocab_s").alias("vocab"),
+            "js_bits",
+        )
+    )

@@ -23,7 +23,12 @@ def test_wave11_staged_behind_the_window():
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
-    assert set(QUERIES) == {"q_rank_rbo", "q_eval_ndcg", "q_embedding_pca"}
+    assert set(QUERIES) == {
+        "q_rank_rbo",
+        "q_eval_ndcg",
+        "q_embedding_pca",
+        "q_source_js_divergence",
+    }
     assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
@@ -341,3 +346,62 @@ class TestEmbeddingPca:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
+
+
+class TestSourceJsDivergence:
+    def test_python_differential_textbook_jsd(self, spark, sf_dir):
+        """Semantics gate: the engine value must equal the TEXTBOOK
+        Jensen-Shannon divergence computed directly in probability
+        space (no folds, no algebraic zero-mass shortcut) — proving
+        the integer-log2 chains + the (B − Σb) absent-token trick ARE
+        JSD(p_source ‖ p_corpus), to well under the 6dp the query
+        emits."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import source_js_divergence
+
+        rows = duckdb.connect().execute(
+            f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        sw: dict = {}
+        for src, text in rows:
+            for t in text.lower().split():
+                if t:
+                    sw[(src, t)] = sw.get((src, t), 0) + 1
+        a_tot: dict = {}
+        b: dict = {}
+        for (src, t), c in sw.items():
+            a_tot[src] = a_tot.get(src, 0) + c
+            b[t] = b.get(t, 0) + c
+        n = sum(b.values())
+        want = {}
+        for src in a_tot:
+            A = a_tot[src]
+            klp = 0.0
+            klq = 0.0
+            for t, bc in b.items():
+                q_ = bc / n
+                p_ = sw.get((src, t), 0) / A
+                m_ = (p_ + q_) / 2
+                if p_ > 0:
+                    klp += p_ * math.log2(p_ / m_)
+                klq += q_ * math.log2(q_ / m_)
+            want[src] = (klp + klq) / 2
+        got = {
+            r["source"]: r
+            for r in source_js_divergence(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for src in want:
+            assert abs(got[src]["js_bits"] - want[src]) < 1e-5, src
+            assert 0.0 <= got[src]["js_bits"] <= 1.0, src
+            assert got[src]["n_tokens"] == a_tot[src]
+
+    def test_plan_one_scan_margins_broadcast(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import source_js_divergence
+        from tests.test_plans import plan
+
+        p = plan(source_js_divergence(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "BroadcastHashJoin" in p
