@@ -259,13 +259,25 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# Round-9 staged wave (queries/wave10.py): built and driver-sim verified
-# during round 7, pinned BEHIND the round-8 window — priority 9.5 sorts
-# after every rotation vintage, so these keys occupy the very tail of
-# the emission order and cannot displace a round-8 slot (the retired
-# _STAGED_R8 wave9 keys now drain as ordinary never-graded priority-0
-# keys, exactly the wave7 pattern from r6→r7). Round-9 bookkeeping:
-# add _GRADED_R8 from CORRECTNESS_r08 and retire this set the same way.
+# Round-9 staged wave: 8 keys built in round 7 (queries/wave10.py) + 4
+# built in round 8 (queries/wave11.py), pinned BEHIND the round-8
+# window — priority 9.5 sorts after every rotation vintage, so these
+# keys occupy the very tail of the emission order and cannot displace a
+# round-8 slot (the retired _STAGED_R8 wave9 keys now drain as ordinary
+# never-graded priority-0 keys, exactly the wave7 pattern from r6→r7).
+#
+# ROUND-9 BOOKKEEPING SCRIPT (the same three steps as r7→r8):
+#   1. Record _GRADED_R8 = the 50 keys of CORRECTNESS_r08.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 8.
+#   2. Delete _STAGED_R9 and its branch in _grading_priority — the 12
+#      staged keys then drain as never-graded (priority 0) and MUST all
+#      fit in the round-9 window (12 + re-pins ≤ 50).
+#   3. Re-point _CHANGED_R8_PIN → _CHANGED_R9_PIN (empty unless a
+#      graded key's implementation changed); remaining ~38 rotation
+#      slots go to the stalest evidence — after r8 grades, that is the
+#      ~21-key r3-vintage tail first, then r4.
+# Update tests/test_contract.py's window-composition asserts and the
+# wave10/wave11 staging tests (drain form, see test_wave9's r8 edit).
 _STAGED_R9 = frozenset(
     {
         "q_sketch_hll",
