@@ -295,6 +295,7 @@ _STAGED_R9 = frozenset(
         "q_eval_ndcg",
         "q_embedding_pca",
         "q_source_js_divergence",
+        "q_mine_hard_negatives",
     }
 )
 

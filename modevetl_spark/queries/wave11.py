@@ -25,6 +25,10 @@ and wave10 used).
   the corpus unigram LM: the bounded/symmetric companion to
   q_source_kl_divergence; the mixture ratio collapses to integer-arg
   log2 chains and the absent-token mass folds in algebraically.
+- ``q_mine_hard_negatives`` — contrastive triplet mining (FaceNet):
+  hardest positive + hardest negative per anchor and the margin,
+  from ONE scored relation (a single (anchor, flag)-partitioned
+  rank-1 window pivoted by conditional aggregation).
 
 Reference parity: the reference has no ranking-evaluation tier (its
 ``pyLibrary/queries`` stop at windowed aggregates); these extend the
@@ -819,3 +823,113 @@ def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_bits",
         )
     )
+
+
+# --- Hard-negative mining for contrastive training -------------------------
+
+_HNM_Q = 16  # anchors: vec_id < 16
+
+
+_HNM_ORACLE = f"""
+WITH qs AS (
+    SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+    FROM embeddings WHERE vec_id < {_HNM_Q}
+),
+scored AS (
+    SELECT q.anchor_id, c.vec_id AS nid,
+           CASE WHEN c.label = q.ql THEN 1 ELSE 0 END AS same_lbl,
+           ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])), 6) AS cs
+    FROM qs q JOIN embeddings c ON c.vec_id <> q.anchor_id
+),
+best AS (
+    SELECT anchor_id, nid, same_lbl, cs
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id, same_lbl
+                               ORDER BY cs DESC, nid) = 1
+)
+SELECT anchor_id,
+       CAST(MAX(CASE WHEN same_lbl = 1 THEN nid END) AS BIGINT) AS pos_id,
+       MAX(CASE WHEN same_lbl = 1 THEN cs END) AS pos_sim,
+       CAST(MAX(CASE WHEN same_lbl = 0 THEN nid END) AS BIGINT) AS neg_id,
+       MAX(CASE WHEN same_lbl = 0 THEN cs END) AS neg_sim,
+       MAX(CASE WHEN same_lbl = 1 THEN cs END)
+           - MAX(CASE WHEN same_lbl = 0 THEN cs END) AS margin
+FROM best
+GROUP BY 1
+"""
+
+
+@q("q_mine_hard_negatives", oracle_sql=_HNM_ORACLE)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+20 [EXT]: hard-negative mining (Schroff et al. 2015, FaceNet;
+    the standard contrastive-training data op): for each anchor, the
+    hardest positive (most-similar SAME-label vector) and the hardest
+    negative (most-similar DIFFERENT-label vector), plus the margin
+    between them — the triplet a contrastive trainer feeds, and the
+    margin histogram a curation loop watches (anchors with negative
+    margin are the label noise / hard cases worth upweighting).
+
+    Determinism: reuses the graded q_sim_topk scoring contract verbatim
+    (cosine rounded 6dp, ties by neighbor id); the margin is one
+    subtraction of identical doubles, emitted raw. One scored relation
+    feeds BOTH picks: a single window partitioned by (anchor,
+    same-label flag) takes rank 1 per side, and a conditional
+    aggregation pivots the two rows per anchor into one (never two
+    corpus scans for two picks — the margins-from-one-agg lesson).
+
+    Plan shape: the {Q}-row anchor set broadcasts against one corpus
+    scan (corpus never shuffled — the q_sim_topk shape); the window
+    partitions by (anchor, flag) — 2·{Q} bounded groups balanced by
+    WindowGroupLimit's partial rank-1 pass map-side, so the exchange
+    carries at most 2·{Q} rows per task; the pivot is a {Q}-group
+    aggregate. At 100 TB: one corpus scan per mining pass, exactly
+    what the retrieval tier already pays; swap the scorer for the IVF
+    tier (q_sim_topk_ivf_sq) when brute-force stops being the
+    baseline."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    from modevetl_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.where(F.col("vec_id") < _HNM_Q).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("nl"),
+        )
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("nid") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "nid",
+            F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("same_lbl"),
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_lbl").orderBy(
+        F.col("cs").desc(), F.col("nid")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    pos = F.max(F.when(F.col("same_lbl") == 1, F.col("cs")))
+    neg = F.max(F.when(F.col("same_lbl") == 0, F.col("cs")))
+    return best.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("same_lbl") == 1, F.col("nid")))
+        .cast("bigint")
+        .alias("pos_id"),
+        pos.alias("pos_sim"),
+        F.max(F.when(F.col("same_lbl") == 0, F.col("nid")))
+        .cast("bigint")
+        .alias("neg_id"),
+        neg.alias("neg_sim"),
+        (pos - neg).alias("margin"),
+    )
+
+
+mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.format(Q=_HNM_Q)

@@ -28,6 +28,7 @@ def test_wave11_staged_behind_the_window():
         "q_eval_ndcg",
         "q_embedding_pca",
         "q_source_js_divergence",
+        "q_mine_hard_negatives",
     }
     assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
@@ -405,3 +406,75 @@ class TestSourceJsDivergence:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "BroadcastHashJoin" in p
+
+
+class TestMineHardNegatives:
+    def test_python_differential(self, spark, sf_dir):
+        """Replay the triplet picks from first principles (python-float
+        cosine with the engines' fold order, 6dp scores, id tie-break):
+        pos/neg ids must match exactly, similarities and margin to the
+        6dp contract."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import _HNM_Q, mine_hard_negatives
+
+        rows = duckdb.connect().execute(
+            f"""SELECT vec_id, embedding, label
+                FROM read_parquet('{sf_dir}/embeddings.parquet')"""
+        ).fetchall()
+        vecs = {r[0]: ([float(x) for x in r[1]], r[2]) for r in rows}
+
+        def cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+            for x in a:
+                na += x * x
+            for y in b:
+                nb += y * y
+            return dot / (math.sqrt(na) * math.sqrt(nb))
+
+        want = {}
+        for qid in range(_HNM_Q):
+            qv, ql = vecs[qid]
+            pos = neg = None
+            for nid, (v, lbl) in vecs.items():
+                if nid == qid:
+                    continue
+                key = (-round(cos(qv, v), 6), nid)
+                if lbl == ql:
+                    pos = min(pos, key) if pos else key
+                else:
+                    neg = min(neg, key) if neg else key
+            want[qid] = (pos[1], -pos[0], neg[1], -neg[0])
+        got = {
+            r["anchor_id"]: r for r in mine_hard_negatives(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for qid, (pid, psim, nid, nsim) in want.items():
+            r = got[qid]
+            assert (r["pos_id"], r["neg_id"]) == (pid, nid), qid
+            assert abs(r["pos_sim"] - psim) < 1e-9 and abs(r["neg_sim"] - nsim) < 1e-9
+            assert r["margin"] == r["pos_sim"] - r["neg_sim"]
+
+    def test_margin_semantics(self, spark, sf_dir):
+        """The hardest positive is at least as similar as ANY same-label
+        vector and the negative at least as similar as any other-label
+        vector — so margin > 0 iff the anchor's nearest same-label beat
+        its nearest other-label (the label-noise signal)."""
+        from modevetl_spark.queries.wave11 import _HNM_Q, mine_hard_negatives
+
+        rows = mine_hard_negatives(spark, sf_dir).collect()
+        assert len(rows) == _HNM_Q
+        for r in rows:
+            assert -1.0 <= r["neg_sim"] <= 1.0 and -1.0 <= r["pos_sim"] <= 1.0
+            assert r["pos_id"] != r["neg_id"]
+
+    def test_plan_one_scan_one_window(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import mine_hard_negatives
+        from tests.test_plans import plan
+
+        p = plan(mine_hard_negatives(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert p.count("Window [row_number()") <= 1  # both picks, ONE window
