@@ -535,28 +535,41 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted RAW — already quantized, so an output ROUND could only
     re-open the boundary (the round-5 lesson).
 
-    Plan shape: ONE data-sized pass (n·D² rows through a map-side
-    partial aggregate collapsing to D² groups — the standard
-    distributed covariance plan); everything after is {D}²-bounded:
-    broadcast matvec joins, one-row norm aggregates, localCheckpoint
-    lineage cuts per step (the pagerank/k-means iteration profile). At
-    100 TB the cost is the single corpus scan; the iteration tier
-    never touches data again."""
+    Plan shape: ONE data-sized pass — and only the UPPER TRIANGLE of
+    it: the moment matrix is symmetric and ROUND(x_j·x_k, 9) is
+    commutative, so each row explodes to its D(D+1)/2 j ≤ k products
+    (a slice-bounded second posexplode) and the lower triangle is
+    mirrored AFTER the aggregate on the {D}²-bounded relation —
+    halving the data-sized explode/fold/exchange, bit-identical
+    values. Everything after is {D}²-bounded: broadcast matvec joins,
+    one-row norm aggregates, localCheckpoint lineage cuts per step
+    (the pagerank/k-means iteration profile). At 100 TB the cost is
+    the single half-triangle corpus pass; the iteration tier never
+    touches data again."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda v: v.cast("double")).alias("xd")
     )
     row1 = e.select("xd", F.posexplode("xd").alias("j0", "xj"))
+    # upper triangle only: the second explode runs over the slice
+    # xd[j0:], so k0 = j0 + pos >= j0 by construction
     prods = row1.select(
         (F.col("j0") + 1).alias("j"),
         "xj",
-        F.posexplode("xd").alias("k0", "xk"),
+        F.posexplode(
+            F.slice(F.col("xd"), F.col("j0") + 1, F.lit(_PCA_D) - F.col("j0"))
+        ).alias("p0", "xk"),
     ).select(
         "j",
-        (F.col("k0") + 1).alias("k"),
+        (F.col("j") + F.col("p0")).alias("k"),
         F.round(F.col("xj") * F.col("xk"), 9).cast("decimal(18,9)").alias("p9"),
     )
-    m = prods.groupBy("j", "k").agg(F.sum("p9").alias("m"))
+    m_upper = prods.groupBy("j", "k").agg(F.sum("p9").alias("m"))
+    m = m_upper.unionByName(
+        m_upper.where(F.col("j") < F.col("k")).select(
+            F.col("k").alias("j"), F.col("j").alias("k"), "m"
+        )
+    )
     sums = (
         row1.select(
             (F.col("j0") + 1).alias("j"),
