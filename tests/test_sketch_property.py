@@ -523,3 +523,55 @@ def test_mrl_compact_matches_python_invariants(pts, eps):
         in_cum = sum(w for v, w in spts if v <= t)
         out_cum = sum(w for v, w in out if v <= t)
         assert in_cum <= out_cum <= in_cum + added, (t, in_cum, out_cum, added)
+
+
+# --- Sorted-neighborhood blocking (round-8: seam-repair differential) ----
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        # tiny key alphabet forces heavy ties (id tie-break paths) and
+        # duplicate texts; sizes straddle window and partition counts
+        st.sampled_from(["aa", "ab", "ba", "bb", "a", "b"]),
+        min_size=0,
+        max_size=40,
+    ),
+    window=st.sampled_from([1, 3, 7]),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_snm_pairs_match_naive_definition(spark, rows, window, parts):
+    """sorted_neighborhood_pairs vs the DEFINITION (Hernández & Stolfo
+    merge/purge): sort by (key, id), emit exactly the pairs (i, i+k)
+    for k = 1..window. The partitioned-lead + bounded tails×heads seam
+    repair must be invisible for ANY input size, tie mix, window, and
+    partitioning — including partitions smaller than the window, where
+    a successor lives two range partitions away and only the seam join
+    can find it. The driver oracle replays the same construction, so
+    only this differential guards the blocking semantics themselves."""
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    data = [(i, t) for i, t in enumerate(rows)]
+    docs = spark.createDataFrame(
+        data, "doc_id long, text string"
+    ).repartition(parts)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            docs, key=F.col("text"), window=window
+        ).collect()
+    }
+    order = [i for i, _ in sorted(data, key=lambda it: (it[1], it[0]))]
+    want = {
+        (order[i], order[i + k])
+        for i in range(len(order))
+        for k in range(1, window + 1)
+        if i + k < len(order)
+    }
+    assert got == want

@@ -725,6 +725,44 @@ def test_fs_exists_scheme_routing(spark, tmp_path):
     assert fs_exists(None, str(p))  # no-session local fallback
 
 
+def test_fs_root_parquet_files_scheme_routing(spark, tmp_path):
+    """The round-8 flat-layout detector and single-file delete must
+    follow the path's scheme like the rest of the fs seam: same answers
+    through the Hadoop FileSystem (file:) as through plain os paths,
+    non-recursive (partition-dir files don't count), and ordered."""
+    import os
+
+    from modevetl_spark.sources.fs import fs_delete, fs_root_parquet_files
+
+    root = tmp_path / "sink"
+    (root / "_batch=1").mkdir(parents=True)
+    (root / "flat-b.parquet").write_text("stub")
+    (root / "flat-a.parquet").write_text("stub")
+    (root / "_SUCCESS").write_text("")
+    (root / "_batch=1" / "part-0.parquet").write_text("stub")
+
+    local = fs_root_parquet_files(spark, str(root))
+    assert [os.path.basename(p) for p in local] == [
+        "flat-a.parquet",
+        "flat-b.parquet",
+    ]
+    via_fs = fs_root_parquet_files(spark, "file:" + str(root))
+    assert [p.rsplit("/", 1)[-1] for p in via_fs] == [
+        "flat-a.parquet",
+        "flat-b.parquet",
+    ]
+    # missing roots answer empty, never raise
+    assert fs_root_parquet_files(spark, str(tmp_path / "nope")) == []
+    assert fs_root_parquet_files(spark, "file:" + str(tmp_path / "nope")) == []
+
+    fs_delete(spark, "file:" + str(root / "flat-a.parquet"))
+    fs_delete(spark, str(root / "flat-b.parquet"))
+    fs_delete(spark, str(root / "flat-b.parquet"))  # idempotent
+    assert fs_root_parquet_files(spark, str(root)) == []
+    # the partition-dir file was never touched
+    assert (root / "_batch=1" / "part-0.parquet").exists()
+
+
 def test_upsert_after_total_delete(spark, tmp_path):
     """A sink emptied by delete_parquet (markers left, zero data files)
     must behave as nonexistent for the next upsert instead of failing
