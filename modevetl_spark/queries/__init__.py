@@ -296,6 +296,7 @@ _STAGED_R9 = frozenset(
         "q_embedding_pca",
         "q_source_js_divergence",
         "q_mine_hard_negatives",
+        "q_mixture_temperature",
     }
 )
 

@@ -29,6 +29,10 @@ and wave10 used).
   hardest positive + hardest negative per anchor and the margin,
   from ONE scored relation (a single (anchor, flag)-partitioned
   rank-1 window pivoted by conditional aggregation).
+- ``q_mixture_temperature`` — temperature-scaled mixture sampling
+  (α = 1/2, the mBERT/T5 low-resource upweighting): one sqrt per
+  source immediately FLOOR-quantized to BIGINT nano-units, every
+  share and allocation pure integer arithmetic after that.
 
 Reference parity: the reference has no ranking-evaluation tier (its
 ``pyLibrary/queries`` stop at windowed aggregates); these extend the
@@ -946,3 +950,99 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.format(Q=_HNM_Q)
+
+
+# --- Temperature-scaled mixture sampling (alpha = 1/2) --------------------
+
+_TMPX_BUDGET = 1_000_000  # token budget the plan allocates
+
+
+_TMPX_ORACLE = rf"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM tok GROUP BY 1
+),
+sq AS (
+    SELECT source, n_tokens,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1.0e9) AS BIGINT)
+               AS s_nano
+    FROM src
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS n,
+           CAST(SUM(s_nano) AS BIGINT) AS s_tot
+    FROM sq
+)
+SELECT q.source, q.n_tokens,
+       q.n_tokens * 1000000 // t.n AS share_linear_ppm,
+       q.s_nano * 1000000 // t.s_tot AS share_temp_ppm,
+       CAST(q.s_nano * 1000000 // t.s_tot AS DOUBLE)
+           / (q.n_tokens * 1000000 // t.n) AS boost,
+       q.s_nano * {_TMPX_BUDGET} // t.s_tot AS tokens_target
+FROM sq q CROSS JOIN tot t
+"""
+
+
+@q("q_mixture_temperature", oracle_sql=_TMPX_ORACLE)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+20 [EXT]: temperature-scaled mixture sampling, α = 1/2
+    (Devlin et al. 2019 mBERT; Raffel et al. 2020 T5; the standard
+    low-resource upweighting: sample source i with probability
+    ∝ n_i^α so head sources shrink and tail sources grow relative to
+    proportional sampling) — completing the mixture family beside
+    q_mixture_weights (exact target shares) and q_interleave_sources
+    (deterministic schedule). Emits per source the linear and
+    temperature shares (ppm), the boost ratio, and the token
+    allocation for a {B}-token budget.
+
+    Float discipline: α = 1/2 makes the only non-integer op ONE
+    correctly-rounded sqrt per source, immediately quantized by the
+    round-8 all-integer rule — s_nano = FLOOR(sqrt(n)·10⁹) BIGINT —
+    after which every share/allocation is pure integer arithmetic
+    (`div` on non-negative BIGINTs, identical in both engines; the
+    q_embedding_pca discipline with an even shorter float segment).
+    The boost is one division of identical integers, emitted raw.
+
+    Plan shape: one document scan → map-side-combined per-source token
+    count (|sources| rows); the sqrt/floor, the one-row total, and the
+    shares all live on that broadcast-scale tail. At 100 TB the cost
+    is the token-count aggregate the curation loop already runs."""
+    from modevetl_spark.operators.text import tokens
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    sq = src.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1.0e9))
+        .cast("bigint")
+        .alias("s_nano"),
+    )
+    tot = sq.agg(
+        F.sum("n_tokens").cast("bigint").alias("n"),
+        F.sum("s_nano").cast("bigint").alias("s_tot"),
+    )
+    lin = F.expr("n_tokens * 1000000 div n")
+    tmp = F.expr("s_nano * 1000000 div s_tot")
+    return sq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        lin.alias("share_linear_ppm"),
+        tmp.alias("share_temp_ppm"),
+        (tmp.cast("double") / lin).alias("boost"),
+        F.expr(f"s_nano * {_TMPX_BUDGET} div s_tot").alias("tokens_target"),
+    )
+
+
+mixture_temperature.__doc__ = mixture_temperature.__doc__.format(B=_TMPX_BUDGET)

@@ -29,6 +29,7 @@ def test_wave11_staged_behind_the_window():
         "q_embedding_pca",
         "q_source_js_divergence",
         "q_mine_hard_negatives",
+        "q_mixture_temperature",
     }
     assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
@@ -478,3 +479,62 @@ class TestMineHardNegatives:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert p.count("Window [row_number()") <= 1  # both picks, ONE window
+
+
+class TestMixtureTemperature:
+    def test_python_differential_exact_integers(self, spark, sf_dir):
+        """Exact replay: token counts, one sqrt per source floored to
+        nano BIGINTs, integer shares — every output column must match
+        the python integers exactly (the post-sqrt pipeline is pure
+        integer arithmetic, so there is no tolerance to grant)."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import (
+            _TMPX_BUDGET,
+            mixture_temperature,
+        )
+
+        rows = duckdb.connect().execute(
+            f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+        cnt: dict = {}
+        for src, text in rows:
+            cnt[src] = cnt.get(src, 0) + sum(1 for t in text.lower().split() if t)
+        nano = {s: math.floor(math.sqrt(c) * 1.0e9) for s, c in cnt.items()}
+        n, s_tot = sum(cnt.values()), sum(nano.values())
+        got = {r["source"]: r for r in mixture_temperature(spark, sf_dir).collect()}
+        assert set(got) == set(cnt)
+        for s in cnt:
+            r = got[s]
+            assert r["n_tokens"] == cnt[s]
+            assert r["share_linear_ppm"] == cnt[s] * 1000000 // n
+            assert r["share_temp_ppm"] == nano[s] * 1000000 // s_tot
+            assert r["tokens_target"] == nano[s] * _TMPX_BUDGET // s_tot
+
+    def test_temperature_flattens_the_mixture(self, spark, sf_dir):
+        """The defining property of alpha < 1 sampling: every source
+        above the linear mean share is DOWN-weighted (boost <= 1) and
+        every source below it is UP-weighted (boost >= 1) relative to
+        proportional sampling, and the temperature shares are strictly
+        flatter (smaller spread) than the linear ones."""
+        from modevetl_spark.queries.wave11 import mixture_temperature
+
+        rows = mixture_temperature(spark, sf_dir).collect()
+        lin = [r["share_linear_ppm"] for r in rows]
+        tmp = [r["share_temp_ppm"] for r in rows]
+        assert max(tmp) - min(tmp) < max(lin) - min(lin)
+        # boost direction flips at the sqrt-mean crossover; check the
+        # extremes which must always obey it
+        biggest = max(rows, key=lambda r: r["n_tokens"])
+        smallest = min(rows, key=lambda r: r["n_tokens"])
+        assert biggest["boost"] <= 1.0 + 1e-9
+        assert smallest["boost"] >= 1.0 - 1e-9
+
+    def test_plan_single_scan_broadcast_total(self, spark, sf_dir):
+        from modevetl_spark.queries.wave11 import mixture_temperature
+        from tests.test_plans import plan
+
+        p = plan(mixture_temperature(spark, sf_dir))
+        assert "Python" not in p
+        assert "SortMergeJoin" not in p
+        assert "Window" not in p
