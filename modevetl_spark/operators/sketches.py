@@ -823,7 +823,14 @@ def rank_sample_state(
         .cast("bigint")
         % p
     )
-    src = df.select(
+    # NULLs are excluded from the sketch (and so from the weight total),
+    # matching the mg_summary_grouped defense: a NULL v would sort first
+    # under the block window (kept as a block minimum forever), crash the
+    # tick's float(None) fold, and collide with the v-IS-NULL meta-row
+    # sentinel in persisted state (round-9 advice).
+    src = df.where(
+        F.col(val_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(val_col).cast("double").alias("v"),
         F.col(key_col).cast("string").alias("tk"),
         pid.alias("pid"),

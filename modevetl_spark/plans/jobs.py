@@ -380,27 +380,32 @@ def _migrate_flat_curated(spark: SparkSession, curated: str) -> None:
     root, with ``_batch=`` partition directories about to land beside
     them, are exactly the mixed layout parquet partition discovery
     rejects — so the first partitioned append into an old sink would
-    corrupt it for every reader (round-8 advice). Rewrite the flat
-    files into the reserved ``_batch=legacy`` partition, then delete
-    them. Replay-safe: the rewrite is a dynamic partition OVERWRITE of
-    ``_batch=legacy`` only, so a crash between rewrite and delete
-    replays to the identical partition content instead of appending a
-    duplicate copy."""
-    from modevetl_spark.sources.fs import fs_delete, fs_root_parquet_files
+    corrupt it for every reader (round-8 advice). MOVE each flat file
+    into the reserved ``_batch=legacy/`` partition directory: the
+    Hive-layout convention supplies ``_batch`` from the directory name,
+    and a pre-partitioned writer never stored that column in the files,
+    so a renamed file reads back identically to one rewritten there.
+
+    Loss-proof by construction (round-9 advice): the earlier
+    rewrite-then-delete form could lose curated rows — a crash midway
+    through the delete loop leaves survivors whose next replay
+    dynamic-OVERWRITES ``_batch=legacy`` with only the surviving files'
+    rows, silently discarding the already-deleted files' rows; a stale
+    unpartitioned writer dropping new flat files after a completed
+    migration triggers the same destructive overwrite. A per-file
+    rename has no such window: each file is either still at the root
+    (the next run migrates it) or already inside ``legacy/`` (done) —
+    its rows always exist in exactly one readable place, any partial
+    run is resumable, and late flat files APPEND to the legacy
+    partition instead of replacing it."""
+    from modevetl_spark.sources.fs import fs_rename_into_dir, fs_root_parquet_files
 
     flat = fs_root_parquet_files(spark, curated)
     if not flat:
         return
-    (
-        spark.read.parquet(*flat)
-        .withColumn("_batch", F.lit("legacy"))
-        .write.partitionBy("_batch")
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(curated)
-    )
+    legacy_dir = curated.rstrip("/") + "/_batch=legacy"
     for f in flat:
-        fs_delete(spark, f)
+        fs_rename_into_dir(spark, f, legacy_dir)
 
 
 def _append_seen(survivors: DataFrame, seen_path: str) -> None:

@@ -227,25 +227,46 @@ _GRADED_R7 = frozenset(
     }
 )
 
-# Round-8 window arithmetic (executes the r7 verdict's top item): with
-# _GRADED_R7 landed, _CHANGED_R7_PIN retired (all 10 keys graded green
-# in r7), and _STAGED_R8 retired, the window pins, in order: the 15
-# wave9 keys (never graded, priority 0, draining exactly like wave7 did
-# in r7), then changed-key re-pins (priority 0.5, currently none), then
-# stalest-evidence rotation — the full 17-key r2-vintage cohort enters
-# (q_pivot, q_unpivot, q_skew_* , q_jx_setop/window/nested_from/
-# string_ops, q_doc_chunks, q_decontaminate, q_graph_components,
-# q_sample_stratified, q_math_sig_round, q_cube_subtotals,
-# q_profile_columns, q_text_repetition, q_pack_budget-cohort residue)
-# followed by 18 r3-vintage keys. 15 + 0 committed, 35 rotation slots:
-# clears ALL pre-r3 evidence and starts on the 39-key r3 cohort
-# (verdict item 2). _STAGED_R9 (wave10.py, priority 9.5) stays behind
-# until round 9.
-_CHANGED_R8_PIN: frozenset[str] = frozenset()
+# The 50 keys CORRECTNESS_r08.json graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that drained the 15-key wave9 staged
+# wave and cleared the r2-vintage evidence cohort completely).
+_GRADED_R8 = frozenset(
+    {
+        "q_agg_collect_set", "q_agg_conditional", "q_agg_distinct_count",
+        "q_agg_median", "q_agg_moments", "q_agg_percentile",
+        "q_bucket_numeric", "q_churn_hazard", "q_cube_allow_nulls",
+        "q_cube_default_domain", "q_cube_dense", "q_cube_subtotals",
+        "q_decayed_value", "q_decontaminate", "q_dedup_substring_runs",
+        "q_distinct_rows", "q_doc_chunks", "q_filter_bloom",
+        "q_filter_compound", "q_flagship_revenue_cube",
+        "q_graph_adamic_adar", "q_graph_components", "q_groupby_multi",
+        "q_heavy_hitters_grouped", "q_join_inner", "q_jx_nested_from",
+        "q_jx_setop", "q_jx_string_ops", "q_jx_window", "q_math_sig_round",
+        "q_mixture_weights", "q_model_calibration", "q_pivot",
+        "q_privacy_kanonymity", "q_profile_columns", "q_rater_agreement",
+        "q_rollup", "q_sample_reservoir_weighted", "q_sample_stratified",
+        "q_scan_project", "q_select_computed", "q_sim_mmr_rerank",
+        "q_sketch_countmin", "q_sketch_group_distinct",
+        "q_skew_adaptive_join", "q_skew_salted_agg", "q_skew_salted_join",
+        "q_source_kl_divergence", "q_text_repetition", "q_unpivot",
+    }
+)
+
+# Round-9 window arithmetic (executes the r8 verdict's top item): with
+# _GRADED_R8 landed and _STAGED_R9 retired, the window pins, in order:
+# the 14 wave10+wave11 keys (never graded, priority 0, draining exactly
+# like wave9 did in r8 — 8 wave10 + 6 wave11 = 14, at the 15-key cap so
+# nothing new is staged this round), then changed-key re-pins (priority
+# 0.5), then stalest-evidence rotation — the full 21-key r3-vintage
+# cohort enters, followed by the head of the 48-key r4 cohort. 14 +
+# pins committed; the remaining slots clear ALL r3 evidence and start
+# on r4 (verdict item 2).
+_CHANGED_R9_PIN: frozenset[str] = frozenset()
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (8, _GRADED_R8),
         (7, _GRADED_R7),
         (6, _GRADED_R6),
         (5, _GRADED_R5),
@@ -259,54 +280,23 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# Round-9 staged wave: 8 keys built in round 7 (queries/wave10.py) + 4
-# built in round 8 (queries/wave11.py), pinned BEHIND the round-8
-# window — priority 9.5 sorts after every rotation vintage, so these
-# keys occupy the very tail of the emission order and cannot displace a
-# round-8 slot (the retired _STAGED_R8 wave9 keys now drain as ordinary
-# never-graded priority-0 keys, exactly the wave7 pattern from r6→r7).
-#
-# ROUND-9 BOOKKEEPING SCRIPT (the same three steps as r7→r8):
-#   1. Record _GRADED_R8 = the 50 keys of CORRECTNESS_r08.json (verify
-#      all pass first), add it to _freshest_round's chain at rank 8.
-#   2. Delete _STAGED_R9 and its branch in _grading_priority — the 12
-#      staged keys then drain as never-graded (priority 0) and MUST all
-#      fit in the round-9 window (12 + re-pins ≤ 50).
-#   3. Re-point _CHANGED_R8_PIN → _CHANGED_R9_PIN (empty unless a
-#      graded key's implementation changed); remaining ~38 rotation
-#      slots go to the stalest evidence — after r8 grades, that is the
-#      ~21-key r3-vintage tail first, then r4.
-# Update tests/test_contract.py's window-composition asserts and the
-# wave10/wave11 staging tests (drain form, see test_wave9's r8 edit).
-_STAGED_R9 = frozenset(
-    {
-        "q_sketch_hll",
-        "q_cooccur_pmi",
-        "q_linkage_weights",
-        "q_token_burstiness",
-        "q_bpe_merges",
-        "q_textrank_keywords",
-        "q_doc_lm_score",
-        "q_unseen_mass",
-        # round-8 additions (queries/wave11.py): ranking-comparison,
-        # evaluation and corpus-spectrum tier, staged with the wave10
-        # keys for the round-9 drain
-        "q_rank_rbo",
-        "q_eval_ndcg",
-        "q_embedding_pca",
-        "q_source_js_divergence",
-        "q_mine_hard_negatives",
-        "q_mixture_temperature",
-    }
-)
+# ROUND-10 BOOKKEEPING SCRIPT (the same three steps as r8→r9):
+#   1. Record _GRADED_R9 = the 50 keys of CORRECTNESS_r09.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 9.
+#   2. Re-point _CHANGED_R9_PIN → _CHANGED_R10_PIN (empty unless a
+#      graded key's implementation changed); rotation slots go to the
+#      stalest evidence — after r9 grades, that is the remaining
+#      r4-vintage cohort (~33 keys), then r5.
+#   3. There is no _STAGED_R10 tier (nothing was staged in round 9 —
+#      the operator space is saturated per the r8 verdict); any new key
+#      built in round 9+ drains immediately as never-graded priority 0.
+# Update tests/test_contract.py's window-composition asserts.
 
 
 def _grading_priority(key: str) -> float:
-    if key in _STAGED_R9:
-        return 9.5  # staged for round 9: behind the whole r8 window
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R8_PIN:
+    if key in _CHANGED_R9_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

@@ -982,8 +982,10 @@ tot AS (
 SELECT q.source, q.n_tokens,
        q.n_tokens * 1000000 // t.n AS share_linear_ppm,
        q.s_nano * 1000000 // t.s_tot AS share_temp_ppm,
-       CAST(q.s_nano * 1000000 // t.s_tot AS DOUBLE)
-           / (q.n_tokens * 1000000 // t.n) AS boost,
+       CASE WHEN q.n_tokens * 1000000 // t.n > 0
+            THEN CAST(q.s_nano * 1000000 // t.s_tot AS DOUBLE)
+                 / (q.n_tokens * 1000000 // t.n)
+       END AS boost,
        q.s_nano * {_TMPX_BUDGET} // t.s_tot AS tokens_target
 FROM sq q CROSS JOIN tot t
 """
@@ -1035,12 +1037,17 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lin = F.expr("n_tokens * 1000000 div n")
     tmp = F.expr("s_nano * 1000000 div s_tot")
+    # Sub-ppm sources floor to lin == 0: Spark's `/` would emit NULL
+    # while DuckDB's IEEE division emits inf — guard the ratio
+    # explicitly so BOTH engines emit NULL for them, keeping the
+    # "identical integers, one raw division" determinism claim intact
+    # (round-9 advice).
     return sq.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
         lin.alias("share_linear_ppm"),
         tmp.alias("share_temp_ppm"),
-        (tmp.cast("double") / lin).alias("boost"),
+        F.when(lin > 0, tmp.cast("double") / lin).alias("boost"),
         F.expr(f"s_nano * {_TMPX_BUDGET} div s_tot").alias("tokens_target"),
     )
 

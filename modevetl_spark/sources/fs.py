@@ -106,6 +106,46 @@ def fs_root_parquet_files(spark: SparkSession | None, path: str) -> list[str]:
     return sorted(out)
 
 
+def fs_rename_into_dir(
+    spark: SparkSession | None, src_file: str, dest_dir: str
+) -> str:
+    """Move one file into ``dest_dir`` (created if absent), keeping its
+    basename — the loss-proof primitive for layout migrations: unlike
+    rewrite-then-delete, a rename is individually replayable (the file
+    is either still at the source or already inside the destination,
+    never in a state where its rows exist nowhere). If the destination
+    name is taken, a numeric prefix is added rather than overwriting.
+    Returns the destination path used. On HDFS the rename is atomic; on
+    object stores it is copy+delete, which still never destroys the
+    source before the copy committed."""
+    base = src_file.rstrip("/").rsplit("/", 1)[-1]
+    if not _require_session(spark, src_file) and not has_scheme(dest_dir):
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, base)
+        k = 0
+        while os.path.exists(dest):
+            k += 1
+            dest = os.path.join(dest_dir, f"m{k}-{base}")
+        os.rename(src_file, dest)
+        return dest
+    if spark is None:
+        raise ValueError(
+            f"renaming {src_file!r} -> {dest_dir!r} needs a SparkSession "
+            "to reach the Hadoop FileSystem API"
+        )
+    fs, hsrc = _fs_and_path(spark, src_file)
+    jvm = spark._jvm
+    hdir = jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs.mkdirs(hdir)
+    dest = jvm.org.apache.hadoop.fs.Path(hdir, base)
+    k = 0
+    while fs.exists(dest):
+        k += 1
+        dest = jvm.org.apache.hadoop.fs.Path(hdir, f"m{k}-{base}")
+    fs.rename(hsrc, dest)
+    return dest.toString()
+
+
 def fs_delete(spark: SparkSession | None, path: str) -> None:
     """Delete one file, following the path's scheme."""
     if not _require_session(spark, path):

@@ -55,11 +55,12 @@ def test_grading_bookkeeping_consistent():
         (5, Q._GRADED_R5),
         (6, Q._GRADED_R6),
         (7, Q._GRADED_R7),
+        (8, Q._GRADED_R8),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R8_PIN <= keys
-    for k in Q._CHANGED_R8_PIN:
+    assert Q._CHANGED_R9_PIN <= keys
+    for k in Q._CHANGED_R9_PIN:
         assert Q._freshest_round(k) > 0, k
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
@@ -67,21 +68,23 @@ def test_grading_bookkeeping_consistent():
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-8 window composition: the never-graded cohort (priority 0 —
-    # the 15 retired-_STAGED_R8 wave9 keys) comes first, then the
-    # changed-against-old-evidence re-pins (0.5), and ONLY THEN rotation
-    # — and the whole never-graded cohort plus every re-pin must fit
-    # inside the driver's 50-key window, so no key is left without
-    # evidence another round
+    # round-9 window composition: the never-graded cohort (priority 0 —
+    # the 14 retired-_STAGED_R9 wave10+wave11 keys) comes first, then
+    # the changed-against-old-evidence re-pins (0.5), and ONLY THEN
+    # rotation — and the whole never-graded cohort plus every re-pin
+    # must fit inside the driver's 50-key window, so no key is left
+    # without evidence another round
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
-    assert len(never_graded) + len(Q._CHANGED_R8_PIN) <= 50
+    assert len(never_graded) + len(Q._CHANGED_R9_PIN) <= 50
     assert set(never_graded) <= set(window)
-    assert Q._CHANGED_R8_PIN <= set(window)
-    # verdict r7 item 2: the remaining rotation slots must refresh the
-    # STALEST evidence — the ENTIRE 17-key r2-vintage cohort must be in
-    # the window (clearing pre-r3 evidence completely this round)
-    r2_vintage = [k for k in order if Q._freshest_round(k) == 2]
-    assert set(r2_vintage) <= set(window), sorted(set(r2_vintage) - set(window))
-    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 3]
-    assert len(stale) >= 15, stale
+    assert Q._CHANGED_R9_PIN <= set(window)
+    # verdict r8 item 2: the remaining rotation slots must refresh the
+    # STALEST evidence — no pre-r3 evidence exists any more, and the
+    # ENTIRE 21-key r3-vintage cohort must be in the window (clearing
+    # pre-r4 evidence completely this round)
+    assert not [k for k in order if 1 <= Q._freshest_round(k) <= 2]
+    r3_vintage = [k for k in order if Q._freshest_round(k) == 3]
+    assert set(r3_vintage) <= set(window), sorted(set(r3_vintage) - set(window))
+    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 4]
+    assert len(stale) >= 30, stale

@@ -333,6 +333,48 @@ def test_curate_batch_migrates_flat_legacy_sink(spark, tmp_path, sf_dir):
     assert merged.count() == n_legacy + n_new
 
 
+def test_flat_migration_is_loss_proof(spark, tmp_path, sf_dir):
+    """Round-9 advice: the migration must be per-file renames, so (a) a
+    crash midway (some files already moved, some still flat) resumes
+    with zero loss instead of overwriting _batch=legacy with only the
+    survivors, and (b) a stale unpartitioned writer dropping NEW flat
+    files after a completed migration APPENDS them to legacy rather
+    than replacing the earlier cohort."""
+    from modevetl_spark.plans.jobs import _migrate_flat_curated, curate_transform
+    from modevetl_spark.sources.catalog import load
+    from modevetl_spark.sources.fs import fs_rename_into_dir, fs_root_parquet_files
+
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    curated = str(tmp_path / "curated")
+    first = curate_transform(docs.where(F.col("doc_id") <= cut))
+    first.repartition(3).write.parquet(curated)
+    n_first = first.count()
+
+    # (a) simulate a crash midway: one file already inside legacy/
+    flat = fs_root_parquet_files(spark, curated)
+    assert len(flat) == 3
+    fs_rename_into_dir(spark, flat[0], curated + "/_batch=legacy")
+    _migrate_flat_curated(spark, curated)  # the resume run
+    assert fs_root_parquet_files(spark, curated) == []
+    after = spark.read.parquet(curated)
+    assert after.count() == n_first  # every row from every file survived
+    assert {r._batch for r in after.select("_batch").distinct().collect()} == {
+        "legacy"
+    }
+
+    # (b) a stale old writer appends flat files AFTER the migration
+    late = curate_transform(docs.where(F.col("doc_id") > cut))
+    late.coalesce(1).write.mode("append").parquet(curated)
+    n_late = late.count()
+    assert fs_root_parquet_files(spark, curated), "stale writer fixture"
+    _migrate_flat_curated(spark, curated)
+    assert fs_root_parquet_files(spark, curated) == []
+    final = spark.read.parquet(curated)
+    # the earlier legacy cohort was appended to, never replaced
+    assert final.count() == n_first + n_late
+
+
 def test_curate_crash_between_writes_converges(spark, tmp_path, sf_dir, monkeypatch):
     """The OTHER crash window (round-6 advice): curated partition
     committed, seen-hash append lost. The replay must overwrite the

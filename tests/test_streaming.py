@@ -763,6 +763,47 @@ def test_fs_root_parquet_files_scheme_routing(spark, tmp_path):
     assert (root / "_batch=1" / "part-0.parquet").exists()
 
 
+def test_fs_rename_into_dir_scheme_routing(spark, tmp_path):
+    """The loss-proof migration primitive (round-9 advice): moves a
+    file into a directory keeping its basename, creates the directory,
+    never overwrites an existing destination (numeric prefix instead),
+    and follows the path's scheme like the rest of the fs seam."""
+    import os
+
+    from modevetl_spark.sources.fs import fs_rename_into_dir
+
+    root = tmp_path / "sink"
+    root.mkdir()
+    (root / "a.parquet").write_text("one")
+    dest_dir = str(root / "_batch=legacy")
+    dest = fs_rename_into_dir(spark, str(root / "a.parquet"), dest_dir)
+    assert os.path.basename(dest) == "a.parquet"
+    assert not (root / "a.parquet").exists()
+    assert open(dest).read() == "one"
+    # a second file with the SAME name must not clobber the first
+    (root / "a.parquet").write_text("two")
+    dest2 = fs_rename_into_dir(spark, str(root / "a.parquet"), dest_dir)
+    assert dest2 != dest and os.path.basename(dest2) == "m1-a.parquet"
+    assert open(dest).read() == "one" and open(dest2).read() == "two"
+    # Hadoop-FS route (file: scheme) lands beside the os-route files
+    (root / "b.parquet").write_text("three")
+    dest3 = fs_rename_into_dir(
+        spark, "file:" + str(root / "b.parquet"), "file:" + dest_dir
+    )
+    assert dest3.rsplit("/", 1)[-1] == "b.parquet"
+    assert not (root / "b.parquet").exists()
+    assert sorted(os.listdir(dest_dir)) == [
+        "a.parquet",
+        "b.parquet",
+        "m1-a.parquet",
+    ]
+    # scheme'd path with no session fails loudly, like the whole seam
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scheme"):
+        fs_rename_into_dir(None, "s3a://bucket/x.parquet", "s3a://bucket/d")
+
+
 def test_upsert_after_total_delete(spark, tmp_path):
     """A sink emptied by delete_parquet (markers left, zero data files)
     must behave as nonexistent for the next upsert instead of failing

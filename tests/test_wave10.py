@@ -14,19 +14,18 @@ from pyspark.sql import functions as F
 from modevetl_spark.queries.wave10 import QUERIES
 
 
-def test_wave10_staged_behind_the_window():
-    """Round-9 staging: wave10 keys occupy the very tail of the
-    emission order (priority 9.5) — they can displace neither a
-    round-8 window slot nor any rotation slot."""
+def test_wave10_drained_into_the_window():
+    """Round-9 staging contract, post-retirement: _STAGED_R9 is gone,
+    so every wave10 key drains as never-graded (priority 0) and all 8
+    occupy the FRONT of the round-9 grading window (first 50)."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
-    # wave10 shares _STAGED_R9 with the round-8-built wave11 keys
-    assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
-    n9 = len(Q._STAGED_R9)
-    assert set(order[-n9:]) == set(Q._STAGED_R9)
+    assert set(QUERIES) <= set(order[:50])
+    for k in QUERIES:
+        assert Q._grading_priority(k) == 0, k
 
 
 class TestHll:

@@ -19,7 +19,10 @@ from modevetl_spark.queries.wave11 import (
 )
 
 
-def test_wave11_staged_behind_the_window():
+def test_wave11_drained_into_the_window():
+    """Round-9 staging contract, post-retirement: _STAGED_R9 is gone,
+    so every wave11 key drains as never-graded (priority 0) and all 6
+    occupy the FRONT of the round-9 grading window (first 50)."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
@@ -31,13 +34,11 @@ def test_wave11_staged_behind_the_window():
         "q_mine_hard_negatives",
         "q_mixture_temperature",
     }
-    assert set(QUERIES) <= set(Q._STAGED_R9)
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
-    n9 = len(Q._STAGED_R9)
-    assert set(order[-n9:]) == set(Q._STAGED_R9)
+    assert set(QUERIES) <= set(order[:50])
     for k in QUERIES:
-        assert Q._grading_priority(k) == 9.5, k
+        assert Q._grading_priority(k) == 0, k
 
 
 class TestRankRbo:
@@ -538,3 +539,41 @@ class TestMixtureTemperature:
         assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "Window" not in p
+
+    def test_sub_ppm_source_boost_is_null_both_engines(
+        self, spark, tmp_path
+    ):
+        """Round-9 advice: a source under 1 ppm of the corpus floors to
+        share_linear_ppm == 0; Spark `/` NULLs on /0 while DuckDB IEEE
+        division yields inf — both engines must emit NULL via the
+        explicit guard. Synthetic corpus: one 1-token source against a
+        >1M-token source."""
+        import duckdb
+
+        from modevetl_spark.queries.wave11 import _TMPX_ORACLE, mixture_temperature
+
+        big = " ".join(["w"] * 11000)
+        rows = [(i, "big", big) for i in range(100)] + [(100, "tiny", "x")]
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+        got = {
+            r["source"]: r
+            for r in mixture_temperature(spark, str(tmp_path)).collect()
+        }
+        assert got["tiny"]["share_linear_ppm"] == 0
+        assert got["tiny"]["boost"] is None
+        assert got["big"]["boost"] is not None
+        # the oracle agrees: NULL, not inf
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+        )
+        odf = con.execute(_TMPX_ORACLE).fetchdf().set_index("source")
+        import math
+
+        assert odf.loc["tiny", "share_linear_ppm"] == 0
+        assert math.isnan(odf.loc["tiny", "boost"])  # pandas NULL -> NaN
+        assert math.isfinite(odf.loc["big", "boost"])

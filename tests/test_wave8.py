@@ -594,6 +594,37 @@ def test_rank_sample_state_is_exact_weighted_cover(spark):
         assert true_cum <= sk_cum <= true_cum + slack, (t, true_cum, sk_cum)
 
 
+def test_rank_sample_state_excludes_nulls(spark, tmp_path):
+    """Round-9 advice: NULL val/key rows must be filtered like every
+    other sketch operator here — a NULL v sorts first under the block
+    window (kept forever as a block minimum), crashes the tick's
+    float(None) fold, and in persisted state would collide with the
+    v-IS-NULL meta-row sentinel. NULLs are excluded from the weight
+    total by contract."""
+    from modevetl_spark.operators.sketches import (
+        mrl_quantile_estimates,
+        rank_sample_state,
+        run_mrl_tick,
+    )
+
+    rows = [(float(i), str(i)) for i in range(200)]
+    dirty = rows + [(None, "n1"), (None, "n2"), (5.0, None), (None, None)]
+    df = spark.createDataFrame(dirty, "x double, k string").repartition(3)
+    pts = [(r["v"], r["w"]) for r in rank_sample_state(df, "x", "k").collect()]
+    assert all(v is not None for v, _ in pts)
+    # weight total == clean rowcount: the NULL rows carry no weight
+    assert sum(w for _, w in pts) == len(rows)
+    # the standing tick survives a dirty batch end-to-end
+    path = str(tmp_path / "mrl_nulls")
+    run_mrl_tick(spark, df, "x", "k", path)
+    state = spark.read.parquet(path).collect()
+    meta = [r for r in state if r["v"] is None]
+    assert len(meta) == 1 and meta[0]["w"] == len(rows)
+    (med,) = mrl_quantile_estimates(spark, path, [0.5])
+    assert med["n_total"] == len(rows)
+    assert abs(med["est"] - 100.0) <= 0.03125 * len(rows) + 1
+
+
 def test_wave8_keys_registered():
     assert set(QUERIES) == {
         "q_sketch_merge_quantiles",

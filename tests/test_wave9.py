@@ -280,10 +280,10 @@ class TestDecayedValue:
         assert "Filter" in p
 
 
-def test_wave9_drained_into_the_window():
-    """Round-8 staging contract, post-retirement: _STAGED_R8 is gone,
-    so every wave9 key drains as never-graded (priority 0) and all 15
-    occupy the FRONT of the round-8 grading window (first 50)."""
+def test_wave9_keys_registered():
+    """Post-grading form: every wave9 key drained through the round-8
+    window and is recorded green in _GRADED_R8 — from round 9 on they
+    rotate like any other evidenced key."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
@@ -305,12 +305,10 @@ def test_wave9_drained_into_the_window():
         "q_dedup_substring_runs",
     }
     assert set(QUERIES) <= set(oracle)
-    order = list(qs)
-    # retired _STAGED_R8: every wave9 key is never-graded, so the whole
-    # wave sits inside the round-8 grading window
-    assert set(QUERIES) <= set(order[:50])
+    assert set(QUERIES) <= set(qs)
     for k in QUERIES:
-        assert Q._grading_priority(k) == 0, k
+        assert k in Q._GRADED_R8, k
+        assert Q._freshest_round(k) == 8, k
 
 
 class TestCountMin:
