@@ -65,6 +65,11 @@ HEADLINE = [
     "q_sample_reservoir_weighted",
     "q_sketch_countmin",
     "q_sim_mmr_rerank",
+    # round 9 (the r8 verdict's bench-refresh list): window-free
+    # constant-tail ranking-drift trend, iterative-linear-algebra trend
+    # beside kmeans/pagerank
+    "q_rank_rbo",
+    "q_embedding_pca",
 ]
 
 

@@ -1,10 +1,9 @@
-"""Round-9 staged wave: corpus-statistics and linkage operators.
+"""Round-9 wave: corpus-statistics and linkage operators.
 
-Built and verified during round 7, STAGED behind the whole round-8
-window (``_STAGED_R9`` pins them at priority 9.5 — after every rotation
-vintage — so they cannot displace any round-8 slot; round-9 bookkeeping
-retires the set into normal never-graded drain, the same two-step
-pattern wave7 and wave9 used).
+Built and verified during round 7, staged behind the whole round-8
+window (the since-retired ``_STAGED_R9`` tier), and draining through
+the round-9 grading window as never-graded keys — the same two-step
+staging pattern wave7 and wave9 used.
 
 - ``q_sketch_hll`` — deterministic HyperLogLog (Flajolet et al. 2007):
   the canonical production cardinality sketch beside the KMV estimator
