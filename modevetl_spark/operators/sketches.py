@@ -686,8 +686,12 @@ def countmin_state(counted: DataFrame, key_col: str, cnt_col: str, w: int, d: in
             for j in range(d)
         ]
     )
+    # NULL keys are excluded like every sketch here: md5(NULL) is NULL,
+    # so they would land d b=NULL bucket rows that no probe can ever
+    # join back to — dead state mass that skews any total-mass audit.
     return (
-        counted.select(F.col(cnt_col).alias("_c"), F.explode(probes).alias("p"))
+        counted.where(F.col(key_col).isNotNull())
+        .select(F.col(cnt_col).alias("_c"), F.explode(probes).alias("p"))
         .groupBy(F.col("p.j").alias("j"), F.col("p.b").alias("b"))
         .agg(F.sum("_c").cast("bigint").alias("mass"))
     )
@@ -751,7 +755,11 @@ def hll_state(df: DataFrame, key_col: str, b: int = 6) -> DataFrame:
     h32 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
-    jr = df.select(
+    # NULL keys are excluded like every sketch here (COUNT DISTINCT
+    # semantics): md5(NULL) is NULL, which would otherwise emit a
+    # j=NULL/mj=NULL register row that crashes run_hll_tick's int()
+    # fold and pollutes the register table for the estimator.
+    jr = df.where(F.col(key_col).isNotNull()).select(
         (h32 / F.lit(1 << wbits)).cast("bigint").alias("j"),
         (h32 % F.lit(1 << wbits)).alias("w"),
     )

@@ -258,10 +258,16 @@ _GRADED_R8 = frozenset(
 # like wave9 did in r8 — 8 wave10 + 6 wave11 = 14, at the 15-key cap so
 # nothing new is staged this round), then changed-key re-pins (priority
 # 0.5), then stalest-evidence rotation — the full 21-key r3-vintage
-# cohort enters, followed by the head of the 48-key r4 cohort. 14 +
-# pins committed; the remaining slots clear ALL r3 evidence and start
+# cohort enters, followed by the head of the 48-key r4 cohort. 14 + 1
+# pin committed; the remaining 35 slots clear ALL r3 evidence and start
 # on r4 (verdict item 2).
-_CHANGED_R9_PIN: frozenset[str] = frozenset()
+#
+# q_sketch_countmin re-pins because the round-9 family-wide NULL-key
+# hardening touched countmin_state (a no-op on its NULL-free graded
+# input, but changed code must never sit outside the window);
+# q_sketch_hll's producer changed likewise but it is already a
+# priority-0 drain key this round.
+_CHANGED_R9_PIN: frozenset[str] = frozenset({"q_sketch_countmin"})
 
 
 def _freshest_round(key: str) -> int:

@@ -373,6 +373,28 @@ class TestHllTick:
         }
         assert again == got
 
+    def test_null_keys_excluded(self, spark, tmp_path):
+        """Round-9 hardening (the rank_sample_state advice class,
+        applied family-wide): a NULL key hashes to a j=NULL/mj=NULL
+        register row that crashes the tick's int() fold — NULLs must be
+        excluded like every sketch (COUNT DISTINCT semantics), so a
+        dirty batch folds to exactly the clean batch's registers."""
+        from modevetl_spark.operators.sketches import hll_state, run_hll_tick
+
+        clean = spark.createDataFrame([(str(i),) for i in range(60)], "k string")
+        dirty = clean.unionAll(
+            spark.createDataFrame([(None,), (None,)], "k string")
+        )
+        want = {r["j"]: r["mj"] for r in hll_state(clean, "k").collect()}
+        got = {r["j"]: r["mj"] for r in hll_state(dirty, "k").collect()}
+        assert got == want and None not in got
+        state = str(tmp_path / "hll_nulls")
+        run_hll_tick(spark, dirty, "k", state)  # must not crash
+        persisted = {
+            r["j"]: r["mj"] for r in spark.read.parquet(state).collect()
+        }
+        assert persisted == want
+
 
 class TestBurstiness:
     def test_fixture_dispersion_contract(self, spark, sf_dir):

@@ -359,6 +359,26 @@ class TestCountMin:
         assert got_est == want_est
         assert all(got_est[t] >= c for t, c in counts.items())
 
+    def test_null_keys_excluded_from_state(self, spark):
+        """Round-9 hardening (the rank_sample_state advice class,
+        applied family-wide): NULL keys hash to d b=NULL bucket rows no
+        probe can ever join back to — dead mass that skews any
+        total-mass audit. The state from a dirty count table must equal
+        the clean one's exactly."""
+        from modevetl_spark.operators.sketches import countmin_state
+
+        w, d = 8, 3
+        clean = spark.createDataFrame(
+            [("x", 3), ("y", 5), ("z", 2)], "k string, c long"
+        )
+        dirty = clean.unionAll(
+            spark.createDataFrame([(None, 11)], "k string, c long")
+        )
+        sc = {(r["j"], r["b"]): r["mass"] for r in countmin_state(clean, "k", "c", w=w, d=d).collect()}
+        sd = {(r["j"], r["b"]): r["mass"] for r in countmin_state(dirty, "k", "c", w=w, d=d).collect()}
+        assert sd == sc
+        assert sum(sd.values()) == d * 10  # the NULL's 11 carried no mass
+
     def test_linear_sketch_merges(self, spark):
         """CM is a linear sketch: state(A ⊎ B) == state(A) + state(B)
         bucket-wise — the property that makes it the streaming/shard
