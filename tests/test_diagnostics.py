@@ -331,6 +331,43 @@ def test_spine_covers_every_calendar_day(spark, sf_dir):
     assert (out["n_gap_days"] == out["n_days"] - out["n_active_days"]).all()
 
 
+def test_ks_matches_textbook_two_sample_definition(spark, sf_dir):
+    """Round-9 differential (the mandatory discipline, back-filled):
+    D = sup over the POOLED support of |ECDF_a − ECDF_b|, replayed in
+    raw python from the same parquet — the oracle mirrors the query's
+    cumulative-window construction, so only an independent replay of
+    the published definition can catch a construction-level deviation
+    (e.g. evaluating the sup at one sample's values only)."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(floor(o.o_totalprice) AS BIGINT),"
+        " CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        " WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    ).fetchall()
+    a = sorted(v for v, is_a in rows if is_a)
+    b = sorted(v for v, is_a in rows if not is_a)
+    import bisect
+
+    support = sorted({*a, *b})
+    d_stat = max(
+        abs(
+            bisect.bisect_right(a, v) / len(a)
+            - bisect.bisect_right(b, v) / len(b)
+        )
+        for v in support
+    )
+    crit = 1.36 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+    got = _Q["q_stats_ks_test"](spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert abs(got.ks_stat - d_stat) <= 1e-9, (got.ks_stat, d_stat)
+    assert abs(got.ks_crit - crit) <= 1e-9
+    assert got.reject_h0 == (1 if round(d_stat, 9) > round(crit, 9) else 0)
+
+
 def test_mannwhitney_symmetric_samples_z_zero(spark):
     """Identical A/B samples ⇒ U = n_a·n_b/2 and z = 0 — replayed on the
     operator's integer rank-fold over a planted frame."""

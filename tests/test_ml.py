@@ -669,6 +669,40 @@ def test_gini_closed_forms(spark, tmp_path):
     assert skew.gini > 0.85
 
 
+def test_gini_matches_mean_absolute_difference_definition(spark, sf_dir):
+    """Round-9 differential (the mandatory discipline, back-filled):
+    the rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n must equal the
+    DEFINITION G = Σᵢⱼ|xᵢ−xⱼ| / (2n²·x̄) on the real data — the oracle
+    mirrors the rank formula, so only an independent replay of the
+    published measure can catch a formula-level deviation. Exact
+    arithmetic via Fraction on the same 2dp-rounded spends."""
+    import duckdb
+    from fractions import Fraction
+
+    spends = [
+        Fraction(str(round(s, 2)))
+        for (s,) in duckdb.connect()
+        .execute(
+            "SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+            " AS DOUBLE), 2) FROM"
+            f" read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey"
+        )
+        .fetchall()
+    ]
+    n = len(spends)
+    mean = sum(spends) / n
+    # O(n log n) equivalent of Σᵢⱼ|xᵢ−xⱼ|: over sorted x,
+    # Σᵢⱼ|xᵢ−xⱼ| = 2·Σ_k (2k−n+1)·x_(k)  (0-based k)
+    xs = sorted(spends)
+    mad = 2 * sum((2 * k - n + 1) * x for k, x in enumerate(xs))
+    want = Fraction(mad, 2 * n * n) / mean
+    got = _Q["q_revenue_gini"](spark, sf_dir).collect()[0]
+    assert got.n_customers == n
+    # the query's 2dp rounding of total/weighted perturbs at most
+    # ~1e-2/(n·total) ≈ 1e-9 at this SF; 6dp output rounding dominates
+    assert abs(got.gini - float(want)) <= 5e-7, (got.gini, float(want))
+
+
 def test_interarrival_sane(spark, sf_dir):
     r = _Q["q_order_interarrival"](spark, sf_dir).collect()[0]
     assert r.n_gaps > 0
