@@ -378,6 +378,87 @@ def test_time_to_convert_quantiles_ordered(spark, sf_dir):
     assert 0 <= r["p25_sec"] <= r["p50_sec"] <= r["p90_sec"]
 
 
+def test_chi2_matches_independence_test_definition(spark, sf_dir):
+    """Round-9 differential (the mandatory discipline, back-filled):
+    replay Pearson's chi-square independence test from the raw
+    contingency counts in pure python — expected = row·col/n, per-cell
+    (o−e)²/e, total = sum — so a formula-level deviation the
+    oracle-mirror cannot see is caught. Only the counts come from
+    duckdb (integers, engine-insensitive); all math is python."""
+    import duckdb
+    from decimal import Decimal
+
+    cells = duckdb.connect().execute(
+        "SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT),"
+        " COUNT(*) FROM"
+        f" read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    obs = {(t, d): c for t, d, c in cells}
+    row = {}
+    col = {}
+    for (t, d), c in obs.items():
+        row[t] = row.get(t, 0) + c
+        col[d] = col.get(d, 0) + c
+    n = sum(obs.values())
+    exp = {k: row[k[0]] * col[k[1]] / n for k in obs}
+    contrib = {k: (obs[k] - exp[k]) ** 2 / exp[k] for k in obs}
+    total = float(sum(Decimal(str(round(c, 9))) for c in contrib.values()))
+    got = _Q["q_stats_chi2"](spark, sf_dir).collect()
+    assert len(got) == len(obs)
+    for r in got:
+        k = (r["event_type"], r["dow"])
+        assert r["observed"] == obs[k]
+        assert abs(r["expected"] - exp[k]) <= 5e-7, (k, r["expected"], exp[k])
+        assert abs(r["contribution"] - contrib[k]) <= 5e-7
+        assert abs(r["chi2_total"] - total) <= 5e-6
+
+
+def test_ab_test_matches_pooled_z_definition(spark, sf_dir):
+    """Round-9 differential (the mandatory discipline, back-filled):
+    replay the whole experiment in pure python — hashlib md5 bucket
+    assignment, the conversion predicate, and the two-proportion
+    POOLED z formula z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)) —
+    so a deviation from the published test (e.g. unpooled variance)
+    is caught independently of the oracle mirror."""
+    import duckdb
+    import hashlib
+    import math
+
+    con = duckdb.connect()
+    users = [
+        u
+        for (u,) in con.execute(
+            "SELECT DISTINCT user_id FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    converters = {
+        u
+        for (u,) in con.execute(
+            "SELECT DISTINCT user_id FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+            " WHERE event_type = 'purchase' AND value > 200"
+        ).fetchall()
+    }
+    in_a = lambda u: hashlib.md5(str(u).encode()).hexdigest()[:4] < "8000"
+    n_a = sum(1 for u in users if in_a(u))
+    n_b = len(users) - n_a
+    conv_a = sum(1 for u in converters if in_a(u))
+    conv_b = len(converters) - conv_a
+    p = (conv_a + conv_b) / (n_a + n_b)
+    z = (conv_a / n_a - conv_b / n_b) / math.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    got = _Q["q_stats_ab_test"](spark, sf_dir).first()
+    assert (got["n_a"], got["conv_a"], got["n_b"], got["conv_b"]) == (
+        n_a,
+        conv_a,
+        n_b,
+        conv_b,
+    )
+    assert abs(got["z_score"] - z) <= 5e-7, (got["z_score"], z)
+
+
 def test_ab_test_consistency(spark, sf_dir):
     from modevetl_spark.sources.catalog import load
 
