@@ -331,6 +331,181 @@ def test_spine_covers_every_calendar_day(spark, sf_dir):
     assert (out["n_gap_days"] == out["n_days"] - out["n_active_days"]).all()
 
 
+def test_runs_test_matches_wald_wolfowitz_definition(spark, sf_dir):
+    """Round-9 differential: replay the whole runs test in pure python
+    from the daily revenue series — sign sequence, maximal-run count,
+    and the published mean/variance
+    mu = 2·n1·n2/N + 1, sigma² = 2n1n2(2n1n2−N)/(N²(N−1)) — so a
+    run-counting or moment-formula deviation mirrored into the oracle
+    is caught."""
+    import duckdb
+    import math
+
+    daily = duckdb.connect().execute(
+        "SELECT day, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+        " AS DOUBLE), 2) FROM (SELECT date_trunc('day', o_orderdate) AS"
+        f" day, o_totalprice FROM read_parquet('{sf_dir}/orders.parquet'))"
+        " GROUP BY day ORDER BY day"
+    ).fetchall()
+    revs = [r for _, r in daily]
+    signs = [
+        1 if b > a else -1
+        for a, b in zip(revs, revs[1:])
+        if b != a
+    ]
+    n1 = sum(1 for s in signs if s == 1)
+    n2 = sum(1 for s in signs if s == -1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    sigma = math.sqrt(
+        2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn**2 * (nn - 1))
+    )
+    got = _Q["q_runs_test"](spark, sf_dir).collect()[0]
+    assert (got.n_up, got.n_down, got.n_runs) == (n1, n2, runs)
+    assert abs(got.z_score - (runs - mu) / sigma) <= 1e-8
+
+
+def test_psi_matches_published_definition(spark, sf_dir):
+    """Round-9 differential: PSI (in bits) = Σ (pᵢ − qᵢ)·log2(pᵢ/qᵢ)
+    over the add-one-smoothed price-band shares, replayed in pure
+    python from the raw binned counts."""
+    import duckdb
+    import math
+
+    cells = duckdb.connect().execute(
+        "SELECT LEAST(CAST(FLOOR(o_totalprice) AS BIGINT) // 30000, 9),"
+        " CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1"
+        " ELSE 0 END) AS BIGINT), CAST(COUNT(*) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1"
+    ).fetchall()
+    ref = {b: r + 1 for b, r, t in cells}
+    cur = {b: t - r + 1 for b, r, t in cells}
+    n_ref, n_cur = sum(ref.values()), sum(cur.values())
+    psi = sum(
+        (ref[b] / n_ref - cur[b] / n_cur)
+        * math.log2((ref[b] / n_ref) / (cur[b] / n_cur))
+        for b in ref
+    )
+    got = _Q["q_psi_stability"](spark, sf_dir).collect()[0]
+    assert got.n_bins == len(ref)
+    assert abs(got.psi_bits - psi) <= 5e-6, (got.psi_bits, psi)
+
+
+def test_wilson_matches_published_formula(spark, sf_dir):
+    """Round-9 differential: the Wilson score interval
+    (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n), z = 1.96,
+    replayed in pure python per segment — the bracket test alone would
+    also pass for the (wrong) normal-approximation interval."""
+    import duckdb
+    import math
+
+    segs = duckdb.connect().execute(
+        "SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT),"
+        " CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0"
+        f" END) AS BIGINT) FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1"
+    ).fetchall()
+    got = {r["segment"]: r for r in _Q["q_rate_confint"](spark, sf_dir).collect()}
+    assert set(got) == {s for s, _, _ in segs}
+    z = 1.96
+    for s, n, pos in segs:
+        p = pos / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        r = got[s]
+        assert (r["n"], r["pos"]) == (n, pos)
+        assert abs(r["wilson_lo"] - (center - half) / denom) <= 5e-7
+        assert abs(r["wilson_hi"] - (center + half) / denom) <= 5e-7
+
+
+def test_mi_matches_published_definition(spark, sf_dir):
+    """Round-9 differential: I(X;Y) = ΣΣ p(x,y)·log2(p(x,y)·n²/(n·c_x·c_y))
+    replayed in pure python from the raw (source, lang) contingency —
+    the bound test alone passes for e.g. natural-log MI or swapped
+    margins."""
+    import duckdb
+    import math
+
+    cells = duckdb.connect().execute(
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) FROM"
+        f" read_parquet('{sf_dir}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    cx: dict = {}
+    cy: dict = {}
+    for s, l, c in cells:
+        cx[s] = cx.get(s, 0) + c
+        cy[l] = cy.get(l, 0) + c
+    n = sum(c for _, _, c in cells)
+    mi = sum(
+        (c / n) * math.log2(c * n / (cx[s] * cy[l])) for s, l, c in cells
+    )
+    got = _Q["q_mutual_information"](spark, sf_dir).collect()[0]
+    assert got.n_cells == len(cells)
+    assert abs(got.mi_bits - mi) <= 5e-6, (got.mi_bits, mi)
+
+
+def test_cramers_v_matches_published_definition(spark, sf_dir):
+    """Round-9 differential: V = √(χ²/(n·min(r−1, c−1))) with χ² from
+    the independence-test expected counts, replayed in pure python from
+    the raw segment × priority contingency."""
+    import duckdb
+    import math
+
+    cells = duckdb.connect().execute(
+        "SELECT c.c_mktsegment, o.o_orderpriority, CAST(COUNT(*) AS"
+        f" BIGINT) FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey GROUP BY 1, 2"
+    ).fetchall()
+    cx: dict = {}
+    cy: dict = {}
+    for s, p, c in cells:
+        cx[s] = cx.get(s, 0) + c
+        cy[p] = cy.get(p, 0) + c
+    n = sum(c for _, _, c in cells)
+    chi2 = sum(
+        (c - cx[s] * cy[p] / n) ** 2 / (cx[s] * cy[p] / n)
+        for s, p, c in cells
+    )
+    v = math.sqrt(chi2 / (n * min(len(cx) - 1, len(cy) - 1)))
+    got = _Q["q_cramers_v"](spark, sf_dir).collect()[0]
+    assert abs(got.chi2 - chi2) <= 5e-5, (got.chi2, chi2)
+    assert abs(got.cramers_v - v) <= 5e-6
+
+
+def test_anova_matches_published_f_definition(spark, sf_dir):
+    """Round-9 differential: one-way ANOVA from RAW values in pure
+    python — group means, SSB = Σ n_g(x̄_g − x̄)², SSW = Σ(x − x̄_g)²,
+    F = (SSB/(k−1))/(SSW/(n−k)) — so a degrees-of-freedom or
+    decomposition deviation mirrored into the oracle is caught. The
+    query's 2dp power-sum rounding bounds the relative slack."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(dayofweek(o_orderdate) AS BIGINT), o_totalprice"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    groups: dict = {}
+    for d, x in rows:
+        groups.setdefault(d, []).append(x)
+    n = len(rows)
+    k = len(groups)
+    grand = sum(x for _, x in rows) / n
+    ssb = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw = sum(
+        (x - sum(g) / len(g)) ** 2 for g in groups.values() for x in g
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = _Q["q_anova_weekday"](spark, sf_dir).collect()[0]
+    assert (got.k, got.n) == (k, n)
+    assert abs(got.ss_between - ssb) <= max(1.0, ssb * 1e-6)
+    assert abs(got.ss_within - ssw) <= max(1.0, ssw * 1e-6)
+    assert abs(got.f_stat - f) <= max(1e-6, abs(f) * 1e-3)
+
+
 def test_ks_matches_textbook_two_sample_definition(spark, sf_dir):
     """Round-9 differential (the mandatory discipline, back-filled):
     D = sup over the POOLED support of |ECDF_a − ECDF_b|, replayed in
