@@ -543,6 +543,85 @@ def test_ks_matches_textbook_two_sample_definition(spark, sf_dir):
     assert got.reject_h0 == (1 if round(d_stat, 9) > round(crit, 9) else 0)
 
 
+def test_mannwhitney_matches_average_rank_definition(spark, sf_dir):
+    """Round-9 differential: replay U and the tie-corrected z from the
+    CLASSICAL average-rank definition in pure python — sort the pooled
+    values, give tie groups their average rank, R_A = Σ ranks of A,
+    U = R_A − n_a(n_a+1)/2, σ with the Σ(t³−t) tie correction — so a
+    deviation in the doubled-integer rank fold that the oracle mirrors
+    is caught against the published test."""
+    import duckdb
+    import math
+    from fractions import Fraction
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(floor(o.o_totalprice) AS BIGINT),"
+        " CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey"
+        " WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')"
+    ).fetchall()
+    n_a = sum(f for _, f in rows)
+    n_b = len(rows) - n_a
+    # average ranks per tie group, exact via Fraction
+    r_a = Fraction(0)
+    tie3 = 0
+    by_v: dict = {}
+    for v, f in rows:
+        c = by_v.setdefault(v, [0, 0])
+        c[0] += 1
+        c[1] += f
+    rank_start = 1
+    for v in sorted(by_v):
+        t, a_in = by_v[v]
+        avg_rank = Fraction(2 * rank_start + t - 1, 2)
+        r_a += a_in * avg_rank
+        tie3 += t**3 - t
+        rank_start += t
+    u = r_a - Fraction(n_a * (n_a + 1), 2)
+    nn = n_a + n_b
+    mu = Fraction(n_a * n_b, 2)
+    sigma = math.sqrt(
+        n_a * n_b / 12 * ((nn + 1) - tie3 / (nn * (nn - 1)))
+    )
+    z = float(u - mu) / sigma
+    got = _Q["q_stats_mannwhitney"](spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (n_a, n_b)
+    assert got.u_stat == float(u)
+    assert abs(got.z_score - z) <= 1e-8, (got.z_score, z)
+
+
+def test_cusum_matches_published_definition(spark, sf_dir):
+    """Round-9 differential: CUSUM argmax replayed in pure python —
+    S_k = Σ_{i≤k}(x_i − x̄) over the daily series, pick the day where
+    |S_k| peaks (day tie-break) — exact Decimal accumulation of the
+    same 6dp deviations, so the argmax is replayed bit-for-bit."""
+    import duckdb
+    from decimal import Decimal
+
+    daily = duckdb.connect().execute(
+        "SELECT day, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+        " AS DOUBLE), 2) FROM (SELECT date_trunc('day', o_orderdate) AS"
+        f" day, o_totalprice FROM read_parquet('{sf_dir}/orders.parquet'))"
+        " GROUP BY day ORDER BY day"
+    ).fetchall()
+    mean = round(
+        float(sum(Decimal(str(r)) for _, r in daily)) / len(daily), 6
+    )
+    best = None
+    s = Decimal(0)
+    for day, rev in daily:
+        s += Decimal(str(round(rev - mean, 6)))
+        if best is None or abs(s) > best[0]:
+            best = (abs(s), day, float(s))
+    got = _Q["q_changepoint_cusum"](spark, sf_dir).collect()[0]
+    assert got.n_days == len(daily)
+    # duckdb date_trunc yields DATE, Spark a midnight TIMESTAMP
+    assert got.change_day.date() == best[1], (got.change_day, best[1])
+    assert abs(got.max_cusum - best[2]) <= 1e-6
+
+
 def test_mannwhitney_symmetric_samples_z_zero(spark):
     """Identical A/B samples ⇒ U = n_a·n_b/2 and z = 0 — replayed on the
     operator's integer rank-fold over a planted frame."""
