@@ -1,0 +1,294 @@
+"""Round-9 definitional differentials, batch 2 — pure-python replays
+of PUBLISHED measures for keys whose DuckDB oracles mirror the query's
+own construction (the mandatory discipline, back-filled): the oracle
+proves engine parity, these prove the SEMANTICS are the published
+formula. Counts/inputs come from duckdb (integers or mirrored
+derivations — engine-insensitive); every formula is recomputed in raw
+python/math on top of them.
+
+Tolerance policy: exact for integers and ranks; ≤ 5e-7 for 6dp-rounded
+fixed-IEEE trees over identical inputs; ≤ 2e-6 for 9dp-folded log2
+chains (python's math.log2 differs from the JVM's by 1 ulp on some
+args — the verify-skill rule: bit-exactness is for the driver oracle,
+python replays get tolerance).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from __spark_entry__ import oracle_sql, queries  # noqa: F401
+
+_Q = queries()
+
+
+def _toks(text: str) -> list[str]:
+    """Mirror operators/text.tokens: lowercase, split on whitespace,
+    drop empties."""
+    return [t for t in text.lower().split() if t]
+
+
+def test_token_entropy_matches_shannon_definition(spark, sf_dir):
+    """H = log2(n) − Σ c·log2(c)/n over per-doc unigram counts,
+    replayed with a fresh python tokenizer + math.log2 — validates
+    both the tokenization semantics and the entropy identity."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    got = {r["doc_id"]: r for r in _Q["q_token_entropy"](spark, sf_dir).collect()}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        cnt: dict = {}
+        for t in _toks(text):
+            cnt[t] = cnt.get(t, 0) + 1
+        n = sum(cnt.values())
+        h = math.log2(n) - sum(c * math.log2(c) for c in cnt.values()) / n
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(cnt)
+        assert abs(r["entropy"] - h) <= 2e-6, (doc_id, r["entropy"], h)
+
+
+def test_bigram_surprisal_matches_lm_definition(spark, sf_dir):
+    """Mean −log2 P(w2|w1) with P = C(w1,w2)/C(w1·) under the corpus's
+    own bigram LM, replayed from fresh python bigram counts — validates
+    the adjacent-pair construction (no self-join drift) and the
+    conditional-probability direction."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    bg: dict = {}
+    per_doc: dict = {}
+    for doc_id, text in docs:
+        ts = _toks(text)
+        pairs = list(zip(ts, ts[1:]))
+        if pairs:
+            per_doc[doc_id] = pairs
+        for p in pairs:
+            bg[p] = bg.get(p, 0) + 1
+    ug: dict = {}
+    for (w1, _), c in bg.items():
+        ug[w1] = ug.get(w1, 0) + c
+    got = {
+        r["doc_id"]: r for r in _Q["q_bigram_surprisal"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, pairs in per_doc.items():
+        mean = sum(
+            math.log2(ug[w1]) - math.log2(bg[(w1, w2)]) for w1, w2 in pairs
+        ) / len(pairs)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["mean_surprisal"] - mean) <= 2e-6
+
+
+def test_benford_matches_published_expected_shares(spark, sf_dir):
+    """Expected share of leading digit d is log10(1 + 1/d) — recomputed
+    FRESH here (validating the injected literals), with observed counts
+    and chi-square terms replayed from the raw money column."""
+    prices = [
+        p
+        for (p,) in duckdb.connect().execute(
+            f"SELECT o_totalprice FROM read_parquet('{sf_dir}/orders.parquet')"
+            " WHERE o_totalprice >= 1"
+        ).fetchall()
+    ]
+    obs: dict = {}
+    for p in prices:
+        d = int(str(int(math.floor(p)))[0])
+        obs[d] = obs.get(d, 0) + 1
+    n = sum(obs.values())
+    got = {r["digit"]: r for r in _Q["q_benford_digits"](spark, sf_dir).collect()}
+    assert set(got) == set(obs)
+    for d, c in obs.items():
+        e_share = math.log10(1 + 1 / d)
+        r = got[d]
+        assert r["n_obs"] == c
+        assert abs(r["obs_share"] - c / n) <= 5e-7
+        assert abs(r["benford_share"] - e_share) <= 5e-7
+        assert (
+            abs(r["chi2_term"] - (c - e_share * n) ** 2 / (e_share * n))
+            <= 5e-6
+        )
+
+
+def test_ewma_matches_truncated_definition(spark, sf_dir):
+    """Truncated EWMA: ŷ_k = Σ_{j<10} α(1−α)ʲ·x_{k−j} / Σ_{j<10} α(1−α)ʲ
+    with α = 0.3, replayed with FRESH python weights over the daily
+    series — validates the weight construction, the renormalization,
+    and the trailing-window alignment."""
+    daily = duckdb.connect().execute(
+        "SELECT day, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+        " AS DOUBLE), 2) FROM (SELECT date_trunc('day', o_orderdate) AS"
+        f" day, o_totalprice FROM read_parquet('{sf_dir}/orders.parquet'))"
+        " GROUP BY day ORDER BY day"
+    ).fetchall()
+    revs = [r for _, r in daily]
+    days = [d for d, _ in daily]
+    alpha = 0.3
+    w = [alpha * (1 - alpha) ** j for j in range(10)]
+    wsum = sum(w)
+    want = {}
+    for k in range(9, len(revs)):
+        num = 0.0
+        for j in range(10):
+            num += w[j] * revs[k - j]
+        want[days[k]] = num / wsum
+    got = {
+        r["day"].date(): r["ewma_10d"]
+        for r in _Q["q_ewma_trunc"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for day, v in want.items():
+        assert abs(got[day] - v) <= 5e-7, (day, got[day], v)
+
+
+def test_seasonal_index_matches_mean_ratio_definition(spark, sf_dir):
+    """Seasonal index = month total / mean month total, replayed from
+    the raw (month, quantity) pairs — validates the month extraction
+    and the ratio-to-mean normalization."""
+    rows = duckdb.connect().execute(
+        "SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT),"
+        f" l_quantity FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    tot: dict = {}
+    for m, qv in rows:
+        tot[m] = tot.get(m, 0) + qv
+    qty = {m: round(v, 2) for m, v in tot.items()}
+    mean = round(sum(qty.values()) / len(qty), 6)
+    got = {r["month"]: r for r in _Q["q_seasonal_index"](spark, sf_dir).collect()}
+    assert set(got) == set(qty)
+    for m in qty:
+        assert abs(got[m]["qty"] - qty[m]) <= 0.02  # float-sum vs dsum slack
+        assert abs(got[m]["seasonal_index"] - qty[m] / mean) <= 1e-5
+
+
+def test_rrf_matches_published_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion: per query, rank by rounded cosine (desc)
+    and rounded L2 (asc) with neighbor-id tie-breaks, keep top-10 each,
+    fuse with Σ 1/(60 + r), keep top-5 by (rrf desc, neighbor) — the
+    WHOLE pipeline replayed in python with the same left-to-right IEEE
+    folds, so ranks and fused scores reproduce exactly."""
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, embedding FROM"
+        f" read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    vecs = {i: [float(x) for x in e] for i, e in rows}
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def seq_sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def norm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    want = set()
+    for q in sorted(vecs):
+        if q >= 20:
+            continue
+        others = [c for c in vecs if c != q]
+        cos = sorted(
+            others,
+            key=lambda c: (
+                -round(seq_dot(vecs[q], vecs[c]) / (norm(vecs[q]) * norm(vecs[c])), 6),
+                c,
+            ),
+        )[:10]
+        l2 = sorted(
+            others, key=lambda c: (round(math.sqrt(seq_sq(vecs[q], vecs[c])), 6), c)
+        )[:10]
+        rrf: dict = {}
+        for r, c in enumerate(cos, 1):
+            rrf[c] = rrf.get(c, 0.0) + 1.0 / (60 + r)
+        for r, c in enumerate(l2, 1):
+            rrf[c] = rrf.get(c, 0.0) + 1.0 / (60 + r)
+        top5 = sorted(rrf, key=lambda c: (-rrf[c], c))[:5]
+        for c in top5:
+            want.add((q, c, round(rrf[c], 9)))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rrf"])
+        for r in _Q["q_sim_rrf_fusion"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_nb_langid_matches_multinomial_definition(spark, sf_dir):
+    """Multinomial Naive Bayes with Laplace smoothing replayed in pure
+    python: per-language token likelihoods log2((c+1)/(N_l+V)), doc
+    prior log2(d_l/d_all), argmax with language tie-break. Docs whose
+    python top-2 margin is inside the log2-ulp jitter band are exempt
+    from the argmax comparison (and counted — they must be rare)."""
+    docs = duckdb.connect().execute(
+        "SELECT doc_id, lang, text FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    c_lt: dict = {}
+    n_l: dict = {}
+    d_l: dict = {}
+    vocab = set()
+    toks_by_doc = {}
+    for doc_id, lang, text in docs:
+        ts = _toks(text)
+        toks_by_doc[doc_id] = ts
+        d_l[lang] = d_l.get(lang, 0) + 1
+        for t in ts:
+            c_lt[(lang, t)] = c_lt.get((lang, t), 0) + 1
+            n_l[lang] = n_l.get(lang, 0) + 1
+            vocab.add(t)
+    v = len(vocab)
+    d_all = len(docs)
+    langs = sorted(d_l)
+    prior = {
+        l: round(math.log2(d_l[l]) - math.log2(d_all), 9) for l in langs
+    }
+    ambiguous = 0
+    got = _Q["q_nb_langid"](spark, sf_dir).collect()
+    # replay per-doc scores and compare the aggregate confusion matrix,
+    # skipping jitter-ambiguous docs on BOTH sides via per-doc margins
+    per_doc_pred = {}
+    for doc_id, lang, text in docs:
+        scores = {}
+        for l in langs:
+            s = sum(
+                round(
+                    math.log2(c_lt.get((l, t), 0) + 1)
+                    - math.log2(n_l[l] + v),
+                    9,
+                )
+                for t in toks_by_doc[doc_id]
+            )
+            scores[l] = s + prior[l]
+        best = sorted(langs, key=lambda l: (-scores[l], l))
+        margin = scores[best[0]] - scores[best[1]]
+        if margin < 1e-6:
+            ambiguous += 1
+            per_doc_pred[doc_id] = None  # exempt
+        else:
+            per_doc_pred[doc_id] = (lang, best[0])
+    want: dict = {}
+    for p in per_doc_pred.values():
+        if p is not None:
+            want[p] = want.get(p, 0) + 1
+    got_cells = {(r["actual"], r["predicted"]): r["n_docs"] for r in got}
+    assert sum(got_cells.values()) == len(docs)
+    # ambiguity must be a rare fringe, not a loophole
+    assert ambiguous <= max(2, len(docs) // 100), ambiguous
+    for cell, c in want.items():
+        assert got_cells.get(cell, 0) >= c, (cell, c, got_cells.get(cell))
+    # every unambiguous python prediction is inside the spark cell
+    # counts; the ambiguous remainder accounts for the difference
+    assert sum(got_cells.values()) - sum(want.values()) == ambiguous
