@@ -292,3 +292,125 @@ def test_nb_langid_matches_multinomial_definition(spark, sf_dir):
     # every unambiguous python prediction is inside the spark cell
     # counts; the ambiguous remainder accounts for the difference
     assert sum(got_cells.values()) - sum(want.values()) == ambiguous
+
+
+# --- graph family: textbook replays (float, no quantization) ------------
+
+
+def _partkeys(sf_dir):
+    return [
+        k
+        for (k,) in duckdb.connect().execute(
+            f"SELECT p_partkey FROM read_parquet('{sf_dir}/part.parquet')"
+            " WHERE p_partkey >= 2"
+        ).fetchall()
+    ]
+
+
+def test_pagerank_matches_textbook_definition(spark, sf_dir):
+    """Damped PageRank with uniform teleport and uniform dangling
+    redistribution, replayed in plain python floats WITHOUT the
+    operator's 9dp per-step quantization — a damping/dangling semantics
+    deviation shows at 1e-6 while the quantization noise stays ~1e-8."""
+    edges = sorted({(k, k // 2) for k in _partkeys(sf_dir)})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out: dict = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(10):
+        contrib: dict = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + r[s] / out[s]
+        dangling = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: (1.0 - d) / n + d * contrib.get(v, 0.0) + d * dangling / n
+            for v in nodes
+        }
+    got = _Q["q_graph_pagerank"](spark, sf_dir).collect()
+    assert len(got) == 50
+    floor_50 = sorted(r.values(), reverse=True)[49]
+    for row in got:
+        assert abs(row["rank"] - r[row["node"]]) <= 1e-6, row
+        # every returned node belongs in the python top-50 (mod ties)
+        assert r[row["node"]] >= floor_50 - 1e-6
+
+
+def test_hits_matches_textbook_definition(spark, sf_dir):
+    """Kleinberg HITS: mutually-recursive hub/authority updates with
+    per-half-step L1 normalization, 8 iterations, replayed in plain
+    python floats — validates the update order (authority from hubs
+    first, then hubs from authorities) and the normalization."""
+    edges = sorted({(k, (k * k) % 97) for k in _partkeys(sf_dir)})
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(8):
+        a_raw: dict = {}
+        for s, t in edges:
+            a_raw[t] = a_raw.get(t, 0.0) + h[s]
+        norm = sum(a_raw.values())
+        a = {v: a_raw.get(v, 0.0) / norm for v in nodes}
+        h_raw: dict = {}
+        for s, t in edges:
+            h_raw[s] = h_raw.get(s, 0.0) + a[t]
+        norm = sum(h_raw.values())
+        h = {v: h_raw.get(v, 0.0) / norm for v in nodes}
+    got = _Q["q_graph_hits"](spark, sf_dir).collect()
+    assert len(got) == 30
+    floor_30 = sorted(a.values(), reverse=True)[29]
+    for row in got:
+        assert abs(row["authority"] - a[row["node"]]) <= 1e-6, row
+        assert abs(row["hub"] - h[row["node"]]) <= 1e-6, row
+        assert a[row["node"]] >= floor_30 - 1e-6
+
+
+def test_kcore_matches_peeling_fixpoint(spark, sf_dir):
+    """2-core by repeated deletion of degree<2 nodes, peeled in python
+    UNTIL THE FIXPOINT (not a fixed round count) — validates both the
+    core membership/degrees and that the query's 10 unrolled rounds
+    reach convergence on this graph."""
+    ks = _partkeys(sf_dir)
+    raw = [(k, k // 2) for k in ks] + [
+        (k, k + 1) for k in ks if k % 2 == 0 and (k + 1) in set(ks)
+    ]
+    edges = {(min(s, d), max(s, d)) for s, d in raw if s != d}
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, c in deg.items() if c >= 2}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {r["node"]: r["core_degree"] for r in _Q["q_graph_kcore"](spark, sf_dir).collect()}
+    assert got == deg
+
+
+def test_closure_matches_ancestor_chain_replay(spark, sf_dir):
+    """Transitive closure of the binary-tree parent edges: every node's
+    ancestor set is its halving chain k//2, k//4, ..., 1 — replayed
+    directly, so the path-doubling fixpoint is checked against the
+    closed form (the recursive-CTE oracle is itself independent; this
+    adds a third, engine-free witness)."""
+    counts: dict = {}
+    for k in _partkeys(sf_dir):
+        a = k // 2
+        while a >= 1:
+            counts[a] = counts.get(a, 0) + 1
+            if a < 2:
+                break
+            a //= 2
+    got = {
+        r["ancestor"]: r["n_descendants"]
+        for r in _Q["q_graph_closure"](spark, sf_dir).collect()
+    }
+    assert got == counts
