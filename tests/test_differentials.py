@@ -414,3 +414,68 @@ def test_closure_matches_ancestor_chain_replay(spark, sf_dir):
         for r in _Q["q_graph_closure"](spark, sf_dir).collect()
     }
     assert got == counts
+
+
+def test_zipf_matches_ols_definition(spark, sf_dir):
+    """Zipf fit: OLS of log2(count) on log2(rank) over the top-200
+    tokens (rank ties broken by token), replayed with fresh float
+    log2/products — validates the rank construction and the closed-form
+    slope/intercept/r² against the textbook least-squares formulas."""
+    docs = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    cnt: dict = {}
+    for (text,) in docs:
+        for t in _toks(text):
+            cnt[t] = cnt.get(t, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    xs = [math.log2(r) for r in range(1, len(top) + 1)]
+    ys = [math.log2(c) for _, c in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got = _Q["q_tokens_zipf"](spark, sf_dir).collect()[0]
+    assert got.n_ranks == n
+    assert abs(got.zipf_slope - slope) <= 1e-5
+    assert abs(got.intercept - intercept) <= 1e-5
+    assert abs(got.r2 - r2) <= 1e-5
+
+
+def test_vocab_growth_matches_heaps_curve_replay(spark, sf_dir):
+    """Heaps curve: cumulative tokens and cumulative DISTINCT vocab in
+    doc order at ten NTILE checkpoints, replayed in python with a set —
+    validates the first-occurrence accounting (each token charges
+    exactly one doc) and the exact-ntile boundary pick."""
+    docs = duckdb.connect().execute(
+        "SELECT doc_id, text FROM"
+        f" read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    seen: set = set()
+    cum_t = 0
+    curve = []  # (doc_id, cum_tokens, cum_vocab) per doc in order
+    for doc_id, text in docs:
+        ts = _toks(text)
+        cum_t += len(ts)
+        seen.update(ts)
+        curve.append((doc_id, cum_t, len(seen)))
+    n = len(curve)
+    q, r = divmod(n, 10)
+    want = {}
+    pos = 0
+    for dec in range(1, 11):
+        size = q + (1 if dec <= r else 0)
+        if size == 0:
+            continue
+        pos += size
+        doc_id, ct, cv = curve[pos - 1]  # boundary row: cums are monotone
+        want[dec] = (doc_id, ct, cv)
+    got = {
+        row["decile"]: (row["last_doc"], row["cum_tokens"], row["cum_vocab"])
+        for row in _Q["q_vocab_growth"](spark, sf_dir).collect()
+    }
+    assert got == want
