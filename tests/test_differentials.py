@@ -479,3 +479,83 @@ def test_vocab_growth_matches_heaps_curve_replay(spark, sf_dir):
         for row in _Q["q_vocab_growth"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_roc_auc_matches_probabilistic_definition(spark, sf_dir):
+    """AUC = P(score₊ > score₋) + ½·P(score₊ = score₋), counted
+    directly over all (positive, negative) pairs with bisect — the
+    definitional twin of the rank-sum identity the query (and its
+    oracle) use. Validates the label/score derivation end-to-end."""
+    import bisect
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(floor(o_totalprice) AS BIGINT),"
+        " CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    pos = sorted(v for v, p in rows if p)
+    neg = sorted(v for v, p in rows if not p)
+    wins = halves = 0
+    for v in pos:
+        lt = bisect.bisect_left(neg, v)
+        eq = bisect.bisect_right(neg, v) - lt
+        wins += lt
+        halves += eq
+    auc = (wins + halves / 2) / (len(pos) * len(neg))
+    got = _Q["q_roc_auc"](spark, sf_dir).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert abs(got.auc - auc) <= 1e-9, (got.auc, auc)
+
+
+def test_decile_lift_matches_sorted_replay(spark, sf_dir):
+    """The decile table replayed from a plain python sort: per-customer
+    spend (decimal HALF_UP at 2dp, mirroring F.round), rank by
+    (spend desc, custkey), exact-NTILE cut, per-decile size /
+    urgent rate / average spend — validating the hand-built
+    global_rank + ntile_from_rank machinery against the definition."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = duckdb.connect().execute(
+        "SELECT o_custkey, o_totalprice,"
+        " CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    spend: dict = {}
+    urgent: dict = {}
+    for ck, p, u in rows:
+        spend[ck] = spend.get(ck, Decimal(0)) + Decimal(str(p))
+        urgent[ck] = max(urgent.get(ck, 0), u)
+    spend = {
+        ck: float(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for ck, v in spend.items()
+    }
+    order = sorted(spend, key=lambda ck: (-spend[ck], ck))
+    n = len(order)
+    q, r = divmod(n, 10)
+    want = {}
+    pos = 0
+    for dec in range(1, 11):
+        size = q + (1 if dec <= r else 0)
+        if size == 0:
+            continue
+        grp = order[pos : pos + size]
+        pos += size
+        tot = sum(Decimal(str(spend[ck])) for ck in grp)
+        want[dec] = (
+            size,
+            round(sum(urgent[ck] for ck in grp) / size, 6),
+            round(float(tot) / size, 6),
+        )
+    got = {
+        row["decile"]: (
+            row["n_customers"],
+            row["urgent_rate"],
+            row["avg_spend"],
+        )
+        for row in _Q["q_decile_lift"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for dec in want:
+        assert got[dec][0] == want[dec][0]
+        assert abs(got[dec][1] - want[dec][1]) <= 5e-7
+        assert abs(got[dec][2] - want[dec][2]) <= 5e-5
