@@ -559,3 +559,39 @@ def test_decile_lift_matches_sorted_replay(spark, sf_dir):
         assert got[dec][0] == want[dec][0]
         assert abs(got[dec][1] - want[dec][1]) <= 5e-7
         assert abs(got[dec][2] - want[dec][2]) <= 5e-5
+
+
+def test_abc_matches_pareto_rule_replay(spark, sf_dir):
+    """ABC/Pareto classification replayed with exact Decimals: per-part
+    revenue Σ price·(1−disc), rank by (rev desc, partkey), class by the
+    integer-scaled cuts 100·cum ≤ 80·total (A) / ≤ 95·total (B) — the
+    published 80/95 rule checked independently of both engines' window
+    constructions."""
+    from decimal import Decimal
+
+    rows = duckdb.connect().execute(
+        "SELECT l_partkey, l_extendedprice, l_discount FROM"
+        f" read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    rev: dict = {}
+    for pk, price, disc in rows:
+        rev[pk] = rev.get(pk, Decimal(0)) + Decimal(str(price)) * (
+            Decimal(1) - Decimal(str(disc))
+        )
+    order = sorted(rev, key=lambda pk: (-rev[pk], pk))
+    total = sum(rev.values())
+    want: dict = {}
+    cum = Decimal(0)
+    for pk in order:
+        cum += rev[pk]
+        cls = "A" if 100 * cum <= 80 * total else ("B" if 100 * cum <= 95 * total else "C")
+        n, s = want.get(cls, (0, Decimal(0)))
+        want[cls] = (n + 1, s + rev[pk])
+    got = {
+        r["abc_class"]: r for r in _Q["q_abc_classification"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for cls, (n, s) in want.items():
+        assert got[cls]["n_parts"] == n
+        assert abs(got[cls]["class_revenue"] - float(s)) <= 0.02
+        assert abs(got[cls]["revenue_share"] - float(s / total)) <= 5e-7
