@@ -595,3 +595,59 @@ def test_abc_matches_pareto_rule_replay(spark, sf_dir):
         assert got[cls]["n_parts"] == n
         assert abs(got[cls]["class_revenue"] - float(s)) <= 0.02
         assert abs(got[cls]["revenue_share"] - float(s / total)) <= 5e-7
+
+
+def test_rfm_matches_quintile_replay(spark, sf_dir):
+    """RFM segmentation replayed from plain python sorts: recency days
+    to the corpus max date, frequency, HALF_UP-2dp monetary; three
+    independent exact-NTILE(5) cuts (recency asc / frequency desc /
+    monetary desc, custkey ties) — the triple application of the
+    ranking machinery checked against the definition."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = duckdb.connect().execute(
+        "SELECT o_custkey, o_orderdate, o_totalprice FROM"
+        f" read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    last: dict = {}
+    freq: dict = {}
+    mon: dict = {}
+    for ck, d, p in rows:
+        last[ck] = max(last.get(ck, d), d)
+        freq[ck] = freq.get(ck, 0) + 1
+        mon[ck] = mon.get(ck, Decimal(0)) + Decimal(str(p))
+    corpus_max = max(last.values())
+    rec = {ck: (corpus_max - v).days for ck, v in last.items()}
+    mon = {
+        ck: float(v.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        for ck, v in mon.items()
+    }
+
+    def quintile(order):
+        n = len(order)
+        q, r = divmod(n, 5)
+        out = {}
+        pos = 0
+        for b in range(1, 6):
+            size = q + (1 if b <= r else 0)
+            for ck in order[pos : pos + size]:
+                out[ck] = b
+            pos += size
+        return out
+
+    rq = quintile(sorted(rec, key=lambda ck: (rec[ck], ck)))
+    fq = quintile(sorted(freq, key=lambda ck: (-freq[ck], ck)))
+    mq = quintile(sorted(mon, key=lambda ck: (-mon[ck], ck)))
+    want: dict = {}
+    for ck in rec:
+        seg = f"R{rq[ck]}F{fq[ck]}M{mq[ck]}"
+        n, s = want.get(seg, (0, 0.0))
+        want[seg] = (n + 1, s + mon[ck])
+    got = {
+        r["segment"]: r for r in _Q["q_customer_rfm"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for seg, (n, s) in want.items():
+        assert got[seg]["n_customers"] == n
+        assert abs(got[seg]["total_monetary"] - s) <= 0.02
