@@ -651,3 +651,42 @@ def test_rfm_matches_quintile_replay(spark, sf_dir):
     for seg, (n, s) in want.items():
         assert got[seg]["n_customers"] == n
         assert abs(got[seg]["total_monetary"] - s) <= 0.02
+
+
+def test_funnel_matches_ordered_step_replay(spark, sf_dir):
+    """Strictly-ordered funnel (view → click → purchase, each step's
+    FIRST occurrence strictly after the previous step's time) replayed
+    per user in python from the raw event stream — validates the
+    min-after-previous-step semantics against e.g. any-order or
+    same-timestamp counting."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+        " WHERE event_type IN ('view', 'click', 'purchase')"
+    ).fetchall()
+    by_user: dict = {}
+    for u, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min(
+            (ts for ts, et in evs if et == "click" and ts > t1), default=None
+        )
+        if t2 is None:
+            continue
+        n2 += 1
+        if any(et == "purchase" and ts > t2 for ts, et in evs):
+            n3 += 1
+    got = {
+        r["stage"]: r["n_users"]
+        for r in _Q["q_funnel_conversion"](spark, sf_dir).collect()
+    }
+    assert got == {
+        "view": n1,
+        "view>click": n2,
+        "view>click>purchase": n3,
+    }
