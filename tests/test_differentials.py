@@ -690,3 +690,38 @@ def test_funnel_matches_ordered_step_replay(spark, sf_dir):
         "view>click": n2,
         "view>click>purchase": n3,
     }
+
+
+def test_retention_cohorts_matches_week_replay(spark, sf_dir):
+    """Weekly retention: cohort = Monday-start week of each user's
+    first event, one count per DISTINCT (cohort, week-offset) of later
+    activity — replayed in python with datetime arithmetic (validates
+    the week truncation convention and the count-once-per-week
+    semantics)."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+
+    def week_start(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())  # Monday start
+
+    first: dict = {}
+    for u, ts in rows:
+        first[u] = min(first.get(u, ts), ts)
+    cohort = {u: week_start(ts) for u, ts in first.items()}
+    cells: set = set()
+    for u, ts in rows:
+        off = (week_start(ts) - cohort[u]).days // 7
+        cells.add((u, cohort[u], off))
+    want: dict = {}
+    for _, cw, off in cells:
+        want[(cw, off)] = want.get((cw, off), 0) + 1
+    got = {
+        (r["cohort_week"].date(), r["week_offset"]): r["n_users"]
+        for r in _Q["q_retention_cohorts"](spark, sf_dir).collect()
+    }
+    assert got == want
