@@ -725,3 +725,99 @@ def test_retention_cohorts_matches_week_replay(spark, sf_dir):
         for r in _Q["q_retention_cohorts"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_skyline_matches_dominance_definition(spark, sf_dir):
+    """2-D Pareto frontier by the dominance DEFINITION (a point
+    survives iff no other point is ≤ price and ≥ size with one strict)
+    — a third witness beside the query's O(n log n) sweep and the
+    oracle's quadratic NOT EXISTS."""
+    pts = {
+        (p, s)
+        for p, s in duckdb.connect().execute(
+            "SELECT DISTINCT p_retailprice, p_size FROM"
+            f" read_parquet('{sf_dir}/part.parquet')"
+        ).fetchall()
+    }
+    want = {
+        (p, s)
+        for p, s in pts
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s) for qp, qs in pts
+        )
+    }
+    got = {
+        (r["price"], r["size"])
+        for r in _Q["q_skyline_pareto"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_apportion_matches_largest_remainder_method(spark, sf_dir):
+    """Hamilton/largest-remainder apportionment replayed in python:
+    floor the ideal share of 1000 slots, hand the leftover to the
+    largest remainders (source-name ties) — and the defining invariant,
+    Σ slots == 1000 exactly."""
+    counts = dict(
+        duckdb.connect().execute(
+            "SELECT source, COUNT(*) FROM"
+            f" read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
+        ).fetchall()
+    )
+    n = sum(counts.values())
+    base = {s: 1000 * c // n for s, c in counts.items()}
+    rem = {s: 1000 * c % n for s, c in counts.items()}
+    leftover = 1000 - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    slots = {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+    got = {r["source"]: r for r in _Q["q_apportion_slots"](spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    assert sum(r["slots"] for r in got.values()) == 1000
+    for s in counts:
+        assert got[s]["n_docs"] == counts[s]
+        assert got[s]["base"] == base[s]
+        assert got[s]["slots"] == slots[s]
+
+
+def test_attribution_last_touch_matches_rule_replay(spark, sf_dir):
+    """Last-touch attribution replayed per purchase in python: clicks
+    of the same user in the trailing one-hour window (inclusive ends),
+    count them, pick the latest (click-id ties broken high) — pins the
+    window bounds and the tie rule."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+        " WHERE event_type IN ('click', 'purchase')"
+    ).fetchall()
+    clicks: dict = {}
+    for eid, u, et, ts in rows:
+        if et == "click":
+            clicks.setdefault(u, []).append((ts, eid))
+    want = {}
+    hour = datetime.timedelta(hours=1)
+    for eid, u, et, ts in rows:
+        if et != "purchase":
+            continue
+        cand = [
+            (cts, cid)
+            for cts, cid in clicks.get(u, [])
+            if ts - hour <= cts <= ts
+        ]
+        if cand:
+            last = max(cand)  # latest ts, then highest click_id
+            want[eid] = (u, ts, len(cand), last[0], last[1])
+    got = {
+        r["buy_id"]: (
+            r["user_id"],
+            r["buy_ts"],
+            r["n_clicks"],
+            r["last_click_ts"],
+            r["last_click_id"],
+        )
+        for r in _Q["q_attribution_last_touch"](spark, sf_dir).collect()
+    }
+    assert got == want
