@@ -821,3 +821,109 @@ def test_attribution_last_touch_matches_rule_replay(spark, sf_dir):
         for r in _Q["q_attribution_last_touch"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streak_islands_matches_consecutive_run_replay(spark, sf_dir):
+    """Gaps-and-islands: per user, the LONGEST run of consecutive
+    active days (earliest-start ties), streaks >= 3 only — replayed
+    with a direct day-walk over the sorted distinct-day list,
+    independent of the day−row_number anchor trick."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS"
+        " TIMESTAMP)) AS DATE) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    days: dict = {}
+    for u, d in rows:
+        days.setdefault(u, []).append(d)
+    want = {}
+    one = datetime.timedelta(days=1)
+    for u, ds in days.items():
+        ds.sort()
+        best = None  # (len, start, end)
+        start = prev = ds[0]
+        for d in ds[1:] + [None]:
+            if d is not None and d == prev + one:
+                prev = d
+                continue
+            run = ((prev - start).days + 1, start, prev)
+            if best is None or run[0] > best[0] or (
+                run[0] == best[0] and run[1] < best[1]
+            ):
+                best = run
+            if d is not None:
+                start = prev = d
+        if best[0] >= 3:
+            want[u] = best
+    got = {
+        r["user_id"]: (
+            r["streak_days"],
+            r["streak_start"].date(),
+            r["streak_end"].date(),
+        )
+        for r in _Q["q_streak_islands"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_event_transitions_matches_markov_count_replay(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    sequences ordered by (ts, event_id) — replayed with a plain python
+    sort per user."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user: dict = {}
+    for u, eid, et, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    want: dict = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in _Q["q_event_transitions"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gapfill_interp_matches_linear_definition(spark, sf_dir):
+    """Linear interpolation on the day grid: for each missing day,
+    v = prev + (next − prev)·(Δdays/Δspan) between the neighboring
+    OBSERVED days — replayed per user in python (validates neighbor
+    selection and the interpolation formula, not just bounds)."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, CAST(ts AS DATE), ROUND(CAST(SUM(CAST(value AS"
+        " DECIMAL(18,6))) AS DOUBLE), 6) FROM"
+        f" read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    import datetime
+
+    daily: dict = {}
+    for u, d, v in rows:
+        daily.setdefault(u, {})[d] = v
+    one = datetime.timedelta(days=1)
+    want = {}
+    for u, dv in daily.items():
+        ds = sorted(dv)
+        obs = ds
+        for i, (a, b) in enumerate(zip(obs, obs[1:])):
+            want[(u, a)] = (dv[a], True)
+            d = a + one
+            while d < b:
+                frac = (d - a).days / (b - a).days
+                want[(u, d)] = (round(dv[a] + (dv[b] - dv[a]) * frac, 6), False)
+                d += one
+        want[(u, obs[-1])] = (dv[obs[-1]], True)
+    got = {
+        (r["user_id"], r["day"].date()): (r["value_filled"], r["observed"])
+        for r in _Q["q_gapfill_interp"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (v, o) in want.items():
+        assert got[k][1] == o, k
+        assert abs(got[k][0] - v) <= 1e-9, (k, got[k][0], v)
