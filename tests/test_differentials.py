@@ -927,3 +927,73 @@ def test_gapfill_interp_matches_linear_definition(spark, sf_dir):
     for k, (v, o) in want.items():
         assert got[k][1] == o, k
         assert abs(got[k][0] - v) <= 1e-9, (k, got[k][0], v)
+
+
+def test_concurrency_sweep_matches_direct_count(spark, sf_dir):
+    """The delta/cumsum sweep-line rewrite vs the DEFINITION: for every
+    emitted step day, n_active = #users whose [first-day, last-day]
+    span covers it, counted directly."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, MIN(CAST(date_trunc('day', CAST(ts AS"
+        " TIMESTAMP)) AS DATE)), MAX(CAST(date_trunc('day', CAST(ts AS"
+        " TIMESTAMP)) AS DATE)) FROM"
+        f" read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"
+    ).fetchall()
+    spans = [(lo, hi) for _, lo, hi in rows]
+    got = _Q["q_concurrent_users_sweep"](spark, sf_dir).collect()
+    assert got
+    for r in got:
+        day = r["day"].date()
+        direct = sum(1 for lo, hi in spans if lo <= day <= hi)
+        assert r["n_active"] == direct, (day, r["n_active"], direct)
+
+
+def test_rolling_wau_matches_direct_window_count(spark, sf_dir):
+    """The first-occurrence/contribution rewrite vs the DEFINITION:
+    wau(day) = distinct users with any activity in [day−6, day],
+    counted directly per active day."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT DISTINCT user_id, CAST(ts AS DATE) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_day: dict = {}
+    for u, d in rows:
+        by_day.setdefault(d, set()).add(u)
+    days = sorted(by_day)
+    got = {
+        r["day"].date(): r["wau_7d"]
+        for r in _Q["q_rolling_active_users"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(days)
+    for d in days:
+        window = set()
+        for k in range(7):
+            window |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert got[d] == len(window), (d, got[d], len(window))
+
+
+def test_session_paths_matches_journey_replay(spark, sf_dir):
+    """Top user journeys: per (user, day) the first five events by
+    (ts, event_id) joined with '>', top-20 paths by (count desc, path)
+    — replayed with plain python sorts."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, CAST(ts AS DATE), CAST(ts AS TIMESTAMP),"
+        " event_id, event_type FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_ud: dict = {}
+    for u, d, ts, eid, et in rows:
+        by_ud.setdefault((u, d), []).append((ts, eid, et))
+    counts: dict = {}
+    for evs in by_ud.values():
+        evs.sort()
+        path = ">".join(et for _, _, et in evs[:5])
+        counts[path] = counts.get(path, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["path"], r["n_user_days"])
+        for r in _Q["q_session_paths"](spark, sf_dir).collect()
+    ]
+    assert got == want
