@@ -997,3 +997,106 @@ def test_session_paths_matches_journey_replay(spark, sf_dir):
         for r in _Q["q_session_paths"](spark, sf_dir).collect()
     ]
     assert got == want
+
+
+# --- deterministic sampling family: exact hash-rule replays --------------
+# (the r5 nondeterminism bug class: any layout-derived selection is a
+# latent hazard — these pin each rule as a pure function of the data)
+
+
+def test_sample_hash_matches_md5_rule_exactly(spark, sf_dir):
+    """Content-hash sampling: keep iff md5(key)[:4] < '199a' — replayed
+    with hashlib, exact set equality on the kept keys."""
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        "SELECT o_orderkey, o_totalprice FROM"
+        f" read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    want = {
+        (k, p)
+        for k, p in rows
+        if hashlib.md5(str(k).encode()).hexdigest()[:4] < "199a"
+    }
+    got = {
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in _Q["q_sample_hash"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sample_systematic_matches_every_kth_rule(spark, sf_dir):
+    """Systematic sampling: rank all orders by (o_orderdate,
+    o_orderkey), keep every 50th — replayed with a plain python sort,
+    exact row equality (this key's r5 bug WAS layout-derived rank
+    nondeterminism; the replay pins the selection as a pure function
+    of the data)."""
+    rows = duckdb.connect().execute(
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM"
+        f" read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    want = {
+        (i + 1, k, p)
+        for i, (k, p, _) in enumerate(order)
+        if (i + 1) % 50 == 0
+    }
+    got = {
+        (r["sample_rank"], r["o_orderkey"], r["o_totalprice"])
+        for r in _Q["q_sample_systematic"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_split_assign_matches_hash_bucket_rule(spark, sf_dir):
+    """Train/val/test split: md5(doc_id)[:4] against the '199a'/'e666'
+    cut points (~10/80/10) — replayed with hashlib, exact counts."""
+    import hashlib
+
+    ids = [
+        d
+        for (d,) in duckdb.connect().execute(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    ]
+    want: dict = {}
+    for d in ids:
+        b = hashlib.md5(str(d).encode()).hexdigest()[:4]
+        split = "test" if b < "199a" else ("train" if b < "e666" else "val")
+        want[split] = want.get(split, 0) + 1
+    got = {
+        r["split"]: r["n_docs"]
+        for r in _Q["q_split_assign"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_domain_quota_matches_keyed_hash_rule(spark, sf_dir):
+    """Per-source quota: keep the 5 docs with the smallest
+    md5('quota:' || doc_id) per source (doc_id ties) — replayed with
+    hashlib, exact (source, doc_id) set equality."""
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        "SELECT source, doc_id FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    by_src: dict = {}
+    for s, d in rows:
+        by_src.setdefault(s, []).append(d)
+    want = set()
+    for s, ds in by_src.items():
+        picked = sorted(
+            ds,
+            key=lambda d: (
+                hashlib.md5(f"quota:{d}".encode()).hexdigest(),
+                d,
+            ),
+        )[:5]
+        for rank, d in enumerate(picked, 1):
+            want.add((s, d, rank))
+    got = {
+        (r["source"], r["doc_id"], r["rn"])
+        for r in _Q["q_domain_quota_sample"](spark, sf_dir).collect()
+    }
+    assert got == want
