@@ -1100,3 +1100,36 @@ def test_domain_quota_matches_keyed_hash_rule(spark, sf_dir):
         for r in _Q["q_domain_quota_sample"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_sample_weighted_matches_sequential_poisson_rule(spark, sf_dir):
+    """Sequential Poisson sampling (Ohlsson 1998): priority =
+    (u32(md5) · 10⁶) div weight, k smallest win (doc_id ties) —
+    replayed with hashlib integer arithmetic, exact row equality
+    including the priorities."""
+    import hashlib
+
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, source, n_chars FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    scored = [
+        (
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            * 1000000
+            // n,
+            d,
+            s,
+            n,
+        )
+        for d, s, n in rows
+    ]
+    want = {
+        (d, s, n, pri)
+        for pri, d, s, n in sorted(scored, key=lambda t: (t[0], t[1]))[:100]
+    }
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"], r["priority"])
+        for r in _Q["q_sample_weighted"](spark, sf_dir).collect()
+    }
+    assert got == want
