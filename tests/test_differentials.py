@@ -1133,3 +1133,104 @@ def test_sample_weighted_matches_sequential_poisson_rule(spark, sf_dir):
         for r in _Q["q_sample_weighted"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_hist_equidepth_matches_bucket_rule(spark, sf_dir):
+    """Equi-depth histogram on the dollar-floored domain: bucket =
+    min(ceil(cum·8/n), 8) per VALUE GROUP (groups never split), with
+    per-bucket counts and [lo, hi] — replayed with a python cumsum."""
+    rows = duckdb.connect().execute(
+        "SELECT CAST(floor(o_totalprice) AS BIGINT), COUNT(*) FROM"
+        f" read_parquet('{sf_dir}/orders.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n = sum(c for _, c in rows)
+    want: dict = {}
+    cum = 0
+    for v, c in rows:
+        cum += c
+        b = min(-((-cum * 8) // n), 8)  # ceil via neg floor-div
+        nr, lo, hi = want.get(b, (0, v, v))
+        want[b] = (nr + c, min(lo, v), max(hi, v))
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in _Q["q_hist_equidepth"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_time_to_convert_matches_lag_quantile_replay(spark, sf_dir):
+    """First-view → first-purchase-after-view lag in whole seconds,
+    with linearly-interpolated quantiles (the quantile_cont/percentile
+    convention: rank = (n−1)·p, lerp between neighbors) — replayed in
+    python from the raw event stream."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, event_type, CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+        " WHERE event_type IN ('view', 'purchase')"
+    ).fetchall()
+    epoch = datetime.datetime(1970, 1, 1)
+    fv: dict = {}
+    for u, et, ts in rows:
+        if et == "view":
+            fv[u] = min(fv.get(u, ts), ts)
+    fp: dict = {}
+    for u, et, ts in rows:
+        if et == "purchase" and u in fv and ts >= fv[u]:
+            fp[u] = min(fp.get(u, ts), ts)
+    lags = sorted(
+        int((fp[u] - epoch).total_seconds() // 1)
+        - int((fv[u] - epoch).total_seconds() // 1)
+        for u in fp
+    )
+
+    def qcont(p):
+        r = (len(lags) - 1) * p
+        i = int(r)
+        frac = r - i
+        return lags[i] + (lags[min(i + 1, len(lags) - 1)] - lags[i]) * frac
+
+    got = _Q["q_time_to_convert"](spark, sf_dir).collect()[0]
+    assert got.n_converted == len(lags)
+    assert abs(got.p25_sec - qcont(0.25)) <= 1e-6
+    assert abs(got.p50_sec - qcont(0.50)) <= 1e-6
+    assert abs(got.p90_sec - qcont(0.90)) <= 1e-6
+
+
+def test_anomaly_days_matches_trailing_z_rule(spark, sf_dir):
+    """Trailing-window anomaly rule replayed day-by-day: mean/variance
+    over the 14-preceding-to-1-preceding frame (population form via
+    E[x²]−E[x]², 6dp per the declared float discipline), flag iff
+    n_trail ≥ 7, var > 0 and |z| > 2 — validates the frame bounds and
+    the rule, not just the arithmetic."""
+    daily = duckdb.connect().execute(
+        "SELECT day, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+        " AS DOUBLE), 2) FROM (SELECT date_trunc('day', o_orderdate) AS"
+        f" day, o_totalprice FROM read_parquet('{sf_dir}/orders.parquet'))"
+        " GROUP BY day ORDER BY day"
+    ).fetchall()
+    want = {}
+    for i, (day, rev) in enumerate(daily):
+        trail = [r for _, r in daily[max(0, i - 14) : i]]
+        if len(trail) < 7:
+            continue
+        m = round(sum(trail) / len(trail), 6)
+        var = round(
+            max(sum(r * r for r in trail) / len(trail) - (sum(trail) / len(trail)) ** 2, 0.0),
+            6,
+        )
+        if var <= 0:
+            continue
+        z = (rev - m) / math.sqrt(var)
+        if abs(z) > 2.0:
+            want[day] = (rev, m, round(z, 6))
+    got = {
+        r["day"].date(): (r["revenue"], r["trail_mean"], r["z"])
+        for r in _Q["q_anomaly_days"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, (rev, m, z) in want.items():
+        assert got[d][0] == rev
+        assert abs(got[d][1] - m) <= 1e-6
+        assert abs(got[d][2] - z) <= 1e-4
