@@ -1234,3 +1234,74 @@ def test_anomaly_days_matches_trailing_z_rule(spark, sf_dir):
         assert got[d][0] == rev
         assert abs(got[d][1] - m) <= 1e-6
         assert abs(got[d][2] - z) <= 1e-4
+
+
+def test_text_containment_matches_definition(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.5 over
+    discriminative word-3-shingles (document frequency in [2, 20]) —
+    replayed with python sets from a fresh tokenizer."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    sh: dict = {}
+    for doc_id, text in docs:
+        ts = _toks(text)
+        sh[doc_id] = {
+            " ".join(ts[i : i + 3]) for i in range(len(ts) - 2)
+        }
+    df: dict = {}
+    for s in sh.values():
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    disc = {
+        d: {g for g in s if 2 <= df[g] <= 20} for d, s in sh.items()
+    }
+    want = {}
+    ids = sorted(disc)
+    for i, a in enumerate(ids):
+        if not disc[a]:
+            continue
+        for b in ids[i + 1 :]:
+            shared = len(disc[a] & disc[b])
+            if shared and round(shared / len(disc[a]), 6) >= 0.5:
+                want[(a, b)] = (shared, round(shared / len(disc[a]), 6))
+    got = {
+        (r["a_id"], r["b_id"]): (r["shared"], r["containment"])
+        for r in _Q["q_text_containment"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (s, c) in want.items():
+        assert got[k][0] == s
+        assert abs(got[k][1] - c) <= 1e-6
+
+
+def test_embedding_cohesion_matches_centroid_definition(spark, sf_dir):
+    """Label cohesion: centroid = per-label mean vector, per-vector
+    cosine to it, per-label mean/min — replayed with plain python
+    float arithmetic (the query's decimal folds stay within 5e-5 of
+    the unfolded definition)."""
+    rows = duckdb.connect().execute(
+        "SELECT vec_id, label, embedding FROM"
+        f" read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    by_label: dict = {}
+    for vid, lab, emb in rows:
+        by_label.setdefault(lab, []).append([float(x) for x in emb])
+    got = {r["label"]: r for r in _Q["q_embedding_cohesion"](spark, sf_dir).collect()}
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        dim = len(vecs[0])
+        cent = [sum(v[i] for v in vecs) / len(vecs) for i in range(dim)]
+        cnorm = math.sqrt(sum(c * c for c in cent))
+        coss = []
+        for v in vecs:
+            vn = math.sqrt(sum(x * x for x in v))
+            if vn > 0 and cnorm > 0:
+                coss.append(
+                    sum(x * c for x, c in zip(v, cent)) / (vn * cnorm)
+                )
+        r = got[lab]
+        assert r["n_vecs"] == len(vecs)
+        assert abs(r["centroid_norm"] - cnorm) <= 5e-5
+        assert abs(r["mean_cos"] - sum(coss) / len(coss)) <= 5e-5
+        assert abs(r["min_cos"] - min(coss)) <= 5e-5
