@@ -1305,3 +1305,116 @@ def test_embedding_cohesion_matches_centroid_definition(spark, sf_dir):
         assert abs(r["centroid_norm"] - cnorm) <= 5e-5
         assert abs(r["mean_cos"] - sum(coss) / len(coss)) <= 5e-5
         assert abs(r["min_cos"] - min(coss)) <= 5e-5
+
+
+def test_sessionization_matches_gap_rule_replay(spark, sf_dir):
+    """30-minute-gap sessionization replayed per user in python: sort
+    by (ts, event_id), open a new session when the gap STRICTLY exceeds
+    30 minutes, report per-session start/end/count — pins the strict
+    inequality and the tie order."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, event_id, CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user: dict = {}
+    for u, eid, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    gap = datetime.timedelta(minutes=30)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        cur = [evs[0][0]]
+        prev = evs[0][0]
+        for ts, _ in evs[1:]:
+            if ts - prev > gap:
+                want[(u, sid)] = (cur[0], prev, len(cur))
+                sid += 1
+                cur = []
+            cur.append(ts)
+            prev = ts
+        want[(u, sid)] = (cur[0], prev, len(cur))
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+        )
+        for r in _Q["q_events_session"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_scd2_matches_interval_replay(spark, sf_dir):
+    """SCD-2 build replayed per user: collapse the (ts, event_id)-sorted
+    change log to state-change rows, each valid [its ts, next change's
+    ts) with the final interval open — pins change detection (first row
+    always a change; equal-adjacent collapse) and the version counter."""
+    rows = duckdb.connect().execute(
+        "SELECT user_id, event_type, CAST(ts AS TIMESTAMP), event_id"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user: dict = {}
+    for u, et, ts, eid in rows:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    want = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        changes = []
+        prev = None
+        for ts, _, et in evs:
+            if prev is None or et != prev:
+                changes.append((ts, et))
+            prev = et
+        for i, (ts, et) in enumerate(changes):
+            eff_to = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.add((u, et, ts, eff_to, i + 1))
+    got = {
+        (
+            r["user_id"],
+            r["state"],
+            r["effective_from"],
+            r["effective_to"],
+            r["version"],
+        )
+        for r in _Q["q_scd2_dimension"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_gapfill_ffill_matches_locf_replay(spark, sf_dir):
+    """Last-observation-carried-forward on the fixed January grid,
+    zero before the first observation — replayed per (user, day) in
+    python."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)),"
+        " ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    daily: dict = {}
+    users = set()
+    for u, d, v in rows:
+        users.add(u)
+        daily[(u, d.date() if hasattr(d, "date") else d)] = v
+    grid = [
+        datetime.date(2024, 1, 1) + datetime.timedelta(days=k)
+        for k in range(30)
+    ]
+    want = {}
+    for u in users:
+        last = 0.0
+        for d in grid:
+            if (u, d) in daily:
+                last = daily[(u, d)]
+            want[(u, d)] = last
+    got = {
+        (r["user_id"], r["day"].date()): r["filled_value"]
+        for r in _Q["q_gapfill_ffill"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-9, (k, got[k], v)
