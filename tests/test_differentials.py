@@ -1418,3 +1418,32 @@ def test_gapfill_ffill_matches_locf_replay(spark, sf_dir):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-9, (k, got[k], v)
+
+
+def test_sliding_windows_match_epoch_aligned_assignment(spark, sf_dir):
+    """Sliding windows (1h every 15min): each event belongs to exactly
+    the four epoch-aligned window starts s with ts−1h < s ≤ ts —
+    replayed per event in python (validates Spark's window() alignment
+    convention against the oracle's independent grid range-join)."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT CAST(ts AS TIMESTAMP) FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    slide = datetime.timedelta(minutes=15)
+    hour = datetime.timedelta(hours=1)
+    want: dict = {}
+    for (ts,) in rows:
+        floor15 = ts.replace(
+            minute=ts.minute - ts.minute % 15, second=0, microsecond=0
+        )
+        for k in range(4):
+            s = floor15 - k * slide
+            if ts - hour < s <= ts:
+                want[s] = want.get(s, 0) + 1
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in _Q["q_events_sliding"](spark, sf_dir).collect()
+    }
+    assert got == want
