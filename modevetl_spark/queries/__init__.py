@@ -252,6 +252,32 @@ _GRADED_R8 = frozenset(
     }
 )
 
+# The 50 keys CORRECTNESS_r09.json graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that drained the 14-key wave10+wave11
+# staged wave, re-pinned q_sketch_countmin after the NULL-key hardening,
+# cleared the r3-vintage cohort, and started on r4 rotation).
+_GRADED_R9 = frozenset(
+    {
+        "q_agg_basic", "q_agg_geomean", "q_agg_mode",
+        "q_agg_string_agg", "q_bpe_merges", "q_bucket_duration",
+        "q_cooccur_pmi", "q_cube_time", "q_dedup_corpus",
+        "q_dedup_minhash", "q_dedup_simhash", "q_doc_lm_score",
+        "q_embedding_pca", "q_eval_ndcg", "q_except",
+        "q_graph_closure", "q_intersect", "q_join_anti",
+        "q_join_asof", "q_join_left", "q_join_multi",
+        "q_join_range", "q_join_semi", "q_join_theta",
+        "q_jx_computed_edge", "q_jx_cube", "q_jx_named_dimension",
+        "q_linkage_weights", "q_mine_hard_negatives", "q_minhash_signatures",
+        "q_mixture_temperature", "q_rank_rbo", "q_sim_topk_lsh",
+        "q_sketch_countmin", "q_sketch_hll", "q_snapshot_diff",
+        "q_sort_limit", "q_sort_multi", "q_source_js_divergence",
+        "q_textrank_keywords", "q_token_burstiness", "q_topk_per_group",
+        "q_tpch_shipping_priority", "q_union", "q_unseen_mass",
+        "q_window_cumsum", "q_window_lag_lead", "q_window_moving_avg",
+        "q_window_ntile", "q_window_rank",
+    }
+)
+
 # Round-9 window arithmetic (executes the r8 verdict's top item): with
 # _GRADED_R8 landed and _STAGED_R9 retired, the window pins, in order:
 # the 14 wave10+wave11 keys (never graded, priority 0, draining exactly
@@ -262,16 +288,23 @@ _GRADED_R8 = frozenset(
 # pin committed; the remaining 35 slots clear ALL r3 evidence and start
 # on r4 (verdict item 2).
 #
-# q_sketch_countmin re-pins because the round-9 family-wide NULL-key
-# hardening touched countmin_state (a no-op on its NULL-free graded
-# input, but changed code must never sit outside the window);
-# q_sketch_hll's producer changed likewise but it is already a
-# priority-0 drain key this round.
-_CHANGED_R9_PIN: frozenset[str] = frozenset({"q_sketch_countmin"})
+# Round-10 window arithmetic (executes the r9 verdict's top item): no
+# staged tier exists anymore (the registry is saturated at 274, all
+# green), so the window is pure evidence hygiene — changed-key re-pins
+# (priority 0.5) followed by stalest-evidence rotation: the entire
+# 34-key r4-vintage cohort plus the head of the r5 cohort fills the
+# remaining slots.
+#
+# q_sketch_hll re-pins because this round's ADVICE fix changed its
+# ORACLE (the DuckDB _HLL_ORACLE's sketch half gained the NULL-key
+# filter matching the engine side) — a changed oracle is a changed key
+# definition and must never sit outside the grading window.
+_CHANGED_R10_PIN: frozenset[str] = frozenset({"q_sketch_hll"})
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (9, _GRADED_R9),
         (8, _GRADED_R8),
         (7, _GRADED_R7),
         (6, _GRADED_R6),
@@ -286,23 +319,23 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# ROUND-10 BOOKKEEPING SCRIPT (the same three steps as r8→r9):
-#   1. Record _GRADED_R9 = the 50 keys of CORRECTNESS_r09.json (verify
-#      all pass first), add it to _freshest_round's chain at rank 9.
-#   2. Re-point _CHANGED_R9_PIN → _CHANGED_R10_PIN (empty unless a
-#      graded key's implementation changed); rotation slots go to the
-#      stalest evidence — after r9 grades, that is the remaining
-#      r4-vintage cohort (~33 keys), then r5.
-#   3. There is no _STAGED_R10 tier (nothing was staged in round 9 —
-#      the operator space is saturated per the r8 verdict); any new key
-#      built in round 9+ drains immediately as never-graded priority 0.
+# ROUND-11 BOOKKEEPING SCRIPT (the same three steps as r9→r10):
+#   1. Record _GRADED_R10 = the 50 keys of CORRECTNESS_r10.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 10.
+#   2. Re-point _CHANGED_R10_PIN → _CHANGED_R11_PIN (empty unless a
+#      graded key's implementation OR oracle changed); rotation slots go
+#      to the stalest evidence — after r10 grades, that is the remaining
+#      r5-vintage cohort (~33 keys), then r6.
+#   3. There is no staged tier (the operator space is saturated per the
+#      r8/r9 verdicts); any new key built drains immediately as
+#      never-graded priority 0.
 # Update tests/test_contract.py's window-composition asserts.
 
 
 def _grading_priority(key: str) -> float:
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R9_PIN:
+    if key in _CHANGED_R10_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

@@ -63,9 +63,14 @@ _HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, m = 64)
 
 _HLL_ORACLE = f"""
 WITH h AS (
+    -- NULL keys carry no identity (COUNT DISTINCT semantics) — mirrors
+    -- the engine-side .where(isNotNull) filter in hll_state; without it
+    -- md5(NULL)=NULL yields a j=NULL register row that inflates n_regs
+    -- while contributing nothing to s_hit.
     SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
                 AS BIGINT) AS h32
     FROM lineitem
+    WHERE l_partkey IS NOT NULL
 ),
 jr AS (
     SELECT h32 // {1 << _HLL_WBITS} AS j,

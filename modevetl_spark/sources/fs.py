@@ -136,13 +136,20 @@ def fs_rename_into_dir(
     fs, hsrc = _fs_and_path(spark, src_file)
     jvm = spark._jvm
     hdir = jvm.org.apache.hadoop.fs.Path(dest_dir)
-    fs.mkdirs(hdir)
+    # Hadoop FileSystem reports most failures (source vanished under a
+    # concurrent run, cross-filesystem rename, permissions) by returning
+    # false rather than throwing — an unchecked false here would report
+    # success while the file is still at the source, recreating the mixed
+    # flat/partitioned layout this migration exists to prevent.
+    if not fs.mkdirs(hdir):
+        raise IOError(f"mkdirs {dest_dir!r} failed")
     dest = jvm.org.apache.hadoop.fs.Path(hdir, base)
     k = 0
     while fs.exists(dest):
         k += 1
         dest = jvm.org.apache.hadoop.fs.Path(hdir, f"m{k}-{base}")
-    fs.rename(hsrc, dest)
+    if not fs.rename(hsrc, dest):
+        raise IOError(f"rename {src_file!r} -> {dest.toString()} failed")
     return dest.toString()
 
 

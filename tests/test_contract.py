@@ -56,11 +56,12 @@ def test_grading_bookkeeping_consistent():
         (6, Q._GRADED_R6),
         (7, Q._GRADED_R7),
         (8, Q._GRADED_R8),
+        (9, Q._GRADED_R9),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R9_PIN <= keys
-    for k in Q._CHANGED_R9_PIN:
+    assert Q._CHANGED_R10_PIN <= keys
+    for k in Q._CHANGED_R10_PIN:
         assert Q._freshest_round(k) > 0, k
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
@@ -68,23 +69,23 @@ def test_grading_bookkeeping_consistent():
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-9 window composition: the never-graded cohort (priority 0 —
-    # the 14 retired-_STAGED_R9 wave10+wave11 keys) comes first, then
-    # the changed-against-old-evidence re-pins (0.5), and ONLY THEN
-    # rotation — and the whole never-graded cohort plus every re-pin
-    # must fit inside the driver's 50-key window, so no key is left
-    # without evidence another round
+    # round-10 window composition: the registry is saturated (no staged
+    # tier, zero never-graded keys), so the window is the changed-key
+    # re-pins (0.5 — q_sketch_hll, whose oracle gained the NULL-key
+    # filter) followed by pure stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
-    assert len(never_graded) + len(Q._CHANGED_R9_PIN) <= 50
+    assert len(never_graded) + len(Q._CHANGED_R10_PIN) <= 50
     assert set(never_graded) <= set(window)
-    assert Q._CHANGED_R9_PIN <= set(window)
-    # verdict r8 item 2: the remaining rotation slots must refresh the
-    # STALEST evidence — no pre-r3 evidence exists any more, and the
-    # ENTIRE 21-key r3-vintage cohort must be in the window (clearing
-    # pre-r4 evidence completely this round)
-    assert not [k for k in order if 1 <= Q._freshest_round(k) <= 2]
-    r3_vintage = [k for k in order if Q._freshest_round(k) == 3]
-    assert set(r3_vintage) <= set(window), sorted(set(r3_vintage) - set(window))
-    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 4]
-    assert len(stale) >= 30, stale
+    assert Q._CHANGED_R10_PIN <= set(window)
+    # verdict r9 item 1: the rotation slots must refresh the STALEST
+    # evidence — no pre-r4 evidence exists any more, and the ENTIRE
+    # 34-key r4-vintage cohort must be in the window (clearing pre-r5
+    # evidence completely this round); the remaining slots start on the
+    # r5 cohort
+    assert not [k for k in order if 1 <= Q._freshest_round(k) <= 3]
+    r4_vintage = [k for k in order if Q._freshest_round(k) == 4]
+    assert len(r4_vintage) == 34, len(r4_vintage)
+    assert set(r4_vintage) <= set(window), sorted(set(r4_vintage) - set(window))
+    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 5]
+    assert len(stale) >= 45, stale

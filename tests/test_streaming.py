@@ -804,6 +804,65 @@ def test_fs_rename_into_dir_scheme_routing(spark, tmp_path):
         fs_rename_into_dir(None, "s3a://bucket/x.parquet", "s3a://bucket/d")
 
 
+def test_fs_rename_into_dir_failed_rename_raises(spark, tmp_path):
+    """Round-10 ADVICE fix: Hadoop FileSystem.rename reports most
+    failures by returning FALSE, not throwing — an unchecked false
+    would report the migration as done while the flat file survives,
+    recreating the mixed-layout corruption. A rename whose source
+    vanished (the canonical concurrent-migrator race) must raise, so
+    the partitioned append can never land beside un-migrated files."""
+    import pytest as _pytest
+
+    from modevetl_spark.sources import fs as fsmod
+
+    # a missing source fails loudly on the JVM route (this Hadoop build
+    # throws FileNotFoundException from RawLocalFileSystem; builds that
+    # return false instead hit our explicit raise — either way, never a
+    # silent success)
+    missing = "file:" + str(tmp_path / "never-written.parquet")
+    with _pytest.raises(Exception, match="rename|never-written"):
+        fsmod.fs_rename_into_dir(spark, missing, "file:" + str(tmp_path / "d"))
+    # the os route raises natively on a missing source too
+    with _pytest.raises(OSError):
+        fsmod.fs_rename_into_dir(
+            spark, str(tmp_path / "also-missing.parquet"), str(tmp_path / "d2")
+        )
+
+    # the returns-false contract itself (object stores, permission
+    # failures): stub the FileSystem handle so rename/mkdirs report
+    # failure the Hadoop way, and assert the explicit raise fires
+    class _FalseFs:
+        def __init__(self, mkdirs_ok=True):
+            self._mkdirs_ok = mkdirs_ok
+
+        def mkdirs(self, p):
+            return self._mkdirs_ok
+
+        def exists(self, p):
+            return False
+
+        def rename(self, a, b):
+            return False
+
+    src = tmp_path / "real.parquet"
+    src.write_text("x")
+    orig = fsmod._fs_and_path
+    try:
+        fsmod._fs_and_path = lambda s, p: (_FalseFs(), orig(s, p)[1])
+        with _pytest.raises(IOError, match="rename .* failed"):
+            fsmod.fs_rename_into_dir(
+                spark, "file:" + str(src), "file:" + str(tmp_path / "d3")
+            )
+        fsmod._fs_and_path = lambda s, p: (_FalseFs(mkdirs_ok=False), orig(s, p)[1])
+        with _pytest.raises(IOError, match="mkdirs .* failed"):
+            fsmod.fs_rename_into_dir(
+                spark, "file:" + str(src), "file:" + str(tmp_path / "d4")
+            )
+    finally:
+        fsmod._fs_and_path = orig
+    assert src.read_text() == "x"  # the source was never destroyed
+
+
 def test_upsert_after_total_delete(spark, tmp_path):
     """A sink emptied by delete_parquet (markers left, zero data files)
     must behave as nonexistent for the next upsert instead of failing

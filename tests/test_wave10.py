@@ -15,17 +15,21 @@ from modevetl_spark.queries.wave10 import QUERIES
 
 
 def test_wave10_drained_into_the_window():
-    """Round-9 staging contract, post-retirement: _STAGED_R9 is gone,
-    so every wave10 key drains as never-graded (priority 0) and all 8
-    occupy the FRONT of the round-9 grading window (first 50)."""
+    """Round-10 staging contract, post-drain: every wave10 key was
+    graded in round 9 (CORRECTNESS_r09, all green), so the cohort now
+    rotates like any other — EXCEPT q_sketch_hll, whose oracle gained
+    the NULL-key filter this round and therefore re-pins into the
+    round-10 window via _CHANGED_R10_PIN."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
     assert set(QUERIES) <= set(oracle)
     order = list(qs)
-    assert set(QUERIES) <= set(order[:50])
     for k in QUERIES:
-        assert Q._grading_priority(k) == 0, k
+        assert k in Q._GRADED_R9, k
+        assert Q._freshest_round(k) == 9, k
+    assert "q_sketch_hll" in Q._CHANGED_R10_PIN
+    assert "q_sketch_hll" in order[:50]
 
 
 class TestHll:
@@ -394,6 +398,34 @@ class TestHllTick:
             r["j"]: r["mj"] for r in spark.read.parquet(state).collect()
         }
         assert persisted == want
+
+    def test_oracle_null_contract_matches_engine(self, spark, tmp_path):
+        """Round-10 ADVICE fix: the DuckDB oracle's sketch half must
+        carry the SAME NULL-key filter as the engine's hll_state —
+        without it md5(NULL) yields a j=NULL register row that inflates
+        n_regs while adding nothing to s_hit, so the two estimates
+        diverge on any dirty key column (invisible on the NOT NULL
+        fixtures). Differential: a NULL-containing lineitem through
+        BOTH halves must agree on every column."""
+        import duckdb
+
+        from modevetl_spark.queries.wave10 import _HLL_ORACLE, sketch_hll
+
+        pd.DataFrame(
+            {"l_partkey": pd.array(list(range(1, 241)) + [None] * 7, dtype="Int64")}
+        ).to_parquet(str(tmp_path / "lineitem.parquet"))
+        got = sketch_hll(spark, str(tmp_path)).collect()[0].asDict()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS "
+            f"SELECT * FROM read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        cur = con.execute(_HLL_ORACLE)
+        want = dict(zip([d[0] for d in cur.description], cur.fetchone()))
+        assert got == want
+        # the NULL rows must not have registered: exact_distinct ignores
+        # NULL by COUNT DISTINCT semantics, and the sketch half now does too
+        assert got["exact_distinct"] == 240
 
 
 class TestBurstiness:

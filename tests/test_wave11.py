@@ -20,9 +20,9 @@ from modevetl_spark.queries.wave11 import (
 
 
 def test_wave11_drained_into_the_window():
-    """Round-9 staging contract, post-retirement: _STAGED_R9 is gone,
-    so every wave11 key drains as never-graded (priority 0) and all 6
-    occupy the FRONT of the round-9 grading window (first 50)."""
+    """Round-10 staging contract, post-drain: every wave11 key was
+    graded in round 9 (CORRECTNESS_r09, all green) and now rotates by
+    evidence vintage like any other key."""
     from modevetl_spark import queries as Q
 
     qs, oracle = Q.all_queries(), Q.all_oracle()
@@ -35,10 +35,9 @@ def test_wave11_drained_into_the_window():
         "q_mixture_temperature",
     }
     assert set(QUERIES) <= set(oracle)
-    order = list(qs)
-    assert set(QUERIES) <= set(order[:50])
     for k in QUERIES:
-        assert Q._grading_priority(k) == 0, k
+        assert k in Q._GRADED_R9, k
+        assert Q._freshest_round(k) == 9, k
 
 
 class TestRankRbo:
