@@ -70,6 +70,11 @@ HEADLINE = [
     # beside kmeans/pagerank
     "q_rank_rbo",
     "q_embedding_pca",
+    # round 10 (the r9 verdict's bench-refresh pick): iterative-text
+    # trend — BPE tokenizer training (8 checkpointed merge rounds), the
+    # one expensive family without a trend line beside the
+    # iterative-graph and iterative-linear-algebra rows
+    "q_bpe_merges",
 ]
 
 

@@ -308,7 +308,9 @@ def test_wave9_keys_registered():
     assert set(QUERIES) <= set(qs)
     for k in QUERIES:
         assert k in Q._GRADED_R8, k
-        assert Q._freshest_round(k) == 8, k
+        # q_sketch_countmin re-pinned and re-graded in round 9 (the
+        # NULL-key hardening), so freshest evidence is >= 8, not == 8
+        assert Q._freshest_round(k) >= 8, k
 
 
 class TestCountMin:
