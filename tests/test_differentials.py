@@ -1447,3 +1447,79 @@ def test_sliding_windows_match_epoch_aligned_assignment(spark, sf_dir):
         for r in _Q["q_events_sliding"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_winsorize_matches_linear_interpolation_quantile(spark, sf_dir):
+    """Winsorization (Dixon/Tukey): clip each group at its exact
+    [P5, P95] under the LINEAR-INTERPOLATION quantile definition
+    (Hyndman–Fan type 7 — what quantile_cont/F.percentile implement),
+    replayed with numpy.quantile(method='linear') + a fresh python
+    clip — validates the percentile definition, the 6dp-bound clipping
+    contract, and the clipped-count/sum bookkeeping."""
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        "SELECT event_type, value FROM"
+        f" read_parquet('{sf_dir}/events.parquet') WHERE value IS NOT NULL"
+    ).fetchall()
+    by_grp: dict = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    got = {
+        r["event_type"]: r for r in _Q["q_winsorize"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_grp)
+    for g, vals in by_grp.items():
+        a = np.asarray(vals, dtype=float)
+        lo = round(float(np.quantile(a, 0.05, method="linear")), 6)
+        hi = round(float(np.quantile(a, 0.95, method="linear")), 6)
+        n_lo = sum(1 for v in vals if v < lo)
+        n_hi = sum(1 for v in vals if v > hi)
+        s = sum(round(min(max(v, lo), hi), 6) for v in vals)
+        r = got[g]
+        assert r["n_clipped_lo"] == n_lo, (g, r["n_clipped_lo"], n_lo)
+        assert r["n_clipped_hi"] == n_hi, (g, r["n_clipped_hi"], n_hi)
+        # per-value 6dp quantization in the replay can differ from the
+        # engines' decimal casts by ≤5e-7 each; n ≤ a few hundred per
+        # group keeps the accumulated drift far under the 2dp output
+        assert abs(r["winsorized_sum"] - round(s, 2)) <= 0.02, (
+            g, r["winsorized_sum"], s,
+        )
+
+
+def test_zscore_matches_population_standardization(spark, sf_dir):
+    """Per-group z-score: z = (x − μ)/σ with the POPULATION σ (÷n, the
+    feature-scaling convention — not Bessel's ÷(n−1), which differs by
+    ~0.2% at these group sizes, far above tolerance), replayed with
+    statistics.pstdev semantics on fresh python floats — validates the
+    standardization definition and the 6dp pre-round contract."""
+    rows = duckdb.connect().execute(
+        "SELECT event_id, event_type, value FROM"
+        f" read_parquet('{sf_dir}/events.parquet') WHERE value IS NOT NULL"
+    ).fetchall()
+    by_grp: dict = {}
+    for _, g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    stats = {}
+    for g, vals in by_grp.items():
+        n = len(vals)
+        mean = round(sum(vals) / n, 6)
+        var = max((sum(v * v for v in vals) - sum(vals) ** 2 / n) / n, 0.0)
+        stats[g] = (mean, round(math.sqrt(var), 6))
+    got = {
+        r["event_id"]: r
+        for r in _Q["q_zscore_normalize"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    for event_id, g, v in rows:
+        mean, std = stats[g]
+        want = round((v - mean) / std, 6) if std > 0 else None
+        z = got[event_id]["z"]
+        if want is None:
+            assert z is None, (event_id, z)
+        else:
+            # float-sum vs decimal-exact accumulation can shift the 6dp
+            # round of mean/std by one step on exact boundaries; one
+            # 6dp step of slack keeps the replay honest (a ÷(n−1)
+            # deviation would be ~1e-3 here)
+            assert abs(z - want) <= 2e-6, (event_id, z, want)
