@@ -21,6 +21,22 @@ def plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+# The registry-wide gates each need every query's physical plan; build
+# the 274 plans once per session and share them (a second full pass
+# costs minutes for no extra signal).
+_PLAN_CACHE: dict = {}
+
+
+def all_plans(spark, sf_dir) -> dict:
+    key = (id(spark), sf_dir)
+    if key not in _PLAN_CACHE:
+        _PLAN_CACHE.clear()  # one session at a time; don't hoard JVMs
+        _PLAN_CACHE[key] = {
+            name: plan(fn(spark, sf_dir)) for name, fn in _Q.items()
+        }
+    return _PLAN_CACHE[key]
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = _Q["q_filter_compound"](spark, sf_dir)
     p = plan(df)
@@ -89,9 +105,22 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         "q_heavy_hitters_grouped",
         "q_sketch_group_distinct",
     }
+    plans = all_plans(spark, sf_dir)
     for name in sorted(set(_Q) - udf_queries):
-        p = plan(_Q[name](spark, sf_dir))
+        p = plans[name]
         assert "EvalPython" not in p and "InPandas" not in p, name
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Registry-wide scale gate (round 10): NO query may plan a
+    CartesianProduct — the partition×partition join whose task count is
+    |A|·|B| at 100 TB. Bounded cross joins must come in as
+    BroadcastNestedLoopJoin (tiny side broadcast: the declared
+    theta-join shape) or be rewritten as equi-joins; there is no
+    allowlist because the measured baseline is zero offenders."""
+    plans = all_plans(spark, sf_dir)
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
 
 
 def global_window_nodes(df) -> list:
