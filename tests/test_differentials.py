@@ -1523,3 +1523,58 @@ def test_zscore_matches_population_standardization(spark, sf_dir):
             # 6dp step of slack keeps the replay honest (a ÷(n−1)
             # deviation would be ~1e-3 here)
             assert abs(z - want) <= 2e-6, (event_id, z, want)
+
+
+def test_gapfill_percentile_fills_with_lower_median(spark, sf_dir):
+    """Median gap-fill: densify each user's daily series to its
+    [min_day, max_day] grid and fill missing days with the user's
+    LOWER median daily value — the rank-ceil(n/2) order statistic in
+    (value, day) order, which SELECTS an existing value rather than
+    averaging a middle pair. Replayed from fresh python daily sums:
+    validates the grid span, the observed flag, the NULL-day exclusion
+    from the rank, and the lower-median pick itself."""
+    import datetime
+
+    rows = duckdb.connect().execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, value FROM"
+        f" read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    daily: dict = {}
+    for u, d, v in rows:
+        cur = daily.get((u, d))
+        if v is not None:
+            daily[(u, d)] = (cur or 0.0) + v
+        elif cur is None:
+            daily.setdefault((u, d), None)
+    by_user: dict = {}
+    for (u, d), v in daily.items():
+        by_user.setdefault(u, {})[d] = None if v is None else round(v, 6)
+    got = {
+        (r["user_id"], r["day"].date()): r
+        for r in _Q["q_gapfill_percentile"](spark, sf_dir).collect()
+    }
+    one_day = datetime.timedelta(days=1)
+    n_expected = 0
+    for u, days in by_user.items():
+        observed = sorted(
+            (v, d) for d, v in days.items() if v is not None
+        )
+        assert observed, u  # fixture users all have some non-null day
+        med = observed[-(-len(observed) // 2) - 1][0]  # ceil(n/2), 1-based
+        lo, hi = min(days), max(days)
+        d = lo
+        while d <= hi:
+            n_expected += 1
+            r = got[(u, d)]
+            v = days.get(d)
+            if v is not None:
+                assert r["observed"] is True
+                assert abs(r["value_filled"] - v) <= 1e-9, (u, d)
+            else:
+                # a missing grid day OR a day whose every value was NULL
+                assert r["observed"] is False
+                assert abs(r["value_filled"] - med) <= 1e-9, (
+                    u, d, r["value_filled"], med,
+                )
+            d += one_day
+    assert len(got) == n_expected
