@@ -51,7 +51,14 @@ def _fake_features(payload: bytes) -> tuple[int, int, int]:
 
 
 def extract_features(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched feature extraction over a binary column."""
+    """Arrow-batched feature extraction over a binary column.
+
+    Rows with a NULL id are dropped JVM-side before the UDF: a NULL key
+    is unjoinable downstream and would otherwise reach pandas as NaN,
+    where the int64 id cast aborts the whole job on one dirty row. NULL
+    payloads are processed as empty (payload_bytes = 0)."""
+
+    binary_df = binary_df.where(F.col(id_col).isNotNull())
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -112,8 +119,14 @@ def sample_frames(
     Scale notes: mapInPandas streams Arrow batches and emits a
     DIFFERENT row count than it consumes (the UDTF contract); payloads
     are projected away before anything shuffles, and the fan-out factor
-    is bounded by frames/every."""
+    is bounded by frames/every.
+
+    Rows with a NULL id are dropped JVM-side before the UDF (same
+    contract as ``extract_features``): a NULL key would reach pandas as
+    NaN and abort the job at the int() cast on one dirty row."""
     import hashlib
+
+    binary_df = binary_df.where(F.col(id_col).isNotNull())
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

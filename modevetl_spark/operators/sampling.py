@@ -131,7 +131,12 @@ def pack_by_budget(
         out["bin_id"] = bins
         return out
 
-    src = docs.select(id_col, weight_col)
+    # a NULL id or weight is unpackable (no budget contribution, no
+    # joinable key) and would reach pandas as NaN, aborting the job at
+    # the int() cast on one dirty row — drop JVM-side before the UDF
+    src = docs.select(id_col, weight_col).where(
+        F.col(id_col).isNotNull() & F.col(weight_col).isNotNull()
+    )
     if n_partitions:
         src = src.repartition(n_partitions, id_col)
     with_part = src.withColumn("__part", F.spark_partition_id())

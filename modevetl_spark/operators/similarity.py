@@ -179,8 +179,13 @@ def ivf_train(
     """
     import numpy as np
 
+    # NULL / empty vectors are untrainable and would make the sampled
+    # list ragged (np.asarray raises on inhomogeneous shapes, killing
+    # the job on one dirty row) — exclude them from the calibration
+    # sample; the assignment scan drops them naturally (NULL score).
     rows = (
-        corpus.orderBy(F.xxhash64(F.col(id_col)))
+        corpus.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .orderBy(F.xxhash64(F.col(id_col)))
         .limit(sample_size)
         .select(F.col(vec_col).alias("v"))
         .collect()
@@ -280,6 +285,13 @@ def ivf_neardup_pairs(
     """
     centroids = ivf_train(
         corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    # NULL / empty vectors have no cosine to anything (zero norm —
+    # the raw division would abort the job under ANSI on one dirty
+    # row) and no meaningful cell; exclude them before assignment,
+    # matching ivf_train's own calibration filter.
+    corpus = corpus.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     )
     assigned = _with_scores(corpus, vec_col, centroids).select(
         F.col(id_col).alias("id"),

@@ -299,7 +299,36 @@ _GRADED_R9 = frozenset(
 # ORACLE (the DuckDB _HLL_ORACLE's sketch half gained the NULL-key
 # filter matching the engine side) — a changed oracle is a changed key
 # definition and must never sit outside the grading window.
-_CHANGED_R10_PIN: frozenset[str] = frozenset({"q_sketch_hll"})
+#
+# The other 13 re-pin for the round-10 dirty-input hardening sweep
+# (tests/test_dirty_contracts.py): a registry-wide engine-vs-oracle run
+# over adversarial fixtures (NULL keys, empty strings, empty lists)
+# found these keys ABORTING the whole job on one dirty row — ANSI
+# DIVIDE_BY_ZERO / CAST_INVALID_INPUT / INVALID_INDEX_OF_ZERO, pandas
+# int(NaN), or a ragged driver-side np.asarray. Each fix is a
+# degenerate-input guard (try_divide / try_cast / indexed transform /
+# JVM-side NULL-key filters before UDFs), value-neutral on the clean
+# fixtures — all 13 re-simmed MATCH at sf0.01 — but changed code is
+# changed code: it re-pins. The 13 pins displace 13 of the 15 r5
+# rotation slots; the full 34-key r4 cohort still clears this round.
+_CHANGED_R10_PIN: frozenset[str] = frozenset(
+    {
+        "q_sketch_hll",
+        "q_agg_moments",
+        "q_dedup_embedding_ivf",
+        "q_dedup_substring_runs",
+        "q_embedding_quantize",
+        "q_join_containment",
+        "q_multimodal_features",
+        "q_multimodal_frames",
+        "q_pack_budget",
+        "q_sample_reservoir_weighted",
+        "q_sim_range_search",
+        "q_sim_topk_ivf",
+        "q_sim_topk_ivf_sq",
+        "q_udaf_grouped",
+    }
+)
 
 
 def _freshest_round(key: str) -> int:

@@ -212,15 +212,26 @@ WITH sums AS (
     GROUP BY l_returnflag
 )
 SELECT l_returnflag,
-       ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
-       ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_qty
+       CASE WHEN n > 1
+            THEN ROUND(GREATEST(s2 - s1 * s1 / n, 0) / (n - 1), 6)
+       END AS var_qty,
+       CASE WHEN n > 1
+            THEN ROUND(SQRT(GREATEST(s2 - s1 * s1 / n, 0) / (n - 1)), 6)
+       END AS std_qty
 FROM sums
 """
 
 
 @q("q_agg_moments", oracle_sql=_MOMENTS_ORACLE)
 def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: variance/std from exact power sums (Z-moments, ``stats.py``)."""
+    """A10: variance/std from exact power sums (Z-moments, ``stats.py``).
+
+    Degenerate-group contract (SQL var_samp semantics, mirrored in the
+    oracle's CASE WHEN): a group with n ≤ 1 non-null values has no
+    sample variance → NULL, never a DIVIDE_BY_ZERO job abort under ANSI
+    mode; the cancellation ``s2 − s1²/n`` is clamped at 0 on both
+    engines (it can land at −1e−18 on constant groups, where Spark's
+    sqrt returns NaN but DuckDB's raises)."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     qv = F.col("l_quantity")
@@ -230,7 +241,9 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((qv * qv).cast("decimal(28,6)")).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    var = F.when(
+        n > 1, F.greatest(s2 - s1 * s1 / n, F.lit(0.0)) / (n - F.lit(1))
+    )
     return sums.select(
         "l_returnflag",
         F.round(var, 6).alias("var_qty"),

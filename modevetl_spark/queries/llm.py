@@ -423,6 +423,10 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
 
 
+# len(embedding) > 0 / NOT NULL mirrors the engine's degenerate-vector
+# exclusion (ivf_train + the cosine tier): a NULL or empty vector has
+# no cosine to anything, and DuckDB's list_cosine_similarity raises on
+# ragged lists where the engine returns NULL.
 _SIM_TOPK_IVF_ORACLE = """
 SELECT q.vec_id AS query_id,
        c.vec_id AS exact_top1_id,
@@ -430,8 +434,12 @@ SELECT q.vec_id AS query_id,
                                     CAST(c.embedding AS DOUBLE[])), 6)
            AS exact_top1_cos,
        TRUE AS recall_ok
-FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
-JOIN embeddings c ON c.vec_id <> q.vec_id
+FROM (SELECT * FROM embeddings
+      WHERE vec_id < 20
+        AND embedding IS NOT NULL AND len(embedding) > 0) q
+JOIN (SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0) c
+  ON c.vec_id <> q.vec_id
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY q.vec_id
     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -670,13 +678,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", doc_fingerprint("text", 4).alias("fingerprint"))
 
 
+# WHERE doc_id IS NOT NULL + COALESCE(length, 0): the engine drops
+# NULL-id rows before the UDF and treats a NULL payload as empty bytes
+# (see operators/multimodal.extract_features) — the oracle implements
+# the identical dirty-input contract.
 _MULTIMODAL_ORACLE = """
+WITH b AS (
+    SELECT doc_id, COALESCE(length(text), 0) AS n
+    FROM documents WHERE doc_id IS NOT NULL
+)
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS payload_bytes,
-       CAST(length(text) % 640 + 1 AS BIGINT) AS fake_width,
-       CAST(length(text) % 480 + 1 AS BIGINT) AS fake_height,
-       CAST(length(text) % 7 + 1 AS BIGINT) AS fake_n_frames
-FROM documents
+       CAST(n AS BIGINT) AS payload_bytes,
+       CAST(n % 640 + 1 AS BIGINT) AS fake_width,
+       CAST(n % 480 + 1 AS BIGINT) AS fake_height,
+       CAST(n % 7 + 1 AS BIGINT) AS fake_n_frames
+FROM b
 """
 
 
@@ -717,6 +733,9 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IS NOT DISTINCT FROM, not =: GROUP BY keeps a NULL key as a group of
+# its own (the engine's applyInPandas emits it), and a plain equi-join
+# would silently drop that group from the oracle on dirty inputs.
 _UDAF_ORACLE = """
 SELECT c_nationkey,
        CAST(COUNT(*) FILTER (WHERE c_acctbal > m.mean_bal) AS BIGINT)
@@ -725,7 +744,7 @@ FROM customer
 JOIN (
     SELECT c_nationkey AS nk, AVG(c_acctbal) AS mean_bal
     FROM customer GROUP BY 1
-) m ON c_nationkey = m.nk
+) m ON c_nationkey IS NOT DISTINCT FROM m.nk
 GROUP BY c_nationkey
 """
 
@@ -739,11 +758,18 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
 
     def above_mean(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = pdf["c_acctbal"].mean()
+        # SQL GROUP BY keeps NULL as a group of its own — a NULL key
+        # arrives as NaN, where a bare int() would abort the job; emit
+        # the NULL group rather than crash (matches the oracle's GROUP
+        # BY). pandas mean/comparison are NaN-skipping, same as SQL
+        # AVG / NULL-comparison semantics.
+        k = pdf["c_nationkey"].iloc[0]
         return pd.DataFrame(
             {
-                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
-                "n_above_mean": [int((pdf["c_acctbal"] > m).sum())],
+                "c_nationkey": [None if pd.isna(k) else int(k)],
+                "n_above_mean": [
+                    int((pdf["c_acctbal"] > pdf["c_acctbal"].mean()).sum())
+                ],
             }
         )
 
@@ -797,11 +823,19 @@ def dedup_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(d, pairs).select("doc_id")
 
 
+# the degenerate-vector filter mirrors the engine's (see
+# dedup_embedding_ivf / ivf_neardup_pairs): NULL or empty embeddings
+# join nothing, and DuckDB's list_cosine_similarity raises on ragged
+# lists where the engine returns NULL.
 _EMB_IVF_ORACLE = """
-WITH corpus AS (
+WITH clean AS (
     SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+corpus AS (
+    SELECT vec_id, embedding FROM clean
     UNION ALL
-    SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+    SELECT vec_id + 100000, embedding FROM clean WHERE vec_id < 50
 ),
 pr AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -840,7 +874,15 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers ≥ 90% of true near-dup pairs (identical vectors must land
     in identical cells). Any of the three failing breaks the hash."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL / empty vectors have zero norm — the exact-twin's raw cosine
+    # division would abort the job under ANSI on one dirty row, and
+    # they carry nothing dedup-able; the blocked path excludes them
+    # identically inside ivf_neardup_pairs.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
+    )
     planted = e.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -934,12 +976,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+# the NOT NULL pair mirrors pack_by_budget's own JVM-side filter: a
+# NULL id or NULL token count is unpackable and never reaches a bin
 _PACK_BUDGET_ORACLE = """
 WITH t AS (
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                            x -> x <> '')) AS n_tokens
     FROM documents
+    WHERE doc_id IS NOT NULL
+      AND text IS NOT NULL
 )
 SELECT COUNT(*) AS n_docs_packed,
        COUNT(DISTINCT doc_id) AS n_distinct_docs,

@@ -200,9 +200,13 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id",
         "b_id",
         F.col("label").cast("long").alias("label"),
-        F.round(dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6).alias(
-            "cosine"
-        ),
+        # try_divide: a zero-norm vector (empty or all-zero embedding in
+        # dirty data) yields NULL cosine instead of an ANSI
+        # DIVIDE_BY_ZERO job abort; NULL >= tau drops the pair on both
+        # engines (DuckDB's / is NULL on zero denominators too).
+        F.round(
+            F.try_divide(dot, F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= _RANGE_TAU)
 

@@ -951,13 +951,17 @@ def stats_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Multimodal frame sampling (UDTF-shaped mapInPandas) ----------------
 
+# WHERE doc_id IS NOT NULL + COALESCE(length, 0): the engine drops
+# NULL-id rows before the UDF and treats a NULL payload as empty bytes
+# (see operators/multimodal.sample_frames) — the oracle implements the
+# identical dirty-input contract.
 _FRAMES_ORACLE = """
 WITH f AS (
     SELECT doc_id,
-           length(text) % 640 + 1 AS w,
-           length(text) % 480 + 1 AS h,
-           length(text) % 7 + 1 AS nf
-    FROM documents
+           COALESCE(length(text), 0) % 640 + 1 AS w,
+           COALESCE(length(text), 0) % 480 + 1 AS h,
+           COALESCE(length(text), 0) % 7 + 1 AS nf
+    FROM documents WHERE doc_id IS NOT NULL
 ),
 t AS (
     SELECT doc_id, nf,

@@ -621,12 +621,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes"),
+        # indexed transform, NOT zip_with + sequence(0, size-1): on an
+        # empty array sequence(0, -1) is the DESCENDING [0, -1], whose
+        # i=-1 reaches element_at(..., 0) and aborts the job with
+        # INVALID_INDEX_OF_ZERO; transform over [] is simply [].
         F.forall(
-            F.zip_with(
-                F.col("embedding"),
-                F.sequence(F.lit(0), F.size("embedding") - 1),
-                lambda x, i: _ok(x, i),
-            ),
+            F.transform(F.col("embedding"), lambda x, i: _ok(x, i)),
             lambda b: b,
         ).alias("quant_ok"),
     )

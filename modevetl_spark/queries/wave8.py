@@ -673,7 +673,11 @@ def join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = docs.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("tb"))
     shared = F.size(F.array_intersect("ta", "tb")).cast("bigint")
-    containment = shared.cast("double") / F.col("n_a")
+    # try_divide: a zero-token a-side (dirty data — empty text under a
+    # duplicated doc_id) yields NULL instead of an ANSI DIVIDE_BY_ZERO
+    # job abort; NULL >= threshold is NULL, so the pair drops on both
+    # engines (DuckDB's / is NULL on zero denominators too).
+    containment = F.try_divide(shared.cast("double"), F.col("n_a"))
     return (
         cand.join(ta, "a_id")
         .join(tb, "b_id")
@@ -692,10 +696,18 @@ join_containment.__doc__ = join_containment.__doc__.format(T=_T_CONTAIN)
 
 # --- Composite serving-tier ANN: IVF cells × int8 ADC -------------------
 
+# the degenerate-vector filter mirrors the engine's (ivf_train + the
+# cosine tier): NULL or empty embeddings score nothing, and DuckDB's
+# list_cosine_similarity raises on ragged lists where the engine
+# returns NULL.
 _IVF_SQ_ORACLE = """
-WITH qs AS (
+WITH clean AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) > 0
+),
+qs AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-    FROM embeddings WHERE vec_id < 20
+    FROM clean WHERE vec_id < 20
 ),
 ranked AS (
     SELECT q.query_id, c.vec_id AS nid,
@@ -706,7 +718,7 @@ ranked AS (
                ORDER BY ROUND(list_cosine_similarity(
                    q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) DESC,
                c.vec_id) AS rn
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.query_id
 )
 SELECT query_id,
        CAST(MAX(CASE WHEN rn = 1 THEN nid END) AS BIGINT) AS exact_top1_id,

@@ -1251,7 +1251,9 @@ _WRES_K = 200
 _WRES_ORACLE = f"""
 WITH base AS (
     SELECT o_orderkey, o_totalprice,
-           GREATEST(6 - CAST(substr(o_orderpriority, 1, 1) AS INTEGER), 1)
+           GREATEST(6 - COALESCE(
+                        TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER),
+                        5), 1)
                AS weight
     FROM orders
 ),
@@ -1302,8 +1304,16 @@ def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the priority domain (≤5 hashes per row)."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
+    # try_cast + COALESCE(·, 5): a malformed priority digit (empty or
+    # non-numeric string in dirty data) clamps to the minimum weight 1
+    # instead of an ANSI CAST_INVALID_INPUT job abort; the oracle's
+    # TRY_CAST/COALESCE pair implements the identical rule.
     weight = F.greatest(
-        F.lit(6) - F.substring(F.col("o_orderpriority"), 1, 1).cast("int"),
+        F.lit(6)
+        - F.coalesce(
+            F.substring(F.col("o_orderpriority"), 1, 1).try_cast("int"),
+            F.lit(5),
+        ),
         F.lit(1),
     ).alias("weight")
     replica_hash = lambda i: F.conv(  # noqa: E731
@@ -1861,9 +1871,13 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_runs",
             "dup_tokens",
             "longest_run",
-            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
-                "dup_ratio"
-            ),
+            # try_divide: NULL on a zero-token doc (possible only under
+            # dirty data — e.g. a duplicated doc_id carrying empty text)
+            # instead of an ANSI DIVIDE_BY_ZERO job abort; DuckDB's /
+            # yields NULL on zero denominators, so the oracle agrees.
+            F.try_divide(
+                F.col("dup_tokens").cast("double"), F.col("n_tokens")
+            ).alias("dup_ratio"),
         )
     )
 

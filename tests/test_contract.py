@@ -71,21 +71,24 @@ def test_grading_bookkeeping_consistent():
     assert prios == sorted(prios), "emission order violates priority"
     # round-10 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
-    # re-pins (0.5 — q_sketch_hll, whose oracle gained the NULL-key
-    # filter) followed by pure stalest-evidence rotation
+    # re-pins (0.5 — q_sketch_hll's NULL-key oracle fix plus the 13
+    # dirty-input hardening keys, see tests/test_dirty_contracts.py)
+    # followed by pure stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
     assert len(never_graded) + len(Q._CHANGED_R10_PIN) <= 50
     assert set(never_graded) <= set(window)
     assert Q._CHANGED_R10_PIN <= set(window)
+    assert len(Q._CHANGED_R10_PIN) == 14
     # verdict r9 item 1: the rotation slots must refresh the STALEST
     # evidence — no pre-r4 evidence exists any more, and the ENTIRE
     # 34-key r4-vintage cohort must be in the window (clearing pre-r5
-    # evidence completely this round); the remaining slots start on the
-    # r5 cohort
+    # evidence completely this round); the 2 remaining rotation slots
+    # start on the r5 cohort (13 of r9's 15 r5 slots went to the pins,
+    # 5 of which are themselves r5-vintage)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 3]
     r4_vintage = [k for k in order if Q._freshest_round(k) == 4]
     assert len(r4_vintage) == 34, len(r4_vintage)
     assert set(r4_vintage) <= set(window), sorted(set(r4_vintage) - set(window))
     stale = [k for k in window if 1 <= Q._freshest_round(k) <= 5]
-    assert len(stale) >= 45, stale
+    assert len(stale) >= 41, stale
