@@ -64,6 +64,28 @@ RUN_ONLY_KEYS = [
     "q_join_containment",
     "q_embedding_quantize",
 ]
+# family representatives that ALREADY held full engine-vs-oracle parity
+# on the adversarial fixtures in the round-10 sweep (188/274 did) —
+# pinned so a future edit can't silently regress a family's NULL
+# contract; chosen for structural (not value-coincidental) parity:
+# aggregation/join/sketch/dedup/text families, not ordering-sensitive
+# window shapes
+FAMILY_PARITY_KEYS = [
+    "q_agg_median",
+    "q_agg_geomean",
+    "q_cube_dense",
+    "q_join_asof",
+    "q_join_full_outer",
+    "q_graph_pagerank",
+    "q_sketch_countmin",
+    "q_sketch_distinct_kmv",
+    "q_heavy_hitters",
+    "q_dedup_exact",
+    "q_text_tfidf",
+    "q_tpch_order_priority",
+    "q_mixture_weights",
+    "q_events_dedup",
+]
 
 
 def _variant(row: pa.Table, subs: dict) -> pa.Table:
@@ -111,7 +133,7 @@ def _registry():
     return all_queries(), all_oracle()
 
 
-@pytest.mark.parametrize("key", PARITY_KEYS)
+@pytest.mark.parametrize("key", PARITY_KEYS + FAMILY_PARITY_KEYS)
 def test_dirty_parity(spark, dirty_dir, key):
     """Engine and oracle agree on the SAME adversarial fixtures — the
     full row/schema/value check the driver would run."""
