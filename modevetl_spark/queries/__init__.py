@@ -353,8 +353,9 @@ def _freshest_round(key: str) -> int:
 #      all pass first), add it to _freshest_round's chain at rank 10.
 #   2. Re-point _CHANGED_R10_PIN → _CHANGED_R11_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r10 grades, that is the remaining
-#      r5-vintage cohort (~33 keys), then r6.
+#      to the stalest evidence — after r10 grades (14 pins + 34 r4 + 2
+#      r5), the stalest cohort is the remaining ~41 r5-vintage keys
+#      (48 − 2 rotated − 5 r5-vintage keys among the pins), then r6.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
