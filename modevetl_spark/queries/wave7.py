@@ -521,35 +521,51 @@ def dedup_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Int8 scalar quantization of embeddings -----------------------------
 
+# ROW-LOCAL, mirroring the engine's per-row transform against broadcast
+# calibration arrays (no explode→GROUP BY→join): a grouped oracle loses
+# rows whose embedding is NULL or empty (nothing to unnest), and a join
+# back on vec_id is ill-posed when vec_id itself is NULL or duplicated.
+# Degenerate contracts match the engine exactly: NULL embedding → NULL
+# codes / NULL quant_ok; empty embedding → '' / TRUE (forall over [] is
+# TRUE; list_aggregate over [] is NULL, hence the COALESCE).
 _QUANTIZE_ORACLE = """
 WITH ex AS (
-    SELECT vec_id,
-           unnest(range(1, len(embedding) + 1)) AS dim,
+    SELECT unnest(range(1, len(embedding) + 1)) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
     FROM embeddings
 ),
 stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
-coded AS (
-    SELECT e.vec_id, e.dim, e.x, s.mn, s.mx,
-           CASE WHEN s.mx > s.mn
-                THEN CAST(FLOOR(((e.x - s.mn) / (s.mx - s.mn)) * 255)
-                          AS BIGINT)
-                ELSE 0 END AS code
-    FROM ex e JOIN stats s USING (dim)
-),
-cells AS (
-    SELECT vec_id, dim, code,
-           CASE WHEN mx > mn
-                THEN ABS(x - (mn + code * ((mx - mn) / 255)))
-                     <= ((mx - mn) / 255) * CAST(1.000001 AS DOUBLE)
-                ELSE TRUE END AS ok
-    FROM coded
+arrs AS (
+    SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+    FROM stats
 )
-SELECT vec_id,
-       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes,
-       BOOL_AND(ok) AS quant_ok
-FROM cells
-GROUP BY vec_id
+SELECT e.vec_id,
+       CASE WHEN e.embedding IS NULL THEN NULL
+            ELSE COALESCE(array_to_string(list_transform(
+                range(1, len(e.embedding) + 1),
+                i -> CAST(CASE WHEN a.mxs[i] > a.mns[i]
+                               THEN CAST(FLOOR(((CAST(e.embedding[i] AS DOUBLE)
+                                                 - a.mns[i])
+                                                / (a.mxs[i] - a.mns[i])) * 255)
+                                         AS BIGINT)
+                               ELSE 0 END AS VARCHAR)), ','), '')
+       END AS codes,
+       CASE WHEN e.embedding IS NULL THEN NULL
+            ELSE COALESCE(list_aggregate(list_transform(
+                range(1, len(e.embedding) + 1),
+                i -> CASE WHEN a.mxs[i] > a.mns[i]
+                          THEN ABS(CAST(e.embedding[i] AS DOUBLE)
+                                   - (a.mns[i]
+                                      + CAST(FLOOR(((CAST(e.embedding[i] AS DOUBLE)
+                                                     - a.mns[i])
+                                                    / (a.mxs[i] - a.mns[i])) * 255)
+                                             AS BIGINT)
+                                        * ((a.mxs[i] - a.mns[i]) / 255)))
+                               <= ((a.mxs[i] - a.mns[i]) / 255)
+                                  * CAST(1.000001 AS DOUBLE)
+                          ELSE TRUE END), 'bool_and'), TRUE)
+       END AS quant_ok
+FROM embeddings e CROSS JOIN arrs a
 """
 
 

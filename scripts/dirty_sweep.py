@@ -49,6 +49,7 @@ DIRTY = "/tmp/dirty_sf0.001"
 ONLY = None
 START_AT = None
 ENGINE_ONLY = False
+UNIQUE_KEYS = False
 for a in sys.argv[1:]:
     if a.startswith("--src="):
         SRC = a.split("=", 1)[1]
@@ -60,6 +61,18 @@ for a in sys.argv[1:]:
         START_AT = a.split("=", 1)[1]
     elif a == "--engine-only":
         ENGINE_ONLY = True
+    elif a == "--unique-keys":
+        UNIQUE_KEYS = True
+
+# identifier-like columns: duplicating row 0's value in a filler row
+# violates primary-key invariants and makes per-row vs per-key answers
+# ill-posed (both engines see the same data, but neither answer is
+# "right"); --unique-keys remaps them to fresh values so the remaining
+# divergence is pure NULL-contract dialect.
+_KEYISH = (
+    "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+    "n_nationkey", "r_regionkey", "event_id", "doc_id", "vec_id",
+)
 
 
 def _variant(row: pa.Table, subs: dict) -> pa.Table:
@@ -77,26 +90,41 @@ def _variant(row: pa.Table, subs: dict) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=row.column_names)
 
 
-def build_dirty(src: str, dst: str) -> None:
+def build_dirty(src: str, dst: str, unique_keys: bool = False) -> None:
+    import pyarrow.compute as pc
+
     from modevetl_spark.sources.catalog import TABLES
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         tab = pq.read_table(f"{src}/{t}.parquet")
         row0 = tab.slice(0, 1)
-        variants = [_variant(row0, {n: None}) for n in tab.column_names]
-        variants.append(_variant(row0, {n: None for n in tab.column_names}))
+        key_max = {
+            n: pc.max(tab.column(n)).as_py()
+            for n in tab.column_names
+            if n in _KEYISH and pa.types.is_integer(tab.schema.field(n).type)
+        }
+        specs = [{n: None} for n in tab.column_names]
+        specs.append({n: None for n in tab.column_names})
         for name in tab.column_names:
             typ = tab.schema.field(name).type
             if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                variants.append(_variant(row0, {name: ""}))
+                specs.append({name: ""})
             elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-                variants.append(_variant(row0, {name: []}))
+                specs.append({name: []})
+        variants = []
+        for j, subs in enumerate(specs):
+            if unique_keys:
+                subs = dict(subs)
+                for kn, km in key_max.items():
+                    if kn not in subs:  # keep the NULLed/blanked column
+                        subs[kn] = km + j + 1
+            variants.append(_variant(row0, subs))
         pq.write_table(pa.concat_tables([tab] + variants), f"{dst}/{t}.parquet")
 
 
 def main() -> None:
-    build_dirty(SRC, DIRTY)
+    build_dirty(SRC, DIRTY, unique_keys=UNIQUE_KEYS)
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")

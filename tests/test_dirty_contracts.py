@@ -27,12 +27,14 @@ keys that crashed outright. This file pins the fixes:
   collect (q_sim_topk_ivf, q_sim_topk_ivf_sq, q_dedup_embedding_ivf)
   — NULL/empty vectors excluded before np.asarray.
 
-For 10 of the 13 keys the fix extends to FULL engine-vs-oracle parity
-on the dirty fixtures (both halves implement the same NULL contract);
-the 3 exceptions (q_dedup_substring_runs, q_join_containment,
-q_embedding_quantize) run crash-free but diverge from their oracles
-under duplicate-primary-key rows, where per-row vs per-key grouping is
-genuinely ill-posed — asserted as run-contracts only.
+For 11 of the 13 keys the fix extends to FULL engine-vs-oracle parity
+on the dirty fixtures (both halves implement the same NULL contract —
+q_embedding_quantize via a ROW-LOCAL oracle that has no GROUP BY to
+make ill-posed); the 2 exceptions (q_dedup_substring_runs,
+q_join_containment) run crash-free on the duplicate-PK twin, where
+per-row vs per-key grouping is genuinely ill-posed, and hold full
+parity on the UNIQUE-KEY twin — so their divergence is fixture
+ill-posedness, not a NULL-contract gap.
 """
 
 from __future__ import annotations
@@ -48,6 +50,10 @@ from tests.oracle import compare, duck_con
 PARITY_KEYS = [
     "q_agg_moments",
     "q_dedup_embedding_ivf",
+    # row-local oracle (indexed list_transform against the calibration
+    # arrays): parity holds even under duplicate vec_ids and NULL ids —
+    # there is no GROUP BY/join to make ill-posed
+    "q_embedding_quantize",
     "q_multimodal_features",
     "q_multimodal_frames",
     "q_pack_budget",
@@ -57,12 +63,13 @@ PARITY_KEYS = [
     "q_sim_topk_ivf_sq",
     "q_udaf_grouped",
 ]
-# keys fixed to run crash-free, but ill-posed vs the oracle under
-# duplicate-primary-key rows (documented in the module docstring)
+# keys fixed to run crash-free on the duplicate-PK twin, where their
+# per-key-grouping oracles are ill-posed (documented in the module
+# docstring); on the UNIQUE-KEY twin they hold full parity — asserted
+# separately below
 RUN_ONLY_KEYS = [
     "q_dedup_substring_runs",
     "q_join_containment",
-    "q_embedding_quantize",
 ]
 # family representatives that ALREADY held full engine-vs-oracle parity
 # on the adversarial fixtures in the round-10 sweep (188/274 did) —
@@ -88,6 +95,16 @@ FAMILY_PARITY_KEYS = [
 ]
 
 
+# identifier-like columns for the unique-key twin (duplicating row 0's
+# key in a filler row violates primary-key invariants, which makes
+# per-row vs per-key answers ill-posed; remapping them isolates pure
+# NULL-contract behavior)
+_KEYISH = (
+    "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
+    "n_nationkey", "r_regionkey", "event_id", "doc_id", "vec_id",
+)
+
+
 def _variant(row: pa.Table, subs: dict) -> pa.Table:
     arrays = []
     for name in row.column_names:
@@ -104,6 +121,37 @@ def _variant(row: pa.Table, subs: dict) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=row.column_names)
 
 
+def _build_dirty(sf_dir: str, out, unique_keys: bool) -> str:
+    import pyarrow.compute as pc
+
+    for t in TABLES:
+        tab = pq.read_table(f"{sf_dir}/{t}.parquet")
+        row0 = tab.slice(0, 1)
+        key_max = {
+            n: pc.max(tab.column(n)).as_py()
+            for n in tab.column_names
+            if n in _KEYISH and pa.types.is_integer(tab.schema.field(n).type)
+        }
+        specs = [{n: None} for n in tab.column_names]
+        specs.append({n: None for n in tab.column_names})
+        for name in tab.column_names:
+            typ = tab.schema.field(name).type
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                specs.append({name: ""})
+            elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+                specs.append({name: []})
+        variants = []
+        for j, subs in enumerate(specs):
+            if unique_keys:
+                subs = dict(subs)
+                for kn, km in key_max.items():
+                    if kn not in subs:
+                        subs[kn] = km + j + 1
+            variants.append(_variant(row0, subs))
+        pq.write_table(pa.concat_tables([tab] + variants), f"{out}/{t}.parquet")
+    return str(out)
+
+
 @pytest.fixture(scope="module")
 def dirty_dir(sf_dir, tmp_path_factory) -> str:
     """A dirty twin of the sf fixture dir: same rows plus, per table,
@@ -111,20 +159,19 @@ def dirty_dir(sf_dir, tmp_path_factory) -> str:
     row 0), one all-NULL row, an empty-string row per string column and
     an empty-list row per list column. Schema preserved exactly via
     pyarrow (no pandas int→float traps)."""
-    out = tmp_path_factory.mktemp("dirty_sf")
-    for t in TABLES:
-        tab = pq.read_table(f"{sf_dir}/{t}.parquet")
-        row0 = tab.slice(0, 1)
-        variants = [_variant(row0, {n: None}) for n in tab.column_names]
-        variants.append(_variant(row0, {n: None for n in tab.column_names}))
-        for name in tab.column_names:
-            typ = tab.schema.field(name).type
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                variants.append(_variant(row0, {name: ""}))
-            elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-                variants.append(_variant(row0, {name: []}))
-        pq.write_table(pa.concat_tables([tab] + variants), f"{out}/{t}.parquet")
-    return str(out)
+    return _build_dirty(
+        sf_dir, tmp_path_factory.mktemp("dirty_sf"), unique_keys=False
+    )
+
+
+@pytest.fixture(scope="module")
+def dirty_unique_dir(sf_dir, tmp_path_factory) -> str:
+    """The same adversarial twin with identifier columns remapped to
+    fresh values (max + j) in every filler row, so no primary key is
+    duplicated: what remains is PURE NULL/empty-value behavior."""
+    return _build_dirty(
+        sf_dir, tmp_path_factory.mktemp("dirty_uk"), unique_keys=True
+    )
 
 
 def _registry():
@@ -153,3 +200,17 @@ def test_dirty_runs(spark, dirty_dir, key):
     clean fixtures instead."""
     queries, _ = _registry()
     assert queries[key](spark, dirty_dir).count() >= 0
+
+
+@pytest.mark.parametrize("key", RUN_ONLY_KEYS)
+def test_dirty_unique_key_parity(spark, dirty_unique_dir, key):
+    """With primary keys de-duplicated, the run-only keys hold FULL
+    engine-vs-oracle parity: their duplicate-PK divergence is fixture
+    ill-posedness, not a NULL-contract gap."""
+    queries, oracles = _registry()
+    df = queries[key](spark, dirty_unique_dir)
+    con = duck_con(dirty_unique_dir)
+    try:
+        compare(df, con, oracles[key])
+    finally:
+        con.close()
