@@ -1578,3 +1578,56 @@ def test_gapfill_percentile_fills_with_lower_median(spark, sf_dir):
                 )
             d += one_day
     assert len(got) == n_expected
+
+
+def test_agg_moments_matches_sample_variance_definition(spark, sf_dir):
+    """Round-10 back-fill (the key re-pinned for the ANSI n>1 guard):
+    q_agg_moments must be the PUBLISHED sample variance
+    s² = Σ(x−x̄)²/(n−1) — replayed here with Fraction-exact power sums
+    (quantity is integer-valued in the fixture, so Σx and Σx² are exact
+    ints and s² is an exact rational), not the query's decimal-fold
+    construction. Also pins the degenerate contract: n ≤ 1 → NULL."""
+    from fractions import Fraction
+
+    rows = duckdb.connect().execute(
+        "SELECT l_returnflag, l_quantity FROM"
+        f" read_parquet('{sf_dir}/lineitem.parquet')"
+        " WHERE l_quantity IS NOT NULL"
+    ).fetchall()
+    groups: dict = {}
+    for f, q in rows:
+        groups.setdefault(f, []).append(Fraction(q))
+    got = {r["l_returnflag"]: r for r in _Q["q_agg_moments"](spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for f, xs in groups.items():
+        n = len(xs)
+        if n <= 1:
+            assert got[f]["var_qty"] is None
+            continue
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        assert abs(got[f]["var_qty"] - float(var)) <= 5e-7, f
+        assert abs(got[f]["std_qty"] - math.sqrt(float(var))) <= 5e-7, f
+
+
+def test_udaf_grouped_matches_exact_rational_rule(spark, sf_dir):
+    """Round-10 back-fill (the key re-pinned for the NULL-group fix):
+    q_udaf_grouped's count-above-group-mean, replayed in EXACT integer
+    arithmetic — acctbal is 2dp money, so x > Σx/n ⟺ 100x·n > Σ(100x)
+    over exact ints; no float mean anywhere (the UDF itself uses pandas
+    mean, so a float replay would mirror its construction)."""
+    rows = duckdb.connect().execute(
+        "SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) FROM"
+        f" read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchall()
+    groups: dict = {}
+    for k, cents in rows:
+        groups.setdefault(k, []).append(cents)
+    got = {
+        r["c_nationkey"]: r["n_above_mean"]
+        for r in _Q["q_udaf_grouped"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for k, xs in groups.items():
+        s, n = sum(xs), len(xs)
+        assert got[k] == sum(1 for x in xs if x * n > s), k
