@@ -1,0 +1,166 @@
+"""Property-based gates for the round-10 dirty-input hardening: the
+guarded operators are replayed against naive pure-Python evaluators
+over hypothesis-generated inputs that INCLUDE the degenerate values the
+guards exist for (None ids/weights, empty vectors, singleton groups) —
+the regime the clean fixtures never exercise. Same conventions as
+test_sketch_property.py: few Spark examples, the python oracle does
+the sweeping."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- pack_by_budget over dirty weights -----------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 50)),  # id (may be NULL)
+            st.one_of(st.none(), st.integers(0, 9000)),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    budget=st.sampled_from([100, 4096]),
+)
+def test_pack_by_budget_invariants_under_dirty_rows(spark, rows, budget):
+    """Every packable doc (non-NULL id AND weight) lands in exactly one
+    bin; NULL rows are dropped, never crash the job; no bin with 2+
+    docs exceeds the budget; within a bin, docs are contiguous in the
+    partition's id order (the greedy first-fit contract)."""
+    from modevetl_spark.operators.sampling import pack_by_budget
+
+    # de-dup ids: duplicate keys make "exactly once" ill-posed
+    seen, data = set(), []
+    for i, w in rows:
+        if i in seen:
+            continue
+        seen.add(i)
+        data.append((i, w))
+    df = spark.createDataFrame(data, "doc_id long, w long")
+    out = pack_by_budget(df, "w", budget=budget, n_partitions=2).collect()
+    packable = {i: w for i, w in data if i is not None and w is not None}
+    assert sorted(r["doc_id"] for r in out) == sorted(packable)
+    bins: dict = {}
+    for r in out:
+        assert r["w"] == packable[r["doc_id"]]
+        bins.setdefault(r["bin_id"], []).append(r)
+    for members in bins.values():
+        if len(members) >= 2:
+            assert sum(r["w"] for r in members) <= budget
+    # contiguity: within one partition (bin_id >> 32), the id-sorted doc
+    # stream must assign bin-locals in non-decreasing runs
+    by_part: dict = {}
+    for r in out:
+        by_part.setdefault(r["bin_id"] >> 32, []).append(r)
+    for rs in by_part.values():
+        rs.sort(key=lambda r: r["doc_id"])
+        locals_ = [r["bin_id"] & 0xFFFFFFFF for r in rs]
+        assert locals_ == sorted(locals_)
+
+
+# --- ivf_train over dirty vector corpora ---------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    vecs=st.lists(
+        st.one_of(
+            st.none(),
+            st.just([]),
+            st.lists(
+                st.floats(-2, 2, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    nlist=st.sampled_from([2, 4]),
+)
+def test_ivf_train_survives_degenerate_vectors(spark, vecs, nlist):
+    """Training never aborts on NULL/empty vectors (the ragged
+    np.asarray class); with at least one valid vector it returns
+    min(nlist, |valid sample|) unit-or-zero centroids of the valid
+    dimension (seeds are the first nlist sampled rows — a tinier corpus
+    seeds fewer cells, by design); with none, the sample is empty and
+    training degenerates loudly (IndexError), never a silent wrong
+    answer."""
+    from modevetl_spark.operators.similarity import ivf_train
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    valid = [v for v in vecs if v]
+    if not valid:
+        with pytest.raises(IndexError):
+            ivf_train(df, nlist=nlist, iters=1)
+        return
+    cents = ivf_train(df, nlist=nlist, iters=2)
+    assert len(cents) == min(nlist, len(valid))
+    for c in cents:
+        assert len(c) == 3
+        nrm = math.sqrt(sum(x * x for x in c))
+        # unit-normalised unless the seed itself was the zero vector
+        assert nrm == pytest.approx(1.0, abs=1e-9) or nrm == 0.0
+
+
+# --- the guarded weight rule of the weighted reservoir --------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    pris=st.lists(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.text(alphabet="0123456789xyz-URGENT", max_size=8),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_reservoir_weight_rule_matches_python(spark, pris):
+    """The try_cast + COALESCE(·,5) + GREATEST weight rule equals the
+    python replay on arbitrary malformed priority strings — and never
+    aborts (the ANSI CAST_INVALID_INPUT class)."""
+    from pyspark.sql import functions as F
+
+    def py_weight(p):
+        d = None
+        if p and p[0].isdigit():
+            d = int(p[0])
+        return max(6 - (d if d is not None else 5), 1)
+
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pris)], "i long, p string"
+    )
+    got = {
+        r["i"]: r["w"]
+        for r in df.select(
+            "i",
+            F.greatest(
+                F.lit(6)
+                - F.coalesce(
+                    F.substring(F.col("p"), 1, 1).try_cast("int"), F.lit(5)
+                ),
+                F.lit(1),
+            ).alias("w"),
+        ).collect()
+    }
+    assert got == {i: py_weight(p) for i, p in enumerate(pris)}
