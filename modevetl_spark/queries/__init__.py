@@ -311,28 +311,97 @@ _GRADED_R9 = frozenset(
 # fixtures — all 13 re-simmed MATCH at sf0.01 — but changed code is
 # changed code: it re-pins. The 13 pins displace 13 of the 15 r5
 # rotation slots; the full 34-key r4 cohort still clears this round.
-_CHANGED_R10_PIN: frozenset[str] = frozenset(
+# The 50 keys CORRECTNESS_r10.json graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that landed the dirty-input
+# robustness tier: the 14-key _CHANGED_R10_PIN cohort of hardened keys
+# re-graded green, the full 34-key r4-vintage cohort cleared, and the
+# r5 rotation started).
+_GRADED_R10 = frozenset(
     {
-        "q_sketch_hll",
-        "q_agg_moments",
+        "q_agg_moments", "q_array_explode", "q_date_trunc_agg",
+        "q_dedup_embedding_ivf", "q_dedup_exact", "q_dedup_incremental",
+        "q_dedup_spans", "q_dedup_substring_runs", "q_domain_quota_sample",
+        "q_embedding_cohesion", "q_embedding_norms",
+        "q_embedding_quantize", "q_event_transitions", "q_events_dedup",
+        "q_events_session", "q_events_session_terminal",
+        "q_events_sliding", "q_events_tumbling", "q_funnel_conversion",
+        "q_gapfill_ffill", "q_graph_degrees", "q_join_containment",
+        "q_json_extract", "q_leaves", "q_length_histogram", "q_map_counts",
+        "q_math_round", "q_multimodal_features", "q_multimodal_frames",
+        "q_ngram_topk", "q_null_default", "q_pack_budget", "q_pii_redact",
+        "q_quality_filter", "q_regex_extract", "q_retention_cohorts",
+        "q_sample_reservoir_weighted", "q_sim_range_search",
+        "q_sim_topk_ivf", "q_sim_topk_ivf_sq", "q_sketch_hll",
+        "q_string_funcs", "q_text_normalize", "q_token_entropy",
+        "q_tpch_large_volume", "q_tpch_local_supplier",
+        "q_tpch_pricing_summary", "q_udaf_grouped", "q_winsorize",
+        "q_zscore_normalize",
+    }
+)
+
+# Round-11 pin set — every key whose implementation OR oracle changes
+# this round (a changed key must never sit outside the grading window):
+#
+# (a) the 17 extreme-numerics crash keys (COVERAGE.md M11, the r10
+#     verdict's mandatory first fix): one hostile 1e300/subnormal row
+#     aborted the whole job at the DECIMAL fold seam under ANSI
+#     (NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW / an integer-div /0).
+#     Fix = the cross-engine-verified try_cast/TRY_CAST swap at each
+#     key's fold (out-of-range folds to NULL and falls out of SUM like
+#     a NULL input — value-neutral on in-range data), try-variants in
+#     functions/compat (tsum/tmoney) for the dsum/money users, and the
+#     aggstate partial-sum seam;
+# (b) the cosine-family keys (r10 ADVICE, medium): operators/
+#     similarity.cosine() used raw division, so ONE all-zero embedding
+#     vector killed every consumer under ANSI DIVIDE_BY_ZERO. Fix =
+#     F.try_divide at the shared helper — which changes the plan of
+#     every key routing through cosine()/brute_force_topk/ivf_*/
+#     lsh_topk, so ALL of them re-pin — plus the engine-side
+#     degenerate-vector filters the ADVICE asked for in the IVF keys;
+# (c) q_kmeans_clusters: consumes operators/aggstate.delta_partials,
+#     whose partial-sum fold gained the same try_cast guard as (a).
+_CHANGED_R11_PIN: frozenset[str] = frozenset(
+    {
+        # (a) extreme-numerics fold-seam fixes
+        "q_abc_classification",
+        "q_agg_incremental_state",
+        "q_anomaly_days",
+        "q_changepoint_cusum",
+        "q_corr_matrix",
+        "q_customer_rfm",
+        "q_decile_lift",
+        "q_ewma_trunc",
+        "q_gapfill_percentile",
+        "q_linkage_weights",
+        "q_rank_rbo",
+        "q_revenue_gini",
+        "q_runs_test",
+        "q_sample_weighted",
+        "q_spearman_corr",
+        "q_tpch_dormant_customers",
+        "q_weighted_median",
+        # (b) cosine()/try_divide blast radius
+        "q_dedup_corpus",
+        "q_dedup_embedding",
         "q_dedup_embedding_ivf",
-        "q_dedup_substring_runs",
-        "q_embedding_quantize",
-        "q_join_containment",
-        "q_multimodal_features",
-        "q_multimodal_frames",
-        "q_pack_budget",
-        "q_sample_reservoir_weighted",
-        "q_sim_range_search",
+        "q_eval_ndcg",
+        "q_mine_hard_negatives",
+        "q_sim_mmr_rerank",
+        "q_sim_rrf_fusion",
+        "q_sim_topk",
         "q_sim_topk_ivf",
         "q_sim_topk_ivf_sq",
-        "q_udaf_grouped",
+        "q_sim_topk_lsh",
+        "q_sim_topk_quantized",
+        # (c) aggstate partial-sum consumer
+        "q_kmeans_clusters",
     }
 )
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (10, _GRADED_R10),
         (9, _GRADED_R9),
         (8, _GRADED_R8),
         (7, _GRADED_R7),
@@ -348,14 +417,14 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# ROUND-11 BOOKKEEPING SCRIPT (the same three steps as r9→r10):
-#   1. Record _GRADED_R10 = the 50 keys of CORRECTNESS_r10.json (verify
-#      all pass first), add it to _freshest_round's chain at rank 10.
-#   2. Re-point _CHANGED_R10_PIN → _CHANGED_R11_PIN (empty unless a
+# ROUND-12 BOOKKEEPING SCRIPT (the same three steps every round):
+#   1. Record _GRADED_R11 = the 50 keys of CORRECTNESS_r11.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 11.
+#   2. Re-point _CHANGED_R11_PIN → _CHANGED_R12_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r10 grades (14 pins + 34 r4 + 2
-#      r5), the stalest cohort is the remaining ~41 r5-vintage keys
-#      (48 − 2 rotated − 5 r5-vintage keys among the pins), then r6.
+#      to the stalest evidence — after r11 grades (30 pins + 20 r5
+#      rotation), the stalest cohort is the remaining ~15 r5-vintage
+#      keys, then r6.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
@@ -365,7 +434,7 @@ def _freshest_round(key: str) -> int:
 def _grading_priority(key: str) -> float:
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R10_PIN:
+    if key in _CHANGED_R11_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

@@ -57,11 +57,12 @@ def test_grading_bookkeeping_consistent():
         (7, Q._GRADED_R7),
         (8, Q._GRADED_R8),
         (9, Q._GRADED_R9),
+        (10, Q._GRADED_R10),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R10_PIN <= keys
-    for k in Q._CHANGED_R10_PIN:
+    assert Q._CHANGED_R11_PIN <= keys
+    for k in Q._CHANGED_R11_PIN:
         assert Q._freshest_round(k) > 0, k
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
@@ -69,26 +70,25 @@ def test_grading_bookkeeping_consistent():
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-10 window composition: the registry is saturated (no staged
+    # round-11 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
-    # re-pins (0.5 — q_sketch_hll's NULL-key oracle fix plus the 13
-    # dirty-input hardening keys, see tests/test_dirty_contracts.py)
-    # followed by pure stalest-evidence rotation
+    # re-pins (0.5 — the 17 extreme-numerics try_cast fixes, the 12
+    # cosine()/try_divide blast-radius keys, and the aggstate consumer
+    # q_kmeans_clusters) followed by pure stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
-    assert len(never_graded) + len(Q._CHANGED_R10_PIN) <= 50
+    assert len(never_graded) + len(Q._CHANGED_R11_PIN) <= 50
     assert set(never_graded) <= set(window)
-    assert Q._CHANGED_R10_PIN <= set(window)
-    assert len(Q._CHANGED_R10_PIN) == 14
-    # verdict r9 item 1: the rotation slots must refresh the STALEST
-    # evidence — no pre-r4 evidence exists any more, and the ENTIRE
-    # 34-key r4-vintage cohort must be in the window (clearing pre-r5
-    # evidence completely this round); the 2 remaining rotation slots
-    # start on the r5 cohort (13 of r9's 15 r5 slots went to the pins,
-    # 5 of which are themselves r5-vintage)
-    assert not [k for k in order if 1 <= Q._freshest_round(k) <= 3]
-    r4_vintage = [k for k in order if Q._freshest_round(k) == 4]
-    assert len(r4_vintage) == 34, len(r4_vintage)
-    assert set(r4_vintage) <= set(window), sorted(set(r4_vintage) - set(window))
-    stale = [k for k in window if 1 <= Q._freshest_round(k) <= 5]
-    assert len(stale) >= 41, stale
+    assert Q._CHANGED_R11_PIN <= set(window)
+    assert len(Q._CHANGED_R11_PIN) == 30
+    # r10 verdict item 2: the rotation slots must refresh the STALEST
+    # evidence — no pre-r5 evidence exists any more (the r4 cohort
+    # cleared in round 10); every non-pin window slot goes to the head
+    # of the 41-key r5-vintage cohort (6 r5 keys sit among the pins;
+    # 20 rotate here; the remaining 15 carry to round 12)
+    assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
+    r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
+    assert len(r5_vintage) == 41, len(r5_vintage)
+    rotation = [k for k in window if k not in Q._CHANGED_R11_PIN]
+    assert len(rotation) == 20
+    assert all(Q._freshest_round(k) == 5 for k in rotation), rotation
