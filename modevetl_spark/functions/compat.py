@@ -62,6 +62,44 @@ def money(price: Column | str, discount: Column | str) -> Column:
     return _c(price).cast(DEC) * (F.lit(1) - _c(discount)).cast(DEC)
 
 
+# --- hostile-input-tolerant twins (try_cast at the fold seam) ------------
+#
+# Under ANSI mode a single out-of-DECIMAL(18,6)-range value (1e300, or a
+# product that overflows) ABORTS the whole job at the fold cast — at
+# 100 TB that is one hostile row killing a 1000-executor stage. The
+# try_* twins fold out-of-range operands to NULL instead, which then
+# falls out of SUM exactly like a NULL input; verified cross-engine
+# (Spark try_cast == DuckDB TRY_CAST on the whole class: 1e300 → NULL
+# both, 5e-324 subnormal → 0.000000 both, 1e300 → BIGINT NULL both).
+# They are deliberately separate functions rather than a change to
+# dsum/money: only the keys that opted into the extreme-numerics
+# contract re-pin into the grading window (COVERAGE.md M11).
+
+
+def tsum(col: Column | str, places: int = 2) -> Column:
+    """:func:`dsum` with a try_cast fold — same exact-decimal
+    accumulate / cast-double / ROUND discipline, but an out-of-range
+    operand becomes NULL instead of aborting the stage."""
+    return F.round(F.sum(_c(col).try_cast(DEC)).cast("double"), places)
+
+
+def tavg(col: Column | str, places: int = 6) -> Column:
+    """:func:`davg` with a try_cast fold; the count divisor counts only
+    rows whose operand survived the fold, mirroring SUM/COUNT over the
+    same TRY_CAST expression in the SQL twin."""
+    c = _c(col).try_cast(DEC)
+    return F.when(
+        F.count(c) > 0,
+        F.round(F.sum(c).cast("double") / F.count(c), places),
+    )
+
+
+def tmoney(price: Column | str, discount: Column | str) -> Column:
+    """:func:`money` with try_cast operands — either side out of range
+    nulls the revenue term for that row."""
+    return _c(price).try_cast(DEC) * (F.lit(1) - _c(discount)).try_cast(DEC)
+
+
 def dsum_money(price: Column | str, discount: Column | str, places: int = 2) -> Column:
     return F.round(F.sum(money(price, discount)).cast("double"), places)
 
@@ -90,6 +128,29 @@ def sql_davg(expr: str, alias: str, places: int = 6) -> str:
     return (
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), {places}) AS {alias}"
+    )
+
+
+def sql_tsum(expr: str, alias: str, places: int = 2) -> str:
+    """SQL twin of :func:`tsum` (DuckDB TRY_CAST matches Spark try_cast
+    over the whole extreme-numerics class — COVERAGE.md M11)."""
+    return (
+        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE),"
+        f" {places}) AS {alias}"
+    )
+
+
+def sql_tavg(expr: str, alias: str, places: int = 6) -> str:
+    return (
+        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(TRY_CAST({expr} AS DECIMAL(18,6))), {places}) AS {alias}"
+    )
+
+
+def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
+    return (
+        f"TRY_CAST({price} AS DECIMAL(18,6))"
+        f" * TRY_CAST(1 - {discount} AS DECIMAL(18,6))"
     )
 
 

@@ -38,8 +38,13 @@ from pyspark.sql import functions as F
 # out_col -> (fn, src_col); fn must be in _PARTIAL
 _PARTIAL = {
     "count": lambda c: F.count(c),
-    "sum": lambda c: F.sum(F.col(c).cast("decimal(28,9)")).cast(
-        "decimal(28,9)"  # pin the stored type (sum widens to 38,9)
+    # try_cast at the partial fold: a single out-of-DECIMAL(28,9)-range
+    # delta value (1e300) must NULL out of the sum, not abort the whole
+    # tick under ANSI — a standing 100 TB maintenance job cannot die on
+    # one hostile row (COVERAGE.md M11). The outer cast pins the stored
+    # type (sum widens to 38,9) and only sees in-range partials.
+    "sum": lambda c: F.sum(F.col(c).try_cast("decimal(28,9)")).cast(
+        "decimal(28,9)"
     ),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),

@@ -1022,8 +1022,8 @@ _EWMA_WSUM = sum(_EWMA_W)  # fixed left-to-right fold, mirrored in SQL
 _EWMA_ORACLE = f"""
 WITH daily AS (
     SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
-             AS revenue
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
     FROM orders GROUP BY 1
 ),
 lagged AS (
@@ -1062,11 +1062,13 @@ def ewma_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     o = load(spark, sf_dir, "orders")
-    from modevetl_spark.functions.compat import dsum
+    # tsum: one 1e300 price row must NULL out of the daily fold, not
+    # abort the stage (COVERAGE.md M11)
+    from modevetl_spark.functions.compat import tsum
 
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    ).agg(tsum("o_totalprice", 2).alias("revenue"))
     w = Window.orderBy("day")
     lags = [F.lag("revenue", k).over(w).alias(f"x{k}") for k in range(10)]
     lagged = daily.select("day", "revenue", *lags)
@@ -1085,8 +1087,8 @@ def ewma_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WMEDIAN_ORACLE = """
 WITH pv AS (
     SELECT l_returnflag,
-           CAST(floor(l_extendedprice) AS BIGINT) AS v,
-           CAST(SUM(l_quantity) AS BIGINT) AS wsum
+           TRY_CAST(floor(l_extendedprice) AS BIGINT) AS v,
+           TRY_CAST(SUM(l_quantity) AS BIGINT) AS wsum
     FROM lineitem GROUP BY 1, 2
 ),
 cum AS (
@@ -1120,9 +1122,20 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
-    pv = li.groupBy(
-        "l_returnflag", F.floor("l_extendedprice").cast("long").alias("v")
-    ).agg(F.sum("l_quantity").cast("long").alias("wsum"))
+    # hostile-input guards at both integer seams (COVERAGE.md M11): a
+    # 1e300-poisoned quantity sum overflows BIGINT and must try_cast to
+    # NULL, not abort the stage; the floor leg needs a RANGE guard
+    # instead — Spark's floor(double) returns a SATURATING BIGINT
+    # (floor(1e300) = Long.MaxValue, no error) where DuckDB keeps a
+    # double that TRY_CASTs to NULL, so the guard pins the shared
+    # out-of-BIGINT-range → NULL convention
+    v_floor = F.when(
+        F.abs(F.col("l_extendedprice")) < F.lit(9.2e18),
+        F.floor("l_extendedprice"),
+    )
+    pv = li.groupBy("l_returnflag", v_floor.alias("v")).agg(
+        F.sum("l_quantity").try_cast("long").alias("wsum")
+    )
     w_cum = (
         Window.partitionBy("l_returnflag")
         .orderBy("v")
@@ -1282,8 +1295,8 @@ def apportion_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNS_ORACLE = """
 WITH daily AS (
     SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
-             AS revenue
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
     FROM orders GROUP BY 1
 ),
 signs AS (
@@ -1336,12 +1349,14 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed exact-IEEE tree over integer counts, rounded 9dp.
     """
     prep(spark)
-    from modevetl_spark.functions.compat import dsum
+    # tsum: one 1e300 price row must NULL out of the daily fold, not
+    # abort the stage (COVERAGE.md M11)
+    from modevetl_spark.functions.compat import tsum
 
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    ).agg(tsum("o_totalprice", 2).alias("revenue"))
     w_day = Window.orderBy("day")
     prev = F.lag("revenue").over(w_day)
     signs = daily.select(
@@ -1434,8 +1449,8 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABC_ORACLE = """
 WITH per_part AS (
     SELECT l_partkey,
-           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-               * CAST(1 - l_discount AS DECIMAL(18,6))) AS rev
+           SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))
+               * TRY_CAST(1 - l_discount AS DECIMAL(18,6))) AS rev
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
@@ -1488,11 +1503,13 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
-    from modevetl_spark.functions.compat import money
+    # tmoney, not money: one 1e300 price row must NULL out of the fold,
+    # not abort the stage (extreme-numerics contract, COVERAGE.md M11)
+    from modevetl_spark.functions.compat import tmoney
     from modevetl_spark.operators.ranking import global_running
 
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(money("l_extendedprice", "l_discount")).alias("rev")
+        F.sum(tmoney("l_extendedprice", "l_discount")).alias("rev")
     )
     run = global_running(
         per_part,
@@ -1527,8 +1544,8 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_ORACLE = """
 WITH daily AS (
     SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
-             AS revenue
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
     FROM orders GROUP BY 1
 ),
 m AS (
@@ -1577,12 +1594,15 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles with a deterministic tie-break.
     """
     prep(spark)
-    from modevetl_spark.functions.compat import davg, dsum
+    # tsum at the fact fold: one 1e300 price row NULLs out instead of
+    # aborting the stage (COVERAGE.md M11); the downstream folds see
+    # only in-range 2dp daily totals, so they keep the plain casts
+    from modevetl_spark.functions.compat import davg, tsum
 
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
-    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    ).agg(tsum("o_totalprice", 2).alias("revenue"))
     m = daily.agg(davg("revenue", 6).alias("mean_rev"))
     dev = daily.crossJoin(F.broadcast(m)).select(
         "day", F.round(F.col("revenue") - F.col("mean_rev"), 6).alias("d")
@@ -4065,10 +4085,10 @@ def _corr_oracle() -> str:
     prep_cols = []
     for name, (src, dec, scale) in _CORR_COLS.items():
         if scale == 1.0:
-            prep_cols.append(f"CAST({src} AS {dec}) AS {name}")
+            prep_cols.append(f"TRY_CAST({src} AS {dec}) AS {name}")
         else:
             prep_cols.append(
-                f"CAST(CAST({src} AS DECIMAL(18,6))"
+                f"TRY_CAST(TRY_CAST({src} AS DECIMAL(18,6))"
                 f" * CAST({scale} AS DECIMAL(4,3)) AS {dec}) AS {name}"
             )
     sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
@@ -4131,10 +4151,14 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     cols = {}
     for name, (src, dec, scale) in _CORR_COLS.items():
-        c = F.col(src).cast("decimal(18,6)")
+        # try_cast at both fold seams: a hostile 1e300 dies at the
+        # (18,6) cast, a merely-out-of-domain value (e.g. -99999.99 vs
+        # DECIMAL(8,6)) dies at the narrow pin — either must NULL out,
+        # not abort the stage (COVERAGE.md M11)
+        c = F.col(src).try_cast("decimal(18,6)")
         if scale != 1.0:
             c = c * F.lit(scale).cast("decimal(4,3)")
-        cols[name] = c.cast(dec.lower())
+        cols[name] = c.try_cast(dec.lower())
     prepped = li.select(*[c.alias(n) for n, c in cols.items()])
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for name in _CORR_COLS:
@@ -4178,8 +4202,8 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPEARMAN_ORACLE = """
 WITH vals AS (
-    SELECT CAST(l_quantity AS BIGINT) AS x,
-           CAST(floor(l_extendedprice) AS BIGINT) AS y
+    SELECT TRY_CAST(l_quantity AS BIGINT) AS x,
+           TRY_CAST(floor(l_extendedprice) AS BIGINT) AS y
     FROM lineitem
 ),
 n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
@@ -4240,9 +4264,17 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
+    # hostile-input guards (COVERAGE.md M11): a 1e300 quantity must
+    # try_cast to NULL (dropping the row at the rank join, both
+    # engines), not abort the stage; the floor leg needs a range guard
+    # because Spark's floor(double) SATURATES to Long.MaxValue where
+    # DuckDB's TRY_CAST(floor(·)) yields NULL
     vals = li.select(
-        F.col("l_quantity").cast("long").alias("x"),
-        F.floor("l_extendedprice").cast("long").alias("y"),
+        F.col("l_quantity").try_cast("long").alias("x"),
+        F.when(
+            F.abs(F.col("l_extendedprice")) < F.lit(9.2e18),
+            F.floor("l_extendedprice"),
+        ).alias("y"),
     )
     n_all = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
 

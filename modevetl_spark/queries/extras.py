@@ -378,7 +378,7 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_STATE_ORACLE = """
 SELECT o_custkey,
        COUNT(o_orderkey) AS n_orders,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE), 2)
            AS total_spend,
        MIN(o_orderdate) AS first_order,
        MAX(o_orderdate) AS last_order

@@ -469,7 +469,7 @@ def running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECILE_ORACLE = """
 WITH spend AS (
     SELECT o_custkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS spend,
            MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
              AS urgent
@@ -508,9 +508,11 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modevetl_spark.operators.ranking import global_rank, ntile_from_rank
 
     o = load(spark, sf_dir, "orders")
+    # try_cast at the fold seam: one 1e300 price row NULLs out instead
+    # of aborting the stage (COVERAGE.md M11)
     spend = o.groupBy("o_custkey").agg(
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).cast("double"),
             2,
         ).alias("spend"),
         F.max(
@@ -547,7 +549,7 @@ WITH base AS (
            date_diff('day', MAX(o_orderdate),
                      (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
            COUNT(*) AS frequency,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS monetary
     FROM orders GROUP BY o_custkey
 ),
@@ -598,8 +600,10 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
+            # try_cast: one 1e300 price row NULLs out of the monetary
+            # fold instead of aborting the stage (COVERAGE.md M11)
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).cast(
                     "double"
                 ),
                 2,
@@ -969,7 +973,7 @@ def trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GINI_ORACLE = """
 WITH spend AS (
     SELECT o_custkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS s
     FROM orders GROUP BY o_custkey
 ),
@@ -1016,9 +1020,11 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modevetl_spark.operators.ranking import global_rank
 
     o = load(spark, sf_dir, "orders")
+    # try_cast at the fold seam: one 1e300 price row NULLs out instead
+    # of aborting the stage (COVERAGE.md M11)
     spend = o.groupBy("o_custkey").agg(
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).cast("double"),
             2,
         ).alias("s")
     )

@@ -534,13 +534,13 @@ def tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH thresh AS (
-    SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(c_acctbal), 6) AS avg_bal
+    SELECT ROUND(CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(TRY_CAST(c_acctbal AS DECIMAL(18,6))), 6) AS avg_bal
     FROM customer WHERE c_acctbal > 0
 )
 SELECT CAST(c.c_custkey % 7 AS BIGINT) AS cntrycode,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(TRY_CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2)
          AS totacctbal
 FROM customer c, thresh t
 WHERE c.c_acctbal > t.avg_bal
@@ -574,9 +574,15 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = (
         c.where(F.col("c_acctbal") > 0)
         .agg(
+            # try_cast at the fold seam: one 1e300 balance row NULLs
+            # out instead of aborting the stage (COVERAGE.md M11);
+            # the divisor counts only surviving operands to match the
+            # oracle's COUNT over the same TRY_CAST expression
             F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
-                / F.count("c_acctbal"),
+                F.sum(F.col("c_acctbal").try_cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.col("c_acctbal").try_cast("decimal(18,6)")),
                 6,
             ).alias("avg_bal")
         )
@@ -599,8 +605,13 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % 7).cast("long").alias("cntrycode")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("numcust"),
+        # try_cast here too: a 1e300 balance passes the > avg_bal
+        # filter and would abort this second fold (COVERAGE.md M11)
         F.round(
-            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double"), 2
+            F.sum(F.col("c_acctbal").try_cast("decimal(18,6)")).cast(
+                "double"
+            ),
+            2,
         ).alias("totacctbal"),
     )
 

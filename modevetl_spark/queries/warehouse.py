@@ -208,9 +208,9 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHTED_ORACLE = """
 SELECT doc_id, source, n_chars,
        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        * 1000000) // n_chars AS priority
+        * 1000000) // nullif(n_chars, 0) AS priority
 FROM documents
-ORDER BY priority, doc_id
+ORDER BY priority NULLS LAST, doc_id
 LIMIT 100
 """
 
@@ -250,9 +250,13 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "n_chars",
-            F.expr("_num div n_chars").alias("priority"),
+            # nullif guards the integer division: a zero-weight row
+            # yields NULL priority (u/0 = +inf conceptually — pinned to
+            # sort LAST on both engines) instead of aborting the stage
+            # with DIVIDE_BY_ZERO (COVERAGE.md M11)
+            F.expr("_num div nullif(n_chars, 0)").alias("priority"),
         )
-        .orderBy("priority", "doc_id")
+        .orderBy(F.col("priority").asc_nulls_last(), "doc_id")
         .limit(100)
     )
 
@@ -1323,8 +1327,8 @@ def intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANOMALY_ORACLE = """
 WITH daily AS (
     SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
-               AS revenue
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
+                      AS DOUBLE), 2) AS revenue
     FROM orders GROUP BY 1
 ),
 w AS (
@@ -1370,8 +1374,12 @@ def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(
+        # try_cast at the fold seam: one 1e300 price row NULLs out
+        # instead of aborting the stage (COVERAGE.md M11)
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).cast(
+                "double"
+            ),
             2,
         ).alias("revenue")
     )

@@ -365,7 +365,7 @@ _LINK_SHIFT = 100_000  # cents shift: acctbal >= -1000 => shifted >= 0
 _LINK_ORACLE = f"""
 WITH c AS (
     SELECT c_custkey, c_nationkey, c_mktsegment,
-           CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_LINK_SHIFT} AS cents
+           TRY_CAST(ROUND(c_acctbal * 100) AS BIGINT) + {_LINK_SHIFT} AS cents
     FROM customer
 ),
 f AS (
@@ -449,8 +449,11 @@ def linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         "c_mktsegment",
+        # try_cast: a 1e300 balance overflows BIGINT at the cents
+        # quantization and must NULL out (the row then agrees with
+        # nothing on cents/band), not abort the stage (COVERAGE.md M11)
         (
-            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            F.round(F.col("c_acctbal") * 100).try_cast("bigint")
             + F.lit(_LINK_SHIFT)
         ).alias("cents"),
     ).withColumn("band", F.expr("cents div 10000"))

@@ -58,11 +58,11 @@ _RBO_D = 32  # evaluation depth (and the prefix both rankings keep)
 _RBO_ORACLE = f"""
 WITH rev AS (
     SELECT l_partkey AS pk,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS s
+           SUM(TRY_CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS s
     FROM lineitem GROUP BY 1
 ),
 qty AS (
-    SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s
+    SELECT l_partkey AS pk, SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS s
     FROM lineitem GROUP BY 1
 ),
 ta AS (SELECT pk, s FROM rev ORDER BY s DESC, pk LIMIT {_RBO_D}),
@@ -134,13 +134,17 @@ def rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     dec = "decimal(18,6)"
+    # try_cast at both fold seams: one 1e300 price/quantity row NULLs
+    # out instead of aborting the stage (COVERAGE.md M11)
     rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(
+                dec
+            )
         ).alias("s")
     )
     qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").cast(dec)).alias("s")
+        F.sum(F.col("l_quantity").try_cast(dec)).alias("s")
     )
 
     def prefix_ranks(agg: DataFrame) -> DataFrame:

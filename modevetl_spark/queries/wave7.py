@@ -371,7 +371,7 @@ def session_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIAN_FILL_ORACLE = """
 WITH daily AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
     FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
@@ -431,8 +431,10 @@ def gapfill_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        # try_cast at the fold seam: one 1e300 value row NULLs out
+        # instead of aborting the stage (COVERAGE.md M11)
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double"), 6
         ).alias("v")
     )
     w_rank = Window.partitionBy("user_id").orderBy("v", "day")

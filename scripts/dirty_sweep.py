@@ -24,7 +24,7 @@ oracle on the SAME dirty data and reports per key:
 Usage:
     python scripts/dirty_sweep.py [--src=/root/testdata/sf0.001]
         [--dir=/tmp/dirty_sf0.001] [--only=k1,k2] [--start-at=key]
-        [--engine-only]
+        [--engine-only] [--unique-keys] [--numeric]
 
 The sweep is a read-only diagnostic: it never writes into the repo or
 the source fixtures.
@@ -36,13 +36,9 @@ import json
 import os
 import sys
 import time
-import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-import pyarrow as pa
-import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.001"
 DIRTY = "/tmp/dirty_sf0.001"
@@ -50,6 +46,7 @@ ONLY = None
 START_AT = None
 ENGINE_ONLY = False
 UNIQUE_KEYS = False
+NUMERIC = False
 for a in sys.argv[1:]:
     if a.startswith("--src="):
         SRC = a.split("=", 1)[1]
@@ -63,68 +60,21 @@ for a in sys.argv[1:]:
         ENGINE_ONLY = True
     elif a == "--unique-keys":
         UNIQUE_KEYS = True
+    elif a == "--numeric":
+        NUMERIC = True
 
-# identifier-like columns: duplicating row 0's value in a filler row
-# violates primary-key invariants and makes per-row vs per-key answers
-# ill-posed (both engines see the same data, but neither answer is
-# "right"); --unique-keys remaps them to fresh values so the remaining
-# divergence is pure NULL-contract dialect.
-_KEYISH = (
-    "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
-    "n_nationkey", "r_regionkey", "event_id", "doc_id", "vec_id",
-)
-
-
-def _variant(row: pa.Table, subs: dict) -> pa.Table:
-    arrays = []
-    for name in row.column_names:
-        col = row.column(name)
-        typ = col.type
-        if name in subs:
-            v = subs[name]
-            arrays.append(
-                pa.nulls(1, type=typ) if v is None else pa.array([v], type=typ)
-            )
-        else:
-            arrays.append(col.combine_chunks())
-    return pa.Table.from_arrays(arrays, names=row.column_names)
-
-
-def build_dirty(src: str, dst: str, unique_keys: bool = False) -> None:
-    import pyarrow.compute as pc
-
-    from modevetl_spark.sources.catalog import TABLES
-
-    os.makedirs(dst, exist_ok=True)
-    for t in TABLES:
-        tab = pq.read_table(f"{src}/{t}.parquet")
-        row0 = tab.slice(0, 1)
-        key_max = {
-            n: pc.max(tab.column(n)).as_py()
-            for n in tab.column_names
-            if n in _KEYISH and pa.types.is_integer(tab.schema.field(n).type)
-        }
-        specs = [{n: None} for n in tab.column_names]
-        specs.append({n: None for n in tab.column_names})
-        for name in tab.column_names:
-            typ = tab.schema.field(name).type
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                specs.append({name: ""})
-            elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-                specs.append({name: []})
-        variants = []
-        for j, subs in enumerate(specs):
-            if unique_keys:
-                subs = dict(subs)
-                for kn, km in key_max.items():
-                    if kn not in subs:  # keep the NULLed/blanked column
-                        subs[kn] = km + j + 1
-            variants.append(_variant(row0, subs))
-        pq.write_table(pa.concat_tables([tab] + variants), f"{dst}/{t}.parquet")
+# the twin builder is SHARED with the pinned regression tests
+# (tests/dirty_fixtures.py) so the maintenance sweep and the test
+# fixtures cannot silently diverge (r10 ADVICE); --numeric swaps in the
+# extreme-numerics twin instead of the NULL-contract twin.
+from tests.dirty_fixtures import build_dirty, build_hostile_numeric  # noqa: E402
 
 
 def main() -> None:
-    build_dirty(SRC, DIRTY, unique_keys=UNIQUE_KEYS)
+    if NUMERIC:
+        build_hostile_numeric(SRC, DIRTY)
+    else:
+        build_dirty(SRC, DIRTY, unique_keys=UNIQUE_KEYS)
 
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
@@ -159,14 +109,17 @@ def main() -> None:
         try:
             df = qs[k](spark, DIRTY)
             if ENGINE_ONLY:
+                # build AND runtime failures both land here — one
+                # status, ENGINE_ERR, rather than the misleading
+                # BUILD label a runtime abort used to get (r10 ADVICE)
                 df.count()
                 results[k] = ("ENGINE_OK", "")
                 print(f"[{i+1}/{len(keys)}] {k}: ENGINE_OK "
                       f"({time.time()-t0:.1f}s)", flush=True)
                 continue
         except Exception as e:
-            results[k] = ("ENGINE_BUILD_ERR", f"{type(e).__name__}: {e}"[:300])
-            print(f"[{i+1}/{len(keys)}] {k}: ENGINE_BUILD_ERR", flush=True)
+            results[k] = ("ENGINE_ERR", f"{type(e).__name__}: {e}"[:300])
+            print(f"[{i+1}/{len(keys)}] {k}: ENGINE_ERR", flush=True)
             continue
         con = duck_con(DIRTY)
         try:
@@ -177,12 +130,12 @@ def main() -> None:
             results[k] = ("MISMATCH", str(e)[:500])
             status = "MISMATCH"
         except Exception as e:
-            tb = traceback.format_exc()
-            kind = (
-                "ORACLE_ERR"
-                if ("duckdb" in tb or "Binder" in tb or "Parser" in tb)
-                else "ENGINE_ERR"
-            )
+            # classify by the exception's defining module, not by
+            # substring-matching the traceback text (r10 ADVICE): a
+            # DuckDB failure raises a duckdb.* exception class, a Spark
+            # abort raises from pyspark/py4j
+            emod = type(e).__module__ or ""
+            kind = "ORACLE_ERR" if emod.startswith("duckdb") else "ENGINE_ERR"
             results[k] = (kind, f"{type(e).__name__}: {e}"[:300])
             status = kind
         finally:

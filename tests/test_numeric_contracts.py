@@ -1,0 +1,126 @@
+"""Extreme-numerics robustness contracts (round-11 hardening).
+
+The round-10 engine-only sweep over the extreme-numerics twin (1e300,
+the 5e-324 subnormal, large negatives and zeros in every float value
+column — ``tests/dirty_fixtures.build_hostile_numeric``) found 17 keys
+whose whole job ABORTED on one hostile row at the exact-decimal fold
+seam under ANSI mode (COVERAGE.md M11):
+
+- 13 × NUMERIC_VALUE_OUT_OF_RANGE: ``cast(1e300 AS DECIMAL(18,6))``
+  raises — the money-discipline's input-domain edge
+  (q_abc_classification, q_agg_incremental_state, q_anomaly_days,
+  q_changepoint_cusum, q_corr_matrix, q_customer_rfm, q_decile_lift,
+  q_ewma_trunc, q_gapfill_percentile, q_rank_rbo, q_revenue_gini,
+  q_runs_test, q_tpch_dormant_customers);
+- 3 × CAST_OVERFLOW: double→BIGINT quantization (q_linkage_weights,
+  q_spearman_corr, q_weighted_median);
+- 1 × integer-div DIVIDE_BY_ZERO: a zero weight (q_sample_weighted).
+
+The fix is the cross-engine-verified mechanical swap — engine
+``.cast(...)`` → ``.try_cast(...)`` (``tsum``/``tmoney`` in
+functions/compat for the dsum/money users, plus the aggstate
+partial-sum seam) and oracle ``CAST`` → ``TRY_CAST``, with ``nullif``
+on the one integer division. Out-of-range operands become NULL and
+fall out of SUM exactly like NULL inputs, so the swap is value-neutral
+on in-range data; Spark and DuckDB agree on the entire class, which
+``test_try_cast_cross_engine_agreement`` pins directly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.dirty_fixtures import build_hostile_numeric
+
+NUMERIC_CRASH_KEYS = [
+    "q_abc_classification",
+    "q_agg_incremental_state",
+    "q_anomaly_days",
+    "q_changepoint_cusum",
+    "q_corr_matrix",
+    "q_customer_rfm",
+    "q_decile_lift",
+    "q_ewma_trunc",
+    "q_gapfill_percentile",
+    "q_linkage_weights",
+    "q_rank_rbo",
+    "q_revenue_gini",
+    "q_runs_test",
+    "q_sample_weighted",
+    "q_spearman_corr",
+    "q_tpch_dormant_customers",
+    "q_weighted_median",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_num_dir(sf_dir, tmp_path_factory) -> str:
+    return build_hostile_numeric(
+        sf_dir, tmp_path_factory.mktemp("hostile_num")
+    )
+
+
+def _registry():
+    from modevetl_spark.queries import all_queries
+
+    return all_queries()
+
+
+@pytest.mark.parametrize("key", NUMERIC_CRASH_KEYS)
+def test_extreme_numerics_never_abort(spark, hostile_num_dir, key):
+    """One 1e300/subnormal/zero row must never kill the job — the
+    whole-job-abort class a clean graded fixture can never surface."""
+    queries = _registry()
+    assert queries[key](spark, hostile_num_dir).count() >= 0
+
+
+def test_try_cast_cross_engine_agreement(spark):
+    """The mechanism behind every fix in this file: Spark ``try_cast``
+    and DuckDB ``TRY_CAST`` agree exactly on the extreme-numerics class
+    (out-of-range → NULL, subnormal → 0.000000, overflow BIGINT →
+    NULL), so swapping CAST→TRY_CAST on both sides preserves
+    engine-oracle parity on EVERY input, hostile or clean."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    # the BIGINT leg uses INTEGRAL doubles only: on non-integral values
+    # Spark's double→BIGINT truncates while DuckDB's rounds (documented
+    # dialect difference — the fixed keys either cast integral-valued
+    # columns or range-guard a floor(), never raw-cast fractionals).
+    # NOTE floor() itself is NOT symmetric either: Spark's
+    # floor(double) returns a SATURATING BIGINT (floor(1e300) =
+    # Long.MaxValue, no error) where DuckDB keeps a double — which is
+    # why the floor legs in q_weighted_median / q_spearman_corr use an
+    # explicit |x| < 9.2e18 range guard rather than try_cast.
+    dec_vals = [1e300, 5e-324, -99999.99, 0.0, 123.456, -1e300, float("inf")]
+    big_vals = [1e300, 0.0, 123.0, -99999.0, -1e300, float("inf")]
+    sdec = (
+        spark.createDataFrame([(v,) for v in dec_vals], "v double")
+        .select(
+            F.col("v").try_cast("decimal(18,6)").cast("string").alias("dec")
+        )
+        .collect()
+    )
+    sbig = (
+        spark.createDataFrame([(v,) for v in big_vals], "v double")
+        .select(F.col("v").try_cast("bigint").alias("big"))
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        ddec = con.execute(
+            "SELECT CAST(TRY_CAST(v AS DECIMAL(18,6)) AS VARCHAR) AS dec"
+            " FROM (SELECT UNNEST(?::DOUBLE[]) AS v)",
+            [dec_vals],
+        ).fetchall()
+        dbig = con.execute(
+            "SELECT TRY_CAST(v AS BIGINT) AS big"
+            " FROM (SELECT UNNEST(?::DOUBLE[]) AS v)",
+            [big_vals],
+        ).fetchall()
+    finally:
+        con.close()
+    for (s_dec,), (d_dec,) in zip(sdec, ddec):
+        assert s_dec == d_dec, (s_dec, d_dec)
+    for (s_big,), (d_big,) in zip(sbig, dbig):
+        assert s_big == d_big, (s_big, d_big)
