@@ -41,7 +41,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a try_divide guard: an all-zero (or
+    otherwise zero-norm) vector has no defined cosine — it yields NULL
+    rather than aborting the whole job under ANSI DIVIDE_BY_ZERO (one
+    degenerate embedding row must never kill a 100 TB stage; r10
+    ADVICE). NULL scores sort last under every desc ranking consumer,
+    so degenerate vectors simply never rank."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

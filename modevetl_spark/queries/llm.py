@@ -436,9 +436,13 @@ SELECT q.vec_id AS query_id,
        TRUE AS recall_ok
 FROM (SELECT * FROM embeddings
       WHERE vec_id < 20
-        AND embedding IS NOT NULL AND len(embedding) > 0) q
+        AND embedding IS NOT NULL AND len(embedding) > 0
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0) q
 JOIN (SELECT * FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) > 0) c
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0) c
   ON c.vec_id <> q.vec_id
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY q.vec_id
@@ -464,7 +468,25 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins. A regression in training, assignment, or probing drops
     recall and breaks the hash."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # degenerate-vector contract IMPLEMENTED engine-side, not left to
+    # the fixtures: NULL/empty/zero-norm embeddings are excluded from
+    # query and corpus exactly as the oracle's len()>0 / dot>0 filters
+    # do (r10 ADVICE — previously only the oracle filtered, and a dirty
+    # unique-id row below 20 would have produced an engine-only output
+    # row). Zero-NORM is part of the contract because this key EMITS
+    # the cosine value: the engine's try_divide yields NULL where
+    # DuckDB's list_cosine_similarity pins -1.0, so a zero vector must
+    # not reach the scored set on either side.
+    sqnorm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & (sqnorm > 0)
+    )
     qs = e.where(F.col("vec_id") < 20)
     ivf = ivf_topk(e, qs, k=5, nlist=16, nprobe=4)
     exact = brute_force_topk(e, qs, k=5)

@@ -704,6 +704,8 @@ _IVF_SQ_ORACLE = """
 WITH clean AS (
     SELECT vec_id, embedding FROM embeddings
     WHERE embedding IS NOT NULL AND len(embedding) > 0
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[])) > 0
 ),
 qs AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
@@ -764,7 +766,21 @@ def sim_topk_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modevetl_spark.operators.similarity import brute_force_topk, ivf_sq_topk
 
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # degenerate-vector contract implemented engine-side (r10 ADVICE):
+    # the oracle's IS NOT NULL / len>0 / dot>0 query+corpus filters must
+    # have an engine twin, not hold coincidentally on clean fixtures.
+    # Zero-norm is excluded because this key EMITS the cosine value
+    # (engine try_divide NULL vs DuckDB list_cosine_similarity -1.0).
+    sqnorm = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    e = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & (sqnorm > 0)
+    )
     qs = e.where(F.col("vec_id") < 20)
     res = ivf_sq_topk(e, qs, k=5, shortlist=10, nlist=16, nprobe=4)
     exact = brute_force_topk(e, qs, k=5)

@@ -7,8 +7,11 @@ CORRECTNESS grading — but at 100 TB a single dirty row MUST NOT kill a
 job aborts (DIVIDE_BY_ZERO, CAST_INVALID_INPUT, INVALID_INDEX_OF_ZERO),
 and pandas UDFs abort on int(NaN); a registry-wide engine-vs-oracle
 sweep over adversarial fixtures (every column NULLed one at a time, an
-all-NULL row, empty strings, empty lists — see ``_dirty_dir``) found 14
-keys that crashed outright. This file pins the fixes:
+all-NULL row, empty strings, empty lists, and — since round 11 — an
+all-zero vector per float-list column; see ``tests/dirty_fixtures``)
+found 13 keys that crashed outright (the round-10 pin set was 14: these
+13 plus q_sketch_hll, whose fix was oracle-only, not a crash). This
+file pins the crash fixes:
 
 - crash class 1, ANSI DIVIDE_BY_ZERO: q_agg_moments (n=1 group),
   q_dedup_substring_runs / q_join_containment (zero-token docs),
@@ -39,11 +42,9 @@ ill-posedness, not a NULL-contract gap.
 
 from __future__ import annotations
 
-import pyarrow as pa
-import pyarrow.parquet as pq
 import pytest
 
-from modevetl_spark.sources.catalog import TABLES
+from tests.dirty_fixtures import build_dirty
 from tests.oracle import compare, duck_con
 
 # keys whose engine AND oracle implement the same dirty-input contract
@@ -95,71 +96,17 @@ FAMILY_PARITY_KEYS = [
 ]
 
 
-# identifier-like columns for the unique-key twin (duplicating row 0's
-# key in a filler row violates primary-key invariants, which makes
-# per-row vs per-key answers ill-posed; remapping them isolates pure
-# NULL-contract behavior)
-_KEYISH = (
-    "o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "p_partkey",
-    "n_nationkey", "r_regionkey", "event_id", "doc_id", "vec_id",
-)
-
-
-def _variant(row: pa.Table, subs: dict) -> pa.Table:
-    arrays = []
-    for name in row.column_names:
-        col = row.column(name)
-        typ = col.type
-        if name in subs:
-            v = subs[name]
-            if v is None:
-                arrays.append(pa.nulls(1, type=typ))
-            else:
-                arrays.append(pa.array([v], type=typ))
-        else:
-            arrays.append(col.combine_chunks())
-    return pa.Table.from_arrays(arrays, names=row.column_names)
-
-
-def _build_dirty(sf_dir: str, out, unique_keys: bool) -> str:
-    import pyarrow.compute as pc
-
-    for t in TABLES:
-        tab = pq.read_table(f"{sf_dir}/{t}.parquet")
-        row0 = tab.slice(0, 1)
-        key_max = {
-            n: pc.max(tab.column(n)).as_py()
-            for n in tab.column_names
-            if n in _KEYISH and pa.types.is_integer(tab.schema.field(n).type)
-        }
-        specs = [{n: None} for n in tab.column_names]
-        specs.append({n: None for n in tab.column_names})
-        for name in tab.column_names:
-            typ = tab.schema.field(name).type
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                specs.append({name: ""})
-            elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
-                specs.append({name: []})
-        variants = []
-        for j, subs in enumerate(specs):
-            if unique_keys:
-                subs = dict(subs)
-                for kn, km in key_max.items():
-                    if kn not in subs:
-                        subs[kn] = km + j + 1
-            variants.append(_variant(row0, subs))
-        pq.write_table(pa.concat_tables([tab] + variants), f"{out}/{t}.parquet")
-    return str(out)
-
-
 @pytest.fixture(scope="module")
 def dirty_dir(sf_dir, tmp_path_factory) -> str:
     """A dirty twin of the sf fixture dir: same rows plus, per table,
     one row per column with JUST that column NULL (others copied from
-    row 0), one all-NULL row, an empty-string row per string column and
-    an empty-list row per list column. Schema preserved exactly via
-    pyarrow (no pandas int→float traps)."""
-    return _build_dirty(
+    row 0), one all-NULL row, an empty-string row per string column, an
+    empty-list row per list column and an all-zero-vector row per
+    float-list column. Schema preserved exactly via pyarrow (no pandas
+    int→float traps). Built by the SHARED builder in
+    tests/dirty_fixtures (also used by scripts/dirty_sweep.py), so the
+    regression fixture and the maintenance sweep cannot diverge."""
+    return build_dirty(
         sf_dir, tmp_path_factory.mktemp("dirty_sf"), unique_keys=False
     )
 
@@ -169,7 +116,7 @@ def dirty_unique_dir(sf_dir, tmp_path_factory) -> str:
     """The same adversarial twin with identifier columns remapped to
     fresh values (max + j) in every filler row, so no primary key is
     duplicated: what remains is PURE NULL/empty-value behavior."""
-    return _build_dirty(
+    return build_dirty(
         sf_dir, tmp_path_factory.mktemp("dirty_uk"), unique_keys=True
     )
 
@@ -214,3 +161,33 @@ def test_dirty_unique_key_parity(spark, dirty_unique_dir, key):
         compare(df, con, oracles[key])
     finally:
         con.close()
+
+
+# the round-11 cosine contract (r10 ADVICE, medium): operators/
+# similarity.cosine() is F.try_divide, so an ALL-ZERO embedding vector
+# (len > 0 but norm 0 — present in the dirty twin since round 11) must
+# never abort any consumer of the shared cosine/brute-force/IVF/LSH
+# kernels. The two keys that EMIT cosine values (q_sim_topk_ivf,
+# q_sim_topk_ivf_sq) additionally exclude zero-norm vectors engine- AND
+# oracle-side (engine NULL vs DuckDB list_cosine_similarity's pinned
+# -1.0 would otherwise diverge) and are graded by the full parity test
+# above; the rest of the family only promises crash-freedom here.
+COSINE_FAMILY_KEYS = [
+    "q_dedup_corpus",
+    "q_dedup_embedding",
+    "q_eval_ndcg",
+    "q_mine_hard_negatives",
+    "q_sim_mmr_rerank",
+    "q_sim_rrf_fusion",
+    "q_sim_topk",
+    "q_sim_topk_lsh",
+    "q_sim_topk_quantized",
+]
+
+
+@pytest.mark.parametrize("key", COSINE_FAMILY_KEYS)
+def test_zero_norm_vector_never_aborts(spark, dirty_dir, key):
+    """A single all-zero embedding row must not kill the job under ANSI
+    DIVIDE_BY_ZERO anywhere in the cosine family."""
+    queries, _ = _registry()
+    assert queries[key](spark, dirty_dir).count() >= 0
