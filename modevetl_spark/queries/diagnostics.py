@@ -1448,9 +1448,13 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ABC_ORACLE = """
 WITH per_part AS (
+    -- operands at (19,6), not (18,6): DuckDB's decimal multiply does
+    -- not auto-widen — an (18,6)x(18,6) product runs on the int64 path
+    -- and overflows on hostile magnitudes, while (19,6)x(19,6) lands
+    -- exactly in (38,12) int128; Spark widens to (37,12) by itself
     SELECT l_partkey,
-           SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))
-               * TRY_CAST(1 - l_discount AS DECIMAL(18,6))) AS rev
+           SUM(TRY_CAST(l_extendedprice AS DECIMAL(19,6))
+               * TRY_CAST(1 - l_discount AS DECIMAL(19,6))) AS rev
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (

@@ -980,7 +980,7 @@ WITH spend AS (
 ranked AS (
     SELECT s, ROW_NUMBER() OVER (ORDER BY s, o_custkey) AS i,
            COUNT(*) OVER () AS n
-    FROM spend
+    FROM spend WHERE s IS NOT NULL
 ),
 agg AS (
     SELECT MAX(n) AS n,
@@ -1021,13 +1021,17 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     # try_cast at the fold seam: one 1e300 price row NULLs out instead
-    # of aborting the stage (COVERAGE.md M11)
+    # of aborting the stage (COVERAGE.md M11); a customer whose ENTIRE
+    # spend is unrepresentable (all-hostile orders → NULL s) has no
+    # defined rank and is excluded on BOTH engines — without the
+    # filter the Lorenz ranks diverge on NULL order (Spark ASC = NULLS
+    # FIRST, DuckDB ASC = NULLS LAST)
     spend = o.groupBy("o_custkey").agg(
         F.round(
             F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).cast("double"),
             2,
         ).alias("s")
-    )
+    ).where(F.col("s").isNotNull())
     ranked_rn = global_rank(spend, ["s", "o_custkey"], rank_col="i")
     # n aggregates over global_rank's internal checkpoint — no second
     # scan of the fact — and rides every row as a broadcast scalar

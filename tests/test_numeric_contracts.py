@@ -74,6 +74,29 @@ def test_extreme_numerics_never_abort(spark, hostile_num_dir, key):
     assert queries[key](spark, hostile_num_dir).count() >= 0
 
 
+@pytest.mark.parametrize("key", NUMERIC_CRASH_KEYS)
+def test_extreme_numerics_parity(spark, hostile_num_dir, key):
+    """Stronger than crash-freedom: because the TRY_CAST contract is
+    symmetric, all 17 keys hold FULL engine-vs-oracle parity even on
+    the hostile twin — the same row/schema/value check the driver runs.
+    Two residues were closed to get here: the abc oracle's revenue
+    product needed DECIMAL(19,6) operands (DuckDB's non-widening
+    int64 multiply overflows on hostile magnitudes), and gini excludes
+    NULL-spend customers on both engines (their Lorenz rank is
+    undefined and the engines disagree on NULL sort order)."""
+    from tests.oracle import compare, duck_con
+
+    queries = _registry()
+    from modevetl_spark.queries import all_oracle
+
+    df = queries[key](spark, hostile_num_dir)
+    con = duck_con(hostile_num_dir)
+    try:
+        compare(df, con, all_oracle()[key])
+    finally:
+        con.close()
+
+
 def test_try_cast_cross_engine_agreement(spark):
     """The mechanism behind every fix in this file: Spark ``try_cast``
     and DuckDB ``TRY_CAST`` agree exactly on the extreme-numerics class
