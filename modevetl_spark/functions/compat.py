@@ -148,9 +148,14 @@ def sql_tavg(expr: str, alias: str, places: int = 6) -> str:
 
 
 def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
+    # operands at (19,6), not (18,6): DuckDB's decimal multiply does not
+    # auto-widen — an (18,6)x(18,6) product runs on the int64 path and
+    # overflows on exactly the hostile magnitudes TRY_CAST admits;
+    # (19,6)x(19,6) lands in (38,12) int128. Spark's tmoney can stay
+    # (18,6) (it widens to (37,12) itself) — values are identical.
     return (
-        f"TRY_CAST({price} AS DECIMAL(18,6))"
-        f" * TRY_CAST(1 - {discount} AS DECIMAL(18,6))"
+        f"TRY_CAST({price} AS DECIMAL(19,6))"
+        f" * TRY_CAST(1 - {discount} AS DECIMAL(19,6))"
     )
 
 

