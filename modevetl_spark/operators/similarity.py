@@ -40,6 +40,36 @@ def norm(a: Column) -> Column:
     )
 
 
+def sq_norm(vec: Column | str) -> Column:
+    """Sum of squares of an array<numeric> column (JVM-side fold)."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def well_formed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The engine half of the degenerate-vector contract shared by every
+    cosine-family key: NULL, empty, and ZERO-NORM vectors are excluded
+    before scoring. NULL/empty score nothing and zero-norm has no
+    defined cosine — and because the engines disagree on the degenerate
+    convention (Spark try_divide → NULL vs DuckDB
+    list_cosine_similarity → pinned -1.0), any key that EMITS a cosine
+    value must keep such vectors out of the scored set on BOTH sides.
+    The SQL twin is ``CLEAN_EMB_SQL``. Value-neutral on the clean
+    fixtures (zero degenerate embeddings at every SF — verified)."""
+    c = F.col(vec_col)
+    return df.where(c.isNotNull() & (F.size(c) > 0) & (sq_norm(c) > 0))
+
+
+# the DuckDB twin of well_formed(); interpolate into oracle CTEs
+CLEAN_EMB_SQL = (
+    "embedding IS NOT NULL AND len(embedding) > 0"
+    " AND list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) > 0"
+)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity with a try_divide guard: an all-zero (or
     otherwise zero-norm) vector has no defined cosine — it yields NULL

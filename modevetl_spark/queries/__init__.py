@@ -356,8 +356,9 @@ _GRADED_R10 = frozenset(
 #     vector killed every consumer under ANSI DIVIDE_BY_ZERO. Fix =
 #     F.try_divide at the shared helper — which changes the plan of
 #     every key routing through cosine()/brute_force_topk/ivf_*/
-#     lsh_topk, so ALL of them re-pin — plus the engine-side
-#     degenerate-vector filters the ADVICE asked for in the IVF keys;
+#     lsh_topk, so ALL of them re-pin — plus the shared well_formed/
+#     CLEAN_EMB_SQL degenerate-vector exclusion (NULL/empty/zero-norm,
+#     engine AND oracle) on every cos-emitting key in the family;
 # (c) q_kmeans_clusters: consumes operators/aggstate.delta_partials,
 #     whose partial-sum fold gained the same try_cast guard as (a).
 _CHANGED_R11_PIN: frozenset[str] = frozenset(
@@ -380,8 +381,10 @@ _CHANGED_R11_PIN: frozenset[str] = frozenset(
         "q_spearman_corr",
         "q_tpch_dormant_customers",
         "q_weighted_median",
-        # (b) cosine()/try_divide blast radius
-        "q_dedup_corpus",
+        # (b) cosine()/try_divide blast radius (q_dedup_corpus is NOT
+        # here: it is MinHash-over-documents and never touches cosine —
+        # verified when the initial blast-radius scan flagged it off a
+        # module-level comment)
         "q_dedup_embedding",
         "q_dedup_embedding_ivf",
         "q_eval_ndcg",
@@ -422,8 +425,8 @@ def _freshest_round(key: str) -> int:
 #      all pass first), add it to _freshest_round's chain at rank 11.
 #   2. Re-point _CHANGED_R11_PIN → _CHANGED_R12_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r11 grades (30 pins + 20 r5
-#      rotation), the stalest cohort is the remaining ~15 r5-vintage
+#      to the stalest evidence — after r11 grades (29 pins + 21 r5
+#      rotation), the stalest cohort is the remaining ~14 r5-vintage
 #      keys, then r6.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as

@@ -33,11 +33,13 @@ from modevetl_spark.operators.dedup import (
 from modevetl_spark.operators._util import spread
 from modevetl_spark.operators.multimodal import extract_features, with_binary_payload
 from modevetl_spark.operators.similarity import (
+    CLEAN_EMB_SQL,
     brute_force_topk,
     cosine,
     ivf_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    well_formed,
 )
 from modevetl_spark.operators.text import (
     EN_STOPWORDS,
@@ -284,12 +286,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMB_DEDUP_ORACLE = """
+_EMB_DEDUP_ORACLE = f"""
+WITH clean AS (SELECT * FROM embeddings WHERE {CLEAN_EMB_SQL})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM embeddings a
-JOIN embeddings b
+FROM clean a
+JOIN clean b
   ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE a.vec_id < 300 AND b.vec_id < 300
   AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -302,7 +305,12 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: embedding-cosine near-dup pairs, blocked by label (the blocking
     key stands in for an ANN bucket at scale)."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    # the shared degenerate-vector contract (well_formed/CLEAN_EMB_SQL):
+    # this key EMITS cosine values, so NULL/empty/zero-norm vectors are
+    # excluded on both engines (see operators/similarity.well_formed)
+    e = well_formed(load(spark, sf_dir, "embeddings")).where(
+        F.col("vec_id") < 300
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
@@ -322,13 +330,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIM_TOPK_ORACLE = """
+_SIM_TOPK_ORACLE = f"""
+WITH clean AS (SELECT * FROM embeddings WHERE {CLEAN_EMB_SQL})
 SELECT q.vec_id AS query_id,
        c.vec_id AS neighbor_id,
        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
-JOIN embeddings c ON c.vec_id <> q.vec_id
+FROM (SELECT * FROM clean WHERE vec_id < 20) q
+JOIN clean c ON c.vec_id <> q.vec_id
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY q.vec_id
     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -343,7 +352,9 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: brute-force cosine top-k (exact baseline; queries broadcast,
     corpus never shuffled)."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine -> exclude
+    # NULL/empty/zero-norm both sides; see similarity.well_formed)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     return brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
@@ -377,16 +388,19 @@ def _lsh_topk_oracle(k: int = 5, n_bits: int = 6, n_tables: int = 4, dim: int = 
         f"SELECT q.query_id, c.neighbor_id FROM qs q JOIN cs c ON q.b{t} = c.b{t}"
         for t in range(n_tables)
     )
+    from modevetl_spark.operators.similarity import CLEAN_EMB_SQL
+
     return f"""
-WITH qs AS (
+WITH clean AS (SELECT * FROM embeddings WHERE {CLEAN_EMB_SQL}),
+qs AS (
     SELECT vec_id AS query_id, embedding AS q_vec,
        {q_buckets}
-    FROM embeddings WHERE vec_id < 20
+    FROM clean WHERE vec_id < 20
 ),
 cs AS (
     SELECT vec_id AS neighbor_id, embedding AS c_vec,
        {c_buckets}
-    FROM embeddings
+    FROM clean
 ),
 cand AS (
     SELECT DISTINCT query_id, neighbor_id FROM (
@@ -419,7 +433,8 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as literals, so DuckDB replays the identical approximation and
     the result is fully hash-graded despite recall < 1 vs exact search."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine; see well_formed)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     return lsh_topk(e, e.where(F.col("vec_id") < 20), k=5, n_bits=6)
 
 
@@ -469,24 +484,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall and breaks the hash."""
     prep(spark)
     # degenerate-vector contract IMPLEMENTED engine-side, not left to
-    # the fixtures: NULL/empty/zero-norm embeddings are excluded from
-    # query and corpus exactly as the oracle's len()>0 / dot>0 filters
-    # do (r10 ADVICE — previously only the oracle filtered, and a dirty
-    # unique-id row below 20 would have produced an engine-only output
-    # row). Zero-NORM is part of the contract because this key EMITS
-    # the cosine value: the engine's try_divide yields NULL where
-    # DuckDB's list_cosine_similarity pins -1.0, so a zero vector must
-    # not reach the scored set on either side.
-    sqnorm = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
-    )
-    e = load(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") > 0)
-        & (sqnorm > 0)
-    )
+    # the fixtures (r10 ADVICE): this key EMITS the cosine value, so
+    # NULL/empty/zero-norm vectors are excluded from query and corpus
+    # exactly as the oracle's CLEAN_EMB_SQL filter does (see
+    # operators/similarity.well_formed for the full rationale)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     qs = e.where(F.col("vec_id") < 20)
     ivf = ivf_topk(e, qs, k=5, nlist=16, nprobe=4)
     exact = brute_force_topk(e, qs, k=5)

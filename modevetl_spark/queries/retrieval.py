@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.operators._util import spread
-from modevetl_spark.operators.similarity import cosine
+from modevetl_spark.operators.similarity import CLEAN_EMB_SQL, cosine, well_formed
 from modevetl_spark.operators.text import tokens
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
@@ -138,8 +138,9 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Reciprocal-rank fusion of two exact rankings -----------------------
 
-_RRF_ORACLE = """
-WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+_RRF_ORACLE = f"""
+WITH clean AS (SELECT * FROM embeddings WHERE {CLEAN_EMB_SQL}),
+qs AS (SELECT vec_id, embedding FROM clean WHERE vec_id < 20),
 cos_rank AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            ROW_NUMBER() OVER (
@@ -148,7 +149,7 @@ cos_rank AS (
                             CAST(q.embedding AS DOUBLE[]),
                             CAST(c.embedding AS DOUBLE[])), 6) DESC,
                         c.vec_id) AS r
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.vec_id
     QUALIFY r <= 10
 ),
 l2_rank AS (
@@ -159,7 +160,7 @@ l2_rank AS (
                             CAST(q.embedding AS DOUBLE[]),
                             CAST(c.embedding AS DOUBLE[])), 6) ASC,
                         c.vec_id) AS r
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.vec_id
     QUALIFY r <= 10
 ),
 fused AS (
@@ -199,7 +200,9 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lens swaps to its ANN variant (LSH/IVF, both present) — RRF itself
     only ever sees the tiny rank lists."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits rank-fused scores over
+    # cosine; see operators/similarity.well_formed / CLEAN_EMB_SQL)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     qs = e.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
+from modevetl_spark.operators.similarity import CLEAN_EMB_SQL as _CLEAN_EMB_SQL
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -211,15 +212,16 @@ _NDCG_K = 10  # evaluation depth
 
 
 _NDCG_ORACLE = f"""
-WITH qs AS (
+WITH clean AS (SELECT * FROM embeddings WHERE {_CLEAN_EMB_SQL}),
+qs AS (
     SELECT vec_id AS query_id, embedding AS qv, label AS ql
-    FROM embeddings WHERE vec_id < {_NDCG_Q}
+    FROM clean WHERE vec_id < {_NDCG_Q}
 ),
 scored AS (
     SELECT q.query_id, q.ql, c.vec_id AS nid, c.label AS nl,
            ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6) AS cs
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.query_id
 ),
 topk AS (
     SELECT query_id, ql, nl,
@@ -242,7 +244,7 @@ relcnt AS (
            CAST(COUNT(CASE WHEN c.label = q.ql THEN 1 END) AS BIGINT) AS n2,
            CAST(COUNT(CASE WHEN ABS(c.label - q.ql) = 1 THEN 1 END)
                 AS BIGINT) AS n1
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.query_id
     GROUP BY 1
 ),
 grid AS (SELECT UNNEST(range(1, {_NDCG_K + 1})) AS i),
@@ -307,9 +309,11 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    from modevetl_spark.operators.similarity import cosine
+    from modevetl_spark.operators.similarity import cosine, well_formed
 
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine scores; see
+    # operators/similarity.well_formed / CLEAN_EMB_SQL)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     qs = e.where(F.col("vec_id") < _NDCG_Q).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
     )
@@ -852,16 +856,17 @@ _HNM_Q = 16  # anchors: vec_id < 16
 
 
 _HNM_ORACLE = f"""
-WITH qs AS (
+WITH clean AS (SELECT * FROM embeddings WHERE {_CLEAN_EMB_SQL}),
+qs AS (
     SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
-    FROM embeddings WHERE vec_id < {_HNM_Q}
+    FROM clean WHERE vec_id < {_HNM_Q}
 ),
 scored AS (
     SELECT q.anchor_id, c.vec_id AS nid,
            CASE WHEN c.label = q.ql THEN 1 ELSE 0 END AS same_lbl,
            ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6) AS cs
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.anchor_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.anchor_id
 ),
 best AS (
     SELECT anchor_id, nid, same_lbl, cs
@@ -911,9 +916,11 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    from modevetl_spark.operators.similarity import cosine
+    from modevetl_spark.operators.similarity import cosine, well_formed
 
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine scores; see
+    # operators/similarity.well_formed / CLEAN_EMB_SQL)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     qs = e.where(F.col("vec_id") < _HNM_Q).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qv"),

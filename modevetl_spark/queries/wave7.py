@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
+from modevetl_spark.operators.similarity import CLEAN_EMB_SQL as _CLEAN_EMB_SQL
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -652,12 +653,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Quantized ANN: ADC candidate search + exact rerank -----------------
 
-_TOPK_QUANT_ORACLE = """
-WITH ex AS (
+_TOPK_QUANT_ORACLE = f"""
+WITH clean AS (SELECT * FROM embeddings WHERE {_CLEAN_EMB_SQL}),
+ex AS (
     SELECT vec_id,
            unnest(range(1, len(embedding) + 1)) AS dim,
            CAST(unnest(embedding) AS DOUBLE) AS x
-    FROM embeddings
+    FROM clean
 ),
 stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
 coded AS (
@@ -678,7 +680,7 @@ recon AS (
 ),
 qs AS (
     SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-    FROM embeddings WHERE vec_id < 20
+    FROM clean WHERE vec_id < 20
 ),
 adc AS (
     SELECT q.query_id, r.vec_id AS neighbor_id, q.q_vec,
@@ -700,7 +702,7 @@ rer AS (
                    ORDER BY ROUND(list_cosine_similarity(
                        c.q_vec, CAST(e.embedding AS DOUBLE[])), 6) DESC,
                    c.neighbor_id) AS rn
-        FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        FROM cand c JOIN clean e ON e.vec_id = c.neighbor_id
     ) WHERE rn <= 5
 ),
 truth AS (
@@ -711,7 +713,7 @@ truth AS (
                    ORDER BY ROUND(list_cosine_similarity(
                        q.q_vec, CAST(c.embedding AS DOUBLE[])), 6) DESC,
                    c.vec_id) AS rn
-        FROM qs q JOIN embeddings c ON c.vec_id <> q.query_id
+        FROM qs q JOIN clean c ON c.vec_id <> q.query_id
     ) WHERE rn <= 5
 ),
 hits AS (
@@ -754,10 +756,12 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and with persisted codes (the deployment shape; the fixture
     derives them inline) the full-precision table is only touched by
     the point probes."""
-    from modevetl_spark.operators.similarity import cosine
+    from modevetl_spark.operators.similarity import cosine, well_formed
 
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine + feeds the
+    # per-dim quantization stats; see similarity.well_formed)
+    emb = well_formed(load(spark, sf_dir, "embeddings"))
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))

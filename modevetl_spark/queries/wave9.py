@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
+from modevetl_spark.operators.similarity import CLEAN_EMB_SQL as _CLEAN_EMB_SQL
 
 QUERIES, ORACLE, q = make_registry()
 
@@ -87,13 +88,14 @@ _MMR_N = 8  # shortlist size per query
 _MMR_K = 3  # diversified picks per query
 
 _MMR_ORACLE = f"""
-WITH qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+WITH clean AS (SELECT * FROM embeddings WHERE {_CLEAN_EMB_SQL}),
+qs AS (SELECT vec_id, embedding FROM clean WHERE vec_id < 10),
 cand AS (
     SELECT q.vec_id AS query_id, c.vec_id AS cid,
            ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])), 6)
                AS rel
-    FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id
+    FROM qs q JOIN clean c ON c.vec_id <> q.vec_id
     QUALIFY ROW_NUMBER() OVER (
         PARTITION BY q.vec_id
         ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -108,8 +110,8 @@ pair AS (
                AS sim
     FROM cand a
     JOIN cand b ON b.query_id = a.query_id AND b.cid <> a.cid
-    JOIN embeddings ea ON ea.vec_id = a.cid
-    JOIN embeddings eb ON eb.vec_id = b.cid
+    JOIN clean ea ON ea.vec_id = a.cid
+    JOIN clean eb ON eb.vec_id = b.cid
 ),
 p1 AS (
     SELECT query_id, cid, rel,
@@ -184,10 +186,16 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-query max-struct argmax — windows partition by query_id,
     never global. At 100 TB: rerank cost scales with |queries|·N², not
     the corpus."""
-    from modevetl_spark.operators.similarity import brute_force_topk, cosine
+    from modevetl_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+        well_formed,
+    )
 
     prep(spark)
-    e = load(spark, sf_dir, "embeddings")
+    # shared degenerate-vector contract (emits cosine scores; see
+    # operators/similarity.well_formed / _CLEAN_EMB_SQL)
+    e = well_formed(load(spark, sf_dir, "embeddings"))
     qs = e.where(F.col("vec_id") < 10)
     cand = brute_force_topk(e, qs, k=_MMR_N).select(
         "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")

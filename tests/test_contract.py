@@ -72,7 +72,7 @@ def test_grading_bookkeeping_consistent():
     assert prios == sorted(prios), "emission order violates priority"
     # round-11 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
-    # re-pins (0.5 — the 17 extreme-numerics try_cast fixes, the 12
+    # re-pins (0.5 — the 17 extreme-numerics try_cast fixes, the 11
     # cosine()/try_divide blast-radius keys, and the aggstate consumer
     # q_kmeans_clusters) followed by pure stalest-evidence rotation
     window = order[:50]
@@ -80,15 +80,15 @@ def test_grading_bookkeeping_consistent():
     assert len(never_graded) + len(Q._CHANGED_R11_PIN) <= 50
     assert set(never_graded) <= set(window)
     assert Q._CHANGED_R11_PIN <= set(window)
-    assert len(Q._CHANGED_R11_PIN) == 30
+    assert len(Q._CHANGED_R11_PIN) == 29
     # r10 verdict item 2: the rotation slots must refresh the STALEST
     # evidence — no pre-r5 evidence exists any more (the r4 cohort
     # cleared in round 10); every non-pin window slot goes to the head
     # of the 41-key r5-vintage cohort (6 r5 keys sit among the pins;
-    # 20 rotate here; the remaining 15 carry to round 12)
+    # 21 rotate here; the remaining 14 carry to round 12)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
     assert len(r5_vintage) == 41, len(r5_vintage)
     rotation = [k for k in window if k not in Q._CHANGED_R11_PIN]
-    assert len(rotation) == 20
+    assert len(rotation) == 21
     assert all(Q._freshest_round(k) == 5 for k in rotation), rotation

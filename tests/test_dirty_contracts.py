@@ -63,6 +63,16 @@ PARITY_KEYS = [
     "q_sim_topk_ivf",
     "q_sim_topk_ivf_sq",
     "q_udaf_grouped",
+    # round 11: the rest of the cosine family adopted the shared
+    # well_formed/CLEAN_EMB_SQL degenerate-vector contract (NULL/empty/
+    # zero-norm excluded engine- AND oracle-side), so these hold full
+    # parity on the dirty twin too
+    "q_dedup_embedding",
+    "q_mine_hard_negatives",
+    "q_sim_mmr_rerank",
+    "q_sim_rrf_fusion",
+    "q_sim_topk",
+    "q_sim_topk_lsh",
 ]
 # keys fixed to run crash-free on the duplicate-PK twin, where their
 # per-key-grouping oracles are ill-posed (documented in the module
@@ -71,6 +81,12 @@ PARITY_KEYS = [
 RUN_ONLY_KEYS = [
     "q_dedup_substring_runs",
     "q_join_containment",
+    # round 11: both adopted the degenerate-vector contract, but their
+    # oracles GROUP BY vec_id (quantized reconstruction list / ideal-DCG
+    # histogram), which a duplicated vec_id makes ill-posed (e.g. a
+    # 128-long reconstructed list from two 64-dim rows)
+    "q_eval_ndcg",
+    "q_sim_topk_quantized",
 ]
 # family representatives that ALREADY held full engine-vs-oracle parity
 # on the adversarial fixtures in the round-10 sweep (188/274 did) —
@@ -164,24 +180,18 @@ def test_dirty_unique_key_parity(spark, dirty_unique_dir, key):
 
 
 # the round-11 cosine contract (r10 ADVICE, medium): operators/
-# similarity.cosine() is F.try_divide, so an ALL-ZERO embedding vector
-# (len > 0 but norm 0 — present in the dirty twin since round 11) must
-# never abort any consumer of the shared cosine/brute-force/IVF/LSH
-# kernels. The two keys that EMIT cosine values (q_sim_topk_ivf,
-# q_sim_topk_ivf_sq) additionally exclude zero-norm vectors engine- AND
-# oracle-side (engine NULL vs DuckDB list_cosine_similarity's pinned
-# -1.0 would otherwise diverge) and are graded by the full parity test
-# above; the rest of the family only promises crash-freedom here.
+# similarity.cosine() is F.try_divide and every cos-EMITTING family key
+# routes through the shared well_formed/CLEAN_EMB_SQL exclusion, so an
+# ALL-ZERO embedding vector (len > 0 but norm 0 — in the dirty twin
+# since round 11) can neither abort a job NOR reach a scored set where
+# the engines' degenerate conventions differ (Spark try_divide → NULL,
+# DuckDB list_cosine_similarity → pinned -1.0). The whole family is
+# therefore graded by the PARITY/RUN tiers above; this run-contract
+# keeps the one cosine consumer whose key is NOT embedding-based
+# (q_dedup_corpus is MinHash-over-documents; its dedup-family twin
+# divergence is the documented duplicate-PK artifact class) crash-free.
 COSINE_FAMILY_KEYS = [
     "q_dedup_corpus",
-    "q_dedup_embedding",
-    "q_eval_ndcg",
-    "q_mine_hard_negatives",
-    "q_sim_mmr_rerank",
-    "q_sim_rrf_fusion",
-    "q_sim_topk",
-    "q_sim_topk_lsh",
-    "q_sim_topk_quantized",
 ]
 
 
