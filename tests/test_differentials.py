@@ -1631,3 +1631,205 @@ def test_udaf_grouped_matches_exact_rational_rule(spark, sf_dir):
     for k, xs in groups.items():
         s, n = sum(xs), len(xs)
         assert got[k] == sum(1 for x in xs if x * n > s), k
+
+
+# --- Round-11 back-fill: rotation-window keys lacking definitional
+# replays (the r9/r10 discipline applied to the 21-key r5-vintage
+# rotation cohort this round's window refreshes) ------------------------
+
+
+def test_chi2_matches_pearson_definition(spark, sf_dir):
+    """χ² = Σ (O−E)²/E with E = row·col/n over the event_type ×
+    day-of-week contingency table, replayed from fresh python counts —
+    validates the margin construction (windows over the cell table) and
+    the statistic, not just oracle parity."""
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+                   COUNT(*) AS c
+            FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    obs = {(t, d): c for t, d, c in rows}
+    row_n: dict = {}
+    col_n: dict = {}
+    for (t, d), c in obs.items():
+        row_n[t] = row_n.get(t, 0) + c
+        col_n[d] = col_n.get(d, 0) + c
+    n = sum(obs.values())
+    chi2 = sum(
+        (c - row_n[t] * col_n[d] / n) ** 2 / (row_n[t] * col_n[d] / n)
+        for (t, d), c in obs.items()
+    )
+    got = _Q["q_stats_chi2"](spark, sf_dir).collect()
+    assert {(r["event_type"], r["dow"]) for r in got} == set(obs)
+    for r in got:
+        e = row_n[r["event_type"]] * col_n[r["dow"]] / n
+        assert r["observed"] == obs[(r["event_type"], r["dow"])]
+        assert abs(r["expected"] - e) <= 5e-7
+        assert abs(r["contribution"] - (r["observed"] - e) ** 2 / e) <= 5e-7
+        # per-term 9dp folding keeps the total within n_cells·5e-10 + 5e-7
+        assert abs(r["chi2_total"] - chi2) <= 1e-6, (r["chi2_total"], chi2)
+
+
+def test_ab_test_matches_two_proportion_z(spark, sf_dir):
+    """The pooled two-proportion z-test replayed from a fresh python
+    md5 assignment and converter set — validates the deterministic
+    hash-split AND the published statistic z = (p̂_a − p̂_b) /
+    sqrt(p̂(1−p̂)(1/n_a + 1/n_b))."""
+    import hashlib
+
+    con = duckdb.connect()
+    users = [
+        u
+        for (u,) in con.execute(
+            f"SELECT DISTINCT user_id FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    ]
+    conv = {
+        u
+        for (u,) in con.execute(
+            f"""SELECT DISTINCT user_id
+                FROM read_parquet('{sf_dir}/events.parquet')
+                WHERE event_type = 'purchase' AND value > 200"""
+        ).fetchall()
+    }
+    grp = {
+        u: "A"
+        if hashlib.md5(str(u).encode()).hexdigest()[:4] < "8000"
+        else "B"
+        for u in users
+    }
+    n_a = sum(1 for u in users if grp[u] == "A")
+    n_b = len(users) - n_a
+    c_a = sum(1 for u in conv if grp[u] == "A")
+    c_b = len(conv) - c_a
+    p = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / math.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    r = _Q["q_stats_ab_test"](spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n_a, c_a, n_b, c_b,
+    )
+    assert abs(r["z_score"] - z) <= 5e-7, (r["z_score"], z)
+
+
+def _interp_median(vals: list) -> float:
+    """Exact interpolated percentile at p=0.5 (Spark F.percentile's
+    definition: linear interpolation at rank (n−1)·p)."""
+    xs = sorted(vals)
+    n = len(xs)
+    pos = (n - 1) * 0.5
+    lo = int(pos)
+    frac = pos - lo
+    return xs[lo] if frac == 0 else xs[lo] + frac * (xs[lo + 1] - xs[lo])
+
+
+def test_mad_matches_definition(spark, sf_dir):
+    """MAD = median(|x − median(x)|) per group, both medians the exact
+    interpolated percentile, replayed in raw python — validates the
+    two-pass construction (group median broadcast back) against the
+    textbook robust-scale definition."""
+    rows = duckdb.connect().execute(
+        f"SELECT l_returnflag, l_quantity FROM"
+        f" read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_flag: dict = {}
+    for f, q in rows:
+        by_flag.setdefault(f, []).append(q)
+    got = {r["l_returnflag"]: r for r in _Q["q_agg_mad"](spark, sf_dir).collect()}
+    assert set(got) == set(by_flag)
+    for f, qs in by_flag.items():
+        med = _interp_median(qs)
+        mad = _interp_median([abs(q - med) for q in qs])
+        assert abs(got[f]["median_qty"] - med) <= 5e-7
+        assert abs(got[f]["mad_qty"] - mad) <= 5e-7, (f, got[f]["mad_qty"], mad)
+
+
+def test_triangles_matches_brute_force(spark, sf_dir):
+    """Triangle count, wedge count and global clustering coefficient
+    replayed by brute-force set arithmetic over the same circulant
+    edge construction — validates the oriented 2-path join counts each
+    triangle exactly once and the published C = 3·Δ/wedges."""
+    keys = [
+        k
+        for (k,) in duckdb.connect().execute(
+            f"SELECT p_partkey FROM read_parquet('{sf_dir}/part.parquet')"
+        ).fetchall()
+    ]
+    edges = {(k, k + 1) for k in keys} | {(k, k + 2) for k in keys}
+    eset = edges  # already src < dst
+    tri = sum(
+        1
+        for (a, b) in eset
+        for c in (b + 1, b + 2)
+        if (b, c) in eset and (a, c) in eset
+    )
+    deg: dict = {}
+    for a, b in eset:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    r = _Q["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert r["n_triangles"] == tri
+    assert r["n_wedges"] == wedges
+    assert abs(r["global_clustering"] - 3 * tri / wedges) <= 5e-7
+
+
+def test_range_frame_matches_value_window_definition(spark, sf_dir):
+    """The RANGE frame (trailing 30 days INCLUSIVE of peers, bounds on
+    the VALUE not the row position) replayed per customer in python —
+    validates frame semantics a ROW frame would silently violate on
+    equal order dates."""
+    rows = duckdb.connect().execute(
+        f"""SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS sec,
+                   o_totalprice
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchall()
+    by_cust: dict = {}
+    for ck, ok, sec, tp in rows:
+        by_cust.setdefault(ck, []).append((ok, sec, tp))
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): r
+        for r in _Q["q_window_range_frame"](spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    for ck, orders in by_cust.items():
+        for ok, sec, _ in orders:
+            in_frame = [
+                tp2 for (_, s2, tp2) in orders if sec - 2592000 <= s2 <= sec
+            ]
+            r = got[(ck, ok)]
+            assert r["n_orders_30d"] == len(in_frame), (ck, ok)
+            assert abs(r["spend_30d"] - round(sum(in_frame), 2)) <= 1e-6
+
+
+def test_vocab_encode_matches_ranked_vocabulary(spark, sf_dir):
+    """Frequency-ranked top-50 vocabulary (ties by token) and ordered
+    id encoding (OOV = −1) replayed with a fresh python tokenizer —
+    validates ranking, truncation, and that token ORDER survives the
+    explode/regroup round trip."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    cnt: dict = {}
+    for _, text in docs:
+        for t in _toks(text):
+            cnt[t] = cnt.get(t, 0) + 1
+    vocab = {
+        t: i
+        for i, (t, _) in enumerate(
+            sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        )
+    }
+    got = {r["doc_id"]: r for r in _Q["q_vocab_encode"](spark, sf_dir).collect()}
+    expect_ids = {
+        d: [vocab.get(t, -1) for t in _toks(text)]
+        for d, text in docs
+        if d < 50
+    }
+    assert set(got) == set(expect_ids)
+    for d, ids in expect_ids.items():
+        assert got[d]["token_ids_csv"] == ",".join(str(i) for i in ids), d
+        assert got[d]["n_tokens"] == len(ids)
