@@ -201,3 +201,46 @@ def test_zero_norm_vector_never_aborts(spark, dirty_dir, key):
     DIVIDE_BY_ZERO anywhere in the cosine family."""
     queries, _ = _registry()
     assert queries[key](spark, dirty_dir).count() >= 0
+
+
+def test_well_formed_matches_clean_emb_sql(spark, tmp_path):
+    """The degenerate-vector contract's two halves — the engine's
+    well_formed() and the oracle's CLEAN_EMB_SQL — must admit exactly
+    the same rows, pinned directly on the four degenerate shapes (NULL,
+    empty, all-zero, healthy) rather than left to per-key parity."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modevetl_spark.operators.similarity import (
+        CLEAN_EMB_SQL,
+        well_formed,
+    )
+
+    tab = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array(
+                [None, [], [0.0, 0.0, 0.0], [0.5, -1.5, 2.0]],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tab, path)
+    got = sorted(
+        r.vec_id
+        for r in well_formed(spark.read.parquet(path)).select("vec_id").collect()
+    )
+    con = duckdb.connect()
+    try:
+        want = sorted(
+            v
+            for (v,) in con.execute(
+                f"SELECT vec_id FROM read_parquet('{path}') AS embeddings"
+                f" WHERE {CLEAN_EMB_SQL}"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want == [4]
