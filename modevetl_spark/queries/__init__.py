@@ -431,6 +431,14 @@ def _freshest_round(key: str) -> int:
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
+#   4. OPTIONAL r12 pin candidates (only if their oracles change):
+#      q_json_extract / q_leaves / q_embedding_norms are the last three
+#      keys whose DuckDB oracles ERROR on the dirty twins (ragged-list /
+#      NULL-input fragility) while the engine runs clean — an ORACLE_ERR
+#      there can mask a simultaneous engine crash in future sweeps.
+#      Fixing them is oracle-only and value-neutral on clean data, but
+#      each fix re-pins a key, so batch them with r12's rotation budget
+#      rather than displacing r11 slots (COVERAGE.md N10).
 # Update tests/test_contract.py's window-composition asserts.
 
 
