@@ -1833,3 +1833,36 @@ def test_vocab_encode_matches_ranked_vocabulary(spark, sf_dir):
     for d, ids in expect_ids.items():
         assert got[d]["token_ids_csv"] == ",".join(str(i) for i in ids), d
         assert got[d]["n_tokens"] == len(ids)
+
+
+def test_validate_rules_matches_rule_definitions(spark, sf_dir):
+    """Each declared validation rule replayed as a literal python
+    predicate over the raw rows — validates the rule semantics (regex
+    anchoring, boundary inclusivity, the custkey-0 business rule) and
+    the one-scan conditional-sum construction. The fixture is NULL-free
+    on these columns, so plain python comparisons mirror the engine's
+    tri-state CASE exactly."""
+    import datetime as dt
+    import re
+
+    rows = duckdb.connect().execute(
+        f"""SELECT o_totalprice, o_orderdate, o_orderstatus,
+                   o_orderpriority, o_custkey
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchall()
+    lo, hi = dt.datetime(1990, 1, 1), dt.datetime(2005, 1, 1)
+    pri = re.compile(r"^[1-5]-[A-Z ]+$")
+    rules = {
+        "totalprice_positive": lambda r: r[0] > 0,
+        "orderdate_in_range": lambda r: lo <= r[1] < hi,
+        "status_known": lambda r: r[2] in ("P", "O", "F"),
+        "priority_format": lambda r: pri.search(r[3]) is not None,
+        "custkey_positive": lambda r: r[4] is not None and r[4] > 0,
+        "totalprice_le_300k": lambda r: r[0] <= 300000,
+    }
+    got = {r["rule"]: r for r in _Q["q_validate_rules"](spark, sf_dir).collect()}
+    assert set(got) == set(rules)
+    for name, ok in rules.items():
+        n_viol = sum(1 for r in rows if not ok(r))
+        assert got[name]["n_violations"] == n_viol, (name, n_viol)
+        assert abs(got[name]["violation_rate"] - n_viol / len(rows)) <= 5e-7
