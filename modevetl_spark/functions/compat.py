@@ -83,20 +83,14 @@ def tsum(col: Column | str, places: int = 2) -> Column:
     return F.round(F.sum(_c(col).try_cast(DEC)).cast("double"), places)
 
 
-def tavg(col: Column | str, places: int = 6) -> Column:
-    """:func:`davg` with a try_cast fold; the count divisor counts only
-    rows whose operand survived the fold, mirroring SUM/COUNT over the
-    same TRY_CAST expression in the SQL twin."""
-    c = _c(col).try_cast(DEC)
-    return F.when(
-        F.count(c) > 0,
-        F.round(F.sum(c).cast("double") / F.count(c), places),
-    )
-
-
 def tmoney(price: Column | str, discount: Column | str) -> Column:
     """:func:`money` with try_cast operands — either side out of range
-    nulls the revenue term for that row."""
+    nulls the revenue term for that row. The admitted range is
+    DECIMAL(18,6) and the SQL twin :func:`sql_tmoney` TRY_CASTs at the
+    SAME (18,6) before widening for DuckDB's non-widening multiply, so
+    hostile magnitudes in [1e12, 1e13) fold to NULL on BOTH engines
+    (r11 ADVICE: a (19,6)-admitting oracle kept values the engine
+    dropped)."""
     return _c(price).try_cast(DEC) * (F.lit(1) - _c(discount)).try_cast(DEC)
 
 
@@ -131,31 +125,23 @@ def sql_davg(expr: str, alias: str, places: int = 6) -> str:
     )
 
 
-def sql_tsum(expr: str, alias: str, places: int = 2) -> str:
-    """SQL twin of :func:`tsum` (DuckDB TRY_CAST matches Spark try_cast
-    over the whole extreme-numerics class — COVERAGE.md M11)."""
-    return (
-        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE),"
-        f" {places}) AS {alias}"
-    )
-
-
-def sql_tavg(expr: str, alias: str, places: int = 6) -> str:
-    return (
-        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT(TRY_CAST({expr} AS DECIMAL(18,6))), {places}) AS {alias}"
-    )
-
-
 def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
-    # operands at (19,6), not (18,6): DuckDB's decimal multiply does not
-    # auto-widen — an (18,6)x(18,6) product runs on the int64 path and
-    # overflows on exactly the hostile magnitudes TRY_CAST admits;
-    # (19,6)x(19,6) lands in (38,12) int128. Spark's tmoney can stay
-    # (18,6) (it widens to (37,12) itself) — values are identical.
+    """SQL twin of :func:`tmoney` — consumed by _ABC_ORACLE (single
+    source of truth for the try-fold money shape; the formerly-unused
+    tavg/sql_tsum/sql_tavg helpers were dropped, r11 ADVICE).
+
+    Two casts per operand, each load-bearing: the INNER TRY_CAST admits
+    exactly Spark's DECIMAL(18,6) range (so hostile magnitudes in
+    [1e12, 1e13) fold to NULL on BOTH engines — a (19,6) TRY_CAST here
+    kept values the engine dropped), and the OUTER lossless CAST to
+    (19,6) widens the operands because DuckDB's decimal multiply does
+    not auto-widen: an (18,6)x(18,6) product runs on the int64 path and
+    overflows, while (19,6)x(19,6) lands exactly in (38,12) int128.
+    Spark's tmoney stays (18,6) (it widens to (37,12) itself) — values
+    identical."""
     return (
-        f"TRY_CAST({price} AS DECIMAL(19,6))"
-        f" * TRY_CAST(1 - {discount} AS DECIMAL(19,6))"
+        f"CAST(TRY_CAST({price} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+        f" * CAST(TRY_CAST(1 - {discount} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
     )
 
 

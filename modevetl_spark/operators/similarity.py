@@ -5,6 +5,10 @@ Brute-force cosine top-k as the correctness baseline, plus an LSH
 
 Scale notes:
 - dot/norm are higher-order array folds (JVM-side, no Python);
+- per-row norms are folded ONCE before every scoring join (nrm() +
+  cosine_pre()) — never inside the pair loop: the inner loop costs
+  (N+Q)·D norm work instead of N·Q·2D, which is the serving-tier
+  constant at 100 TB (LSH/IVF/ADC candidate verify);
 - the query set is broadcast — the corpus is never shuffled;
 - brute force is O(|Q|·|C|): fine when |Q| is small or as a per-bucket
   kernel; the LSH variant buckets both sides on hyperplane sign bits so
@@ -48,7 +52,28 @@ def sq_norm(vec: Column | str) -> Column:
     )
 
 
-def well_formed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def nrm(vec: Column | str) -> Column:
+    """Per-row vector norm: sqrt of the sq_norm fold — the SAME fold in
+    the SAME IEEE order norm()/cosine() use, so precomputing it per row
+    and scoring with cosine_pre() is bit-identical to cosine()."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.sqrt(sq_norm(c))
+
+
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with PREcomputed per-row norms (see nrm()) — the hot-loop
+    form: each side's norm is folded once per ROW before the scoring
+    join instead of once per (query × candidate) PAIR, cutting the
+    inner-loop fold work from N·Q·2D to (N+Q)·D (r11 verdict #1).
+    Value-identical to cosine(): sqrt(fold(a)) * sqrt(fold(b)) is the
+    same IEEE tree whether the sqrt happens before or after the join,
+    and try_divide keeps the degenerate (zero-norm → NULL) contract."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
+def well_formed(
+    df: DataFrame, vec_col: str = "embedding", nrm_col: str | None = None
+) -> DataFrame:
     """The engine half of the degenerate-vector contract shared by every
     cosine-family key: NULL, empty, and ZERO-NORM vectors are excluded
     before scoring. NULL/empty score nothing and zero-norm has no
@@ -57,9 +82,23 @@ def well_formed(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     list_cosine_similarity → pinned -1.0), any key that EMITS a cosine
     value must keep such vectors out of the scored set on BOTH sides.
     The SQL twin is ``CLEAN_EMB_SQL``. Value-neutral on the clean
-    fixtures (zero degenerate embeddings at every SF — verified)."""
+    fixtures (zero degenerate embeddings at every SF — verified).
+
+    With ``nrm_col`` set, the per-row norm sqrt(sq_norm(vec)) is
+    projected under that name and the zero-norm filter runs on IT, so
+    the degenerate guard and the scoring norm share one fold (r11
+    verdict #2: the guard becomes free once scoring uses cosine_pre).
+    The filter truth set is unchanged: sqrt is monotone on [0, inf],
+    maps 0→0 and NaN→NaN, so ``nrm > 0`` admits exactly the rows
+    ``sq_norm > 0`` admits in both engines."""
     c = F.col(vec_col)
-    return df.where(c.isNotNull() & (F.size(c) > 0) & (sq_norm(c) > 0))
+    if nrm_col is None:
+        return df.where(c.isNotNull() & (F.size(c) > 0) & (sq_norm(c) > 0))
+    return (
+        df.where(c.isNotNull() & (F.size(c) > 0))
+        .withColumn(nrm_col, F.sqrt(sq_norm(c)))
+        .where(F.col(nrm_col) > 0)
+    )
 
 
 # the DuckDB twin of well_formed(); interpolate into oracle CTEs
@@ -94,10 +133,14 @@ def brute_force_topk(
     deterministically in both engines.
     """
     qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        nrm(vec_col).alias("q_nrm"),
     )
     cs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        nrm(vec_col).alias("c_nrm"),
     )
     scored = (
         cs.crossJoin(F.broadcast(qs))
@@ -105,7 +148,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -264,6 +312,7 @@ def ivf_topk(
     cs = _with_scores(corpus, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        nrm(vec_col).alias("c_nrm"),
         F.array_max("__scores")["i"].alias("cell"),
     )
     probe = F.transform(
@@ -275,9 +324,10 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            nrm(vec_col).alias("q_nrm"),
             probe.alias("__probe"),
         )
-        .select("query_id", "q_vec", F.explode("__probe").alias("cell"))
+        .select("query_id", "q_vec", "q_nrm", F.explode("__probe").alias("cell"))
     )
     scored = (
         cs.join(F.broadcast(qs), on="cell")
@@ -285,7 +335,12 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -332,13 +387,16 @@ def ivf_neardup_pairs(
     assigned = _with_scores(corpus, vec_col, centroids).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        nrm(vec_col).alias("n"),
         F.array_max("__scores")["i"].alias("cell"),
     )
     a = assigned.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cell",
     )
     b = assigned.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cell",
     )
     return (
         a.join(b, on="cell")
@@ -346,7 +404,9 @@ def ivf_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -436,6 +496,7 @@ def ivf_sq_topk(
             "cell",
             F.transform(F.col("c_vec"), sq_recon).alias("r_vec"),
         )
+        .withColumn("r_nrm", nrm("r_vec"))
     )
     probe = F.transform(
         F.slice(F.reverse(F.array_sort(F.col("__scores"))), 1, nprobe),
@@ -446,9 +507,10 @@ def ivf_sq_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            nrm(vec_col).alias("q_nrm"),
             probe.alias("__probe"),
         )
-        .select("query_id", "q_vec", F.explode("__probe").alias("cell"))
+        .select("query_id", "q_vec", "q_nrm", F.explode("__probe").alias("cell"))
     )
     adc = (
         cs.join(F.broadcast(qs), on="cell")
@@ -457,7 +519,13 @@ def ivf_sq_topk(
             "query_id",
             "neighbor_id",
             "q_vec",
-            F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("adc"),
+            "q_nrm",
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("r_vec"), F.col("q_nrm"), F.col("r_nrm")
+                ),
+                6,
+            ).alias("adc"),
         )
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -471,7 +539,9 @@ def ivf_sq_topk(
         .drop("rn", "adc")
     )
     exact = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("full_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("full_vec"),
+        nrm(vec_col).alias("full_nrm"),
     )
     w_rer = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -481,7 +551,15 @@ def ivf_sq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("full_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"),
+                    F.col("full_vec"),
+                    F.col("q_nrm"),
+                    F.col("full_nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
             "n_cand",
         )
         .withColumn("rn", F.row_number().over(w_rer))
@@ -510,16 +588,22 @@ def lsh_topk(
     """
     tables = [hyperplanes(dim, n_bits, seed=7 + 13 * t) for t in range(n_tables)]
 
-    def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str):
-        cols = [F.col(idc).alias(out_id), F.col(vecc).alias(out_vec)]
+    def with_buckets(
+        df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str, out_nrm: str
+    ):
+        cols = [
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(out_vec),
+            nrm(vecc).alias(out_nrm),
+        ]
         cols += [
             lsh_bucket(F.col(vecc), tables[t]).alias(f"bucket_{t}")
             for t in range(n_tables)
         ]
         return df.select(*cols)
 
-    qs = with_buckets(queries, id_col, vec_col, "query_id", "q_vec")
-    cs = with_buckets(corpus, id_col, vec_col, "neighbor_id", "c_vec")
+    qs = with_buckets(queries, id_col, vec_col, "query_id", "q_vec", "q_nrm")
+    cs = with_buckets(corpus, id_col, vec_col, "neighbor_id", "c_vec", "c_nrm")
 
     pairs = None
     for t in range(n_tables):
@@ -537,12 +621,17 @@ def lsh_topk(
     pairs = pairs.where(F.col("neighbor_id") != F.col("query_id")).distinct()
 
     scored = (
-        pairs.join(cs.select("neighbor_id", "c_vec"), on="neighbor_id")
-        .join(F.broadcast(qs.select("query_id", "q_vec")), on="query_id")
+        pairs.join(cs.select("neighbor_id", "c_vec", "c_nrm"), on="neighbor_id")
+        .join(F.broadcast(qs.select("query_id", "q_vec", "q_nrm")), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -339,52 +339,65 @@ _GRADED_R10 = frozenset(
     }
 )
 
-# Round-11 pin set — every key whose implementation OR oracle changes
+# (The round-11 pin set — 17 extreme-numerics try_cast fixes, the 11
+# cosine()/try_divide blast-radius keys, and the aggstate consumer
+# q_kmeans_clusters — cleared in full: all 29 graded green in
+# CORRECTNESS_r11, recorded in _GRADED_R11 below.)
+
+# The 50 keys CORRECTNESS_r11.json graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that closed the dirty-input
+# robustness tier: all 29 round-11 pinned keys re-graded green and the
+# first 21 of the r5-vintage rotation cohort cleared).
+_GRADED_R11 = frozenset(
+    {
+        "q_abc_classification", "q_agg_approx_sketches",
+        "q_agg_incremental_state", "q_agg_mad", "q_anomaly_days",
+        "q_changepoint_cusum", "q_corr_matrix", "q_customer_rfm",
+        "q_decile_lift", "q_dedup_embedding", "q_dedup_embedding_ivf",
+        "q_eval_ndcg", "q_ewma_trunc", "q_gapfill_interp",
+        "q_gapfill_percentile", "q_graph_pagerank", "q_graph_triangles",
+        "q_incremental_pull", "q_join_full_outer", "q_kmeans_clusters",
+        "q_linkage_weights", "q_mine_hard_negatives", "q_rank_rbo",
+        "q_revenue_gini", "q_rolling_active_users", "q_runs_test",
+        "q_sample_weighted", "q_scd2_dimension", "q_scd2_incremental",
+        "q_session_paths", "q_sim_mmr_rerank", "q_sim_rrf_fusion",
+        "q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_sq",
+        "q_sim_topk_lsh", "q_sim_topk_quantized", "q_spearman_corr",
+        "q_split_assign", "q_stats_ab_test", "q_stats_chi2",
+        "q_text_tfidf", "q_time_to_convert", "q_tpch_dormant_customers",
+        "q_tpch_order_priority", "q_tpch_volume_shipping",
+        "q_validate_rules", "q_vocab_encode", "q_weighted_median",
+        "q_window_range_frame",
+    }
+)
+
+# Round-12 pin set — every key whose implementation OR oracle changes
 # this round (a changed key must never sit outside the grading window):
 #
-# (a) the 17 extreme-numerics crash keys (COVERAGE.md M11, the r10
-#     verdict's mandatory first fix): one hostile 1e300/subnormal row
-#     aborted the whole job at the DECIMAL fold seam under ANSI
-#     (NUMERIC_VALUE_OUT_OF_RANGE / CAST_OVERFLOW / an integer-div /0).
-#     Fix = the cross-engine-verified try_cast/TRY_CAST swap at each
-#     key's fold (out-of-range folds to NULL and falls out of SUM like
-#     a NULL input — value-neutral on in-range data), try-variants in
-#     functions/compat (tsum/tmoney) for the dsum/money users, and the
-#     aggstate partial-sum seam;
-# (b) the cosine-family keys (r10 ADVICE, medium): operators/
-#     similarity.cosine() used raw division, so ONE all-zero embedding
-#     vector killed every consumer under ANSI DIVIDE_BY_ZERO. Fix =
-#     F.try_divide at the shared helper — which changes the plan of
-#     every key routing through cosine()/brute_force_topk/ivf_*/
-#     lsh_topk, so ALL of them re-pin — plus the shared well_formed/
-#     CLEAN_EMB_SQL degenerate-vector exclusion (NULL/empty/zero-norm,
-#     engine AND oracle) on every cos-emitting key in the family;
-# (c) q_kmeans_clusters: consumes operators/aggstate.delta_partials,
-#     whose partial-sum fold gained the same try_cast guard as (a).
-_CHANGED_R11_PIN: frozenset[str] = frozenset(
+# (a) the 11 cosine-family keys (r11 verdict #1): the per-pair norm
+#     recomputation in the scoring hot loop was replaced by per-row
+#     norm projection before every scoring join (operators/similarity
+#     nrm()/cosine_pre(); N·Q·2D fold work → (N+Q)·D). The refactor is
+#     IEEE-order-preserving — verified bit-identical on all 11 keys at
+#     sf0.001/0.01/0.1 (33/33 hashes unchanged) — but changed plans
+#     are changed keys: they re-pin;
+# (b) the 3 oracle-fragility keys (COVERAGE.md N10, r11 verdict #4):
+#     q_json_extract / q_leaves oracles gained json_valid() + TRY_CAST
+#     guards (DuckDB ->> RAISES on the dirty twin's empty-string
+#     props; q_json_extract's engine also swapped the raw data-derived
+#     string cast for try_cast per the crash-class checklist) and
+#     q_embedding_norms' oracle now mirrors the engine's fold
+#     semantics on NULL/empty/NULL-element vectors (list_dot_product
+#     raised). Ends the ORACLE_ERR-masks-engine-crash hazard;
+# (c) the 3 numeric-dialect keys (r11 ADVICE): q_abc_classification's
+#     oracle now TRY_CASTs at Spark's (18,6) admitted range before the
+#     (19,6) widen (magnitudes in [1e12,1e13) previously diverged);
+#     q_weighted_median / q_spearman_corr ROUND() before every
+#     double→BIGINT quantity cast on BOTH sides (truncate-vs-round)
+#     and their oracles gained the engine's |x| < 9.2e18 floor guard.
+_CHANGED_R12_PIN: frozenset[str] = frozenset(
     {
-        # (a) extreme-numerics fold-seam fixes
-        "q_abc_classification",
-        "q_agg_incremental_state",
-        "q_anomaly_days",
-        "q_changepoint_cusum",
-        "q_corr_matrix",
-        "q_customer_rfm",
-        "q_decile_lift",
-        "q_ewma_trunc",
-        "q_gapfill_percentile",
-        "q_linkage_weights",
-        "q_rank_rbo",
-        "q_revenue_gini",
-        "q_runs_test",
-        "q_sample_weighted",
-        "q_spearman_corr",
-        "q_tpch_dormant_customers",
-        "q_weighted_median",
-        # (b) cosine()/try_divide blast radius (q_dedup_corpus is NOT
-        # here: it is MinHash-over-documents and never touches cosine —
-        # verified when the initial blast-radius scan flagged it off a
-        # module-level comment)
+        # (a) per-row-norm refactor blast radius (import-graph verified)
         "q_dedup_embedding",
         "q_dedup_embedding_ivf",
         "q_eval_ndcg",
@@ -396,14 +409,21 @@ _CHANGED_R11_PIN: frozenset[str] = frozenset(
         "q_sim_topk_ivf_sq",
         "q_sim_topk_lsh",
         "q_sim_topk_quantized",
-        # (c) aggstate partial-sum consumer
-        "q_kmeans_clusters",
+        # (b) oracle-fragility fixes
+        "q_json_extract",
+        "q_leaves",
+        "q_embedding_norms",
+        # (c) numeric-dialect symmetry fixes
+        "q_abc_classification",
+        "q_spearman_corr",
+        "q_weighted_median",
     }
 )
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (11, _GRADED_R11),
         (10, _GRADED_R10),
         (9, _GRADED_R9),
         (8, _GRADED_R8),
@@ -420,32 +440,24 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# ROUND-12 BOOKKEEPING SCRIPT (the same three steps every round):
-#   1. Record _GRADED_R11 = the 50 keys of CORRECTNESS_r11.json (verify
-#      all pass first), add it to _freshest_round's chain at rank 11.
-#   2. Re-point _CHANGED_R11_PIN → _CHANGED_R12_PIN (empty unless a
+# ROUND-13 BOOKKEEPING SCRIPT (the same three steps every round):
+#   1. Record _GRADED_R12 = the 50 keys of CORRECTNESS_r12.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 12.
+#   2. Re-point _CHANGED_R12_PIN → _CHANGED_R13_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r11 grades (29 pins + 21 r5
-#      rotation), the stalest cohort is the remaining ~14 r5-vintage
-#      keys, then r6.
+#      to the stalest evidence — after r12 grades (17 pins + 14 r5 +
+#      19 r6 rotation), the stalest cohort is the remaining ~20
+#      r6-vintage keys, then r7.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
-#   4. OPTIONAL r12 pin candidates (only if their oracles change):
-#      q_json_extract / q_leaves / q_embedding_norms are the last three
-#      keys whose DuckDB oracles ERROR on the dirty twins (ragged-list /
-#      NULL-input fragility) while the engine runs clean — an ORACLE_ERR
-#      there can mask a simultaneous engine crash in future sweeps.
-#      Fixing them is oracle-only and value-neutral on clean data, but
-#      each fix re-pins a key, so batch them with r12's rotation budget
-#      rather than displacing r11 slots (COVERAGE.md N10).
 # Update tests/test_contract.py's window-composition asserts.
 
 
 def _grading_priority(key: str) -> float:
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R11_PIN:
+    if key in _CHANGED_R12_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

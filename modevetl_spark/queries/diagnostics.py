@@ -1086,9 +1086,17 @@ def ewma_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WMEDIAN_ORACLE = """
 WITH pv AS (
+    -- the abs() guard mirrors the engine's floor-range guard exactly
+    -- (Spark floor(double) SATURATES to Long.MaxValue where DuckDB
+    -- TRY_CAST NULLs — and without the guard here, doubles in
+    -- [9.2e18, 2^63) would be admitted by TRY_CAST but NULLed by the
+    -- engine, r11 ADVICE); ROUND before the BIGINT cast pins the
+    -- shared half-away-from-zero convention on fractional quantity
+    -- sums (raw Spark try_cast truncates, raw DuckDB TRY_CAST rounds)
     SELECT l_returnflag,
-           TRY_CAST(floor(l_extendedprice) AS BIGINT) AS v,
-           TRY_CAST(SUM(l_quantity) AS BIGINT) AS wsum
+           CASE WHEN abs(l_extendedprice) < 9.2e18
+                THEN TRY_CAST(floor(l_extendedprice) AS BIGINT) END AS v,
+           TRY_CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS wsum
     FROM lineitem GROUP BY 1, 2
 ),
 cum AS (
@@ -1133,8 +1141,13 @@ def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_extendedprice")) < F.lit(9.2e18),
         F.floor("l_extendedprice"),
     )
+    # ROUND before the BIGINT cast: Spark try_cast TRUNCATES fractional
+    # doubles where DuckDB TRY_CAST rounds (r11 ADVICE — a fractional
+    # hostile quantity like -99999.99 split the engines -99999 vs
+    # -100000); round() is half-away-from-zero in BOTH engines, so the
+    # rounded value casts identically
     pv = li.groupBy("l_returnflag", v_floor.alias("v")).agg(
-        F.sum("l_quantity").try_cast("long").alias("wsum")
+        F.round(F.sum("l_quantity")).try_cast("long").alias("wsum")
     )
     w_cum = (
         Window.partitionBy("l_returnflag")
@@ -1446,15 +1459,15 @@ def events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ABC (Pareto) inventory classification ------------------------------
 
-_ABC_ORACLE = """
+from modevetl_spark.functions.compat import sql_tmoney as _sql_tmoney
+
+_ABC_ORACLE = f"""
 WITH per_part AS (
-    -- operands at (19,6), not (18,6): DuckDB's decimal multiply does
-    -- not auto-widen — an (18,6)x(18,6) product runs on the int64 path
-    -- and overflows on hostile magnitudes, while (19,6)x(19,6) lands
-    -- exactly in (38,12) int128; Spark widens to (37,12) by itself
+    -- sql_tmoney: TRY_CAST at Spark's (18,6) admitted range, then a
+    -- lossless (19,6) widen for DuckDB's non-widening decimal multiply
+    -- (see functions/compat.sql_tmoney — the single source of truth)
     SELECT l_partkey,
-           SUM(TRY_CAST(l_extendedprice AS DECIMAL(19,6))
-               * TRY_CAST(1 - l_discount AS DECIMAL(19,6))) AS rev
+           SUM({_sql_tmoney("l_extendedprice", "l_discount")}) AS rev
     FROM lineitem GROUP BY l_partkey
 ),
 ranked AS (
@@ -4206,8 +4219,14 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPEARMAN_ORACLE = """
 WITH vals AS (
-    SELECT TRY_CAST(l_quantity AS BIGINT) AS x,
-           TRY_CAST(floor(l_extendedprice) AS BIGINT) AS y
+    -- ROUND before the BIGINT cast (shared half-away-from-zero
+    -- convention on fractional quantities: raw Spark try_cast
+    -- truncates where raw DuckDB TRY_CAST rounds, r11 ADVICE) and the
+    -- same abs() floor-range guard the engine applies (TRY_CAST alone
+    -- admits [9.2e18, 2^63) doubles the engine's guard NULLs)
+    SELECT TRY_CAST(ROUND(l_quantity) AS BIGINT) AS x,
+           CASE WHEN abs(l_extendedprice) < 9.2e18
+                THEN TRY_CAST(floor(l_extendedprice) AS BIGINT) END AS y
     FROM lineitem
 ),
 n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
@@ -4273,8 +4292,13 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines), not abort the stage; the floor leg needs a range guard
     # because Spark's floor(double) SATURATES to Long.MaxValue where
     # DuckDB's TRY_CAST(floor(·)) yields NULL
+    # ROUND before the BIGINT cast on the quantity leg: Spark try_cast
+    # truncates fractional doubles where DuckDB TRY_CAST rounds (r11
+    # ADVICE — a mid-range fractional poison like 25.5 would merge
+    # with different tie groups per engine and shift average ranks);
+    # round() is half-away-from-zero in both engines
     vals = li.select(
-        F.col("l_quantity").try_cast("long").alias("x"),
+        F.round("l_quantity").try_cast("long").alias("x"),
         F.when(
             F.abs(F.col("l_extendedprice")) < F.lit(9.2e18),
             F.floor("l_extendedprice"),

@@ -182,9 +182,10 @@ def null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_id,
-       CAST(props->>'$.k' AS BIGINT) AS k_value
+       TRY_CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT)
+           AS k_value
 FROM events
-WHERE CAST(props->>'$.k' AS BIGINT) > 50
+WHERE TRY_CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT) > 50
 """
 
 
@@ -192,10 +193,16 @@ WHERE CAST(props->>'$.k' AS BIGINT) > 50
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6: CNV.JSON2object — JSON path extraction over the embedded-JSON
     ``events.props`` column (from_json/schema_of_json forms are
-    unit-tested; get_json_object is the pushdown-friendly scalar form)."""
+    unit-tested; get_json_object is the pushdown-friendly scalar form).
+
+    Degenerate-input contract: Spark get_json_object returns NULL on
+    NULL/malformed JSON and try_cast NULLs non-numeric payloads; the
+    oracle mirrors with a json_valid() guard (DuckDB ->> RAISES on
+    malformed JSON — the empty-string twin row killed the oracle,
+    COVERAGE.md N10) + TRY_CAST. Value-neutral on clean fixtures."""
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.select("event_id", k.alias("k_value")).where(F.col("k_value") > 50)
 
 
@@ -258,9 +265,16 @@ def map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LEAVES_ORACLE = """
-SELECT event_id, 'j.k' AS path, CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR) AS value
-FROM events
-WHERE props->>'$.k' IS NOT NULL AND event_id < 2000
+WITH j AS (
+    SELECT event_id,
+           TRY_CAST(CASE WHEN json_valid(props) THEN props->>'$.k' END AS BIGINT)
+               AS k
+    FROM events
+    WHERE event_id < 2000
+)
+SELECT event_id, 'j.k' AS path, CAST(k AS VARCHAR) AS value
+FROM j
+WHERE k IS NOT NULL
 """
 
 
@@ -268,7 +282,13 @@ WHERE props->>'$.k' IS NOT NULL AND event_id < 2000
 def leaves_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 ``leaves()``: deep-flatten a nested document into (dot-path,
     value) rows (``pyLibrary/struct`` leaves view) — here over the JSON
-    ``props`` column parsed into a real struct first."""
+    ``props`` column parsed into a real struct first.
+
+    The oracle guards with json_valid() + TRY_CAST (DuckDB ->> RAISES
+    on the dirty twin's empty-string props where Spark from_json yields
+    a NULL struct that leaves() drops — COVERAGE.md N10) and filters on
+    the parsed BIGINT, matching from_json's coercion (non-integer k →
+    NULL → no leaf). Value-neutral on clean fixtures."""
     from modevetl_spark.operators.nested import leaves
 
     prep(spark)

@@ -35,10 +35,11 @@ from modevetl_spark.operators.multimodal import extract_features, with_binary_pa
 from modevetl_spark.operators.similarity import (
     CLEAN_EMB_SQL,
     brute_force_topk,
-    cosine,
+    cosine_pre,
     ivf_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    nrm,
     well_formed,
 )
 from modevetl_spark.operators.text import (
@@ -308,20 +309,22 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared degenerate-vector contract (well_formed/CLEAN_EMB_SQL):
     # this key EMITS cosine values, so NULL/empty/zero-norm vectors are
     # excluded on both engines (see operators/similarity.well_formed)
-    e = well_formed(load(spark, sf_dir, "embeddings")).where(
+    e = well_formed(load(spark, sf_dir, "embeddings"), nrm_col="nrm").where(
         F.col("vec_id") < 300
     )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    cos = F.round(cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6)
     return (
         a.join(b, on="lbl")
         .where(F.col("id_a") < F.col("id_b"))
@@ -915,10 +918,14 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     a = corpus.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        nrm("embedding").alias("na"),
     )
     b = corpus.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        nrm("embedding").alias("nb"),
     )
     exact = (
         a.crossJoin(b)
@@ -926,7 +933,9 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= 0.9)
         .select("id_a", "id_b")

@@ -203,9 +203,14 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_NORMS_ORACLE = """
 WITH n AS (
     SELECT label,
-           ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                       CAST(embedding AS DOUBLE[]))), 6)
-               AS norm
+           CASE
+               WHEN embedding IS NULL THEN NULL
+               WHEN len(embedding) = 0 THEN CAST(0.0 AS DOUBLE)
+               WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+                                    x -> x IS NULL)) > 0 THEN NULL
+               ELSE ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[]))), 6)
+           END AS norm
     FROM embeddings
 )
 SELECT label,
@@ -223,7 +228,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnormalized or degenerate vectors before they poison an ANN index).
     min/max over per-row rounded norms are association-free, so the group
     aggregate is float-deterministic; the norm itself is a sequential
-    higher-order-array fold, identical to DuckDB's list_dot_product."""
+    higher-order-array fold, identical to DuckDB's list_dot_product.
+
+    Degenerate-input contract mirrored in the oracle (COVERAGE.md N10 —
+    DuckDB list_dot_product RAISES on NULL list elements and internal-
+    errors on empty lists, where Spark's fold yields NULL and 0.0
+    respectively): NULL/NULL-element vectors → NULL norm (skipped by
+    MIN/MAX, counted by n_vecs), empty vector → 0.0 — exactly the
+    engine's aggregate-fold semantics. Value-neutral on clean data."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     sq = F.aggregate(

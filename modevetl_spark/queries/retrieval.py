@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.operators._util import spread
-from modevetl_spark.operators.similarity import CLEAN_EMB_SQL, cosine, well_formed
+from modevetl_spark.operators.similarity import (
+    CLEAN_EMB_SQL,
+    cosine_pre,
+    well_formed,
+)
 from modevetl_spark.operators.text import tokens
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
@@ -202,12 +206,16 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     # shared degenerate-vector contract (emits rank-fused scores over
     # cosine; see operators/similarity.well_formed / CLEAN_EMB_SQL)
-    e = well_formed(load(spark, sf_dir, "embeddings"))
+    e = well_formed(load(spark, sf_dir, "embeddings"), nrm_col="nrm")
     qs = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
     cs = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
     )
     base = cs.crossJoin(F.broadcast(qs)).where(
         F.col("neighbor_id") != F.col("query_id")
@@ -227,7 +235,12 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_scored = base.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("s"),
+        F.round(
+            cosine_pre(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+            6,
+        ).alias("s"),
     )
     l2_scored = base.select(
         "query_id", "neighbor_id", F.round(l2, 6).alias("s")

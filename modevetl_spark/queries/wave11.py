@@ -309,16 +309,21 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    from modevetl_spark.operators.similarity import cosine, well_formed
+    from modevetl_spark.operators.similarity import cosine_pre, well_formed
 
     # shared degenerate-vector contract (emits cosine scores; see
-    # operators/similarity.well_formed / CLEAN_EMB_SQL)
-    e = well_formed(load(spark, sf_dir, "embeddings"))
+    # operators/similarity.well_formed / CLEAN_EMB_SQL); the nrm
+    # projection feeds the per-pair scoring below
+    e = well_formed(load(spark, sf_dir, "embeddings"), nrm_col="nrm")
     qs = e.where(F.col("vec_id") < _NDCG_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
     cs = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
     )
     # the q_sim_topk scoring contract inlined (cosine rounded 6dp, ties
     # by neighbor id) so the rank is computed ONCE — reusing
@@ -329,7 +334,12 @@ def eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -916,20 +926,23 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from pyspark.sql import Window
 
-    from modevetl_spark.operators.similarity import cosine, well_formed
+    from modevetl_spark.operators.similarity import cosine_pre, well_formed
 
     # shared degenerate-vector contract (emits cosine scores; see
-    # operators/similarity.well_formed / CLEAN_EMB_SQL)
-    e = well_formed(load(spark, sf_dir, "embeddings"))
+    # operators/similarity.well_formed / CLEAN_EMB_SQL); the nrm
+    # projection feeds the per-pair scoring below
+    e = well_formed(load(spark, sf_dir, "embeddings"), nrm_col="nrm")
     qs = e.where(F.col("vec_id") < _HNM_Q).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("label").alias("ql"),
     )
     scored = (
         e.select(
             F.col("vec_id").alias("nid"),
             F.col("embedding").alias("cv"),
+            F.col("nrm").alias("cn"),
             F.col("label").alias("nl"),
         )
         .crossJoin(F.broadcast(qs))
@@ -938,7 +951,9 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             "nid",
             F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("same_lbl"),
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cs"),
         )
     )
     w = Window.partitionBy("anchor_id", "same_lbl").orderBy(

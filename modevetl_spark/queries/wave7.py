@@ -756,12 +756,13 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and with persisted codes (the deployment shape; the fixture
     derives them inline) the full-precision table is only touched by
     the point probes."""
-    from modevetl_spark.operators.similarity import cosine, well_formed
+    from modevetl_spark.operators.similarity import cosine_pre, nrm, well_formed
 
     prep(spark)
     # shared degenerate-vector contract (emits cosine + feeds the
-    # per-dim quantization stats; see similarity.well_formed)
-    emb = well_formed(load(spark, sf_dir, "embeddings"))
+    # per-dim quantization stats; see similarity.well_formed) — the
+    # nrm projection is reused by every full-precision scoring tier
+    emb = well_formed(load(spark, sf_dir, "embeddings"), nrm_col="nrm")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xf")
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
@@ -782,12 +783,18 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx > mn, mn + (code + F.lit(0.5)) * ((mx - mn) / F.lit(255))
         ).otherwise(mn)
 
-    recon = emb.crossJoin(F.broadcast(statarr)).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.transform(F.col("embedding"), _recon).alias("r_vec"),
+    recon = (
+        emb.crossJoin(F.broadcast(statarr))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.transform(F.col("embedding"), _recon).alias("r_vec"),
+        )
+        .withColumn("r_nrm", nrm("r_vec"))
     )
     qs = emb.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id")
@@ -799,14 +806,22 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "q_vec",
-            F.round(cosine(F.col("q_vec"), F.col("r_vec")), 6).alias("adc"),
+            "q_nrm",
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("r_vec"), F.col("q_nrm"), F.col("r_nrm")
+                ),
+                6,
+            ).alias("adc"),
         )
         .withColumn("rn", F.row_number().over(w_adc))
         .where(F.col("rn") <= 10)
         .drop("rn", "adc")
     )
     exact = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("nrm").alias("c_nrm"),
     )
     w_rer = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -816,7 +831,12 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w_rer))
         .where(F.col("rn") <= 5)
@@ -831,7 +851,12 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("tcos"),
+            F.round(
+                cosine_pre(
+                    F.col("q_vec"), F.col("c_vec"), F.col("q_nrm"), F.col("c_nrm")
+                ),
+                6,
+            ).alias("tcos"),
         )
         .withColumn("rn", F.row_number().over(w_truth))
         .where(F.col("rn") <= 5)

@@ -188,7 +188,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus."""
     from modevetl_spark.operators.similarity import (
         brute_force_topk,
-        cosine,
+        cosine_pre,
+        nrm,
         well_formed,
     )
 
@@ -201,13 +202,25 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")
     ).localCheckpoint(eager=True)  # three greedy stages read it
 
-    vecs = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("v"))
+    vecs = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("v"),
+        nrm("embedding").alias("nv"),
+    )
     ca = cand.select("query_id", F.col("cid").alias("ca")).join(
-        F.broadcast(vecs.withColumnRenamed("cid", "ca").withColumnRenamed("v", "va")),
+        F.broadcast(
+            vecs.withColumnRenamed("cid", "ca")
+            .withColumnRenamed("v", "va")
+            .withColumnRenamed("nv", "na")
+        ),
         "ca",
     )
     cb = cand.select("query_id", F.col("cid").alias("cb")).join(
-        F.broadcast(vecs.withColumnRenamed("cid", "cb").withColumnRenamed("v", "vb")),
+        F.broadcast(
+            vecs.withColumnRenamed("cid", "cb")
+            .withColumnRenamed("v", "vb")
+            .withColumnRenamed("nv", "nb")
+        ),
         "cb",
     )
     pair = (
@@ -217,7 +230,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "ca",
             "cb",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
+            ).alias("sim"),
         )
         .localCheckpoint(eager=True)  # two greedy stages read it
     )

@@ -58,11 +58,12 @@ def test_grading_bookkeeping_consistent():
         (8, Q._GRADED_R8),
         (9, Q._GRADED_R9),
         (10, Q._GRADED_R10),
+        (11, Q._GRADED_R11),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R11_PIN <= keys
-    for k in Q._CHANGED_R11_PIN:
+    assert Q._CHANGED_R12_PIN <= keys
+    for k in Q._CHANGED_R12_PIN:
         assert Q._freshest_round(k) > 0, k
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
@@ -70,25 +71,26 @@ def test_grading_bookkeeping_consistent():
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-11 window composition: the registry is saturated (no staged
+    # round-12 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
-    # re-pins (0.5 — the 17 extreme-numerics try_cast fixes, the 11
-    # cosine()/try_divide blast-radius keys, and the aggstate consumer
-    # q_kmeans_clusters) followed by pure stalest-evidence rotation
+    # re-pins (0.5 — the 11 per-row-norm cosine-family keys, the 3
+    # oracle-fragility fixes, and the 3 numeric-dialect symmetry fixes)
+    # followed by pure stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
-    assert len(never_graded) + len(Q._CHANGED_R11_PIN) <= 50
+    assert len(never_graded) + len(Q._CHANGED_R12_PIN) <= 50
     assert set(never_graded) <= set(window)
-    assert Q._CHANGED_R11_PIN <= set(window)
-    assert len(Q._CHANGED_R11_PIN) == 29
-    # r10 verdict item 2: the rotation slots must refresh the STALEST
-    # evidence — no pre-r5 evidence exists any more (the r4 cohort
-    # cleared in round 10); every non-pin window slot goes to the head
-    # of the 41-key r5-vintage cohort (6 r5 keys sit among the pins;
-    # 21 rotate here; the remaining 14 carry to round 12)
+    assert Q._CHANGED_R12_PIN <= set(window)
+    assert len(Q._CHANGED_R12_PIN) == 17
+    # the rotation slots must refresh the STALEST evidence — the last
+    # 14 r5-vintage keys all clear this round, and the 19 remaining
+    # slots go to the head of the 39-key r6-vintage cohort (the other
+    # 20 r6 keys carry to round 13)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
-    assert len(r5_vintage) == 41, len(r5_vintage)
-    rotation = [k for k in window if k not in Q._CHANGED_R11_PIN]
-    assert len(rotation) == 21
-    assert all(Q._freshest_round(k) == 5 for k in rotation), rotation
+    assert len(r5_vintage) == 14, len(r5_vintage)
+    rotation = [k for k in window if k not in Q._CHANGED_R12_PIN]
+    assert len(rotation) == 33
+    assert set(r5_vintage) <= set(rotation)
+    assert all(Q._freshest_round(k) in (5, 6) for k in rotation), rotation
+    assert sum(Q._freshest_round(k) == 6 for k in rotation) == 19

@@ -108,13 +108,17 @@ def test_try_cast_cross_engine_agreement(spark):
 
     # the BIGINT leg uses INTEGRAL doubles only: on non-integral values
     # Spark's double→BIGINT truncates while DuckDB's rounds (documented
-    # dialect difference — the fixed keys either cast integral-valued
-    # columns or range-guard a floor(), never raw-cast fractionals).
+    # dialect difference — since round 12 the quantity legs in
+    # q_weighted_median / q_spearman_corr ROUND() before the cast on
+    # BOTH sides — half-away-from-zero in both engines — so fractional
+    # poison values cast identically; r11 ADVICE).
     # NOTE floor() itself is NOT symmetric either: Spark's
     # floor(double) returns a SATURATING BIGINT (floor(1e300) =
     # Long.MaxValue, no error) where DuckDB keeps a double — which is
     # why the floor legs in q_weighted_median / q_spearman_corr use an
-    # explicit |x| < 9.2e18 range guard rather than try_cast.
+    # explicit |x| < 9.2e18 range guard, mirrored verbatim in their
+    # oracles since round 12 (TRY_CAST alone admits [9.2e18, 2^63)
+    # doubles the engine guard NULLs; r11 ADVICE).
     dec_vals = [1e300, 5e-324, -99999.99, 0.0, 123.456, -1e300, float("inf")]
     big_vals = [1e300, 0.0, 123.0, -99999.0, -1e300, float("inf")]
     sdec = (
