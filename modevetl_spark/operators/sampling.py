@@ -119,14 +119,23 @@ def pack_by_budget(
         part = int(pdf["__part"].iloc[0])
         bins: list[int] = []
         fill = 0
+        n_in_bin = 0
         local = 0
         for w in pdf[weight_col]:
             w = int(w)
-            if fill > 0 and fill + w > budget:
+            # open a new bin when the CURRENT bin is non-empty by
+            # membership, not by fill: zero-weight docs leave fill at 0,
+            # and gating on fill alone let an oversized doc join their
+            # bin — breaking the "multi-doc bins fit the budget"
+            # invariant (hypothesis falsifying example: [(0,0),(1,101)],
+            # budget 100). Identical packing whenever all weights >= 1.
+            if n_in_bin > 0 and fill + w > budget:
                 local += 1
                 fill = 0
+                n_in_bin = 0
             bins.append((part << 32) + local)
             fill += w
+            n_in_bin += 1
         out = pdf[[id_col, weight_col]].copy()
         out["bin_id"] = bins
         return out

@@ -394,7 +394,13 @@ _GRADED_R11 = frozenset(
 #     (19,6) widen (magnitudes in [1e12,1e13) previously diverged);
 #     q_weighted_median / q_spearman_corr ROUND() before every
 #     double→BIGINT quantity cast on BOTH sides (truncate-vs-round)
-#     and their oracles gained the engine's |x| < 9.2e18 floor guard.
+#     and their oracles gained the engine's |x| < 9.2e18 floor guard;
+# (d) q_pack_budget: operators/sampling.pack_by_budget's greedy now
+#     opens a new bin on MEMBERSHIP, not fill — zero-weight docs left
+#     fill at 0 and let an oversized doc join their bin, breaking the
+#     multi-doc-bins-fit-the-budget invariant (hypothesis falsifying
+#     example, round 12). Identical packing whenever all weights ≥ 1;
+#     the clean fixtures have zero zero-token docs at every SF.
 _CHANGED_R12_PIN: frozenset[str] = frozenset(
     {
         # (a) per-row-norm refactor blast radius (import-graph verified)
@@ -417,6 +423,8 @@ _CHANGED_R12_PIN: frozenset[str] = frozenset(
         "q_abc_classification",
         "q_spearman_corr",
         "q_weighted_median",
+        # (d) pack_by_budget membership-gated greedy
+        "q_pack_budget",
     }
 )
 
@@ -445,8 +453,8 @@ def _freshest_round(key: str) -> int:
 #      all pass first), add it to _freshest_round's chain at rank 12.
 #   2. Re-point _CHANGED_R12_PIN → _CHANGED_R13_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r12 grades (17 pins + 14 r5 +
-#      19 r6 rotation), the stalest cohort is the remaining ~20
+#      to the stalest evidence — after r12 grades (18 pins + 14 r5 +
+#      18 r6 rotation), the stalest cohort is the remaining ~21
 #      r6-vintage keys, then r7.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as

@@ -24,7 +24,8 @@ oracle on the SAME dirty data and reports per key:
 Usage:
     python scripts/dirty_sweep.py [--src=/root/testdata/sf0.001]
         [--dir=/tmp/dirty_sf0.001] [--only=k1,k2] [--start-at=key]
-        [--engine-only] [--unique-keys] [--numeric]
+        [--engine-only] [--unique-keys] [--numeric] [--unicode]
+        [--timestamp]
 
 The sweep is a read-only diagnostic: it never writes into the repo or
 the source fixtures.
@@ -47,6 +48,8 @@ START_AT = None
 ENGINE_ONLY = False
 UNIQUE_KEYS = False
 NUMERIC = False
+UNICODE = False
+TIMESTAMP = False
 for a in sys.argv[1:]:
     if a.startswith("--src="):
         SRC = a.split("=", 1)[1]
@@ -62,17 +65,33 @@ for a in sys.argv[1:]:
         UNIQUE_KEYS = True
     elif a == "--numeric":
         NUMERIC = True
+    elif a == "--unicode":
+        UNICODE = True
+    elif a == "--timestamp":
+        TIMESTAMP = True
 
 # the twin builder is SHARED with the pinned regression tests
 # (tests/dirty_fixtures.py) so the maintenance sweep and the test
-# fixtures cannot silently diverge (r10 ADVICE); --numeric swaps in the
-# extreme-numerics twin instead of the NULL-contract twin.
-from tests.dirty_fixtures import build_dirty, build_hostile_numeric  # noqa: E402
+# fixtures cannot silently diverge (r10 ADVICE); --numeric / --unicode /
+# --timestamp swap in the extreme-numerics / unicode-hostile /
+# extreme-timestamp twins instead of the NULL-contract twin (the latter
+# two are engine-only crash twins by design — pair them with
+# --engine-only; their oracle-side dialect noise is not adjudicated).
+from tests.dirty_fixtures import (  # noqa: E402
+    build_dirty,
+    build_hostile_numeric,
+    build_hostile_timestamp,
+    build_unicode,
+)
 
 
 def main() -> None:
     if NUMERIC:
         build_hostile_numeric(SRC, DIRTY)
+    elif UNICODE:
+        build_unicode(SRC, DIRTY)
+    elif TIMESTAMP:
+        build_hostile_timestamp(SRC, DIRTY)
     else:
         build_dirty(SRC, DIRTY, unique_keys=UNIQUE_KEYS)
 

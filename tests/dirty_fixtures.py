@@ -122,6 +122,93 @@ def build_dirty(src: str, dst, unique_keys: bool = False) -> str:
     return str(dst)
 
 
+def build_unicode(src: str, dst) -> str:
+    """Write the unicode adversarial twin of ``src`` into ``dst`` and
+    return ``str(dst)`` — the round-11 engine-only crash sweep's twin,
+    promoted into the shared builder so the tier is reproducible from
+    the repo (it lived in a session-local script in r11): every string
+    column gets CJK, non-BMP emoji, combining accents, RTL embedding,
+    NBSP + zero-width joiners, and a 5000-char token, with fresh keys.
+    Targets tokenizer/regex/normalizer paths (split, regexp_replace,
+    lower, levenshtein, md5-of-text) that only ever see ASCII in the
+    clean fixtures."""
+    os.makedirs(str(dst), exist_ok=True)
+    hostiles = [
+        "漢字テスト中文",          # CJK
+        "\U0001f600\U0001f9e0\U0001f680 emoji",                 # non-BMP
+        "café näive é́́",          # combining
+        "‮RTL‬ text שלום",        # RTL
+        "a b‍c​d e",                             # NBSP/ZWJ/ZWSP
+        "tok" * 1667,                                           # ~5000 chars
+    ]
+    for t in _tables():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        row0 = tab.slice(0, 1)
+        key_max = {
+            n: pc.max(tab.column(n)).as_py()
+            for n in tab.column_names
+            if n in KEYISH and pa.types.is_integer(tab.schema.field(n).type)
+        }
+        variants = []
+        for j, h in enumerate(hostiles):
+            subs: dict = {}
+            for name in tab.column_names:
+                typ = tab.schema.field(name).type
+                if name in key_max:
+                    subs[name] = key_max[name] + j + 1
+                elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                    subs[name] = h
+            variants.append(variant(row0, subs))
+        pq.write_table(
+            pa.concat_tables([tab] + variants), f"{dst}/{t}.parquet"
+        )
+    return str(dst)
+
+
+def build_hostile_timestamp(src: str, dst) -> str:
+    """Write the extreme-timestamp twin of ``src`` into ``dst`` and
+    return ``str(dst)`` — the round-11 engine-only crash sweep's twin,
+    promoted into the shared builder (see build_unicode): every
+    temporal column gets year-0001 / year-9999 dates and epoch-zero /
+    epoch-negative timestamps, with fresh keys. Targets date_trunc /
+    window-bucket / interval arithmetic that can overflow or produce
+    out-of-range intermediates the clean fixtures never reach."""
+    import datetime as _dt
+
+    os.makedirs(str(dst), exist_ok=True)
+    hostile_ts = [
+        _dt.datetime(1, 1, 1, 0, 0, 0),
+        _dt.datetime(9999, 12, 31, 23, 59, 59),
+        _dt.datetime(1970, 1, 1, 0, 0, 0),
+        _dt.datetime(1901, 12, 13, 20, 45, 52),  # < INT32_MIN seconds
+    ]
+    hostile_dates = [d.date() for d in hostile_ts]
+    for t in _tables():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        row0 = tab.slice(0, 1)
+        key_max = {
+            n: pc.max(tab.column(n)).as_py()
+            for n in tab.column_names
+            if n in KEYISH and pa.types.is_integer(tab.schema.field(n).type)
+        }
+        variants = []
+        for j in range(len(hostile_ts)):
+            subs: dict = {}
+            for name in tab.column_names:
+                typ = tab.schema.field(name).type
+                if name in key_max:
+                    subs[name] = key_max[name] + j + 1
+                elif pa.types.is_timestamp(typ):
+                    subs[name] = hostile_ts[j]
+                elif pa.types.is_date(typ):
+                    subs[name] = hostile_dates[j]
+            variants.append(variant(row0, subs))
+        pq.write_table(
+            pa.concat_tables([tab] + variants), f"{dst}/{t}.parquet"
+        )
+    return str(dst)
+
+
 def build_hostile_numeric(src: str, dst) -> str:
     """Write the extreme-numerics twin of ``src`` into ``dst`` and
     return ``str(dst)``. Keys stay fresh and valid; only value columns

@@ -244,3 +244,91 @@ def test_well_formed_matches_clean_emb_sql(spark, tmp_path):
     finally:
         con.close()
     assert got == want == [4]
+
+
+def test_promoted_twin_builders_preserve_schema(tmp_path):
+    """The unicode and extreme-timestamp twins (session-local scripts in
+    r11, promoted into tests/dirty_fixtures in r12) must preserve each
+    table's arrow schema EXACTLY and only append rows — schema drift in
+    a twin would make every sweep result incomparable to the clean
+    fixture's."""
+    import pyarrow.parquet as pq
+
+    from tests.dirty_fixtures import (
+        _tables,
+        build_hostile_timestamp,
+        build_unicode,
+    )
+
+    src = "/root/testdata/sf0.001"
+    for builder, name in (
+        (build_unicode, "uni"),
+        (build_hostile_timestamp, "ts"),
+    ):
+        dst = builder(src, tmp_path / name)
+        for t in _tables():
+            clean = pq.read_table(f"{src}/{t}.parquet")
+            twin = pq.read_table(f"{dst}/{t}.parquet")
+            assert twin.schema.equals(clean.schema), (name, t)
+            assert twin.num_rows > clean.num_rows, (name, t)
+
+
+def test_cosine_pre_bit_identical_to_cosine(spark, tmp_path):
+    """The round-12 hot-loop refactor contract: cosine_pre() over
+    per-row precomputed norms (nrm()) must be BIT-identical to the
+    reference cosine() — sqrt(fold(a))·sqrt(fold(b)) is the same IEEE
+    tree whether the sqrt runs before or after the join — including the
+    degenerate rows (zero-norm → NULL under try_divide on both forms).
+    Pinned on adversarial shapes: subnormals, huge components, zero
+    vectors, negative-heavy vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.operators.similarity import cosine, cosine_pre, nrm
+
+    vecs = [
+        [0.5, -1.5, 2.0],
+        [5e-324, 1e-300, 0.0],
+        [1e150, -1e150, 1e-10],
+        [0.0, 0.0, 0.0],
+        [-1.0, -2.0, -3.0],
+        [0.1, 0.2, 0.3],
+    ]
+    tab = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+        }
+    )
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(tab, path)
+    e = spark.read.parquet(path)
+    a = e.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        nrm("embedding").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        nrm("embedding").alias("nb"),
+    )
+    both = (
+        a.crossJoin(b)
+        .select(
+            "ia",
+            "ib",
+            cosine(F.col("va"), F.col("vb")).alias("ref"),
+            cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("pre"),
+        )
+        .collect()
+    )
+    assert len(both) == len(vecs) ** 2
+    for r in both:
+        # bit-identity, not tolerance: NULL together or equal doubles
+        assert (r.ref is None) == (r.pre is None), (r.ia, r.ib)
+        if r.ref is not None:
+            assert r.ref == r.pre, (r.ia, r.ib, r.ref, r.pre)
