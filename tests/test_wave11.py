@@ -37,7 +37,10 @@ def test_wave11_drained_into_the_window():
     assert set(QUERIES) <= set(oracle)
     for k in QUERIES:
         assert k in Q._GRADED_R9, k
-        assert Q._freshest_round(k) == 9, k
+        # floor, not exact: later rounds legitimately re-grade cohort
+        # members (q_rank_rbo/q_eval_ndcg/q_mine_hard_negatives carry
+        # r11 evidence after the cosine-family re-pins)
+        assert Q._freshest_round(k) >= 9, k
 
 
 class TestRankRbo:
