@@ -83,6 +83,18 @@ def tsum(col: Column | str, places: int = 2) -> Column:
     return F.round(F.sum(_c(col).try_cast(DEC)).cast("double"), places)
 
 
+def tavg(col: Column | str, places: int = 6) -> Column:
+    """:func:`davg` with a try_cast fold (re-added in r12 with
+    consumers — see :func:`sql_tavg`): the sum NULL-folds out-of-range
+    operands while the count keeps every non-NULL raw value, so the
+    guard and the denominator agree with the SQL twin exactly."""
+    c = _c(col)
+    return F.when(
+        F.count(c) > 0,
+        F.round(F.sum(c.try_cast(DEC)).cast("double") / F.count(c), places),
+    )
+
+
 def tmoney(price: Column | str, discount: Column | str) -> Column:
     """:func:`money` with try_cast operands — either side out of range
     nulls the revenue term for that row. The admitted range is
@@ -102,10 +114,19 @@ def round_sig(col: Column | str, digits: int) -> Column:
     """Round to significant digits — the reference's ``Math.round(value,
     digits=n)`` (``pyLibrary/maths/__init__.py``) rounds to significant
     figures, not decimal places.
+
+    try_divide, not ``/``: for a subnormal input (|x| ~ 5e-324) the
+    scale term 10^(floor(log10|x|)-d+1) underflows to 0.0, and Spark's
+    division aborts the stage where DuckDB's double x/0.0 quietly
+    yields NULL — try_divide matches that NULL convention exactly, so
+    one denormal row degrades to a NULL output instead of killing the
+    job. In-range values divide identically.
     """
     c = _c(col)
     scale = F.pow(F.lit(10.0), F.floor(F.log10(F.abs(c))) - F.lit(digits - 1))
-    return F.when(c == 0, F.lit(0.0)).otherwise(F.round(c / scale, 0) * scale)
+    return F.when(c == 0, F.lit(0.0)).otherwise(
+        F.round(F.try_divide(c, scale), 0) * scale
+    )
 
 
 # --- SQL-side twins (DuckDB dialect, used to build oracle_sql strings) ---
@@ -121,6 +142,30 @@ def sql_dsum(expr: str, alias: str, places: int = 2) -> str:
 def sql_davg(expr: str, alias: str, places: int = 6) -> str:
     return (
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}), {places}) AS {alias}"
+    )
+
+
+def sql_tsum(expr: str, alias: str, places: int = 2) -> str:
+    """SQL twin of :func:`tsum` (re-added in r12 WITH consumers this
+    time): the round-12 strong-materialization hostile sweep showed the
+    raw-cast fold aborting 17 engines — and their oracles' matching raw
+    CASTs erroring symmetrically — so both sides move to the try fold:
+    an out-of-range operand becomes NULL instead of aborting the job.
+    In-range values are bit-identical to :func:`sql_dsum`."""
+    return (
+        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE),"
+        f" {places}) AS {alias}"
+    )
+
+
+def sql_tavg(expr: str, alias: str, places: int = 6) -> str:
+    """SQL twin of the engine's try-fold average (tsum/count shape —
+    see :func:`sql_tsum`): NULL-folds out-of-range operands while
+    COUNT keeps counting every non-NULL raw value, exactly like the
+    engine's F.count(col) over the unfolded column."""
+    return (
+        f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), {places}) AS {alias}"
     )
 

@@ -401,6 +401,24 @@ _GRADED_R11 = frozenset(
 #     multi-doc-bins-fit-the-budget invariant (hypothesis falsifying
 #     example, round 12). Identical packing whenever all weights ≥ 1;
 #     the clean fixtures have zero zero-token docs at every SF.
+# (e) the 23 strong-materialization crash fixes: upgrading the dirty
+#     sweep's engine probe from .count() (which lets Catalyst PRUNE the
+#     poisoned projection — the reason three rounds of "crash-free"
+#     sweeps missed them) to toPandas() exposed raw decimal casts /
+#     floor-saturation legs / a subnormal-underflow division that abort
+#     the whole job on one hostile row. All moved to the r11 try
+#     convention (engine try_cast/try_divide mirrored as TRY_CAST /
+#     NULL-on-/0 in the oracle; floor legs range-guarded), value-
+#     identical in range: q_window_range_frame, q_window_cumsum,
+#     q_window_moving_avg, q_zscore_normalize, q_bucket_numeric,
+#     q_math_sig_round, then the registry-wide census: q_agg_basic,
+#     q_agg_moments, q_anova_weekday, q_cohort_ltv, q_cube_allow_nulls,
+#     q_cube_subtotals, q_cube_time, q_events_tumbling, q_gapfill_ffill,
+#     q_gapfill_interp, q_groupby_multi, q_growth_mom, q_rollup,
+#     q_seasonal_index, q_skew_salted_agg, q_theilsen_trend,
+#     q_tpch_pricing_summary. All 23 MATCH at sf0.01 and hold hostile-
+#     twin parity except q_tpch_pricing_summary's documented 1-ulp
+#     DuckDB decimal->double cast residue at twin-only 1e15 magnitudes.
 _CHANGED_R12_PIN: frozenset[str] = frozenset(
     {
         # (a) per-row-norm refactor blast radius (import-graph verified)
@@ -425,6 +443,30 @@ _CHANGED_R12_PIN: frozenset[str] = frozenset(
         "q_weighted_median",
         # (d) pack_by_budget membership-gated greedy
         "q_pack_budget",
+        # (e) strong-materialization hostile-sweep crash fixes
+        "q_window_range_frame",
+        "q_window_cumsum",
+        "q_window_moving_avg",
+        "q_zscore_normalize",
+        "q_bucket_numeric",
+        "q_math_sig_round",
+        "q_agg_basic",
+        "q_agg_moments",
+        "q_anova_weekday",
+        "q_cohort_ltv",
+        "q_cube_allow_nulls",
+        "q_cube_subtotals",
+        "q_cube_time",
+        "q_events_tumbling",
+        "q_gapfill_ffill",
+        "q_gapfill_interp",
+        "q_groupby_multi",
+        "q_growth_mom",
+        "q_rollup",
+        "q_seasonal_index",
+        "q_skew_salted_agg",
+        "q_theilsen_trend",
+        "q_tpch_pricing_summary",
     }
 )
 
@@ -453,9 +495,19 @@ def _freshest_round(key: str) -> int:
 #      all pass first), add it to _freshest_round's chain at rank 12.
 #   2. Re-point _CHANGED_R12_PIN → _CHANGED_R13_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r12 grades (18 pins + 14 r5 +
-#      18 r6 rotation), the stalest cohort is the remaining ~21
-#      r6-vintage keys, then r7.
+#      to the stalest evidence — after r12 grades (41 pins + 9 r5
+#      rotation), the stalest cohort is the 5 remaining r5-vintage keys
+#      (q_tpch_small_qty_revenue, q_tpch_waiting_suppliers,
+#      q_tpch_forecast_revenue, q_dedup_paragraph,
+#      q_attribution_last_touch), then the r6-vintage cohort, then r7.
+#      ALSO STAGED FOR R13 (r12 closing decision): convert the shared
+#      compat folds themselves (dsum/davg/money + sql twins) to the try
+#      convention — the r12 crash census fixed every key the hostile
+#      twin reaches, but raw-cast folds survive at keys whose filters
+#      happen to exclude the twin's fresh-keyed rows (q_cube_dense's
+#      shipdate guard, q_window_moving_avg's old suppkey luck); the
+#      helper-level swap closes the class structurally. Blast radius =
+#      every dsum/davg consumer, so it must be its own round's pin set.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.

@@ -18,7 +18,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modevetl_spark.functions.compat import davg, dsum, sql_davg, sql_dsum
+from modevetl_spark.functions.compat import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_tavg,
+    sql_tsum,
+    tavg,
+    tsum,
+)
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -29,10 +38,10 @@ QUERIES, ORACLE, q = make_registry()
 _BASIC_ORACLE = f"""
 SELECT COUNT(*) AS n_rows,
        COUNT(l_quantity) AS n_qty,
-       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_tsum('l_quantity', 'sum_qty')},
        MIN(l_quantity) AS min_qty,
        MAX(l_quantity) AS max_qty,
-       {sql_davg('l_quantity', 'avg_qty')}
+       {sql_tavg('l_quantity', 'avg_qty')}
 FROM lineitem
 """
 
@@ -45,10 +54,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("l_quantity").alias("n_qty"),
-        dsum("l_quantity").alias("sum_qty"),
+        tsum("l_quantity").alias("sum_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        davg("l_quantity").alias("avg_qty"),
+        tavg("l_quantity").alias("avg_qty"),
     )
 
 
@@ -206,8 +215,8 @@ _MOMENTS_ORACLE = """
 WITH sums AS (
     SELECT l_returnflag,
            COUNT(l_quantity) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2
+           CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+           CAST(SUM(TRY_CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS s2
     FROM lineitem
     GROUP BY l_returnflag
 )
@@ -237,8 +246,8 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.col("l_quantity")
     sums = li.groupBy("l_returnflag").agg(
         F.count(qv).alias("n"),
-        F.sum(qv.cast("decimal(18,6)")).cast("double").alias("s1"),
-        F.sum((qv * qv).cast("decimal(28,6)")).cast("double").alias("s2"),
+        F.sum(qv.try_cast("decimal(18,6)")).cast("double").alias("s1"),
+        F.sum((qv * qv).try_cast("decimal(28,6)")).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     var = F.when(
@@ -254,11 +263,11 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GROUPBY_ORACLE = f"""
 SELECT l_returnflag,
        l_linestatus,
-       {sql_dsum('l_quantity', 'sum_qty')},
-       {sql_dsum('l_extendedprice', 'sum_base_price')},
-       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-       {sql_davg('l_quantity', 'avg_qty')},
-       {sql_davg('l_discount', 'avg_disc')},
+       {sql_tsum('l_quantity', 'sum_qty')},
+       {sql_tsum('l_extendedprice', 'sum_base_price')},
+       {sql_tsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_tavg('l_quantity', 'avg_qty')},
+       {sql_tavg('l_discount', 'avg_disc')},
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -276,11 +285,11 @@ def groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum("l_quantity").alias("sum_qty"),
-        dsum("l_extendedprice").alias("sum_base_price"),
-        dsum(disc_price).alias("sum_disc_price"),
-        davg("l_quantity").alias("avg_qty"),
-        davg("l_discount").alias("avg_disc"),
+        tsum("l_quantity").alias("sum_qty"),
+        tsum("l_extendedprice").alias("sum_base_price"),
+        tsum(disc_price).alias("sum_disc_price"),
+        tavg("l_quantity").alias("avg_qty"),
+        tavg("l_discount").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 

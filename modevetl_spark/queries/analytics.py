@@ -20,6 +20,10 @@ from modevetl_spark.functions.compat import (
     dsum,
     sql_davg,
     sql_dsum,
+    sql_tavg,
+    sql_tsum,
+    tavg,
+    tsum,
 )
 from modevetl_spark.operators.text import tokens
 from modevetl_spark.queries import prep
@@ -34,17 +38,18 @@ DEC = "decimal(18,6)"
 _Q1_ORACLE = f"""
 SELECT l_returnflag,
        l_linestatus,
-       {sql_dsum("l_quantity", "sum_qty")},
-       {sql_dsum("l_extendedprice", "sum_base_price")},
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
-           AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                      * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)))
+       {sql_tsum("l_quantity", "sum_qty")},
+       {sql_tsum("l_extendedprice", "sum_base_price")},
+       ROUND(CAST(SUM(CAST(TRY_CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                      * CAST(TRY_CAST(1 - l_discount AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+                  AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(TRY_CAST(l_extendedprice AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                      * CAST(TRY_CAST((1 - l_discount) * (1 + l_tax)
+                                      AS DECIMAL(18,6)) AS DECIMAL(19,6)))
                   AS DOUBLE), 2) AS sum_charge,
-       {sql_davg("l_quantity", "avg_qty")},
-       {sql_davg("l_extendedprice", "avg_price")},
-       {sql_davg("l_discount", "avg_disc")},
+       {sql_tavg("l_quantity", "avg_qty")},
+       {sql_tavg("l_extendedprice", "avg_price")},
+       {sql_tavg("l_discount", "avg_disc")},
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01'
@@ -65,29 +70,29 @@ def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     charge_factor = (
         (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
-    ).cast(DEC)
+    ).try_cast(DEC)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            tsum("l_quantity").alias("sum_qty"),
+            tsum("l_extendedprice").alias("sum_base_price"),
             F.round(
                 F.sum(
-                    F.col("l_extendedprice").cast(DEC)
-                    * (F.lit(1) - F.col("l_discount")).cast(DEC)
+                    F.col("l_extendedprice").try_cast(DEC)
+                    * (F.lit(1) - F.col("l_discount")).try_cast(DEC)
                 ).cast("double"),
                 2,
             ).alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice").cast(DEC) * charge_factor).cast(
+                F.sum(F.col("l_extendedprice").try_cast(DEC) * charge_factor).cast(
                     "double"
                 ),
                 2,
             ).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            tavg("l_quantity").alias("avg_qty"),
+            tavg("l_extendedprice").alias("avg_price"),
+            tavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -402,13 +407,13 @@ _ZSCORE_ORACLE = """
 WITH stats AS (
     SELECT event_type,
            COUNT(value) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(value), 6) AS mean,
            ROUND(sqrt(greatest(
-               (CAST(SUM(CAST(value AS DECIMAL(18,6))
-                         * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                - CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                  * CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               (CAST(SUM(CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                         * CAST(TRY_CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6))) AS DOUBLE)
+                - CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                  * CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                   / COUNT(value))
                / COUNT(value), 0)), 6) AS std
     FROM events GROUP BY event_type
@@ -432,7 +437,11 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the fact — no second fact shuffle."""
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    v = F.col("value").cast(DEC)
+    # try_cast fold (TRY_CAST in the oracle, widened to (19,6) for
+    # DuckDB's non-widening multiply): a raw decimal cast aborts the
+    # whole job on one 1e300 row; out-of-range values fold to NULL on
+    # both engines while n keeps counting every non-NULL raw value
+    v = F.col("value").try_cast(DEC)
     # count("value")-based divisions guard on >0: an all-NULL group would
     # raise under Spark ANSI where DuckDB's SUM/COUNT yields NULL
     stats = ev.groupBy("event_type").agg(

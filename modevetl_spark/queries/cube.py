@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modevetl_spark.functions.compat import dsum, sql_dsum
+from modevetl_spark.functions.compat import dsum, sql_dsum, sql_tsum, tsum
 from modevetl_spark.operators.cube import (
     default_domain,
     densify,
@@ -77,7 +77,7 @@ def cube_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       {sql_dsum('o_totalprice', 'total_value')}
+       {sql_tsum('o_totalprice', 'total_value')}
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -90,7 +90,7 @@ def rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_value"),
+        tsum("o_totalprice").alias("total_value"),
     )
 
 
@@ -103,7 +103,7 @@ WITH months AS (
 agg AS (
     SELECT date_trunc('month', o_orderdate) AS order_month,
            COUNT(*) AS n_orders,
-           {sql_dsum('o_totalprice', 'total_value')}
+           {sql_tsum('o_totalprice', 'total_value')}
     FROM orders
     GROUP BY 1
 )
@@ -125,7 +125,7 @@ def cube_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_value"),
+        tsum("o_totalprice").alias("total_value"),
     )
     grid = [time_domain(spark, "order_month", "1995-01-01", "2001-08-01", "1 MONTH")]
     return densify(
@@ -181,11 +181,22 @@ LEFT JOIN agg a USING (price_bucket)
 
 @q("q_bucket_numeric", oracle_sql=_BUCKET_NUMERIC_ORACLE)
 def bucket_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4: ``range`` domain — fixed-width numeric buckets, densified."""
+    """D4: ``range`` domain — fixed-width numeric buckets, densified.
+
+    The bucket expression range-guards the floor leg: Spark floor(double)
+    SATURATES to Long.MaxValue (no error), so floor(1e300/5e4)*50000 is a
+    long-overflow abort on one dirty row. Out-of-range prices take a NULL
+    bucket, which the densify grid join drops — exactly where the
+    oracle's un-guarded double floor (DuckDB keeps a double) lands its
+    1e300 bucket: outside the grid. Identical output on both engines,
+    clean or hostile."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
     agg = o.groupBy(
-        (F.floor(F.col("o_totalprice") / 50000) * 50000)
+        F.when(
+            F.abs(F.col("o_totalprice")) < 9.2e18,
+            F.floor(F.col("o_totalprice") / 50000) * 50000,
+        )
         .cast("double")
         .alias("price_bucket")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
@@ -238,7 +249,7 @@ WITH flags AS (SELECT unnest(['N', 'R', '<null>']) AS flag),
      agg AS (
          SELECT COALESCE(nullif(l_returnflag, 'A'), '<null>') AS flag,
                 COUNT(*) AS n,
-                {sql_dsum('l_quantity', 'sum_qty')}
+                {sql_tsum('l_quantity', 'sum_qty')}
          FROM lineitem
          GROUP BY 1
      )
@@ -258,7 +269,7 @@ def cube_allow_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag", F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("A")), F.lit("<null>"))
     )
     agg = li.groupBy("flag").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+        F.count(F.lit(1)).alias("n"), tsum("l_quantity").alias("sum_qty")
     )
     grid = [set_domain(spark, "flag", ["N", "R", "<null>"])]
     return densify(

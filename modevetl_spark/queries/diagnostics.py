@@ -419,7 +419,7 @@ monthly AS (
            CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
                 - (year(f.cohort_month) * 12 + month(f.cohort_month))
                 AS BIGINT) AS age_months,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
+           SUM(TRY_CAST(o.o_totalprice AS DECIMAL(18,6))) AS rev
     FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
     GROUP BY 1, 2
 ),
@@ -474,7 +474,7 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         o.join(firsts, "o_custkey")
         .groupBy("cohort_month", age.alias("age_months"))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+        .agg(F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).alias("rev"))
     )
     w = (
         Window.partitionBy("cohort_month")
@@ -3851,7 +3851,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MOM_ORACLE = """
 WITH monthly AS (
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY 1
@@ -3877,13 +3877,13 @@ def growth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the month series.
     """
     prep(spark)
-    from modevetl_spark.functions.compat import dsum
+    from modevetl_spark.functions.compat import tsum
 
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
     ).agg(
-        dsum("o_totalprice", 2).alias("revenue"),
+        tsum("o_totalprice", 2).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
     w = Window.orderBy("month")
@@ -3911,21 +3911,24 @@ WITH vals AS (
 grp AS (
     SELECT dow,
            CAST(COUNT(*) AS BIGINT) AS n_g,
-           ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2) AS s_g,
-           -- DECIMAL(19,6): DuckDB's product type is (p1+p2, s1+s2)
-           -- with NO auto-widen, so 18+18 digits overflow; 19+19 = 38
-           -- holds x^2 exactly (Spark stays (18,6) -> exact (37,12))
-           ROUND(CAST(SUM(CAST(x AS DECIMAL(19,6))
-                          * CAST(x AS DECIMAL(19,6))) AS DOUBLE), 2) AS ss_g
+           ROUND(CAST(SUM(TRY_CAST(x AS DECIMAL(18,6))) AS DOUBLE), 2) AS s_g,
+           -- inner TRY_CAST at (18,6) pins Spark's admitted range; the
+           -- outer lossless (19,6) widen exists because DuckDB's product
+           -- type is (p1+p2, s1+s2) with NO auto-widen: 18+18 digits
+           -- overflow while 19+19 = 38 holds x^2 exactly (Spark stays
+           -- (18,6) -> exact (37,12))
+           ROUND(CAST(SUM(CAST(TRY_CAST(x AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                          * CAST(TRY_CAST(x AS DECIMAL(18,6)) AS DECIMAL(19,6)))
+                      AS DOUBLE), 2) AS ss_g
     FROM vals GROUP BY dow
 ),
 tot AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS k,
            CAST(SUM(n_g) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(s_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
-           ROUND(CAST(SUM(CAST(ss_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS ss,
-           ROUND(CAST(SUM(CAST(ROUND(s_g * s_g / n_g, 6)
-                                AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_s2n
+           ROUND(CAST(SUM(TRY_CAST(s_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
+           ROUND(CAST(SUM(TRY_CAST(ss_g AS DECIMAL(18,2))) AS DOUBLE), 2) AS ss,
+           ROUND(CAST(SUM(TRY_CAST(ROUND(s_g * s_g / n_g, 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_s2n
     FROM grp
 )
 SELECT k, n,
@@ -3963,12 +3966,13 @@ def anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.round(F.sum(F.col("o_totalprice").cast(dec)).cast("double"), 2).alias(
+        F.round(F.sum(F.col("o_totalprice").try_cast(dec)).cast("double"), 2).alias(
             "s_g"
         ),
         F.round(
             F.sum(
-                F.col("o_totalprice").cast(dec) * F.col("o_totalprice").cast(dec)
+                F.col("o_totalprice").try_cast(dec)
+                * F.col("o_totalprice").try_cast(dec)
             ).cast("double"),
             2,
         ).alias("ss_g"),
@@ -3976,15 +3980,15 @@ def anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = grp.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n_g").cast("long").alias("n"),
-        F.round(F.sum(F.col("s_g").cast("decimal(18,2)")).cast("double"), 2).alias(
+        F.round(F.sum(F.col("s_g").try_cast("decimal(18,2)")).cast("double"), 2).alias(
             "s"
         ),
         F.round(
-            F.sum(F.col("ss_g").cast("decimal(18,2)")).cast("double"), 2
+            F.sum(F.col("ss_g").try_cast("decimal(18,2)")).cast("double"), 2
         ).alias("ss"),
         F.round(
             F.sum(
-                F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast(
+                F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).try_cast(
                     "decimal(28,6)"
                 )
             ).cast("double"),
@@ -4009,7 +4013,7 @@ def anova_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THEILSEN_ORACLE = """
 WITH monthly AS (
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS y
     FROM orders GROUP BY 1
 ),
@@ -4047,12 +4051,12 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp.
     """
     prep(spark)
-    from modevetl_spark.functions.compat import dsum
+    from modevetl_spark.functions.compat import tsum
 
     o = load(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(dsum("o_totalprice", 2).alias("y"))
+    ).agg(tsum("o_totalprice", 2).alias("y"))
     indexed = monthly.select(
         F.row_number().over(Window.orderBy("month")).cast("long").alias("i"),
         "y",

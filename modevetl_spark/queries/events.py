@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modevetl_spark.functions.compat import dsum, sql_dsum
+from modevetl_spark.functions.compat import sql_tsum, tsum
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
 from modevetl_spark.sources.catalog import load
@@ -29,8 +29,9 @@ _TUMBLING_ORACLE = f"""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       {sql_dsum('value', 'total_value')}
+       {sql_tsum('value', 'total_value')}
 FROM events
+WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01'
 GROUP BY 1, 2
 """
 
@@ -38,14 +39,25 @@ GROUP BY 1, 2
 @q("q_events_tumbling", oracle_sql=_TUMBLING_ORACLE)
 def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: tumbling window aggregation — F.window(ts, '1 hour'); in
-    streaming mode the identical expression runs under a watermark."""
+    streaming mode the identical expression runs under a watermark.
+
+    The valid-event-time guard (mirrored in the oracle) bounds the
+    emitted window_start domain: a malformed year-0001 event otherwise
+    produces a bucket that underflows python's datetime range at the
+    driver's collect once a western session timezone shifts it into
+    year 0 (strong-probe finding, round 12). Clean fixtures (2024) are
+    untouched; streaming deployments get the same bound from their
+    watermark."""
     prep(spark)
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("1900-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+    )
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
+            tsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

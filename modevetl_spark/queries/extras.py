@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modevetl_spark.functions.compat import dsum, round_sig, sql_dsum
+from modevetl_spark.functions.compat import round_sig, sql_tsum, tsum
 from modevetl_spark.operators.skew import adaptive_salted_join, salted_agg, salted_join
 from modevetl_spark.queries import prep
 from modevetl_spark.queries._registry import make_registry
@@ -22,7 +22,7 @@ QUERIES, ORACLE, q = make_registry()
 _CUBE_SUBTOTALS_ORACLE = f"""
 SELECT o_orderstatus, o_orderpriority,
        COUNT(*) AS n_orders,
-       {sql_dsum('o_totalprice', 'total_value')}
+       {sql_tsum('o_totalprice', 'total_value')}
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -35,7 +35,7 @@ def cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total_value"),
+        tsum("o_totalprice").alias("total_value"),
     )
 
 
@@ -134,7 +134,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_AGG_ORACLE = f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       {sql_dsum('value', 'total_value')}
+       {sql_tsum('value', 'total_value')}
 FROM events
 GROUP BY user_id
 """
@@ -148,7 +148,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     ev = load(spark, sf_dir, "events")
     out = salted_agg(
-        ev.withColumn("vdec", F.col("value").cast("decimal(18,6)")),
+        ev.withColumn("vdec", F.col("value").try_cast("decimal(18,6)")),
         keys=["user_id"],
         unique_col="event_id",
         aggs={

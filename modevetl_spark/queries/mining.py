@@ -745,13 +745,13 @@ def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEASONAL_ORACLE = """
 WITH monthly AS (
     SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS qty
     FROM lineitem
     GROUP BY 1
 ),
 overall AS (
-    SELECT ROUND(CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT ROUND(CAST(SUM(TRY_CAST(qty AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 6) AS mean_qty
     FROM monthly
 )
@@ -778,12 +778,12 @@ def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("l_shipdate").cast("long").alias("month")
     ).agg(
         F.round(
-            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 2
+            F.sum(F.col("l_quantity").try_cast("decimal(18,6)")).cast("double"), 2
         ).alias("qty")
     )
     overall = monthly.agg(
         F.round(
-            F.sum(F.col("qty").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("qty").try_cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mean_qty")

@@ -75,7 +75,7 @@ users AS (SELECT DISTINCT user_id FROM events),
 daily AS (
     SELECT user_id,
            date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                AS daily_value
     FROM events
     GROUP BY 1, 2
@@ -104,7 +104,7 @@ def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double"), 2
         ).alias("daily_value")
     )
     grid = [

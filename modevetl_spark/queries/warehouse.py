@@ -460,8 +460,10 @@ def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INTERP_ORACLE = """
 WITH daily AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
-    FROM events GROUP BY 1, 2
+           ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
+    FROM events
+    WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01'
+    GROUP BY 1, 2
 ),
 span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
 grid AS (
@@ -514,12 +516,22 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one (user,day) hash agg, a per-user min/max agg whose
     sequence explode is narrow, one co-keyed left join, and one window
     exchange on user_id serving all four frame-bounded accumulations.
-    At 100 TB the grid is |users|·|days| — generated, never scanned."""
+    At 100 TB the grid is |users|·|days| — generated, never scanned.
+
+    The valid-event-time guard (mirrored in the oracle) is a DoS
+    defense, not cosmetics: the grid spans each user's min..max day,
+    so ONE malformed year-9999 event would explode that user's
+    sequence to ~2.9M days — a single dirty row inflating the job by
+    orders of magnitude. Bounding event time to [1900, 2100) caps any
+    user's grid at 73k rows; clean fixtures (2024) are untouched."""
     prep(spark)
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("1900-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+    )
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double"), 6
         ).alias("v")
     )
     span = daily.groupBy("user_id").agg(

@@ -25,7 +25,7 @@ QUERIES, ORACLE, q = make_registry()
 
 _MOVAVG_ORACLE = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+       ROUND(CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
              / COUNT(*) OVER w, 6) AS moving_avg_price
 FROM lineitem
 WHERE l_suppkey <= 5
@@ -33,6 +33,10 @@ WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_orderkey, l_linenumber
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
+# (the engine folds with try_cast / the oracle with TRY_CAST: identical
+# admitted range, and a 1e300 row NULLs its term instead of aborting
+# the job — the filter above excludes the sweep twin's fresh-keyed
+# hostile rows, but a production dirty row can carry any suppkey)
 
 
 @q("q_window_moving_avg", oracle_sql=_MOVAVG_ORACLE)
@@ -54,7 +58,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            F.sum(F.col("l_extendedprice").try_cast("decimal(18,6)"))
             .over(w)
             .cast("double")
             / F.count(F.lit(1)).over(w),
@@ -65,7 +69,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMSUM_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+       ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS DOUBLE), 2) AS lifetime_value
@@ -87,7 +91,7 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"),
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,6)")).over(w).cast("double"),
             2,
         ).alias("lifetime_value"),
     )
@@ -254,7 +258,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_FRAME_ORACLE = """
 SELECT o_custkey, o_orderkey,
        COUNT(*) OVER w AS n_orders_30d,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+       ROUND(CAST(SUM(TRY_CAST(o_totalprice AS DECIMAL(18,6))) OVER w
                   AS DOUBLE), 2) AS spend_30d
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
@@ -272,7 +276,11 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value frames need no tiebreaker: peers (equal order dates) are all
     in-frame by definition in both engines, so ties are deterministic by
     construction. The spend sum rides the decimal pipeline like every
-    windowed float aggregate here.
+    windowed float aggregate here — with a try_cast fold (mirrored as
+    TRY_CAST in the oracle): a raw decimal cast of the data-derived
+    price aborts the whole job on one 1e300 row (the r11 crash class;
+    this key was missed because engine-only sweeps used .count(), which
+    let Catalyst prune the unconsumed window projection entirely).
 
     Scale shape: one shuffle on the partition key, then a sorted
     single-pass frame scan per partition — identical to a row frame."""
@@ -290,7 +298,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
         F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            F.sum(F.col("o_totalprice").try_cast("decimal(18,6)"))
             .over(w)
             .cast("double"),
             2,

@@ -50,6 +50,7 @@ UNIQUE_KEYS = False
 NUMERIC = False
 UNICODE = False
 TIMESTAMP = False
+OUT = "/tmp/dirty_sweep_results.json"
 for a in sys.argv[1:]:
     if a.startswith("--src="):
         SRC = a.split("=", 1)[1]
@@ -69,6 +70,8 @@ for a in sys.argv[1:]:
         UNICODE = True
     elif a == "--timestamp":
         TIMESTAMP = True
+    elif a.startswith("--out="):
+        OUT = a.split("=", 1)[1]
 
 # the twin builder is SHARED with the pinned regression tests
 # (tests/dirty_fixtures.py) so the maintenance sweep and the test
@@ -127,11 +130,28 @@ def main() -> None:
         t0 = time.time()
         try:
             df = qs[k](spark, DIRTY)
+            # Materialize EVERY column, engine-first, in both modes.
+            # .count() is NOT a crash probe: Catalyst prunes projections
+            # no aggregate consumes, so a pure select/window key's
+            # poisoned expression never evaluates and a real abort hides
+            # (q_window_range_frame's decimal overflow survived three
+            # rounds of .count() sweeps this way). toPandas() is what
+            # the grading driver does. Running it BEFORE the oracle also
+            # means an ORACLE_ERR can never mask an engine crash — the
+            # r10 lesson, now structural instead of procedural.
+            #
+            # EXCEPT on the extreme-timestamp twin: pandas datetime64[ns]
+            # spans only 1677..2262, so even `spark.read.parquet(twin)
+            # .toPandas()` of the RAW table raises OutOfBoundsDatetime —
+            # collect-ability is the wrong bar when the input itself is
+            # outside pandas' domain. There the probe is a JVM-side full
+            # materialization (noop write: every column evaluated, no
+            # python conversion), which is exactly the 100 TB sink path.
+            if TIMESTAMP:
+                df.write.mode("overwrite").format("noop").save()
+            else:
+                df.toPandas()
             if ENGINE_ONLY:
-                # build AND runtime failures both land here — one
-                # status, ENGINE_ERR, rather than the misleading
-                # BUILD label a runtime abort used to get (r10 ADVICE)
-                df.count()
                 results[k] = ("ENGINE_OK", "")
                 print(f"[{i+1}/{len(keys)}] {k}: ENGINE_OK "
                       f"({time.time()-t0:.1f}s)", flush=True)
@@ -166,10 +186,9 @@ def main() -> None:
     print(f"\n=== {len(results)} keys, {len(bad)} non-PASS ===")
     for k, (s, msg) in sorted(bad.items()):
         print(f"{k}: {s}: {msg[:200]}")
-    out = "/tmp/dirty_sweep_results.json"
-    with open(out, "w") as f:
+    with open(OUT, "w") as f:
         json.dump(results, f, indent=1)
-    print(f"results -> {out}")
+    print(f"results -> {OUT}")
 
 
 if __name__ == "__main__":

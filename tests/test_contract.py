@@ -74,24 +74,25 @@ def test_grading_bookkeeping_consistent():
     # round-12 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
     # re-pins (0.5 — the 11 per-row-norm cosine-family keys, the 3
-    # oracle-fragility fixes, the 3 numeric-dialect symmetry fixes, and
-    # the pack_by_budget membership-gated greedy) followed by pure
+    # oracle-fragility fixes, the 3 numeric-dialect symmetry fixes, the
+    # pack_by_budget membership-gated greedy, and the 23 strong-
+    # materialization hostile-sweep crash fixes) followed by pure
     # stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
     assert len(never_graded) + len(Q._CHANGED_R12_PIN) <= 50
     assert set(never_graded) <= set(window)
     assert Q._CHANGED_R12_PIN <= set(window)
-    assert len(Q._CHANGED_R12_PIN) == 18
-    # the rotation slots must refresh the STALEST evidence — the last
-    # 14 r5-vintage keys all clear this round, and the 18 remaining
-    # slots go to the head of the 39-key r6-vintage cohort (the other
-    # 21 r6 keys carry to round 13)
+    assert len(Q._CHANGED_R12_PIN) == 41
+    # the rotation slots must refresh the STALEST evidence — with 41
+    # changed-key pins (the strong-materialization hostile-sweep crash
+    # census grew the set mid-round) only 9 rotation slots remain, and
+    # they go to the head of the 14-key r5-vintage cohort (5 r5 keys
+    # and the whole r6 cohort carry to round 13 as the stalest tier)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
     assert len(r5_vintage) == 14, len(r5_vintage)
     rotation = [k for k in window if k not in Q._CHANGED_R12_PIN]
-    assert len(rotation) == 32
-    assert set(r5_vintage) <= set(rotation)
-    assert all(Q._freshest_round(k) in (5, 6) for k in rotation), rotation
-    assert sum(Q._freshest_round(k) == 6 for k in rotation) == 18
+    assert len(rotation) == 9
+    assert all(Q._freshest_round(k) == 5 for k in rotation), rotation
+    assert set(rotation) <= set(r5_vintage)
