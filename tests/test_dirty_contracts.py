@@ -160,9 +160,13 @@ def test_dirty_parity(spark, dirty_dir, key):
 def test_dirty_runs(spark, dirty_dir, key):
     """One dirty row must never abort the job (the ANSI crash classes
     in the module docstring); result content is oracle-graded on the
-    clean fixtures instead."""
+    clean fixtures instead.
+
+    toPandas, NOT count — .count() lets Catalyst prune unconsumed
+    projections and aggregate value expressions, so the poisoned fold
+    under test may never evaluate (the round-12 census lesson)."""
     queries, _ = _registry()
-    assert queries[key](spark, dirty_dir).count() >= 0
+    queries[key](spark, dirty_dir).toPandas()
 
 
 @pytest.mark.parametrize("key", RUN_ONLY_KEYS)
@@ -332,3 +336,36 @@ def test_cosine_pre_bit_identical_to_cosine(spark, tmp_path):
         assert (r.ref is None) == (r.pre is None), (r.ia, r.ib)
         if r.ref is not None:
             assert r.ref == r.pre, (r.ia, r.ib, r.ref, r.pre)
+
+
+# --- round-12 extreme-timestamp census pins ------------------------------
+
+def test_event_time_guards_bound_hostile_timestamps(spark, sf_dir, tmp_path):
+    """The two event-time-guarded keys survive year-0001/9999 rows, with
+    the JVM-side noop-write probe (pandas datetime64[ns] spans only
+    1677..2262, so even the RAW timestamp twin is un-collectable —
+    collect-ability is the wrong crash bar on this twin; the noop write
+    is the 100 TB sink path and defeats .count()'s column pruning).
+
+    q_gapfill_interp's guard is also a DoS defense: ONE year-9999 event
+    otherwise explodes that user's day grid to ~2.9M rows. With the
+    [1900, 2100) bound the grid row count stays fixture-sized."""
+    from modevetl_spark.queries import all_queries
+
+    from tests.dirty_fixtures import build_hostile_timestamp
+
+    twin = build_hostile_timestamp(sf_dir, tmp_path / "hostile_ts")
+    queries = all_queries()
+    for key in ("q_events_tumbling", "q_gapfill_interp"):
+        queries[key](spark, twin).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    # the interp grid must not have been inflated by the two in-window
+    # hostile rows (1901, 1970): each is a single-day span for its own
+    # fresh user, so the twin grid is at most |users_twin| rows larger
+    # than the clean grid plus those singletons
+    clean_n = queries["q_gapfill_interp"](spark, sf_dir).count()
+    twin_n = queries["q_gapfill_interp"](spark, twin).count()
+    assert twin_n - clean_n < 100_000, (
+        f"grid exploded: clean={clean_n} twin={twin_n}"
+    )

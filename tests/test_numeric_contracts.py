@@ -66,12 +66,73 @@ def _registry():
     return all_queries()
 
 
-@pytest.mark.parametrize("key", NUMERIC_CRASH_KEYS)
+# Round-12 census: upgrading the sweep's engine probe from .count()
+# (which Catalyst prunes around — unconsumed projections AND aggregate
+# value expressions never evaluate) to full materialization exposed 23
+# MORE keys aborting on one hostile row at the same fold seams, fixed
+# with the identical try/guard conventions. Pinned here with the STRONG
+# probe so the class cannot silently return.
+R12_CENSUS_KEYS = [
+    "q_agg_basic",
+    "q_agg_moments",
+    "q_anova_weekday",
+    "q_bucket_numeric",
+    "q_cohort_ltv",
+    "q_cube_allow_nulls",
+    "q_cube_subtotals",
+    "q_cube_time",
+    "q_events_tumbling",
+    "q_gapfill_ffill",
+    "q_gapfill_interp",
+    "q_groupby_multi",
+    "q_growth_mom",
+    "q_math_sig_round",
+    "q_rollup",
+    "q_seasonal_index",
+    "q_skew_salted_agg",
+    "q_theilsen_trend",
+    "q_tpch_pricing_summary",
+    "q_window_cumsum",
+    "q_window_moving_avg",
+    "q_window_range_frame",
+    "q_zscore_normalize",
+]
+
+# q_tpch_pricing_summary runs crash-free but its hostile-twin sum_charge
+# reaches ~1e15, where DuckDB's 1-ulp DECIMAL(38,12)->DOUBLE cast gap
+# exceeds the 2dp rounding grid (clean data sits at ~2e10) — run-pinned
+# on the twin, parity-graded on the clean fixtures like every key.
+R12_CENSUS_PARITY_KEYS = [
+    k for k in R12_CENSUS_KEYS if k != "q_tpch_pricing_summary"
+]
+
+
+@pytest.mark.parametrize("key", NUMERIC_CRASH_KEYS + R12_CENSUS_KEYS)
 def test_extreme_numerics_never_abort(spark, hostile_num_dir, key):
     """One 1e300/subnormal/zero row must never kill the job — the
-    whole-job-abort class a clean graded fixture can never surface."""
+    whole-job-abort class a clean graded fixture can never surface.
+
+    toPandas, NOT count: the round-12 lesson is that .count() lets
+    Catalyst prune the very expression under test."""
     queries = _registry()
-    assert queries[key](spark, hostile_num_dir).count() >= 0
+    queries[key](spark, hostile_num_dir).toPandas()
+
+
+@pytest.mark.parametrize("key", R12_CENSUS_PARITY_KEYS)
+def test_r12_census_hostile_parity(spark, hostile_num_dir, key):
+    """The census keys hold FULL engine-vs-oracle parity ON the hostile
+    twin (strictly stronger than crash-freedom): both engines NULL-fold
+    the same admitted DECIMAL(18,6) range."""
+    from modevetl_spark.queries import all_oracle
+    from tests.oracle import compare, duck_con
+
+    queries = _registry()
+    df = queries[key](spark, hostile_num_dir)
+    con = duck_con(hostile_num_dir)
+    try:
+        compare(df, con, all_oracle()[key])
+    finally:
+        con.close()
 
 
 @pytest.mark.parametrize("key", NUMERIC_CRASH_KEYS)
