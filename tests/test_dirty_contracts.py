@@ -202,9 +202,10 @@ COSINE_FAMILY_KEYS = [
 @pytest.mark.parametrize("key", COSINE_FAMILY_KEYS)
 def test_zero_norm_vector_never_aborts(spark, dirty_dir, key):
     """A single all-zero embedding row must not kill the job under ANSI
-    DIVIDE_BY_ZERO anywhere in the cosine family."""
+    DIVIDE_BY_ZERO anywhere in the cosine family. toPandas, not count —
+    the round-12 pruning lesson."""
     queries, _ = _registry()
-    assert queries[key](spark, dirty_dir).count() >= 0
+    queries[key](spark, dirty_dir).toPandas()
 
 
 def test_well_formed_matches_clean_emb_sql(spark, tmp_path):
