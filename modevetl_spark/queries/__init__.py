@@ -467,6 +467,15 @@ _CHANGED_R12_PIN: frozenset[str] = frozenset(
         "q_skew_salted_agg",
         "q_theilsen_trend",
         "q_tpch_pricing_summary",
+        # (f) the poison-pill span-grid audit (same round, second pass):
+        #     grids/sequences spanning data-derived min..max event time
+        #     gained the [1900, 2100) valid-event-time guard (mirrored
+        #     in the oracles) — one year-0001/9999 row otherwise
+        #     inflates a calendar spine / per-user grid / month-bucket
+        #     self-join by up to six orders of magnitude
+        "q_date_spine_coverage",
+        "q_join_interval_overlap",
+        "q_gapfill_percentile",
     }
 )
 

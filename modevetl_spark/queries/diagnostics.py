@@ -334,10 +334,15 @@ def streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- calendar-spine coverage: silent ingestion holes --------------------
 
 _SPINE_ORACLE = """
-WITH bounds AS (
+WITH valid AS (
+    SELECT o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1900-01-01'
+      AND o_orderdate < TIMESTAMP '2100-01-01'
+),
+bounds AS (
     SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
            CAST(MAX(o_orderdate) AS DATE) AS hi
-    FROM orders
+    FROM valid
 ),
 spine AS (
     SELECT CAST(g.day AS DATE) AS day
@@ -346,7 +351,7 @@ spine AS (
 ),
 active AS (
     SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS day
-    FROM orders
+    FROM valid
 )
 SELECT CAST(date_trunc('month', s.day) AS TIMESTAMP) AS month,
        CAST(COUNT(*) AS BIGINT) AS n_days,
@@ -378,7 +383,17 @@ def date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the upper bound.
     """
     prep(spark)
-    o = load(spark, sf_dir, "orders").select("o_orderdate")
+    # valid-order-date guard (mirrored in the oracle): the spine spans
+    # global min..max, so ONE year-0001/9999 row otherwise inflates the
+    # calendar to ~3M days — the q_gapfill_interp poison-pill class
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderdate")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1900-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2100-01-01").cast("timestamp"))
+        )
+    )
     bounds = o.agg(
         F.min("o_orderdate").cast("date").alias("lo"),
         F.max("o_orderdate").cast("date").alias("hi"),
@@ -812,7 +827,9 @@ WITH spans AS (
              AS start_day,
            CAST(date_trunc('day', MAX(CAST(ts AS TIMESTAMP))) AS DATE)
              AS end_day
-    FROM events GROUP BY user_id
+    FROM events
+    WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01'
+    GROUP BY user_id
 )
 SELECT a.user_id AS a_id, b.user_id AS b_id,
        CAST(date_diff('day',
@@ -851,7 +868,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: pure date/integer arithmetic, no floats.
     """
     prep(spark)
-    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # valid-event-time guard (mirrored in the oracle): the per-user
+    # month sequence AND the month-bucketed self-join both scale with
+    # the span, so one year-0001/9999 row is a poison pill without it
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .where(
+            (F.col("ts") >= F.lit("1900-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+        )
+    )
     spans = ev.groupBy("user_id").agg(
         F.to_date(F.date_trunc("day", F.min("ts"))).alias("start_day"),
         F.to_date(F.date_trunc("day", F.max("ts"))).alias("end_day"),

@@ -373,7 +373,9 @@ _MEDIAN_FILL_ORACLE = """
 WITH daily AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
            ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS v
-    FROM events GROUP BY 1, 2
+    FROM events
+    WHERE ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2100-01-01'
+    GROUP BY 1, 2
 ),
 span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
 grid AS (
@@ -428,9 +430,15 @@ def gapfill_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's min/max span (|users|·|days| rows — produced, never
     scanned) and takes the fill via two user-keyed joins that share
     the aggregation's hash partitioning. At 100 TB nothing windows or
-    sorts globally."""
+    sorts globally. The valid-event-time guard (mirrored in the
+    oracle) bounds the span a single malformed year-9999 row could
+    otherwise explode to ~2.9M grid rows — the q_gapfill_interp
+    poison-pill class."""
     prep(spark)
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("ts") >= F.lit("1900-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2100-01-01").cast("timestamp"))
+    )
     daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         # try_cast at the fold seam: one 1e300 value row NULLs out
         # instead of aborting the stage (COVERAGE.md M11)

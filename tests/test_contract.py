@@ -83,16 +83,17 @@ def test_grading_bookkeeping_consistent():
     assert len(never_graded) + len(Q._CHANGED_R12_PIN) <= 50
     assert set(never_graded) <= set(window)
     assert Q._CHANGED_R12_PIN <= set(window)
-    assert len(Q._CHANGED_R12_PIN) == 41
-    # the rotation slots must refresh the STALEST evidence — with 41
+    assert len(Q._CHANGED_R12_PIN) == 44
+    # the rotation slots must refresh the STALEST evidence — with 44
     # changed-key pins (the strong-materialization hostile-sweep crash
-    # census grew the set mid-round) only 9 rotation slots remain, and
-    # they go to the head of the 14-key r5-vintage cohort (5 r5 keys
-    # and the whole r6 cohort carry to round 13 as the stalest tier)
+    # census + the poison-pill span-grid audit grew the set mid-round)
+    # only 6 rotation slots remain, and they go to the head of the
+    # 14-key r5-vintage cohort (8 r5 keys and the whole r6 cohort carry
+    # to round 13 as the stalest tier)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
     assert len(r5_vintage) == 14, len(r5_vintage)
     rotation = [k for k in window if k not in Q._CHANGED_R12_PIN]
-    assert len(rotation) == 9
+    assert len(rotation) == 6
     assert all(Q._freshest_round(k) == 5 for k in rotation), rotation
     assert set(rotation) <= set(r5_vintage)

@@ -357,7 +357,15 @@ def test_event_time_guards_bound_hostile_timestamps(spark, sf_dir, tmp_path):
 
     twin = build_hostile_timestamp(sf_dir, tmp_path / "hostile_ts")
     queries = all_queries()
-    for key in ("q_events_tumbling", "q_gapfill_interp"):
+    for key in (
+        "q_events_tumbling",
+        "q_gapfill_interp",
+        # the span-grid audit (second pass): calendar spine, per-user
+        # month-bucket self-join, per-user median-fill day grid
+        "q_date_spine_coverage",
+        "q_join_interval_overlap",
+        "q_gapfill_percentile",
+    ):
         queries[key](spark, twin).write.mode("overwrite").format(
             "noop"
         ).save()
