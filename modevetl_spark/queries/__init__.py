@@ -504,11 +504,9 @@ def _freshest_round(key: str) -> int:
 #      all pass first), add it to _freshest_round's chain at rank 12.
 #   2. Re-point _CHANGED_R12_PIN → _CHANGED_R13_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r12 grades (41 pins + 9 r5
-#      rotation), the stalest cohort is the 5 remaining r5-vintage keys
-#      (q_tpch_small_qty_revenue, q_tpch_waiting_suppliers,
-#      q_tpch_forecast_revenue, q_dedup_paragraph,
-#      q_attribution_last_touch), then the r6-vintage cohort, then r7.
+#      to the stalest evidence — after r12 grades (44 pins + 6 r5
+#      rotation), the stalest cohort is the 8 remaining r5-vintage
+#      keys, then the r6-vintage cohort, then r7.
 #      ALSO STAGED FOR R13 (r12 closing decision): convert the shared
 #      compat folds themselves (dsum/davg/money + sql twins) to the try
 #      convention — the r12 crash census fixed every key the hostile
