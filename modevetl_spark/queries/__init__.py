@@ -371,117 +371,96 @@ _GRADED_R11 = frozenset(
     }
 )
 
-# Round-12 pin set — every key whose implementation OR oracle changes
+# The 50 keys CORRECTNESS_r12.json graded (50/50 full rows+schema+hash
+# passes, zero errors — the round that upgraded the dirty-sweep engine
+# probe from .count() to toPandas() and re-graded the resulting 23-key
+# strong-materialization crash census, the 11-key per-row-norm cosine
+# refactor, the 3 oracle-fragility + 3 numeric-dialect fixes,
+# q_pack_budget's membership-gated greedy, the 3 span-grid keys, and
+# the 6 stalest r5-vintage rotation slots).
+_GRADED_R12 = frozenset(
+    {
+        "q_abc_classification", "q_agg_basic", "q_agg_moments",
+        "q_anova_weekday", "q_bucket_numeric", "q_cohort_ltv",
+        "q_copurchase_pairs", "q_cube_allow_nulls", "q_cube_subtotals",
+        "q_cube_time", "q_date_spine_coverage", "q_dedup_embedding",
+        "q_dedup_embedding_ivf", "q_embedding_norms", "q_eval_ndcg",
+        "q_events_tumbling", "q_except_all", "q_gapfill_ffill",
+        "q_gapfill_interp", "q_gapfill_percentile", "q_groupby_multi",
+        "q_growth_mom", "q_intersect_all", "q_join_interval_overlap",
+        "q_json_extract", "q_leaves", "q_math_sig_round",
+        "q_mine_hard_negatives", "q_pack_budget", "q_rollup",
+        "q_seasonal_index", "q_sim_mmr_rerank", "q_sim_rrf_fusion",
+        "q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_sq",
+        "q_sim_topk_lsh", "q_sim_topk_quantized", "q_skew_salted_agg",
+        "q_spearman_corr", "q_text_bm25", "q_theilsen_trend",
+        "q_tpch_order_count_histogram", "q_tpch_pricing_summary",
+        "q_tpch_returned_items", "q_weighted_median", "q_window_cumsum",
+        "q_window_moving_avg", "q_window_range_frame",
+        "q_zscore_normalize",
+    }
+)
+
+# (The round-12 pin set — the 44 keys annotated below — cleared in
+# full: all 44 graded green in CORRECTNESS_r12, recorded in
+# _GRADED_R12 above. The per-category annotations are kept for the
+# audit trail; the set itself is re-pointed to round 13.)
+#
+# Round-13 pin set — every key whose implementation OR oracle changes
 # this round (a changed key must never sit outside the grading window):
 #
-# (a) the 11 cosine-family keys (r11 verdict #1): the per-pair norm
-#     recomputation in the scoring hot loop was replaced by per-row
-#     norm projection before every scoring join (operators/similarity
-#     nrm()/cosine_pre(); N·Q·2D fold work → (N+Q)·D). The refactor is
-#     IEEE-order-preserving — verified bit-identical on all 11 keys at
-#     sf0.001/0.01/0.1 (33/33 hashes unchanged) — but changed plans
-#     are changed keys: they re-pin;
-# (b) the 3 oracle-fragility keys (COVERAGE.md N10, r11 verdict #4):
-#     q_json_extract / q_leaves oracles gained json_valid() + TRY_CAST
-#     guards (DuckDB ->> RAISES on the dirty twin's empty-string
-#     props; q_json_extract's engine also swapped the raw data-derived
-#     string cast for try_cast per the crash-class checklist) and
-#     q_embedding_norms' oracle now mirrors the engine's fold
-#     semantics on NULL/empty/NULL-element vectors (list_dot_product
-#     raised). Ends the ORACLE_ERR-masks-engine-crash hazard;
-# (c) the 3 numeric-dialect keys (r11 ADVICE): q_abc_classification's
-#     oracle now TRY_CASTs at Spark's (18,6) admitted range before the
-#     (19,6) widen (magnitudes in [1e12,1e13) previously diverged);
-#     q_weighted_median / q_spearman_corr ROUND() before every
-#     double→BIGINT quantity cast on BOTH sides (truncate-vs-round)
-#     and their oracles gained the engine's |x| < 9.2e18 floor guard;
-# (d) q_pack_budget: operators/sampling.pack_by_budget's greedy now
-#     opens a new bin on MEMBERSHIP, not fill — zero-weight docs left
-#     fill at 0 and let an oversized doc join their bin, breaking the
-#     multi-doc-bins-fit-the-budget invariant (hypothesis falsifying
-#     example, round 12). Identical packing whenever all weights ≥ 1;
-#     the clean fixtures have zero zero-token docs at every SF.
-# (e) the 23 strong-materialization crash fixes: upgrading the dirty
-#     sweep's engine probe from .count() (which lets Catalyst PRUNE the
-#     poisoned projection — the reason three rounds of "crash-free"
-#     sweeps missed them) to toPandas() exposed raw decimal casts /
-#     floor-saturation legs / a subnormal-underflow division that abort
-#     the whole job on one hostile row. All moved to the r11 try
-#     convention (engine try_cast/try_divide mirrored as TRY_CAST /
-#     NULL-on-/0 in the oracle; floor legs range-guarded), value-
-#     identical in range: q_window_range_frame, q_window_cumsum,
-#     q_window_moving_avg, q_zscore_normalize, q_bucket_numeric,
-#     q_math_sig_round, then the registry-wide census: q_agg_basic,
-#     q_agg_moments, q_anova_weekday, q_cohort_ltv, q_cube_allow_nulls,
-#     q_cube_subtotals, q_cube_time, q_events_tumbling, q_gapfill_ffill,
-#     q_gapfill_interp, q_groupby_multi, q_growth_mom, q_rollup,
-#     q_seasonal_index, q_skew_salted_agg, q_theilsen_trend,
-#     q_tpch_pricing_summary. All 23 MATCH at sf0.01 and hold hostile-
-#     twin parity except q_tpch_pricing_summary's documented 1-ulp
-#     DuckDB decimal->double cast residue at twin-only 1e15 magnitudes.
-_CHANGED_R12_PIN: frozenset[str] = frozenset(
+# (a) the staged structural close of the one-dirty-row job-abort class
+#     (r12 verdict #1, COVERAGE P7): the shared compat folds dsum/davg/
+#     money/dsum_money and their SQL twins sql_dsum/sql_davg/sql_money/
+#     sql_dsum_money move to the try convention (try_cast at the fold
+#     seam, TRY_CAST mirrored in the oracle), and tavg/sql_tavg move
+#     their denominator from COUNT(raw) to COUNT(folded) — mean of
+#     VALID values, consistent with tsum's treat-as-absent semantics
+#     (r12 ADVICE). In-range values are bit-identical (try_cast == cast
+#     on the entire clean-data range; verified hash-identical at sf0.01
+#     against the pre-change snapshot for all consumers) — but changed
+#     plans are changed keys: every consumer of a changed helper
+#     (import-graph + oracle-string diff, not regex text) re-pins.
+# (b) the 6 numerics-twin ORACLE_ERR keys (r12 verdict #3, COVERAGE
+#     P7): their DuckDB oracles gain TRY/guard hardening so the hostile-
+#     numerics sweep reports zero ORACLE_ERR rows registry-wide; engine
+#     values unchanged on clean data, oracle text changed => re-pin.
+_CHANGED_R13_PIN: frozenset[str] = frozenset(
     {
-        # (a) per-row-norm refactor blast radius (import-graph verified)
-        "q_dedup_embedding",
-        "q_dedup_embedding_ivf",
-        "q_eval_ndcg",
-        "q_mine_hard_negatives",
-        "q_sim_mmr_rerank",
-        "q_sim_rrf_fusion",
-        "q_sim_topk",
-        "q_sim_topk_ivf",
-        "q_sim_topk_ivf_sq",
-        "q_sim_topk_lsh",
-        "q_sim_topk_quantized",
-        # (b) oracle-fragility fixes
-        "q_json_extract",
-        "q_leaves",
-        "q_embedding_norms",
-        # (c) numeric-dialect symmetry fixes
-        "q_abc_classification",
-        "q_spearman_corr",
-        "q_weighted_median",
-        # (d) pack_by_budget membership-gated greedy
-        "q_pack_budget",
-        # (e) strong-materialization hostile-sweep crash fixes
-        "q_window_range_frame",
-        "q_window_cumsum",
-        "q_window_moving_avg",
-        "q_zscore_normalize",
-        "q_bucket_numeric",
-        "q_math_sig_round",
+        # (a) compat-fold try conversion blast radius
         "q_agg_basic",
-        "q_agg_moments",
-        "q_anova_weekday",
-        "q_cohort_ltv",
-        "q_cube_allow_nulls",
-        "q_cube_subtotals",
-        "q_cube_time",
-        "q_events_tumbling",
-        "q_gapfill_ffill",
-        "q_gapfill_interp",
+        "q_agg_conditional",
+        "q_changepoint_cusum",
+        "q_cube_dense",
+        "q_flagship_revenue_cube",
         "q_groupby_multi",
-        "q_growth_mom",
-        "q_rollup",
-        "q_seasonal_index",
-        "q_skew_salted_agg",
-        "q_theilsen_trend",
+        "q_join_inner",
+        "q_length_histogram",
+        "q_topk_dense_ties",
+        "q_tpch_disjunct_revenue",
+        "q_tpch_local_supplier",
+        "q_tpch_market_share",
         "q_tpch_pricing_summary",
-        # (f) the poison-pill span-grid audit (same round, second pass):
-        #     grids/sequences spanning data-derived min..max event time
-        #     gained the [1900, 2100) valid-event-time guard (mirrored
-        #     in the oracles) — one year-0001/9999 row otherwise
-        #     inflates a calendar spine / per-user grid / month-bucket
-        #     self-join by up to six orders of magnitude
-        "q_date_spine_coverage",
-        "q_join_interval_overlap",
-        "q_gapfill_percentile",
+        "q_tpch_promo_revenue",
+        "q_tpch_returned_items",
+        "q_tpch_shipping_priority",
+        "q_tpch_small_qty_revenue",
+        "q_tpch_top_supplier",
+        "q_tpch_volume_shipping",
+        # (b) numerics-twin oracle hardening
+        "q_benford_digits",
+        "q_hist_equidepth",
+        "q_model_calibration",
+        "q_privacy_kanonymity",
+        "q_psi_stability",
+        "q_roc_auc",
     }
 )
 
 
 def _freshest_round(key: str) -> int:
     for rnd, graded in (
+        (12, _GRADED_R12),
         (11, _GRADED_R11),
         (10, _GRADED_R10),
         (9, _GRADED_R9),
@@ -499,22 +478,14 @@ def _freshest_round(key: str) -> int:
     return 0  # never graded
 
 
-# ROUND-13 BOOKKEEPING SCRIPT (the same three steps every round):
-#   1. Record _GRADED_R12 = the 50 keys of CORRECTNESS_r12.json (verify
-#      all pass first), add it to _freshest_round's chain at rank 12.
-#   2. Re-point _CHANGED_R12_PIN → _CHANGED_R13_PIN (empty unless a
+# ROUND-14 BOOKKEEPING SCRIPT (the same three steps every round):
+#   1. Record _GRADED_R13 = the 50 keys of CORRECTNESS_r13.json (verify
+#      all pass first), add it to _freshest_round's chain at rank 13.
+#   2. Re-point _CHANGED_R13_PIN → _CHANGED_R14_PIN (empty unless a
 #      graded key's implementation OR oracle changed); rotation slots go
-#      to the stalest evidence — after r12 grades (44 pins + 6 r5
-#      rotation), the stalest cohort is the 8 remaining r5-vintage
-#      keys, then the r6-vintage cohort, then r7.
-#      ALSO STAGED FOR R13 (r12 closing decision): convert the shared
-#      compat folds themselves (dsum/davg/money + sql twins) to the try
-#      convention — the r12 crash census fixed every key the hostile
-#      twin reaches, but raw-cast folds survive at keys whose filters
-#      happen to exclude the twin's fresh-keyed rows (q_cube_dense's
-#      shipdate guard, q_window_moving_avg's old suppkey luck); the
-#      helper-level swap closes the class structurally. Blast radius =
-#      every dsum/davg consumer, so it must be its own round's pin set.
+#      to the stalest evidence — after r13 grades (25 pins + the 8
+#      remaining r5-vintage keys + the head of the r6 cohort), the
+#      stalest cohort is the rest of the r6-vintage keys, then r7.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
@@ -524,7 +495,7 @@ def _freshest_round(key: str) -> int:
 def _grading_priority(key: str) -> float:
     if _freshest_round(key) == 0:
         return 0  # never graded: must drain through the window first
-    if key in _CHANGED_R12_PIN:
+    if key in _CHANGED_R13_PIN:
         return 0.5  # changed against old evidence; re-pin behind the tail
     # Older evidence rotates through the window first; the freshest
     # cohort is emitted last.

@@ -59,11 +59,12 @@ def test_grading_bookkeeping_consistent():
         (9, Q._GRADED_R9),
         (10, Q._GRADED_R10),
         (11, Q._GRADED_R11),
+        (12, Q._GRADED_R12),
     ):
         missing = graded - keys
         assert not missing, (rnd, sorted(missing))
-    assert Q._CHANGED_R12_PIN <= keys
-    for k in Q._CHANGED_R12_PIN:
+    assert Q._CHANGED_R13_PIN <= keys
+    for k in Q._CHANGED_R13_PIN:
         assert Q._freshest_round(k) > 0, k
     # the grading window (first 50 emitted keys) must be exactly the
     # highest-priority cohort prefix: no rotated key may outrank a
@@ -71,29 +72,31 @@ def test_grading_bookkeeping_consistent():
     order = list(_QUERIES)
     prios = [Q._grading_priority(k) for k in order]
     assert prios == sorted(prios), "emission order violates priority"
-    # round-12 window composition: the registry is saturated (no staged
+    # round-13 window composition: the registry is saturated (no staged
     # tier, zero never-graded keys), so the window is the changed-key
-    # re-pins (0.5 — the 11 per-row-norm cosine-family keys, the 3
-    # oracle-fragility fixes, the 3 numeric-dialect symmetry fixes, the
-    # pack_by_budget membership-gated greedy, and the 23 strong-
-    # materialization hostile-sweep crash fixes) followed by pure
+    # re-pins (0.5 — the compat-fold try-conversion blast radius plus
+    # the 6 numerics-twin oracle-hardening keys) followed by pure
     # stalest-evidence rotation
     window = order[:50]
     never_graded = [k for k in order if Q._grading_priority(k) == 0]
-    assert len(never_graded) + len(Q._CHANGED_R12_PIN) <= 50
+    assert len(never_graded) + len(Q._CHANGED_R13_PIN) <= 50
     assert set(never_graded) <= set(window)
-    assert Q._CHANGED_R12_PIN <= set(window)
-    assert len(Q._CHANGED_R12_PIN) == 44
-    # the rotation slots must refresh the STALEST evidence — with 44
-    # changed-key pins (the strong-materialization hostile-sweep crash
-    # census + the poison-pill span-grid audit grew the set mid-round)
-    # only 6 rotation slots remain, and they go to the head of the
-    # 14-key r5-vintage cohort (8 r5 keys and the whole r6 cohort carry
-    # to round 13 as the stalest tier)
+    assert Q._CHANGED_R13_PIN <= set(window)
+    assert len(Q._CHANGED_R13_PIN) == 25
+    # the rotation slots must refresh the STALEST evidence — with 25
+    # changed-key pins, 25 rotation slots remain: the whole 8-key
+    # r5-vintage residue plus the head of the r6 cohort (the rest of
+    # r6 carries to round 14 as the stalest tier)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
+    rotation = [k for k in window if k not in Q._CHANGED_R13_PIN]
+    assert len(rotation) == 25
+    # every r5-vintage key refreshes this round — 4 of the 8 are compat
+    # consumers and refresh via the pin set; the other 4 rotate
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]
-    assert len(r5_vintage) == 14, len(r5_vintage)
-    rotation = [k for k in window if k not in Q._CHANGED_R12_PIN]
-    assert len(rotation) == 6
-    assert all(Q._freshest_round(k) == 5 for k in rotation), rotation
-    assert set(rotation) <= set(r5_vintage)
+    assert len(r5_vintage) == 8, len(r5_vintage)
+    assert set(r5_vintage) <= set(window)
+    assert all(Q._freshest_round(k) in (5, 6) for k in rotation), rotation
+    # no rotated r6 key may be skipped ahead of a staler r6 key: the
+    # rotation must be the exact head of the stalest-first ordering
+    graded_tail = [k for k in order[50:] if Q._grading_priority(k) >= 1]
+    assert all(Q._freshest_round(k) >= 6 for k in graded_tail)
