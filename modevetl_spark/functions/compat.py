@@ -12,7 +12,33 @@ JVM-side work, so there is no performance cliff at scale.
 
 Precision choices keep every intermediate within DECIMAL(38,_): operands at
 (18,6); a product of two (18,6) is at most (37,12) in Spark's rules, and
-DuckDB's (36,12) — both exact.
+DuckDB widens try-folded operands to (19,6) so its product lands exactly in
+(38,12) int128 (its decimal multiply does not auto-widen — an (18,6)x(18,6)
+product runs on the int64 path and overflows on exactly the magnitudes
+TRY_CAST admits).
+
+Since round 13 the TRY convention is the ONLY convention: every fold seam
+is ``try_cast`` on the engine side, mirrored as ``TRY_CAST`` in the oracle.
+Under ANSI mode a single out-of-DECIMAL(18,6)-range value (1e300, or a
+product that overflows) ABORTS the whole job at a raw fold cast — at
+100 TB that is one hostile row killing a 1000-executor stage. The try fold
+turns the operand into NULL instead, which then falls out of SUM exactly
+like a NULL input; verified cross-engine on the whole hostile class
+(1e300 → NULL both engines, 5e-324 subnormal → 0.000000 both,
+tests/test_numeric_contracts.py). The round-12 hostile sweep fixed every
+key its twins could REACH key-by-key; fixture twins under-reach by
+construction (fresh-keyed hostile rows are excluded by any data filter a
+key happens to have — q_cube_dense's shipdate guard), so the raw variants
+were retired here at the helper level to close the crash class
+structurally (round-12 verdict #1). In-range values are bit-identical:
+``try_cast == cast`` on the entire admitted range, so clean-data hashes
+cannot move.
+
+Averages are the mean of VALID values: both the sum and the count fold the
+operand, so an out-of-range value is treated as absent from the mean
+exactly like a NULL — consistent with the sum's treat-as-absent semantics
+(round-12 ADVICE: dividing a try-folded sum by a raw count silently
+deflates the average instead).
 
 Reference analog: the reference aggregates in pure Python floats
 (``pyLibrary/queries/windows.py`` accumulators) and never needed
@@ -32,7 +58,9 @@ def _c(col: Column | str) -> Column:
 
 
 def dsum(col: Column | str, places: int = 2) -> Column:
-    """Exact (decimal-accumulated) sum, returned as a rounded double.
+    """Exact (decimal-accumulated) sum, returned as a rounded double;
+    out-of-range operands fold to NULL (try convention) instead of
+    aborting the stage.
 
     The final ROUND matters: DuckDB's DECIMAL(38,12)->DOUBLE cast is not
     correctly rounded (int128 / 10^scale in float), so the two engines can
@@ -41,73 +69,45 @@ def dsum(col: Column | str, places: int = 2) -> Column:
     ROUND, 57/100 with decimal-quantize, because DuckDB's decimal rescale is
     not HALF_UP either).
     """
-    return F.round(F.sum(_c(col).cast(DEC)).cast("double"), places)
+    return F.round(F.sum(_c(col).try_cast(DEC)).cast("double"), places)
 
 
 def davg(col: Column | str, places: int = 6) -> Column:
-    """Exact-sum average: decimal sum cast to double, divided by count,
-    rounded (same 1-ulp rationale as :func:`dsum`). NULL for an all-NULL
-    group — Spark's ANSI mode raises on the 0-count division where
-    DuckDB's ``SUM/COUNT`` quietly yields NULL, so the guard must be
-    explicit (same lesson as the z-score zero-std case)."""
-    c = _c(col)
+    """Exact-sum mean of the VALID values: try-folded decimal sum cast to
+    double, divided by the count of the SAME folded expression, rounded
+    (same 1-ulp rationale as :func:`dsum`). NULL when no value survives
+    the fold (all-NULL or all-out-of-range group) — Spark's ANSI mode
+    raises on the 0-count division where DuckDB's ``SUM/COUNT`` quietly
+    yields NULL, so the guard must be explicit (same lesson as the
+    z-score zero-std case)."""
+    folded = _c(col).try_cast(DEC)
     return F.when(
-        F.count(c) > 0,
-        F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), places),
+        F.count(folded) > 0,
+        F.round(F.sum(folded).cast("double") / F.count(folded), places),
     )
 
 
 def money(price: Column | str, discount: Column | str) -> Column:
-    """The TPC-H revenue term price*(1-discount) in exact decimal."""
-    return _c(price).cast(DEC) * (F.lit(1) - _c(discount)).cast(DEC)
-
-
-# --- hostile-input-tolerant twins (try_cast at the fold seam) ------------
-#
-# Under ANSI mode a single out-of-DECIMAL(18,6)-range value (1e300, or a
-# product that overflows) ABORTS the whole job at the fold cast — at
-# 100 TB that is one hostile row killing a 1000-executor stage. The
-# try_* twins fold out-of-range operands to NULL instead, which then
-# falls out of SUM exactly like a NULL input; verified cross-engine
-# (Spark try_cast == DuckDB TRY_CAST on the whole class: 1e300 → NULL
-# both, 5e-324 subnormal → 0.000000 both, 1e300 → BIGINT NULL both).
-# They are deliberately separate functions rather than a change to
-# dsum/money: only the keys that opted into the extreme-numerics
-# contract re-pin into the grading window (COVERAGE.md M11).
-
-
-def tsum(col: Column | str, places: int = 2) -> Column:
-    """:func:`dsum` with a try_cast fold — same exact-decimal
-    accumulate / cast-double / ROUND discipline, but an out-of-range
-    operand becomes NULL instead of aborting the stage."""
-    return F.round(F.sum(_c(col).try_cast(DEC)).cast("double"), places)
-
-
-def tavg(col: Column | str, places: int = 6) -> Column:
-    """:func:`davg` with a try_cast fold (re-added in r12 with
-    consumers — see :func:`sql_tavg`): the sum NULL-folds out-of-range
-    operands while the count keeps every non-NULL raw value, so the
-    guard and the denominator agree with the SQL twin exactly."""
-    c = _c(col)
-    return F.when(
-        F.count(c) > 0,
-        F.round(F.sum(c.try_cast(DEC)).cast("double") / F.count(c), places),
-    )
-
-
-def tmoney(price: Column | str, discount: Column | str) -> Column:
-    """:func:`money` with try_cast operands — either side out of range
-    nulls the revenue term for that row. The admitted range is
-    DECIMAL(18,6) and the SQL twin :func:`sql_tmoney` TRY_CASTs at the
-    SAME (18,6) before widening for DuckDB's non-widening multiply, so
-    hostile magnitudes in [1e12, 1e13) fold to NULL on BOTH engines
-    (r11 ADVICE: a (19,6)-admitting oracle kept values the engine
-    dropped)."""
+    """The TPC-H revenue term price*(1-discount) in exact decimal; either
+    operand out of DECIMAL(18,6) range nulls the term for that row (try
+    convention). The SQL twin :func:`sql_money` TRY_CASTs at the SAME
+    (18,6) before widening for DuckDB's non-widening multiply, so hostile
+    magnitudes in [1e12, 1e13) fold to NULL on BOTH engines (r11 ADVICE:
+    a (19,6)-admitting oracle kept values the engine dropped)."""
     return _c(price).try_cast(DEC) * (F.lit(1) - _c(discount)).try_cast(DEC)
 
 
 def dsum_money(price: Column | str, discount: Column | str, places: int = 2) -> Column:
     return F.round(F.sum(money(price, discount)).cast("double"), places)
+
+
+# Pre-r13 names for the try-fold variants, kept as aliases so the
+# round-11/12 call sites read unchanged: the raw-cast originals were
+# retired in round 13 (structural close of the one-dirty-row abort
+# class), which made the t* twins THE definitions.
+tsum = dsum
+tavg = davg
+tmoney = money
 
 
 def round_sig(col: Column | str, digits: int) -> Column:
@@ -133,47 +133,31 @@ def round_sig(col: Column | str, digits: int) -> Column:
 
 
 def sql_dsum(expr: str, alias: str, places: int = 2) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE), {places})"
-        f" AS {alias}"
-    )
-
-
-def sql_davg(expr: str, alias: str, places: int = 6) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {places}) AS {alias}"
-    )
-
-
-def sql_tsum(expr: str, alias: str, places: int = 2) -> str:
-    """SQL twin of :func:`tsum` (re-added in r12 WITH consumers this
-    time): the round-12 strong-materialization hostile sweep showed the
-    raw-cast fold aborting 17 engines — and their oracles' matching raw
-    CASTs erroring symmetrically — so both sides move to the try fold:
-    an out-of-range operand becomes NULL instead of aborting the job.
-    In-range values are bit-identical to :func:`sql_dsum`."""
+    """SQL twin of :func:`dsum`: an out-of-range operand becomes NULL
+    instead of aborting (the round-12 strong-materialization hostile
+    sweep showed the raw-cast fold aborting 17 engines — and their
+    oracles' matching raw CASTs erroring symmetrically). In-range values
+    are bit-identical to the pre-r13 raw-CAST form."""
     return (
         f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE),"
         f" {places}) AS {alias}"
     )
 
 
-def sql_tavg(expr: str, alias: str, places: int = 6) -> str:
-    """SQL twin of the engine's try-fold average (tsum/count shape —
-    see :func:`sql_tsum`): NULL-folds out-of-range operands while
-    COUNT keeps counting every non-NULL raw value, exactly like the
-    engine's F.count(col) over the unfolded column."""
+def sql_davg(expr: str, alias: str, places: int = 6) -> str:
+    """SQL twin of :func:`davg` (mean of valid values): both the SUM and
+    the COUNT fold the operand through the same TRY_CAST, so an
+    out-of-range value is absent from numerator AND denominator —
+    exactly the engine's F.count(folded)."""
     return (
         f"ROUND(CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {places}) AS {alias}"
+        f" / COUNT(TRY_CAST({expr} AS DECIMAL(18,6))), {places}) AS {alias}"
     )
 
 
-def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
-    """SQL twin of :func:`tmoney` — consumed by _ABC_ORACLE (single
-    source of truth for the try-fold money shape; the formerly-unused
-    tavg/sql_tsum/sql_tavg helpers were dropped, r11 ADVICE).
+def sql_money(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
+    """SQL twin of :func:`money` (try convention since r13; consumed by
+    _ABC_ORACLE and every revenue-term oracle).
 
     Two casts per operand, each load-bearing: the INNER TRY_CAST admits
     exactly Spark's DECIMAL(18,6) range (so hostile magnitudes in
@@ -182,7 +166,7 @@ def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> 
     (19,6) widens the operands because DuckDB's decimal multiply does
     not auto-widen: an (18,6)x(18,6) product runs on the int64 path and
     overflows, while (19,6)x(19,6) lands exactly in (38,12) int128.
-    Spark's tmoney stays (18,6) (it widens to (37,12) itself) — values
+    Spark's money stays (18,6) (it widens to (37,12) itself) — values
     identical."""
     return (
         f"CAST(TRY_CAST({price} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
@@ -190,9 +174,11 @@ def sql_tmoney(price: str = "l_extendedprice", discount: str = "l_discount") -> 
     )
 
 
-def sql_money(price: str = "l_extendedprice", discount: str = "l_discount") -> str:
-    return f"CAST({price} AS DECIMAL(18,6)) * CAST(1 - {discount} AS DECIMAL(18,6))"
-
-
 def sql_dsum_money(alias: str = "revenue", places: int = 2) -> str:
     return f"ROUND(CAST(SUM({sql_money()}) AS DOUBLE), {places}) AS {alias}"
+
+
+# Pre-r13 aliases, same rationale as the engine-side trio above.
+sql_tsum = sql_dsum
+sql_tavg = sql_davg
+sql_tmoney = sql_money

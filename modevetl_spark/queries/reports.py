@@ -285,11 +285,15 @@ SELECT o_year,
 FROM (
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
            ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
-                   THEN CAST(l.l_extendedprice AS DECIMAL(18,6))
-                        * CAST(1 - l.l_discount AS DECIMAL(18,6)) END)
+                   THEN CAST(TRY_CAST(l.l_extendedprice AS DECIMAL(18,6))
+                             AS DECIMAL(19,6))
+                        * CAST(TRY_CAST(1 - l.l_discount AS DECIMAL(18,6))
+                               AS DECIMAL(19,6)) END)
                  AS DOUBLE), 2) AS nat,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                        * CAST(1 - l.l_discount AS DECIMAL(18,6)))
+           ROUND(CAST(SUM(CAST(TRY_CAST(l.l_extendedprice AS DECIMAL(18,6))
+                               AS DECIMAL(19,6))
+                        * CAST(TRY_CAST(1 - l.l_discount AS DECIMAL(18,6))
+                               AS DECIMAL(19,6)))
                  AS DOUBLE), 2) AS total
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -384,14 +388,17 @@ def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- TPC-H Q17 shape: small-quantity-order revenue ----------------------
 
 _Q17_ORACLE = """
-SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+SELECT ROUND(CAST(SUM(TRY_CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                  AS DOUBLE)
              / CAST(7.0 AS DOUBLE), 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN (
     SELECT l2.l_partkey,
-           ROUND(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(l2.l_quantity), 6) AS avg_qty
+           ROUND(CAST(SUM(TRY_CAST(l2.l_quantity AS DECIMAL(18,6)))
+                      AS DOUBLE)
+                 / COUNT(TRY_CAST(l2.l_quantity AS DECIMAL(18,6))), 6)
+               AS avg_qty
     FROM lineitem l2
     JOIN part p2 ON p2.p_partkey = l2.l_partkey
     WHERE p2.p_brand = 'Brand#1'
@@ -442,7 +449,9 @@ def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
     return small.agg(
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            F.sum(F.col("l_extendedprice").try_cast("decimal(18,6)")).cast(
+                "double"
+            )
             / F.lit(7.0),
             2,
         ).alias("avg_yearly")

@@ -940,7 +940,8 @@ _KANON_K = 5
 _KANON_ORACLE = f"""
 WITH qi AS (
     SELECT c_mktsegment AS seg, c_nationkey AS nat,
-           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_kb
+           CASE WHEN abs(c_acctbal) < 9.2e18
+                THEN CAST(FLOOR(c_acctbal / 1000) AS BIGINT) END AS bal_kb
     FROM customer
 ),
 cls AS (
@@ -986,15 +987,24 @@ def privacy_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of rows.
     The balance bucket boundary is FLOOR over an exact-IEEE division
     (k·1000.00 / 1000 is exact, so boundary rows cannot flip between
-    engines)."""
+    engines). An out-of-floor-range balance (|x| ≥ 9.2e18, the r11
+    floor-guard convention — Spark saturates where DuckDB's BIGINT
+    cast raises) folds to a NULL bucket rather than dropping the
+    customer: the row still counts in every class/total (a privacy
+    audit must not silently exclude people), its balance is just
+    ungeneralizable — exactly the NULL-balance convention. Mirrored in
+    the oracle (r12 verdict #3 oracle hardening)."""
     prep(spark)
     c = load(spark, sf_dir, "customer")
     qi = c.select(
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
-        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
-        .cast("bigint")
-        .alias("bal_kb"),
+        F.when(
+            F.abs(F.col("c_acctbal")) < 9.2e18,
+            F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0)).cast(
+                "bigint"
+            ),
+        ).alias("bal_kb"),
     )
     cls0 = (
         qi.rollup("seg", "nat", "bal_kb")
@@ -1135,6 +1145,7 @@ WITH base AS (
                 < '{_CAL_TRAIN_HI}') AS tr,
            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
     FROM orders
+    WHERE abs(o_totalprice) < 9.2e18
 ),
 cells AS (
     SELECT bin,
@@ -1195,11 +1206,18 @@ def model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded); the ECE scalar broadcasts back onto the diagram rows. At
     100 TB: cost is the single binning exchange, and the hash split
     needs no persisted assignment table — membership is a pure function
-    of the key."""
+    of the key.
+
+    Admitted score domain: |value| < 9.2e18, the r11 floor-guard
+    convention (Spark's floor saturates where DuckDB's BIGINT cast
+    raises; r12 verdict #3 oracle hardening). Mirrored in the
+    oracle."""
     from modevetl_spark.operators.sampling import _hash_bucket
 
     prep(spark)
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        F.abs(F.col("o_totalprice")) < 9.2e18
+    )
     tr = _hash_bucket(F.col("o_orderkey")) < _CAL_TRAIN_HI
     pos = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
     base = o.select(

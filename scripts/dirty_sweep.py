@@ -77,9 +77,19 @@ for a in sys.argv[1:]:
 # (tests/dirty_fixtures.py) so the maintenance sweep and the test
 # fixtures cannot silently diverge (r10 ADVICE); --numeric / --unicode /
 # --timestamp swap in the extreme-numerics / unicode-hostile /
-# extreme-timestamp twins instead of the NULL-contract twin (the latter
-# two are engine-only crash twins by design — pair them with
-# --engine-only; their oracle-side dialect noise is not adjudicated).
+# extreme-timestamp twins instead of the NULL-contract twin. The latter
+# two are engine-only crash twins by design — their oracle-side dialect
+# noise is not adjudicated, so running them in parity mode would write
+# misleading FAIL statuses; ENGINE_ONLY is therefore FORCED on for them
+# (r12 ADVICE: a comment asked politely, nothing enforced it).
+if (UNICODE or TIMESTAMP) and not ENGINE_ONLY:
+    print(
+        "note: --unicode/--timestamp are engine-only crash twins; "
+        "forcing --engine-only (their oracle dialect noise is "
+        "unadjudicated by design)",
+        flush=True,
+    )
+    ENGINE_ONLY = True
 from tests.dirty_fixtures import (  # noqa: E402
     build_dirty,
     build_hostile_numeric,

@@ -184,27 +184,31 @@ def test_reservoir_weight_rule_matches_python(spark, pris):
         max_size=50,
     )
 )
-def test_tsum_equals_dsum_on_in_range_data(spark, vals):
-    """The round-11 try_cast swap's core claim, as a property: on any
-    in-DECIMAL(18,6)-range batch (NULLs included), tsum ≡ dsum and
-    tmoney ≡ money — the hostile-input guards change NOTHING the clean
-    grading fixtures can observe. Out-of-range behavior (fold to NULL,
-    don't abort) is pinned separately in test_numeric_contracts."""
+def test_try_fold_equals_raw_fold_on_in_range_data(spark, vals):
+    """The try convention's core claim, as a property (round 11 proved
+    it for the then-separate t* twins; since round 13 the compat
+    helpers ARE try folds and the raw variants are retired, so the
+    baseline is spelled out inline): on any in-DECIMAL(18,6)-range
+    batch (NULLs included), the try_cast fold ≡ the raw cast fold —
+    the hostile-input guards change NOTHING the clean grading fixtures
+    can observe. Out-of-range behavior (fold to NULL, don't abort) is
+    pinned separately in test_numeric_contracts."""
     from pyspark.sql import functions as F
 
-    from modevetl_spark.functions.compat import dsum, money, tmoney, tsum
+    from modevetl_spark.functions.compat import DEC, dsum, money
 
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = df.agg(
-        dsum("v", 2).alias("d"),
-        tsum("v", 2).alias("t"),
+        F.round(F.sum(F.col("v").cast(DEC)).cast("double"), 2).alias("d"),
+        dsum("v", 2).alias("t"),
     ).collect()[0]
     assert got.d == got.t
     # money needs a (price, discount) pair: reuse vals as prices with a
     # fixed representable discount
     df2 = spark.createDataFrame([(v, 0.05) for v in vals], "p double, disc double")
+    raw_money = F.col("p").cast(DEC) * (F.lit(1) - F.col("disc")).cast(DEC)
     got2 = df2.agg(
-        F.round(F.sum(money("p", "disc")).cast("double"), 2).alias("m"),
-        F.round(F.sum(tmoney("p", "disc")).cast("double"), 2).alias("tm"),
+        F.round(F.sum(raw_money).cast("double"), 2).alias("m"),
+        F.round(F.sum(money("p", "disc")).cast("double"), 2).alias("tm"),
     ).collect()[0]
     assert got2.m == got2.tm

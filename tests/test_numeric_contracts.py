@@ -212,3 +212,73 @@ def test_try_cast_cross_engine_agreement(spark):
         assert s_dec == d_dec, (s_dec, d_dec)
     for (s_big,), (d_big,) in zip(sbig, dbig):
         assert s_big == d_big, (s_big, d_big)
+
+
+def test_compat_folds_are_structurally_hostile_proof(spark):
+    """Round-13 structural close of the one-dirty-row abort class: the
+    shared compat folds themselves (dsum/davg/money/dsum_money and
+    their SQL twins) are try folds, so NO consumer can abort on an
+    out-of-range operand — including consumers whose data filters
+    happen to exclude the sweep twins' fresh-keyed hostile rows
+    (q_cube_dense's shipdate guard), which per-key twin sweeps can
+    never certify. Asserted at the helper level, reachability-free:
+
+    - one 1e300 row and one subnormal row NEVER abort the fold;
+    - the hostile operand is ABSENT from sum AND mean (davg divides by
+      the count of the FOLDED expression — mean of valid values, the
+      r12 ADVICE semantics; a raw-count denominator would silently
+      deflate the mean);
+    - DuckDB's SQL twins produce the identical values on the same rows
+      (the driver's parity contract, minus the fixture).
+    """
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.functions.compat import (
+        davg,
+        dsum,
+        dsum_money,
+        sql_davg,
+        sql_dsum,
+        sql_dsum_money,
+    )
+
+    rows = [
+        (100.25, 0.05),
+        (200.75, 0.10),
+        (1e300, 0.05),     # decimal out-of-range: folds to NULL, not abort
+        (5e-324, 0.00),    # subnormal: folds to 0.000000 in both engines
+        (None, 0.05),      # plain NULL baseline
+        (-50.5, 0.20),
+    ]
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+    got = df.agg(
+        dsum("l_extendedprice", 2).alias("s"),
+        davg("l_extendedprice", 6).alias("a"),
+        dsum_money("l_extendedprice", "l_discount").alias("rev"),
+    ).collect()[0]
+    # valid fold members: 100.25, 200.75, 0.000000 (subnormal), -50.5
+    assert got.s == 250.5
+    # mean of VALID values: 250.5 / 4 (1e300 and NULL absent from the
+    # denominator; the subnormal counts as a 0 member)
+    assert got.a == round(250.5 / 4, 6)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({repr(p) if p is not None else 'NULL'}::DOUBLE, {d}::DOUBLE)"
+                for p, d in rows
+            )
+            + ") AS v(l_extendedprice, l_discount)"
+        )
+        duck = con.execute(
+            f"SELECT {sql_dsum('l_extendedprice', 's')},"
+            f" {sql_davg('l_extendedprice', 'a')},"
+            f" {sql_dsum_money('rev')} FROM t"
+        ).fetchone()
+    finally:
+        con.close()
+    assert duck[0] == got.s
+    assert duck[1] == got.a
+    assert duck[2] == got.rev
