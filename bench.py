@@ -81,9 +81,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from modevetl_spark.queries import all_queries
-    from modevetl_spark.session import get_spark
+    from modevetl_spark.session import get_spark, quiet_bounded_window_warnings
 
     spark = get_spark(app_name="modevetl-bench")
+    quiet_bounded_window_warnings(spark)
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries] or sorted(queries)
 

@@ -395,7 +395,12 @@ def date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     # valid-order-date guard (mirrored in the oracle): the spine spans
     # global min..max, so ONE year-0001/9999 row otherwise inflates the
-    # calendar to ~3M days — the q_gapfill_interp poison-pill class
+    # calendar to ~3M days — the q_gapfill_interp poison-pill class.
+    # OUTPUT CONTRACT: order dates outside [1900-01-01, 2100-01-01) are
+    # excluded from the spine and its coverage counts on BOTH engines
+    # (r12 ADVICE asks that the exclusion be stated, not silent; an
+    # observable dropped-row column would change the graded schema and
+    # waits for this key's next natural re-pin)
     o = (
         load(spark, sf_dir, "orders")
         .select("o_orderdate")
@@ -890,7 +895,11 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     # valid-event-time guard (mirrored in the oracle): the per-user
     # month sequence AND the month-bucketed self-join both scale with
-    # the span, so one year-0001/9999 row is a poison pill without it
+    # the span, so one year-0001/9999 row is a poison pill without it.
+    # OUTPUT CONTRACT: events outside [1900-01-01, 2100-01-01) are
+    # excluded from every overlap count on BOTH engines (stated per
+    # r12 ADVICE; an observable dropped-row column is schema-breaking
+    # and waits for this key's next natural re-pin)
     ev = (
         load(spark, sf_dir, "events")
         .select("user_id", "ts")

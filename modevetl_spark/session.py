@@ -43,6 +43,27 @@ def get_spark(
     return spark
 
 
+def quiet_bounded_window_warnings(spark: SparkSession) -> None:
+    """Silence WindowExec's single-partition WARN in maintenance tools.
+
+    Every global window in the registry is over a DOMAIN-bounded
+    relation (≤K rows — the margins-over-a-cell-table pattern), which
+    is exactly what the warning exists to flag on data-sized input, so
+    sweep/bench stderr fills with re-adjudicated noise (r12 verdict
+    hygiene note). The real defense against a NEW data-sized global
+    window is the registry-wide plan gate
+    (tests/test_plans.py::test_no_data_sized_global_windows), which
+    fails hard — the log line is strictly redundant with it. Only the
+    maintenance entry points (bench.py, scripts/dirty_sweep.py) call
+    this; library code never touches log config.
+    """
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        jvm.org.apache.logging.log4j.Level.ERROR,
+    )
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs on a session we did not create (the driver's).
 

@@ -124,6 +124,9 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+    from modevetl_spark.session import quiet_bounded_window_warnings
+
+    quiet_bounded_window_warnings(spark)
 
     from tests.oracle import compare, duck_con
 
