@@ -486,6 +486,14 @@ def _freshest_round(key: str) -> int:
 #      to the stalest evidence — after r13 grades (25 pins + the 8
 #      remaining r5-vintage keys + the head of the r6 cohort), the
 #      stalest cohort is the rest of the r6-vintage keys, then r7.
+#      ALSO STAGED FOR R14 (r13 closing decision, COVERAGE Q7): convert
+#      the ~51 remaining INLINE raw decimal folds (outside the compat
+#      helpers — ROUND(·,9)-bounded term folds into DECIMAL(18,9),
+#      geomean's ln fold, attribution's weight fold, aggstate's
+#      partial-sum seam) to the try convention in pin-budget-sized
+#      cohorts; all are derived-bounded + strong-probe-clean today, so
+#      this closes convention debt, not a live crash class. Start with
+#      the sites whose operands touch input columns directly.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
