@@ -1866,3 +1866,38 @@ def test_validate_rules_matches_rule_definitions(spark, sf_dir):
         n_viol = sum(1 for r in rows if not ok(r))
         assert got[name]["n_violations"] == n_viol, (name, n_viol)
         assert abs(got[name]["violation_rate"] - n_viol / len(rows)) <= 5e-7
+
+
+def test_davg_matches_mean_of_valid_definition(spark):
+    """Round-13 compat-fold semantics as a definitional differential:
+    davg = ROUND(mean of the VALID values, 6), where valid = non-NULL
+    and inside the DECIMAL(18,6) admitted range after half-up
+    quantization to 6dp. Out-of-range values are absent from numerator
+    AND denominator (treat-as-absent — the r12 ADVICE semantics), NOT
+    folded to zero-contribution over a raw count. Replayed in pure
+    python with decimal.Decimal half-up quantization on a frame mixing
+    in-range, out-of-range, subnormal and NULL values."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from modevetl_spark.functions.compat import davg
+
+    vals = [123.456789, -0.0000004, 1e300, 5e-324, None, 999999.99,
+            -999999999999.999999, 1e13, 42.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(davg("v", 6).alias("a")).collect()[0].a
+
+    def quant(x: float) -> Decimal | None:
+        if abs(x) >= 1e13:  # far outside DECIMAL(18,6); quantize overflows
+            return None
+        q = Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+        return q if abs(q) < Decimal(10) ** 12 else None
+
+    valid = [quant(v) for v in vals if v is not None]
+    valid = [q for q in valid if q is not None]
+    expected = float(sum(valid) / len(valid))
+    assert got == pytest.approx(expected, abs=5e-7), (got, expected)
+    # and the all-invalid group is NULL, not a division error
+    df2 = spark.createDataFrame([(1e300,), (None,)], "v double")
+    assert df2.agg(davg("v").alias("a")).collect()[0].a is None
