@@ -532,7 +532,7 @@ WITH pv AS (
     SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
            CAST(COUNT(*) AS BIGINT) AS c
     FROM orders
-    WHERE abs(o_totalprice) < 9.2e18
+    WHERE o_totalprice > -9.2e18 AND o_totalprice < 9.2e18
     GROUP BY v
 ),
 cum AS (
@@ -579,7 +579,10 @@ def hist_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     o = load(spark, sf_dir, "orders").where(
-        F.abs(F.col("o_totalprice")) < 9.2e18
+        # two-sided range, not abs(): plain comparisons reach the parquet
+        # scan as PushedFilters (row-group min/max pruning); abs() is
+        # scan-local only
+        (F.col("o_totalprice") > -9.2e18) & (F.col("o_totalprice") < 9.2e18)
     )
     pv = (
         o.select(F.floor("o_totalprice").cast("long").alias("v"))
@@ -2936,7 +2939,7 @@ WITH labeled AS (
     SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
     FROM orders
-    WHERE abs(o_totalprice) < 9.2e18
+    WHERE o_totalprice > -9.2e18 AND o_totalprice < 9.2e18
 ),
 per_value AS (
     SELECT v,
@@ -2987,7 +2990,8 @@ def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     o = load(spark, sf_dir, "orders").where(
-        F.abs(F.col("o_totalprice")) < 9.2e18
+        # two-sided range, not abs(): pushes to the parquet scan
+        (F.col("o_totalprice") > -9.2e18) & (F.col("o_totalprice") < 9.2e18)
     )
     labeled = o.select(
         F.floor("o_totalprice").cast("long").alias("v"),
@@ -3033,7 +3037,7 @@ WITH binned AS (
            CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
              AS is_ref
     FROM orders
-    WHERE abs(o_totalprice) < 9.2e18
+    WHERE o_totalprice > -9.2e18 AND o_totalprice < 9.2e18
 ),
 cells AS (
     SELECT bin,
@@ -3092,7 +3096,8 @@ def psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     o = load(spark, sf_dir, "orders").where(
-        F.abs(F.col("o_totalprice")) < 9.2e18
+        # two-sided range, not abs(): pushes to the parquet scan
+        (F.col("o_totalprice") > -9.2e18) & (F.col("o_totalprice") < 9.2e18)
     )
     binned = o.select(
         F.least(

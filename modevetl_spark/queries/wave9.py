@@ -1145,7 +1145,7 @@ WITH base AS (
                 < '{_CAL_TRAIN_HI}') AS tr,
            CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
     FROM orders
-    WHERE abs(o_totalprice) < 9.2e18
+    WHERE o_totalprice > -9.2e18 AND o_totalprice < 9.2e18
 ),
 cells AS (
     SELECT bin,
@@ -1216,7 +1216,8 @@ def model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     o = load(spark, sf_dir, "orders").where(
-        F.abs(F.col("o_totalprice")) < 9.2e18
+        # two-sided range, not abs(): pushes to the parquet scan
+        (F.col("o_totalprice") > -9.2e18) & (F.col("o_totalprice") < 9.2e18)
     )
     tr = _hash_bucket(F.col("o_orderkey")) < _CAL_TRAIN_HI
     pos = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)

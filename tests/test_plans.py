@@ -535,3 +535,24 @@ def test_copurchase_no_fact_self_join(spark, sf_dir):
     assert "Join" not in p.split("(1) Scan")[0]
     assert "TakeOrderedAndProject" in p
     assert "Python" not in p
+
+
+def test_floor_guard_filters_reach_parquet_scan(spark, sf_dir):
+    """The r13 floor-guard convention must stay PUSHDOWN-ABLE: the
+    |x| < 9.2e18 guard is written as a two-sided range
+    (x > -9.2e18 AND x < 9.2e18), which reaches the parquet scan as
+    PushedFilters (row-group min/max pruning at 100 TB) — an abs(x)
+    spelling is scan-local only (caught by the r13 plan audit). The
+    benford variant pins its [1, 9.2e18) one-sided pair the same way.
+    (q_model_calibration shares the guard shape but its eager
+    localCheckpoint truncates the observable plan, so it is asserted
+    via the unchecked keys here.)"""
+    for key in ("q_hist_equidepth", "q_roc_auc", "q_psi_stability"):
+        p = plan(_Q[key](spark, sf_dir))
+        pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "GreaterThan(o_totalprice,-9.2E18)" in pushed, (key, pushed)
+        assert "LessThan(o_totalprice,9.2E18)" in pushed, (key, pushed)
+    p = plan(_Q["q_benford_digits"](spark, sf_dir))
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(o_totalprice,1.0)" in pushed, pushed
+    assert "LessThan(o_totalprice,9.2E18)" in pushed, pushed
