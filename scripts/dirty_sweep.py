@@ -25,7 +25,7 @@ Usage:
     python scripts/dirty_sweep.py [--src=/root/testdata/sf0.001]
         [--dir=/tmp/dirty_sf0.001] [--only=k1,k2] [--start-at=key]
         [--engine-only] [--unique-keys] [--numeric] [--unicode]
-        [--timestamp]
+        [--timestamp] [--nan]
 
 The sweep is a read-only diagnostic: it never writes into the repo or
 the source fixtures.
@@ -50,6 +50,7 @@ UNIQUE_KEYS = False
 NUMERIC = False
 UNICODE = False
 TIMESTAMP = False
+NAN = False
 OUT = "/tmp/dirty_sweep_results.json"
 for a in sys.argv[1:]:
     if a.startswith("--src="):
@@ -70,6 +71,8 @@ for a in sys.argv[1:]:
         UNICODE = True
     elif a == "--timestamp":
         TIMESTAMP = True
+    elif a == "--nan":
+        NAN = True
     elif a.startswith("--out="):
         OUT = a.split("=", 1)[1]
 
@@ -82,9 +85,9 @@ for a in sys.argv[1:]:
 # noise is not adjudicated, so running them in parity mode would write
 # misleading FAIL statuses; ENGINE_ONLY is therefore FORCED on for them
 # (r12 ADVICE: a comment asked politely, nothing enforced it).
-if (UNICODE or TIMESTAMP) and not ENGINE_ONLY:
+if (UNICODE or TIMESTAMP or NAN) and not ENGINE_ONLY:
     print(
-        "note: --unicode/--timestamp are engine-only crash twins; "
+        "note: --unicode/--timestamp/--nan are engine-only crash twins; "
         "forcing --engine-only (their oracle dialect noise is "
         "unadjudicated by design)",
         flush=True,
@@ -92,6 +95,7 @@ if (UNICODE or TIMESTAMP) and not ENGINE_ONLY:
     ENGINE_ONLY = True
 from tests.dirty_fixtures import (  # noqa: E402
     build_dirty,
+    build_hostile_nan,
     build_hostile_numeric,
     build_hostile_timestamp,
     build_unicode,
@@ -101,6 +105,8 @@ from tests.dirty_fixtures import (  # noqa: E402
 def main() -> None:
     if NUMERIC:
         build_hostile_numeric(SRC, DIRTY)
+    elif NAN:
+        build_hostile_nan(SRC, DIRTY)
     elif UNICODE:
         build_unicode(SRC, DIRTY)
     elif TIMESTAMP:

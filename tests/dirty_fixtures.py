@@ -209,6 +209,55 @@ def build_hostile_timestamp(src: str, dst) -> str:
     return str(dst)
 
 
+def build_hostile_nan(src: str, dst) -> str:
+    """Write the NaN twin of ``src`` into ``dst`` and return
+    ``str(dst)``: one appended row per table with NaN in EVERY float
+    value column (keys fresh and valid), plus one row whose float-list
+    columns carry a [NaN, …]-poisoned vector. NaN is the most common
+    real-world dirty float (a failed upstream division, a null-to-NaN
+    pandas export), and it is deliberately NOT in the extreme-numerics
+    twin: DuckDB 1.0.0 ``TRY_CAST(NaN AS DECIMAL)`` RAISES (the
+    int64-decimal path range-checks with a comparison NaN fails), so a
+    NaN row in a parity twin would convert every fold key into
+    unadjudicatable ORACLE_ERR noise. This twin is ENGINE-ONLY by
+    construction (scripts/dirty_sweep.py forces it): the question it
+    answers is "does one NaN row abort a 100 TB Spark job?" — and the
+    round-13 census answer is NO, 274/274 ENGINE_OK: Spark's ANSI
+    ``cast(NaN AS DECIMAL)`` yields NULL (only out-of-range FINITE
+    values raise), so even the inline raw folds that ``round(NaN, 9)``
+    propagates into (COVERAGE Q7) NULL-fold rather than abort. The
+    twin stays in the kit as the regression gate for that property."""
+    os.makedirs(str(dst), exist_ok=True)
+    nan = float("nan")
+    for t in _tables():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        row0 = tab.slice(0, 1)
+        key_max = {
+            n: pc.max(tab.column(n)).as_py()
+            for n in tab.column_names
+            if n in KEYISH and pa.types.is_integer(tab.schema.field(n).type)
+        }
+        variants = []
+        for j in range(2):
+            subs: dict = {}
+            for name in tab.column_names:
+                typ = tab.schema.field(name).type
+                if name in key_max:
+                    subs[name] = key_max[name] + j + 1
+                elif j == 0 and pa.types.is_floating(typ):
+                    subs[name] = nan
+                elif j == 1 and _is_float_list(typ):
+                    base = row0.column(name).combine_chunks()[0].as_py()
+                    vec = list(base) if base else [0.0, 0.0, 0.0]
+                    vec[0] = nan
+                    subs[name] = vec
+            variants.append(variant(row0, subs))
+        pq.write_table(
+            pa.concat_tables([tab] + variants), f"{dst}/{t}.parquet"
+        )
+    return str(dst)
+
+
 def build_hostile_numeric(src: str, dst) -> str:
     """Write the extreme-numerics twin of ``src`` into ``dst`` and
     return ``str(dst)``. Keys stay fresh and valid; only value columns

@@ -282,3 +282,62 @@ def test_compat_folds_are_structurally_hostile_proof(spark):
     assert duck[0] == got.s
     assert duck[1] == got.a
     assert duck[2] == got.rev
+
+
+def test_nan_cast_contract_cross_engine(spark):
+    """The round-13 NaN census's primitive contract, pinned: Spark's
+    ANSI cast AND try_cast of NaN to DECIMAL both yield NULL (only
+    out-of-range FINITE values raise), which is why the registry-wide
+    NaN-twin engine sweep is 274/274 crash-free with zero per-key
+    work. DuckDB 1.0.0 is ASYMMETRIC here: ``TRY_CAST(NaN AS BIGINT)``
+    is NULL but ``TRY_CAST(NaN AS DECIMAL)`` RAISES — pinned so a
+    DuckDB upgrade that fixes it is noticed (the NaN twin could then
+    graduate from engine-only to parity mode)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float("nan"),)], "v double")
+    row = df.select(
+        F.col("v").cast("decimal(18,6)").alias("c"),
+        F.col("v").try_cast("decimal(18,6)").alias("t"),
+    ).collect()[0]
+    assert row.c is None and row.t is None
+    con = duckdb.connect()
+    try:
+        assert con.execute(
+            "SELECT TRY_CAST('nan'::DOUBLE AS BIGINT)"
+        ).fetchone()[0] is None
+        with pytest.raises(duckdb.InvalidInputException):
+            con.execute("SELECT TRY_CAST('nan'::DOUBLE AS DECIMAL(18,6))")
+    finally:
+        con.close()
+
+
+@pytest.fixture(scope="module")
+def hostile_nan_dir(sf_dir, tmp_path_factory) -> str:
+    from tests.dirty_fixtures import build_hostile_nan
+
+    return build_hostile_nan(sf_dir, tmp_path_factory.mktemp("hostile_nan"))
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # one representative per fold family: compat consumers, an
+        # inline ROUND(·,9) term fold, a window fold, a cosine family
+        # member (NaN-poisoned vector), and the floor-guard tier
+        "q_agg_basic",
+        "q_flagship_revenue_cube",
+        "q_psi_stability",
+        "q_window_range_frame",
+        "q_sim_topk",
+        "q_benford_digits",
+    ],
+)
+def test_nan_rows_never_abort(spark, hostile_nan_dir, key):
+    """CI sample of the registry-wide NaN census (the full 274-key
+    sweep is scripts/dirty_sweep.py --nan): one NaN row — scalar or
+    inside an embedding — never kills the job. toPandas, not count
+    (the r12 pruning lesson)."""
+    queries = _registry()
+    queries[key](spark, hostile_nan_dir).toPandas()
