@@ -211,9 +211,13 @@ def build_hostile_timestamp(src: str, dst) -> str:
 
 def build_hostile_nan(src: str, dst) -> str:
     """Write the NaN twin of ``src`` into ``dst`` and return
-    ``str(dst)``: one appended row per table with NaN in EVERY float
-    value column (keys fresh and valid), plus one row whose float-list
-    columns carry a [NaN, …]-poisoned vector. NaN is the most common
+    ``str(dst)``: appended rows per table with NaN, +inf and -inf in
+    EVERY float value column (keys fresh and valid), plus one row whose
+    float-list columns carry a [NaN, …]-poisoned vector. ±inf rides in
+    this twin because it behaves like NaN at the decimal fold seams
+    (Spark ANSI casts ALL non-finite doubles to NULL decimal — only
+    out-of-range FINITE values raise) and like 1e300 at the long-cast
+    seams (raw cast aborts; the 9.2e18 floor guards exclude it). NaN is the most common
     real-world dirty float (a failed upstream division, a null-to-NaN
     pandas export), and it is deliberately NOT in the extreme-numerics
     twin: DuckDB 1.0.0 ``TRY_CAST(NaN AS DECIMAL)`` RAISES (the
@@ -228,7 +232,8 @@ def build_hostile_nan(src: str, dst) -> str:
     propagates into (COVERAGE Q7) NULL-fold rather than abort. The
     twin stays in the kit as the regression gate for that property."""
     os.makedirs(str(dst), exist_ok=True)
-    nan = float("nan")
+    nan, inf = float("nan"), float("inf")
+    scalar_poisons = [nan, inf, -inf]
     for t in _tables():
         tab = pq.read_table(f"{src}/{t}.parquet")
         row0 = tab.slice(0, 1)
@@ -238,15 +243,15 @@ def build_hostile_nan(src: str, dst) -> str:
             if n in KEYISH and pa.types.is_integer(tab.schema.field(n).type)
         }
         variants = []
-        for j in range(2):
+        for j in range(len(scalar_poisons) + 1):
             subs: dict = {}
             for name in tab.column_names:
                 typ = tab.schema.field(name).type
                 if name in key_max:
                     subs[name] = key_max[name] + j + 1
-                elif j == 0 and pa.types.is_floating(typ):
-                    subs[name] = nan
-                elif j == 1 and _is_float_list(typ):
+                elif j < len(scalar_poisons) and pa.types.is_floating(typ):
+                    subs[name] = scalar_poisons[j]
+                elif j == len(scalar_poisons) and _is_float_list(typ):
                     base = row0.column(name).combine_chunks()[0].as_py()
                     vec = list(base) if base else [0.0, 0.0, 0.0]
                     vec[0] = nan
