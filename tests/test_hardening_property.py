@@ -287,3 +287,55 @@ def test_try_folds_cross_engine_on_arbitrary_doubles(spark, vals):
 
     assert same(got.s, duck[0]), (clean, got.s, duck[0])
     assert same(got.a, duck[1]), (clean, got.a, duck[1])
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-2e13, max_value=2e13, allow_nan=False),
+                # the r11 dialect-fix band: magnitudes TRY_CAST(18,6)
+                # admits but whose PRODUCTS overflow DuckDB's
+                # non-widening int64 decimal multiply without the
+                # (19,6) widen
+                st.floats(min_value=1e11, max_value=9.99e11),
+                st.sampled_from([1e300, 5e-324, 999999999999.999999]),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_money_fold_cross_engine_on_boundary_magnitudes(spark, pairs):
+    """The revenue-term contract as a cross-engine fuzz: for any
+    (price, discount) batch — boundary DECIMAL(18,6) magnitudes whose
+    products need the oracle's (19,6)→(38,12) int128 widen (the class
+    that bit in rounds 5 and 11), out-of-range values, subnormals,
+    NULLs — dsum_money and sql_dsum_money (a) never abort on either
+    engine and (b) agree exactly. NaN is engine-only (see the fold
+    fuzz above), so this strategy generates none."""
+    import duckdb
+
+    from modevetl_spark.functions.compat import dsum_money, sql_dsum_money
+
+    df = spark.createDataFrame(pairs, "l_extendedprice double, l_discount double")
+    got = df.agg(
+        dsum_money("l_extendedprice", "l_discount").alias("revenue")
+    ).collect()[0].revenue
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (l_extendedprice DOUBLE, l_discount DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(pairs))
+        duck = con.execute(f"SELECT {sql_dsum_money()} FROM t").fetchone()[0]
+    finally:
+        con.close()
+    if got is None or duck is None:
+        assert got is None and duck is None, (pairs, got, duck)
+    else:
+        assert got == duck, (pairs, got, duck)
