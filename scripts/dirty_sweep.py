@@ -25,7 +25,7 @@ Usage:
     python scripts/dirty_sweep.py [--src=/root/testdata/sf0.001]
         [--dir=/tmp/dirty_sf0.001] [--only=k1,k2] [--start-at=key]
         [--engine-only] [--unique-keys] [--numeric] [--unicode]
-        [--timestamp] [--nan]
+        [--timestamp] [--nan] [--empty]
 
 The sweep is a read-only diagnostic: it never writes into the repo or
 the source fixtures.
@@ -51,6 +51,7 @@ NUMERIC = False
 UNICODE = False
 TIMESTAMP = False
 NAN = False
+EMPTY = False
 OUT = "/tmp/dirty_sweep_results.json"
 for a in sys.argv[1:]:
     if a.startswith("--src="):
@@ -73,6 +74,8 @@ for a in sys.argv[1:]:
         TIMESTAMP = True
     elif a == "--nan":
         NAN = True
+    elif a == "--empty":
+        EMPTY = True
     elif a.startswith("--out="):
         OUT = a.split("=", 1)[1]
 
@@ -95,6 +98,7 @@ if (UNICODE or TIMESTAMP or NAN) and not ENGINE_ONLY:
     ENGINE_ONLY = True
 from tests.dirty_fixtures import (  # noqa: E402
     build_dirty,
+    build_empty,
     build_hostile_nan,
     build_hostile_numeric,
     build_hostile_timestamp,
@@ -107,6 +111,8 @@ def main() -> None:
         build_hostile_numeric(SRC, DIRTY)
     elif NAN:
         build_hostile_nan(SRC, DIRTY)
+    elif EMPTY:
+        build_empty(SRC, DIRTY)
     elif UNICODE:
         build_unicode(SRC, DIRTY)
     elif TIMESTAMP:

@@ -209,6 +209,25 @@ def build_hostile_timestamp(src: str, dst) -> str:
     return str(dst)
 
 
+def build_empty(src: str, dst) -> str:
+    """Write the EMPTY twin of ``src`` into ``dst`` and return
+    ``str(dst)``: every table keeps its exact schema but carries ZERO
+    rows — the operational shape of an empty daily partition or a
+    filter that matched nothing, which a 100 TB standing pipeline hits
+    routinely. The question the sweep answers per key: does the job
+    complete (empty or NULL-aggregate output) or does driver-side code
+    (.collect()[0] of a bounds row, np.asarray of an empty sample,
+    a seeded-training step) blow up? Loud-by-design empties
+    (ivf_train's documented IndexError on an empty corpus) are
+    expected findings, not regressions — the census distinguishes
+    them from silent assumptions."""
+    os.makedirs(str(dst), exist_ok=True)
+    for t in _tables():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tab.slice(0, 0), f"{dst}/{t}.parquet")
+    return str(dst)
+
+
 def build_hostile_nan(src: str, dst) -> str:
     """Write the NaN twin of ``src`` into ``dst`` and return
     ``str(dst)``: appended rows per table with NaN, +inf and -inf in
