@@ -101,6 +101,17 @@ def dsum_money(price: Column | str, discount: Column | str, places: int = 2) -> 
     return F.round(F.sum(money(price, discount)).cast("double"), places)
 
 
+def dmul(a: Column | str, b: Column | str) -> Column:
+    """Exact decimal product of two money-ish operands under the try
+    convention (the generic sibling of :func:`money`, which hard-codes
+    the TPC-H ``price*(1-discount)`` shape): either operand out of
+    DECIMAL(18,6) range nulls the product for that row instead of
+    aborting the stage. Spark widens the (18,6)x(18,6) product to
+    (37,12) itself; the SQL twin :func:`sql_dmul` must widen explicitly
+    (see its docstring)."""
+    return _c(a).try_cast(DEC) * _c(b).try_cast(DEC)
+
+
 # Pre-r13 names for the try-fold variants, kept as aliases so the
 # round-11/12 call sites read unchanged: the raw-cast originals were
 # retired in round 13 (structural close of the one-dirty-row abort
@@ -176,6 +187,18 @@ def sql_money(price: str = "l_extendedprice", discount: str = "l_discount") -> s
 
 def sql_dsum_money(alias: str = "revenue", places: int = 2) -> str:
     return f"ROUND(CAST(SUM({sql_money()}) AS DOUBLE), {places}) AS {alias}"
+
+
+def sql_dmul(a: str, b: str) -> str:
+    """SQL twin of :func:`dmul`: inner TRY_CAST admits exactly Spark's
+    DECIMAL(18,6) range (so both engines drop the same hostile
+    magnitudes), outer lossless CAST to (19,6) widens because DuckDB's
+    decimal multiply does not auto-widen — (19,6)x(19,6) lands exactly
+    in (38,12) int128 (same two-cast rationale as :func:`sql_money`)."""
+    return (
+        f"CAST(TRY_CAST({a} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+        f" * CAST(TRY_CAST({b} AS DECIMAL(18,6)) AS DECIMAL(19,6))"
+    )
 
 
 # Pre-r13 aliases, same rationale as the engine-side trio above.

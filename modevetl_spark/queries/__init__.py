@@ -454,6 +454,27 @@ _CHANGED_R13_PIN: frozenset[str] = frozenset(
         "q_privacy_kanonymity",
         "q_psi_stability",
         "q_roc_auc",
+        # (c) first inline-fold try-conversion cohort (the r14-staged
+        #     work's input-operand head, pulled forward late in r13 with
+        #     session budget to spare — COVERAGE Q7): the sites whose
+        #     operands reach input columns directly or refold unbounded
+        #     derived sums. Engine .cast → .try_cast at each seam, the
+        #     oracle's matching CAST → TRY_CAST at the SAME precision
+        #     (q_decayed_value's oracle additionally re-anchored from a
+        #     (19,2) admit to TRY_CAST(12,2)-then-widen so both engines
+        #     drop the same range — the r11 tmoney lesson). All nine
+        #     verified bit-identical to the pre-change engine hashes at
+        #     sf0.01 and MATCH vs oracle.
+        "q_agg_geomean",
+        "q_attribution_position",
+        "q_customer_rfm",
+        "q_decayed_value",
+        "q_decile_lift",
+        "q_embedding_cohesion",
+        "q_order_interarrival",
+        "q_revenue_gini",
+        "q_tpch_forecast_revenue",
+        "q_winsorize",
     }
 )
 
@@ -487,13 +508,14 @@ def _freshest_round(key: str) -> int:
 #      remaining r5-vintage keys + the head of the r6 cohort), the
 #      stalest cohort is the rest of the r6-vintage keys, then r7.
 #      ALSO STAGED FOR R14 (r13 closing decision, COVERAGE Q7): convert
-#      the ~51 remaining INLINE raw decimal folds (outside the compat
-#      helpers — ROUND(·,9)-bounded term folds into DECIMAL(18,9),
-#      geomean's ln fold, attribution's weight fold, aggstate's
-#      partial-sum seam) to the try convention in pin-budget-sized
-#      cohorts; all are derived-bounded + strong-probe-clean today, so
-#      this closes convention debt, not a live crash class. Start with
-#      the sites whose operands touch input columns directly.
+#      the remaining INLINE raw decimal folds (outside the compat
+#      helpers) to the try convention in pin-budget-sized cohorts. The
+#      input-operand/unbounded-derived HEAD (10 keys, COVERAGE Q9)
+#      landed late in r13; what remains is ~38 literal engine sites /
+#      ~45 oracle SUM(CAST…) shapes, ALL derived-bounded (ROUND(·,9)-ed
+#      log2/probability terms into DECIMAL(18,9), normalized ranks,
+#      per-cell shares ≤ 1, aggstate's partial-sum seam) and
+#      strong-probe-clean — convention debt, not a live crash class.
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.

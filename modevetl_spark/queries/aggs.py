@@ -63,7 +63,8 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GEOMEAN_ORACLE = """
 SELECT l_returnflag,
-       ROUND(EXP(CAST(SUM(CAST(LN(l_quantity) AS DECIMAL(38,20))) AS DOUBLE)
+       ROUND(EXP(CAST(SUM(TRY_CAST(LN(l_quantity) AS DECIMAL(38,20)))
+                      AS DOUBLE)
                  / COUNT(l_quantity)), 6) AS geomean_qty
 FROM lineitem
 WHERE l_quantity > 0
@@ -77,7 +78,11 @@ def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     so partial-aggregation order can't drift the result."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
-    ln_sum = F.sum(F.log(F.col("l_quantity")).cast("decimal(38,20)")).cast("double")
+    # try convention (r13 cohort); ln of any finite positive double is
+    # ≤ ~709.8, structurally inside (38,20) — one-convention invariant
+    ln_sum = F.sum(
+        F.log(F.col("l_quantity")).try_cast("decimal(38,20)")
+    ).cast("double")
     return li.groupBy("l_returnflag").agg(
         # no 0-count guard needed: the l_quantity > 0 filter means every
         # group is formed from non-null rows, so COUNT >= 1 structurally

@@ -507,7 +507,7 @@ clipped AS (
 SELECT event_type,
        CAST(SUM(is_lo) AS BIGINT) AS n_clipped_lo,
        CAST(SUM(is_hi) AS BIGINT) AS n_clipped_hi,
-       ROUND(CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(TRY_CAST(cv AS DECIMAL(18,6))) AS DOUBLE), 2)
            AS winsorized_sum
 FROM clipped GROUP BY event_type
 """
@@ -542,7 +542,10 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clipped.groupBy("event_type").agg(
         F.sum("is_lo").alias("n_clipped_lo"),
         F.sum("is_hi").alias("n_clipped_hi"),
-        F.round(F.sum(F.col("cv").cast(DEC)).cast("double"), 2).alias(
+        # try convention (r13 inline-fold cohort): cv is bounded only by
+        # the DATA's own [P5, P95] — a heavily-poisoned distribution puts
+        # 1e300 in the bounds themselves, so the seam must NULL, not abort
+        F.round(F.sum(F.col("cv").try_cast(DEC)).cast("double"), 2).alias(
             "winsorized_sum"
         ),
     )
@@ -557,21 +560,21 @@ WITH e AS (
 ),
 cent AS (
     SELECT label, pos,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,7))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(v AS DECIMAL(18,7))) AS DOUBLE)
                  / COUNT(*), 6) AS c
     FROM e GROUP BY label, pos
 ),
 cnorm AS (
     SELECT label,
-           CAST(SUM(CAST(ROUND(c * c, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(ROUND(c * c, 12) AS DECIMAL(28,12))) AS DOUBLE)
                AS c2
     FROM cent GROUP BY label
 ),
 per_vec AS (
     SELECT e.vec_id, e.label,
-           CAST(SUM(CAST(ROUND(e.v * cent.c, 12) AS DECIMAL(28,12)))
+           CAST(SUM(TRY_CAST(ROUND(e.v * cent.c, 12) AS DECIMAL(28,12)))
                 AS DOUBLE) AS dot,
-           CAST(SUM(CAST(ROUND(e.v * e.v, 12) AS DECIMAL(28,12)))
+           CAST(SUM(TRY_CAST(ROUND(e.v * e.v, 12) AS DECIMAL(28,12)))
                 AS DOUBLE) AS e2
     FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
     GROUP BY e.vec_id, e.label
@@ -587,7 +590,7 @@ SELECT label,
        (SELECT ROUND(sqrt(c2), 6) FROM cnorm WHERE cnorm.label = cos.label)
            AS centroid_norm,
        CASE WHEN COUNT(cos_c) > 0
-            THEN ROUND(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
+            THEN ROUND(CAST(SUM(TRY_CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
                        / COUNT(cos_c), 6) END AS mean_cos,
        MIN(cos_c) AS min_cos
 FROM cos
@@ -622,16 +625,20 @@ def embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         F.round(F.col("val").cast("double"), 7).alias("v"),
     )
+    # try convention at every fold seam (r13 inline-fold cohort): a
+    # float32 component can reach ~3.4e38 — outside (18,7), and its
+    # square outside (28,12) — so one hostile embedding row would abort
+    # the raw casts; each seam NULLs instead, mirrored in the oracle
     cent = e.groupBy("label", "pos").agg(
         F.round(
-            F.sum(F.col("v").cast("decimal(18,7)")).cast("double")
+            F.sum(F.col("v").try_cast("decimal(18,7)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("c")
     )
     d12 = "decimal(28,12)"
     cnorm = cent.groupBy("label").agg(
-        F.sum(F.round(F.col("c") * F.col("c"), 12).cast(d12))
+        F.sum(F.round(F.col("c") * F.col("c"), 12).try_cast(d12))
         .cast("double")
         .alias("c2")
     )
@@ -639,10 +646,10 @@ def embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(cent), on=["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sum(F.round(F.col("v") * F.col("c"), 12).cast(d12))
+            F.sum(F.round(F.col("v") * F.col("c"), 12).try_cast(d12))
             .cast("double")
             .alias("dot"),
-            F.sum(F.round(F.col("v") * F.col("v"), 12).cast(d12))
+            F.sum(F.round(F.col("v") * F.col("v"), 12).try_cast(d12))
             .cast("double")
             .alias("e2"),
         )
@@ -664,7 +671,7 @@ def embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.count("cos_c") > 0,
                 F.round(
-                    F.sum(F.col("cos_c").cast(DEC)).cast("double")
+                    F.sum(F.col("cos_c").try_cast(DEC)).cast("double")
                     / F.count("cos_c"),
                     6,
                 ),

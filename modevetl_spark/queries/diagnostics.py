@@ -1823,7 +1823,7 @@ credited AS (
 )
 SELECT click_hod,
        CAST(COUNT(*) AS BIGINT) AS n_clicks,
-       ROUND(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 4) AS credit
+       ROUND(CAST(SUM(TRY_CAST(w AS DECIMAL(18,6))) AS DOUBLE), 4) AS credit
 FROM credited
 GROUP BY click_hod
 """
@@ -1876,7 +1876,9 @@ def attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return credited.groupBy("click_hod").agg(
         F.count(F.lit(1)).cast("long").alias("n_clicks"),
         F.round(
-            F.sum(F.col("w").cast("decimal(18,6)")).cast("double"), 4
+            # try convention (r13 cohort); w ≤ 1.0 by construction so
+            # the fold cannot overflow today — one-convention invariant
+            F.sum(F.col("w").try_cast("decimal(18,6)")).cast("double"), 4
         ).alias("credit"),
     )
 

@@ -482,7 +482,8 @@ scored AS (
 SELECT CAST(decile AS BIGINT) AS decile,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
        ROUND(CAST(SUM(urgent) AS DOUBLE) / COUNT(*), 6) AS urgent_rate,
-       ROUND(CAST(SUM(CAST(spend AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       ROUND(CAST(SUM(TRY_CAST(spend AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6)
          AS avg_spend
 FROM scored GROUP BY decile
 """
@@ -534,7 +535,12 @@ def decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("urgent").cast("double") / F.count(F.lit(1)), 6
         ).alias("urgent_rate"),
         F.round(
-            F.sum(F.col("spend").cast("decimal(18,6)")).cast("double")
+            # try convention on the second-level refold too (r13
+            # inline-fold cohort): a decile whose spend SUM overflows
+            # (18,6) at scale NULLs the refold instead of aborting;
+            # denominator stays the decile row count (avg spend per
+            # customer), mirrored in the oracle
+            F.sum(F.col("spend").try_cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("avg_spend"),
@@ -564,7 +570,7 @@ buckets AS (
 SELECT 'R' || CAST(r AS VARCHAR) || 'F' || CAST(f AS VARCHAR)
          || 'M' || CAST(m AS VARCHAR) AS segment,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE), 2)
+       ROUND(CAST(SUM(TRY_CAST(monetary AS DECIMAL(18,6))) AS DOUBLE), 2)
          AS total_monetary
 FROM buckets
 GROUP BY segment
@@ -660,7 +666,9 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(
-            F.sum(F.col("monetary").cast("decimal(18,6)")).cast("double"), 2
+            # try convention on the segment-level refold (r13 cohort)
+            F.sum(F.col("monetary").try_cast("decimal(18,6)")).cast("double"),
+            2,
         ).alias("total_monetary"),
     )
 
@@ -984,12 +992,13 @@ ranked AS (
 ),
 agg AS (
     SELECT MAX(n) AS n,
-           ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
-           ROUND(CAST(SUM(CAST(i AS DECIMAL(18,0))
-                          * CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2)
+           ROUND(CAST(SUM(TRY_CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2)
+             AS total,
+           ROUND(CAST(SUM(TRY_CAST(i AS DECIMAL(18,0))
+                          * TRY_CAST(s AS DECIMAL(18,6))) AS DOUBLE), 2)
              AS weighted,
            ROUND(CAST(SUM(CASE WHEN i > n - CAST(FLOOR(n / 10.0) AS BIGINT)
-                               THEN CAST(s AS DECIMAL(18,6)) END)
+                               THEN TRY_CAST(s AS DECIMAL(18,6)) END)
                       AS DOUBLE), 2) AS top_decile
     FROM ranked
 )
@@ -1039,13 +1048,18 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = ranked_rn.crossJoin(F.broadcast(n1))
     agg = ranked.agg(
         F.max("n").alias("n"),
+        # try convention on the second-level refolds (r13 inline-fold
+        # cohort): s is a 2dp double from an already-try-folded sum, but
+        # a whale customer's total can overflow (18,6) at scale; i is a
+        # rank (in-range until 1e18 customers) — both seams NULL instead
+        # of aborting, mirrored as TRY_CAST in the oracle
         F.round(
-            F.sum(F.col("s").cast("decimal(18,6)")).cast("double"), 2
+            F.sum(F.col("s").try_cast("decimal(18,6)")).cast("double"), 2
         ).alias("total"),
         F.round(
             F.sum(
-                F.col("i").cast("decimal(18,0)")
-                * F.col("s").cast("decimal(18,6)")
+                F.col("i").try_cast("decimal(18,0)")
+                * F.col("s").try_cast("decimal(18,6)")
             ).cast("double"),
             2,
         ).alias("weighted"),
@@ -1054,7 +1068,7 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("i")
                     > F.col("n") - F.floor(F.col("n") / 10).cast("long"),
-                    F.col("s").cast("decimal(18,6)"),
+                    F.col("s").try_cast("decimal(18,6)"),
                 )
             ).cast("double"),
             2,
@@ -1085,7 +1099,7 @@ WITH seq AS (
     FROM orders
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
-       ROUND(CAST(SUM(CAST(gap_days AS DECIMAL(18,6))) AS DOUBLE)
+       ROUND(CAST(SUM(TRY_CAST(gap_days AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(*), 6) AS mean_gap,
        CAST(median(gap_days) AS DOUBLE) AS median_gap,
        CAST(MAX(gap_days) AS BIGINT) AS max_gap
@@ -1119,7 +1133,10 @@ def order_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.round(
-            F.sum(F.col("gap_days").cast("decimal(18,6)")).cast("double")
+            # try convention (r13 cohort); gap_days is datediff-bounded
+            # (≤ ~3.65e6 even for year-9999 poison) so the fold cannot
+            # overflow today — converted for the one-convention invariant
+            F.sum(F.col("gap_days").try_cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
         ).alias("mean_gap"),

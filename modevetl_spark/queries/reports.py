@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modevetl_spark.functions.compat import (
+    dmul,
     dsum_money,
+    sql_dmul,
     sql_dsum_money,
     sql_money,
 )
@@ -627,9 +629,9 @@ def tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q6 shape: forecast revenue change ----------------------------
 
-_Q6_ORACLE = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                     * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2)
+_Q6_ORACLE = f"""
+SELECT ROUND(CAST(SUM({sql_dmul('l_extendedprice', 'l_discount')})
+                  AS DOUBLE), 2)
          AS forecast_revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -663,10 +665,9 @@ def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,6)")
-                * F.col("l_discount").cast("decimal(18,6)")
-            ).cast("double"),
+            # try convention at the fold seam (r13 inline-fold cohort):
+            # one hostile price row NULLs its term instead of aborting
+            F.sum(dmul("l_extendedprice", "l_discount")).cast("double"),
             2,
         ).alias("forecast_revenue")
     )

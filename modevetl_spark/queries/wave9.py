@@ -347,7 +347,8 @@ base AS (
 )
 SELECT o_custkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2))
+       CAST(FLOOR(CAST(SUM(CAST(TRY_CAST(o_totalprice AS DECIMAL(12,2))
+                                AS DECIMAL(19,2))
                            * CAST(CAST(1 AS DOUBLE) / (1 << w)
                                   AS DECIMAL(19,10)))
                        AS DECIMAL(26,12)) * 1000000) AS BIGINT)
@@ -397,7 +398,13 @@ def decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w").between(0, _DECAY_MAX_W))
     )
     weight = (F.lit(1.0) / F.expr("shiftleft(1, w)")).cast("decimal(11,10)")
-    term = F.col("o_totalprice").cast("decimal(12,2)") * weight
+    # try convention at the input fold seam (r13 inline-fold cohort): a
+    # price outside DECIMAL(12,2) NULLs its term on BOTH engines — the
+    # oracle TRY_CASTs at this SAME (12,2) before its lossless (19,2)
+    # widen, so the admitted range is engine-identical (the r11 tmoney
+    # lesson: an oracle admitting a wider range keeps values the engine
+    # drops)
+    term = F.col("o_totalprice").try_cast("decimal(12,2)") * weight
     return (
         base.groupBy("o_custkey")
         .agg(
