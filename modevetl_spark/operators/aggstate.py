@@ -104,6 +104,15 @@ def merge_aggregate_state(
     try:
         n_touched = partial.count()
         if n_touched == 0:
+            # an all-empty first tick must still leave a READABLE store:
+            # the standing job's consumer reads the store unconditionally
+            # and a zero-file dir fails parquet schema inference (the
+            # empty-partition census finding). Spark writes a
+            # schema-bearing empty part file for an empty frame, so the
+            # init is O(1) with no data at risk; subsequent deltas
+            # upsert over it normally.
+            if not fs_has_parquet_files(spark, state_path):
+                partial.write.mode("overwrite").parquet(state_path)
             return 0
         # data-aware existence: a just-created empty dir is a fresh store
         if fs_has_parquet_files(spark, state_path):

@@ -137,4 +137,10 @@ def merge_scd2_state(
         upsert_parquet(
             spark, new_rows, state_path, keys=["user_id", "version"]
         )
+    elif not fs_has_parquet_files(spark, state_path):
+        # an all-empty first tick must still leave a READABLE store
+        # (same rationale as merge_aggregate_state): write the
+        # schema-bearing empty frame so the consumer's unconditional
+        # read survives a fresh store that has only seen empty batches.
+        new_rows.limit(0).write.mode("overwrite").parquet(state_path)
     return n_touched

@@ -560,9 +560,16 @@ def kmv_distinct(df: DataFrame, col, k: int = 256) -> DataFrame:
         )
         .withColumn(
             "rel_err",
+            # try_divide: on EMPTY input exact_distinct is 0 and the raw
+            # division aborts under ANSI (the empty-partition census
+            # finding); NULL rel_err matches DuckDB's 0/0. The grouped
+            # variant above keeps the raw `/` — a group only reaches its
+            # division with ≥ 1 distinct hashed value by construction.
             F.round(
-                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
+                F.try_divide(
+                    F.abs(F.col("est_distinct") - F.col("exact_distinct")),
+                    F.col("exact_distinct"),
+                ),
                 6,
             ),
         )

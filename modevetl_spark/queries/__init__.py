@@ -475,6 +475,18 @@ _CHANGED_R13_PIN: frozenset[str] = frozenset(
         "q_revenue_gini",
         "q_tpch_forecast_revenue",
         "q_winsorize",
+        # (d) empty-input census fixes (COVERAGE Q10): the zero-row twin
+        #     exposed four one-empty-partition job aborts — two ANSI
+        #     DIVIDE_BY_ZERO seams (dedup_eval_pr's precision/recall,
+        #     kmv's rel_err → F.try_divide, matching DuckDB's 0/0 NULL)
+        #     and two standing-job state stores left unreadable by
+        #     all-empty first ticks (aggstate/scd2 now initialize a
+        #     schema-bearing empty store). Values on non-empty data
+        #     bit-identical; oracles unchanged.
+        "q_agg_incremental_state",
+        "q_dedup_eval_pr",
+        "q_scd2_incremental",
+        "q_sketch_distinct_kmv",
     }
 )
 

@@ -2369,11 +2369,15 @@ def dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_candidates",
             "n_tp",
+            # try_divide: an empty corpus yields 0 candidates / 0 exact
+            # pairs and the raw divisions abort under ANSI (the
+            # empty-partition census finding) — NULL matches DuckDB's 0/0
             F.round(
-                F.col("n_tp").cast("double") / F.col("n_candidates"), 6
+                F.try_divide(F.col("n_tp").cast("double"), F.col("n_candidates")),
+                6,
             ).alias("precision_at_tau"),
             F.round(
-                F.col("n_tp").cast("double") / F.col("n_exact"), 6
+                F.try_divide(F.col("n_tp").cast("double"), F.col("n_exact")), 6
             ).alias("recall_at_tau"),
         )
     )

@@ -83,14 +83,14 @@ def test_grading_bookkeeping_consistent():
     assert len(never_graded) + len(Q._CHANGED_R13_PIN) <= 50
     assert set(never_graded) <= set(window)
     assert Q._CHANGED_R13_PIN <= set(window)
-    assert len(Q._CHANGED_R13_PIN) == 35
-    # the rotation slots must refresh the STALEST evidence — with 35
-    # changed-key pins, 15 rotation slots remain: the whole 8-key
+    assert len(Q._CHANGED_R13_PIN) == 39
+    # the rotation slots must refresh the STALEST evidence — with 39
+    # changed-key pins, 11 rotation slots remain: the whole 8-key
     # r5-vintage residue plus the head of the r6 cohort (the rest of
     # r6 carries to round 14 as the stalest tier)
     assert not [k for k in order if 1 <= Q._freshest_round(k) <= 4]
     rotation = [k for k in window if k not in Q._CHANGED_R13_PIN]
-    assert len(rotation) == 15
+    assert len(rotation) == 11
     # every r5-vintage key refreshes this round — 4 of the 8 are compat
     # consumers and refresh via the pin set; the other 4 rotate
     r5_vintage = [k for k in order if Q._freshest_round(k) == 5]

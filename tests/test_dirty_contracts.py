@@ -378,3 +378,91 @@ def test_event_time_guards_bound_hostile_timestamps(spark, sf_dir, tmp_path):
     assert twin_n - clean_n < 100_000, (
         f"grid exploded: clean={clean_n} twin={twin_n}"
     )
+
+
+# --- the empty-input tier (round-13 census fixes) ------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_dir(sf_dir, tmp_path_factory) -> str:
+    """The EMPTY twin: every table keeps its exact schema with zero rows
+    — the operational shape of an empty daily partition. Shared builder
+    with scripts/dirty_sweep.py --empty."""
+    from tests.dirty_fixtures import build_empty
+
+    return build_empty(sf_dir, tmp_path_factory.mktemp("empty_twin"))
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        # the four keys the round-13 empty census caught aborting on
+        # zero-row input: two ANSI 0/0 divisions, two standing-job
+        # state stores left unreadable by all-empty first ticks
+        "q_dedup_eval_pr",
+        "q_sketch_distinct_kmv",
+        "q_agg_incremental_state",
+        "q_scd2_incremental",
+    ],
+)
+def test_empty_input_never_aborts(spark, empty_dir, key):
+    """An empty partition / filter-matched-nothing input must complete
+    (empty or NULL-aggregate output), never abort the job — at 100 TB a
+    standing pipeline hits a zero-row batch routinely. toPandas, not
+    count: the strong-probe rule (Catalyst prunes unconsumed folds
+    under count)."""
+    q = _registry()[0][key]
+    q(spark, empty_dir).toPandas()  # must not raise
+
+
+def test_empty_first_ticks_leave_readable_stores(spark, tmp_path):
+    """A state store that has only ever seen EMPTY batches must still be
+    a readable parquet dataset with the declared schema: the standing
+    job's consumer reads the store unconditionally, and a zero-file dir
+    fails parquet schema inference (the round-13 empty-census class)."""
+    from modevetl_spark.operators.aggstate import merge_aggregate_state
+    from modevetl_spark.operators.scd2 import merge_scd2_state
+
+    empty_orders = spark.createDataFrame(
+        [], "o_custkey bigint, o_orderkey bigint, o_totalprice double"
+    )
+    agg_store = str(tmp_path / "agg_state")
+    n = merge_aggregate_state(
+        spark,
+        empty_orders,
+        agg_store,
+        ["o_custkey"],
+        {"n_orders": ("count", "o_orderkey"), "spend": ("sum", "o_totalprice")},
+    )
+    assert n == 0
+    back = spark.read.parquet(agg_store)
+    assert back.count() == 0
+    assert set(back.columns) == {"o_custkey", "n_orders", "spend"}
+
+    empty_events = spark.createDataFrame(
+        [], "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    )
+    scd2_store = str(tmp_path / "scd2_state")
+    n = merge_scd2_state(spark, empty_events, scd2_store)
+    assert n == 0
+    back = spark.read.parquet(scd2_store)
+    assert back.count() == 0
+    assert set(back.columns) == {
+        "user_id", "state", "effective_from", "effective_to", "version"
+    }
+
+    # and a later REAL batch upserts over the empty init normally
+    batch = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 101, 5.0)],
+        "o_custkey bigint, o_orderkey bigint, o_totalprice double",
+    )
+    n = merge_aggregate_state(
+        spark,
+        batch,
+        agg_store,
+        ["o_custkey"],
+        {"n_orders": ("count", "o_orderkey"), "spend": ("sum", "o_totalprice")},
+    )
+    assert n == 1
+    row = spark.read.parquet(agg_store).collect()[0]
+    assert row.n_orders == 2 and float(row.spend) == 15.0

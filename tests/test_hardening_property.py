@@ -339,3 +339,69 @@ def test_money_fold_cross_engine_on_boundary_magnitudes(spark, pairs):
         assert got is None and duck is None, (pairs, got, duck)
     else:
         assert got == duck, (pairs, got, duck)
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-2e13, max_value=2e13, allow_nan=False),
+                # magnitudes TRY_CAST(18,6) admits but whose products
+                # overflow DuckDB's non-widening int64 decimal multiply
+                # without sql_dmul's (19,6) widen
+                st.floats(min_value=1e11, max_value=9.99e11),
+                st.sampled_from([1e300, 5e-324, 999999999999.999999]),
+            ),
+            st.one_of(
+                st.none(),
+                st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+                # out-of-range / degenerate second operand exercises the
+                # try path on ITS cast (the money fuzz only stresses the
+                # first operand's range; dmul is symmetric by contract).
+                # The in-range operand stays small so the summed product
+                # magnitude keeps ulp(sum) well under the 2dp round —
+                # the r12 lesson: ROUND only absorbs the DuckDB
+                # decimal->double 1-ulp gap while ulp(sum) << 5e-3
+                st.sampled_from([1e300, 5e-324]),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dmul_fold_cross_engine_on_boundary_magnitudes(spark, pairs):
+    """The generic product-fold contract (compat.dmul/sql_dmul, the r13
+    inline-fold cohort's helper) as a cross-engine fuzz: for any (a, b)
+    batch mixing boundary DECIMAL(18,6) magnitudes, out-of-range values
+    on EITHER operand, subnormals and NULLs, a 2dp-rounded sum of
+    dmul(a, b) (a) never aborts on either engine and (b) agrees exactly
+    with the sql_dmul oracle shape. NaN is engine-only (DuckDB 1.0.0
+    TRY_CAST(NaN AS DECIMAL) raises — the pinned dialect hole), so this
+    strategy generates none."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.functions.compat import dmul, sql_dmul
+
+    df = spark.createDataFrame(pairs, "a double, b double")
+    got = (
+        df.agg(F.round(F.sum(dmul("a", "b")).cast("double"), 2).alias("s"))
+        .collect()[0]
+        .s
+    )
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (a DOUBLE, b DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", list(pairs))
+        duck = con.execute(
+            f"SELECT ROUND(CAST(SUM({sql_dmul('a', 'b')}) AS DOUBLE), 2)"
+            " FROM t"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    if got is None or duck is None:
+        assert got is None and duck is None, (pairs, got, duck)
+    else:
+        assert got == duck, (pairs, got, duck)
