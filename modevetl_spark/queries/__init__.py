@@ -528,6 +528,10 @@ def _freshest_round(key: str) -> int:
 #      log2/probability terms into DECIMAL(18,9), normalized ranks,
 #      per-cell shares ≤ 1, aggstate's partial-sum seam) and
 #      strong-probe-clean — convention debt, not a live crash class.
+#      Also in that cohort: kmv_distinct_grouped's rel_err raw `/`
+#      (structurally safe — a group only reaches the division with
+#      ≥ 1 distinct hashed value — left raw in r13 to spare
+#      q_sketch_group_distinct's pin slot; COVERAGE Q10).
 #   3. There is no staged tier (the operator space is saturated per the
 #      r8/r9 verdicts); any new key built drains immediately as
 #      never-graded priority 0.
