@@ -563,158 +563,377 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a slice-bounded second posexplode) and the lower triangle is
     mirrored AFTER the aggregate on the {D}²-bounded relation —
     halving the data-sized explode/fold/exchange, bit-identical
-    values. Everything after is {D}²-bounded: broadcast matvec joins,
-    one-row norm aggregates, localCheckpoint lineage cuts per step
-    (the pagerank/k-means iteration profile). At 100 TB the cost is
-    the single half-triangle corpus pass; the iteration tier never
-    touches data again."""
+    values. Everything after is {D}²-bounded and runs as a DRIVER-side
+    replay of the identical arithmetic (r13 optimization, guide §8
+    "decide with small rows"): the covariance — three integers per
+    (j,k), bounded by the constant D, the sketch-state collect class —
+    is collected once and the fixed-point loop executes in plain
+    Python, bit-identical by construction (see ``_pca_replay``). That
+    removes the ~20 per-iteration scheduler round-trips (broadcast
+    matvec joins, one-row norm aggregates, per-step localCheckpoints)
+    the in-DAG form paid; at 100 TB the cost is the single
+    half-triangle corpus pass; the iteration tier never touches data
+    again (and never did)."""
     prep(spark)
-    e = load(spark, sf_dir, "embeddings").select(
-        F.transform("embedding", lambda v: v.cast("double")).alias("xd")
+    rows = _pca_partials_df(spark, sf_dir).collect()
+    cov = _pca_cov_from_partials(rows)
+    out_schema = (
+        "dim bigint, loading double, lambda_micro bigint, "
+        "trace_micro bigint, explained_share double"
     )
-    row1 = e.select("xd", F.posexplode("xd").alias("j0", "xj"))
-    # upper triangle only: the second explode runs over the slice
-    # xd[j0:], so k0 = j0 + pos >= j0 by construction
-    prods = row1.select(
-        (F.col("j0") + 1).alias("j"),
-        "xj",
-        F.posexplode(
-            F.slice(F.col("xd"), F.col("j0") + 1, F.lit(_PCA_D) - F.col("j0"))
-        ).alias("p0", "xk"),
-    ).select(
-        "j",
-        (F.col("j") + F.col("p0")).alias("k"),
-        F.round(F.col("xj") * F.col("xk"), 9).cast("decimal(18,9)").alias("p9"),
-    )
-    m_upper = prods.groupBy("j", "k").agg(F.sum("p9").alias("m"))
-    m = m_upper.unionByName(
-        m_upper.where(F.col("j") < F.col("k")).select(
-            F.col("k").alias("j"), F.col("j").alias("k"), "m"
-        )
-    )
-    sums = (
-        row1.select(
-            (F.col("j0") + 1).alias("j"),
-            F.round("xj", 9).cast("decimal(18,9)").alias("x9"),
-        )
-        .groupBy("j")
-        .agg(F.sum("x9").alias("s"))
-    )
-    nn = e.agg(F.count(F.lit(1)).alias("n"))
-    sj = sums.select(F.col("j").alias("j_"), F.col("s").alias("s_j"))
-    sk = sums.select(F.col("j").alias("k_"), F.col("s").alias("s_k"))
-    cov = (
-        m.join(F.broadcast(sj), F.col("j") == F.col("j_"))
-        .join(F.broadcast(sk), F.col("k") == F.col("k_"))
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "j",
-            "k",
-            F.floor(
-                (
-                    F.round(F.col("m").cast("double"), 9)
-                    - F.round(F.col("s_j").cast("double"), 9)
-                    * F.round(F.col("s_k").cast("double"), 9)
-                    / F.col("n")
-                )
-                / F.col("n")
-                * F.lit(1.0e9)
-            )
-            .cast("bigint")
-            .alias("cn"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    v = cov.select("j").distinct().select("j", F.lit(0.125).alias("v"))
+    return spark.createDataFrame(_pca_replay(cov), out_schema)
 
-    def matvec(vec: DataFrame) -> DataFrame:
-        term = F.floor(
-            F.col("cn").cast("double") / F.lit(1.0e9) * F.col("v") * F.lit(1.0e12)
-        ).cast("bigint")
-        return (
-            cov.join(
-                F.broadcast(vec.select(F.col("j").alias("k"), "v")), "k"
-            )
-            .groupBy("j")
-            .agg((F.sum(term).cast("double") / F.lit(1.0e12)).alias("w"))
-        )
 
-    for _ in range(_PCA_T):
-        w = matvec(v)
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(
-                    F.floor(F.col("w") * F.col("w") * F.lit(1.0e12)).cast(
-                        "bigint"
-                    )
-                ).cast("double")
-                / F.lit(1.0e12)
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                "j",
-                (
-                    F.floor(
-                        F.col("w") / F.col("nrm") * F.lit(1.0e9)
-                    ).cast("bigint").cast("double")
-                    / F.lit(1.0e9)
-                ).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    wf = matvec(v)
-    lam = (
-        v.join(
-            F.broadcast(wf.select(F.col("j").alias("jw"), "w")),
-            F.col("j") == F.col("jw"),
-        )
-        .agg(
-            F.floor(
-                F.sum(
-                    F.floor(F.col("v") * F.col("w") * F.lit(1.0e12)).cast(
-                        "bigint"
-                    )
-                ).cast("double")
-                / F.lit(1.0e6)
-            )
-            .cast("bigint")
-            .alias("lambda_micro")
-        )
-    )
-    tr = (
-        cov.where(F.col("j") == F.col("k"))
-        .agg(
-            F.floor(F.sum("cn").cast("double") / F.lit(1.0e3))
-            .cast("bigint")
-            .alias("trace_micro")
-        )
-    )
-    sgn = (
-        v.orderBy(F.abs(F.col("v")).desc(), F.col("j"))
-        .limit(1)
-        .select(
-            F.when(F.col("v") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s")
-        )
+def _pca_partials_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pass as ONE Arrow-vectorized map + one tiny keyed
+    aggregate (guide §4.2: hand whole batches to numpy instead of a
+    31M-row explode through JVM BigDecimal folds — measured 2.6 s →
+    ~0.1 s at sf0.1 for the fold itself, and the former single-split
+    scan bottleneck is spread across the session's cores first, guide
+    §2.5/§6).
+
+    Emits (j, k, u, c): for k >= 1 the upper-triangle moment partials
+    (u = Σ nano-units of ROUND(x_j·x_k, 9), c = count of non-NULL
+    terms), for k = 0 the per-dim sum partials of ROUND(x_j, 9), and
+    for (0, 0) the total row count. The per-product nano-unit integer
+    equals the old ``ROUND(x_j·x_k, 9) CAST DECIMAL(18,9)`` term
+    EXACTLY: ``_pca_units`` reproduces BigDecimal HALF_UP rounding with
+    a Dekker two-product plus an exact-Decimal recheck of every value
+    within 1e-6 of a rounding boundary, NULL/NaN/±inf terms drop out of
+    both u and c exactly like the decimal cast's NULL, and a finite
+    product at DECIMAL(18,9) overflow magnitude raises like the old
+    ANSI cast did. The keyed aggregate keeps the driver collect bounded
+    at D²+D+1 rows whatever the partition count."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return (
-        v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.col("j").cast("bigint").alias("dim"),
-            (F.col("s") * F.col("v")).alias("loading"),
-            "lambda_micro",
-            "trace_micro",
-            (
-                F.col("lambda_micro").cast("double") / F.col("trace_micro")
-            ).alias("explained_share"),
-        )
+        e.mapInArrow(_pca_fold_batches, "j int, k int, u long, c long")
+        .groupBy("j", "k")
+        .agg(F.sum("u").alias("u"), F.sum("c").alias("c"))
     )
 
 
 embedding_pca.__doc__ = embedding_pca.__doc__.format(D=_PCA_D, T=_PCA_T)
+
+
+def _pca_units_exact(p: float) -> int:
+    """BigDecimal-exact nano-units of one double: the integer u with
+    ROUND(p, 9) == u/1e9 under HALF_UP on p's exact decimal expansion —
+    the same number Spark's ``round(_, 9)`` + ``cast DECIMAL(18,9)``
+    produced. Raises on DECIMAL(18,9) overflow exactly where the old
+    ANSI cast did."""
+    import decimal
+
+    q = decimal.Decimal(p).quantize(
+        decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
+    )
+    if abs(q) >= decimal.Decimal(10**9):
+        raise ArithmeticError(
+            "NUMERIC_VALUE_OUT_OF_RANGE: value out of DECIMAL(18,9) "
+            "range in the PCA moment fold (the pre-r13 ANSI decimal "
+            "cast raised on the same input)"
+        )
+    return int(q.scaleb(9))
+
+
+def _pca_units(p):
+    """Vectorized nano-units of a float64 array, bit-equal to mapping
+    ``_pca_units_exact`` over it: a Dekker two-product gives the EXACT
+    error of p·1e9, so the half-up decision is certain except within
+    1e-6 of a .5 boundary (float error there is ≤ ~1e-15), and every
+    flagged element — boundary ties AND near-overflow magnitudes — is
+    recomputed through the exact-Decimal scalar path. Non-finite
+    entries (NULL elements arrive as NaN; NaN/±inf products) yield
+    (0, False): the old decimal cast made them NULL, which a SUM skips
+    — identical contribution, and the False feeds the non-NULL term
+    count."""
+    import numpy as np
+
+    fin = np.isfinite(p)
+    pf = np.where(fin, p, 0.0)
+    b9 = 1.0e9
+    split = 134217729.0  # 2^27 + 1 (Dekker)
+    c = split * b9
+    b_hi = c - (c - b9)
+    b_lo = b9 - b_hi
+    hi = pf * b9
+    ca = split * pf
+    a_hi = ca - (ca - pf)
+    a_lo = pf - a_hi
+    lo = ((a_hi * b_hi - hi) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    base = np.floor(hi)
+    frac = (hi - base) + lo
+    up = (frac > 0.5) | ((frac == 0.5) & (pf > 0.0))
+    u = (base + up).astype(np.int64)
+    # exact-Decimal recheck: boundary ties and overflow-range values
+    risky = fin & ((np.abs(frac - 0.5) < 1e-6) | (np.abs(pf) >= b9 - 1.0))
+    if risky.any():
+        for idx in np.argwhere(risky):
+            t = tuple(idx)
+            u[t] = _pca_units_exact(float(pf[t]))
+    u[~fin] = 0
+    return u, fin
+
+
+def _pca_fold_batches(batches):
+    """mapInArrow worker: accumulate the upper-triangle moment partials
+    of this partition's embedding rows entirely in numpy (one
+    column-sweep per dim — no per-row Python), then emit one small
+    record batch of (j, k, u, c) partials; see ``_pca_partials_df``."""
+    import numpy as np
+    import pyarrow as pa
+
+    L = 0
+    cnt = 0
+    acc_u: dict[int, "np.ndarray"] = {}
+    acc_c: dict[int, "np.ndarray"] = {}
+    su = np.zeros(0, dtype=np.int64)
+    sc = np.zeros(0, dtype=np.int64)
+
+    def _grow(new_l: int) -> None:
+        nonlocal L, su, sc
+        if new_l <= L:
+            return
+        for j in range(L):
+            acc_u[j] = np.concatenate(
+                [acc_u[j], np.zeros(new_l - L, dtype=np.int64)]
+            )
+            acc_c[j] = np.concatenate(
+                [acc_c[j], np.zeros(new_l - L, dtype=np.int64)]
+            )
+        for j in range(L, new_l):
+            acc_u[j] = np.zeros(new_l - j, dtype=np.int64)
+            acc_c[j] = np.zeros(new_l - j, dtype=np.int64)
+        su = np.concatenate([su, np.zeros(new_l - L, dtype=np.int64)])
+        sc = np.concatenate([sc, np.zeros(new_l - L, dtype=np.int64)])
+        L = new_l
+
+    for batch in batches:
+        col = batch.column(0)
+        cnt += len(col)
+        import pyarrow.compute as pc
+
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(lens.astype(np.float64))
+        lens_i = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        flat = flat.astype(np.float64)
+        ends = np.cumsum(lens_i)
+        starts = ends - lens_i
+        for l in np.unique(lens_i[valid]):
+            l = int(l)
+            if l == 0:
+                continue
+            _grow(l)
+            idx = np.nonzero(valid & (lens_i == l))[0]
+            x = flat[starts[idx][:, None] + np.arange(l)[None, :]]
+            xu, xf = _pca_units(x)
+            su[:l] += xu.sum(axis=0)
+            sc[:l] += xf.sum(axis=0)
+            for j in range(l):
+                p = x[:, j : j + 1] * x[:, j:l]
+                pu, pf_ = _pca_units(p)
+                acc_u[j][: l - j] += pu.sum(axis=0)
+                acc_c[j][: l - j] += pf_.sum(axis=0)
+
+    js, ks, us, cs = [0], [0], [cnt], [0]
+    for j in range(L):
+        js.append(j + 1)
+        ks.append(0)
+        us.append(int(su[j]))
+        cs.append(int(sc[j]))
+        for o in range(L - j):
+            js.append(j + 1)
+            ks.append(j + 1 + o)
+            us.append(int(acc_u[j][o]))
+            cs.append(int(acc_c[j][o]))
+    yield pa.record_batch(
+        [
+            pa.array(js, type=pa.int32()),
+            pa.array(ks, type=pa.int32()),
+            pa.array(us, type=pa.int64()),
+            pa.array(cs, type=pa.int64()),
+        ],
+        names=["j", "k", "u", "c"],
+    )
+
+
+def _pca_cov_from_partials(rows) -> list[tuple]:
+    """Rebuild the (j, k, cn) covariance rows from the aggregated
+    (j, k, u, c) partials — the same FLOOR/ROUND float tree the in-DAG
+    cov projection computed, with SQL NULL (no non-NULL term in a
+    group) mirrored as None. Exactness: a moment decimal of scale 9 is
+    exactly u/1e9, and with u < 2^53 both the old DECIMAL→DOUBLE cast
+    and ``float(Decimal(u) / 1e9)`` are the correctly-rounded double of
+    the same rational."""
+    import decimal
+
+    n = None
+    m: dict[tuple[int, int], int | None] = {}
+    s: dict[int, int | None] = {}
+    for r in rows:
+        if r.j == 0:
+            n = r.u
+        elif r.k == 0:
+            s[r.j] = r.u if r.c > 0 else None
+        else:
+            m[(r.j, r.k)] = r.u if r.c > 0 else None
+    if not m or not n:
+        return []
+
+    def _d9(units: int | None) -> float | None:
+        if units is None:
+            return None
+        return _round9(float(decimal.Decimal(units) / decimal.Decimal(10**9)))
+
+    s9 = {j: _d9(u) for j, u in s.items()}
+    out = []
+    for (j, k), u in m.items():
+        pairs = [(j, k)] if j == k else [(j, k), (k, j)]
+        m9 = _d9(u)
+        for jj, kk in pairs:
+            if m9 is None or s9.get(jj) is None or s9.get(kk) is None:
+                out.append((jj, kk, None))
+            else:
+                out.append(
+                    (
+                        jj,
+                        kk,
+                        _pca_floor((m9 - s9[jj] * s9[kk] / n) / n * 1.0e9),
+                    )
+                )
+    return out
+
+
+def _round9(x: float | None) -> float | None:
+    """Spark ``round(double, 9)``: HALF_UP at 9dp on the exact decimal
+    expansion; NaN/±inf pass through (probed on this build)."""
+    import decimal
+    import math
+
+    if x is None or math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _pca_floor(x: float | None) -> int | None:
+    """Mirror Spark ``FLOOR(double) -> BIGINT`` exactly: NULL-propagating,
+    NaN -> 0, saturating at the long range (Scala ``Double.toLong``
+    semantics, probed on this Spark build)."""
+    import math
+
+    if x is None:
+        return None
+    if math.isnan(x):
+        return 0
+    if x >= 9223372036854775807.0:
+        return 9223372036854775807
+    if x <= -9223372036854775808.0:
+        return -9223372036854775808
+    return math.floor(x)
+
+
+def _pca_replay(rows) -> list[tuple]:
+    """Driver-side replay of the D²-bounded power iteration over the
+    collected covariance rows (j, k, cn) — bit-identical to the former
+    in-DAG form: every operation below is the same IEEE-double / exact-
+    integer step the Spark expressions computed (int/float division in
+    CPython converts the int with the same round-to-nearest as a JVM
+    long->double cast, ``math.floor`` equals FLOOR on finite doubles,
+    Python int sums are exact like the BIGINT sums, and SQL NULL
+    propagation is mirrored with None). The state is D² = 64² rows of
+    three integers — bounded by the constant embedding dimensionality,
+    not by the data — the same bounded-state class as the sketch-state
+    collects. A ZeroDivisionError here corresponds to the ANSI-mode
+    DIVIDE_BY_ZERO abort the in-DAG form raised on the same degenerate
+    input (probed: ANSI double division by zero throws).
+    """
+    import math
+
+    if not rows:
+        return []
+    cn: dict[tuple[int, int], int | None] = {}
+    by_j: dict[int, list[tuple[int, int | None]]] = {}
+    for j, k, c in rows:
+        cn[(j, k)] = c
+        by_j.setdefault(j, []).append((k, c))
+    js = sorted(by_j)
+    v: dict[int, float | None] = {j: 0.125 for j in js}
+
+    def matvec(vec: dict[int, float | None]) -> dict[int, float | None]:
+        w: dict[int, float | None] = {}
+        for j in js:
+            s = None
+            for k, c in by_j[j]:
+                vk = vec.get(k)
+                if c is None or vk is None:
+                    continue  # SQL NULL term: F.sum skips it
+                t = _pca_floor(c / 1.0e9 * vk * 1.0e12)
+                s = t if s is None else s + t
+            w[j] = None if s is None else s / 1.0e12
+        return w
+
+    for _ in range(_PCA_T):
+        w = matvec(v)
+        s = None
+        for wj in w.values():
+            if wj is None:
+                continue
+            t = _pca_floor(wj * wj * 1.0e12)
+            s = t if s is None else s + t
+        nrm = None if s is None else math.sqrt(s / 1.0e12)
+        v = {
+            j: (
+                None
+                if w[j] is None or nrm is None
+                else _pca_floor(w[j] / nrm * 1.0e9) / 1.0e9
+            )
+            for j in js
+        }
+    wf = matvec(v)
+    s = None
+    for j in js:
+        if v[j] is None or wf[j] is None:
+            continue
+        t = _pca_floor(v[j] * wf[j] * 1.0e12)
+        s = t if s is None else s + t
+    lam = None if s is None else _pca_floor(s / 1.0e6)
+    s = None
+    for j in js:
+        c = cn.get((j, j))
+        if c is None:
+            continue
+        s = c if s is None else s + c
+    tr = None if s is None else _pca_floor(s / 1.0e3)
+    # sign canonicalization: largest |component| first (desc NULLS
+    # LAST), ties to the lowest dim; NULL v -> the CASE falls through
+    # to -1.0 like Spark's when(v >= 0, 1.0).otherwise(-1.0) on NULL
+    lead = min(
+        js, key=lambda j: (v[j] is None, -abs(v[j]) if v[j] is not None else 0.0, j)
+    )
+    sgn = 1.0 if (v[lead] is not None and v[lead] >= 0) else -1.0
+    share = (
+        None
+        if lam is None or tr is None
+        else float(lam) / float(tr)  # ANSI: tr == 0 would have aborted
+    )
+    return [
+        (
+            j,
+            None if v[j] is None else sgn * v[j],
+            lam,
+            tr,
+            share,
+        )
+        for j in js
+    ]
 
 
 # --- Per-source Jensen-Shannon divergence vs the corpus LM ----------------

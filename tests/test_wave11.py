@@ -343,14 +343,32 @@ class TestEmbeddingPca:
         assert lam > tr / _PCA_D  # beats the average eigenvalue
         assert 0.0 < rows[0]["explained_share"] <= 1.0
 
-    def test_plan_single_corpus_pass_no_python(self, spark, sf_dir):
-        from modevetl_spark.queries.wave11 import embedding_pca
+    def test_plan_single_corpus_pass_arrow_fold(self, spark, sf_dir):
+        """r13 shape: the corpus pass is ONE pruned scan feeding ONE
+        MapInArrow fold (the 31M-row explode + JVM decimal fold is
+        gone), with exactly the parallelism repartition and the
+        D²-bounded partial-merge exchange; everything downstream is the
+        driver-side bounded replay, so the returned DF carries no join
+        or shuffle at all."""
+        from modevetl_spark.queries.wave11 import (
+            _pca_partials_df,
+            embedding_pca,
+        )
         from tests.test_plans import plan
 
+        pp = plan(_pca_partials_df(spark, sf_dir))
+        assert pp.count("MapInArrow") == 2  # one node: tree + detail
+        # formatted mode prints each operator twice (tree + detail):
+        # 2 Exchange nodes -> at most 4 mentions
+        assert pp.count("Exchange") <= 4
+        assert "Generate" not in pp  # the explode is gone
+        assert "ReadSchema: struct<embedding" in pp  # scan pruned
+        assert "SortMergeJoin" not in pp
+        assert "CartesianProduct" not in pp
         p = plan(embedding_pca(spark, sf_dir))
-        assert "Python" not in p
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
+        assert "Exchange" not in p
 
 
 class TestSourceJsDivergence:
