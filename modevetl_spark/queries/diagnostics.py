@@ -824,26 +824,125 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalizes to mutually-recursive score vectors with per-step
     normalization.
 
-    Plan/determinism: see :func:`modevetl_spark.operators.graph.hits` —
-    fixed 8 iterations, per-half-step L1 norms as broadcast one-row
-    aggregates, 9dp decimal discipline throughout; the oracle unrolls
-    the identical recurrence CTE-per-iteration. Scores are emitted
-    exactly as the iteration left them (already 9dp-quantized — no
-    output re-round, so no .5-boundary exposure).
-    """
-    from modevetl_spark.operators.graph import hits
+    Determinism: fixed 8 iterations of the
+    :func:`modevetl_spark.operators.graph.hits` recurrence — every
+    order-sensitive sum is ROUND-9dp + DECIMAL(18,9) (exact), every L1
+    norm a rounded decimal sum — replayed bit-identically (see
+    ``_hits_replay``); the oracle unrolls the same recurrence
+    CTE-per-iteration. Scores are emitted exactly as the iteration left
+    them (already 9dp-quantized — no output re-round, so no .5-boundary
+    exposure).
 
+    Plan shape (r13 optimization, guide §8 "decide with small rows"):
+    THIS query's edge list is ``s → s² mod 97`` — every source has
+    exactly ONE out-edge and the destination domain is the ≤97 residue
+    classes, so the entire mutually-recursive state collapses onto the
+    classes: ``ink_k(d) = cnt(d)·h_{k-1}(d)`` (each source in class d
+    carries the class's own hub value), ``out_k(s) = a_k(d(s))``, and
+    the L1 norms are class-weighted sums. One Spark job folds the edge
+    list to the ≤97 ``(class, distinct-source count)`` rows plus the
+    ≤95 residue-valued sources (sum of identical DECIMAL(18,9) terms =
+    count × term, exactly — order-free), and the 8 iterations replay on
+    the driver over that bounded state, mirroring the in-DAG
+    round/cast/ANSI semantics step for step. The former form paid ~33
+    scheduler round-trips (two joins + two one-row norm aggregates +
+    two eager checkpoints per iteration); at 100 TB only the single
+    edge-fold pass grows — the iteration tier never touched data-sized
+    state on this graph, it only LOOKED data-sized (per-node rows whose
+    values were per-class constants).
+    """
     prep(spark)
     part = load(spark, sf_dir, "part")
-    edges = part.where(F.col("p_partkey") >= 2).select(
-        F.col("p_partkey").alias("src"),
-        ((F.col("p_partkey") * F.col("p_partkey")) % 97).alias("dst"),
+    raw = part.where(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("s"),
+        ((F.col("p_partkey") * F.col("p_partkey")) % 97).alias("d"),
     )
-    return (
-        hits(edges, iterations=8)
-        .orderBy(F.col("authority").desc(), "node")
-        .limit(30)
+    # one keyed fold, two tagged branches over the pruned scan:
+    # tag 0 → (class, distinct sources in class); tag 1 → residue-valued
+    # sources (the ≤95 nodes that can be BOTH authority and hub)
+    stats = (
+        raw.select(
+            F.col("d").alias("key"), F.col("s").alias("val"), F.lit(0).alias("tag")
+        )
+        .unionAll(
+            raw.where(F.col("s") <= 96).select(
+                F.col("s").alias("key"), F.col("s").alias("val"), F.lit(1).alias("tag")
+            )
+        )
+        .groupBy("tag", "key")
+        .agg(F.countDistinct("val").alias("cnt"))
+        .collect()
     )
+    cnt = {int(r.key): int(r.cnt) for r in stats if r.tag == 0}
+    src96 = {int(r.key) for r in stats if r.tag == 1}
+    out_schema = "node bigint, authority double, hub double"
+    if not cnt:
+        # mirror operators.graph.hits's n_edges == 0 early return
+        return spark.createDataFrame([], out_schema)
+    a8, h8 = _hits_replay(cnt, src96, iterations=8)
+    rows = [
+        (
+            d,
+            a8[d],
+            h8[(d * d) % 97] if d in src96 else 0.0,
+        )
+        for d in sorted(cnt)
+    ]
+    if sum(1 for _, a, _h in rows if a > 0.0) < 30:
+        # degenerate fill (tiny/hostile inputs): zero-authority sources
+        # compete on node id — fetch the 30 smallest non-class sources
+        extra = (
+            raw.where(~F.col("s").isin(list(cnt)))
+            .select("s")
+            .distinct()
+            .orderBy("s")
+            .limit(30)
+            .collect()
+        )
+        rows += [(int(r.s), 0.0, h8[(int(r.s) ** 2) % 97]) for r in extra]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return spark.createDataFrame(rows[:30], out_schema)
+
+
+def _hits_replay(
+    cnt: dict[int, int], src96: set[int], iterations: int = 8
+) -> tuple[dict[int, float], dict[int, float]]:
+    """Driver-side replay of :func:`modevetl_spark.operators.graph.hits`
+    over the class-collapsed state — bit-identical to the in-DAG form:
+    ``_round9`` is Spark's ROUND(double, 9) (HALF_UP on the exact
+    decimal expansion), ``_dec9`` the exact double→DECIMAL(18,9) cast,
+    decimal sums are exact/order-free in both engines, float(Decimal)
+    and JVM Decimal.toDouble are both correctly rounded, and a Python
+    ZeroDivisionError corresponds to the ANSI DIVIDE_BY_ZERO abort the
+    in-DAG division raised on the same degenerate input. Returns
+    (authority per class, hub per class) after ``iterations`` rounds.
+    """
+    import decimal
+
+    from modevetl_spark.queries.wave11 import _round9
+
+    def _dec9(x: float) -> decimal.Decimal:
+        return decimal.Decimal(x).quantize(
+            decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
+        )
+
+    classes = sorted(cnt)
+    n_src = sum(cnt.values())
+    n = n_src + sum(1 for d in classes if d not in src96)
+    h = {d: _round9(1.0 / n) for d in classes}
+    a = {}
+    for _ in range(iterations):
+        # ink_k(d) = ROUND(CAST(Σ_{s→d} DEC9(h(s)) AS DOUBLE), 9); every
+        # source in class d holds h(d), so the exact decimal sum is
+        # cnt(d) × DEC9(h(d))
+        ink = {d: _round9(float(cnt[d] * _dec9(h[d]))) for d in classes}
+        sa = _round9(float(sum(_dec9(v) for v in ink.values())))
+        a = {d: _round9(ink[d] / sa) for d in classes}
+        # out_k(s) = ROUND(CAST(DEC9(a(d(s))) AS DOUBLE), 9) = a(d(s))
+        # (single-term fold of an already-9dp value — exact identity)
+        sh = _round9(float(sum(cnt[d] * _dec9(a[d]) for d in classes)))
+        h = {d: _round9(a[d] / sh) for d in classes}
+    return a, h
 
 
 # --- interval-overlap join (bucketed, not theta) ------------------------
