@@ -720,10 +720,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — one explode + hash agg reduces the fact to |vocabulary|
     rows (checkpointed), and every round after that touches only that
     table: pair explode (row-local transform over the symbol array) →
-    map-side-combined count → a ONE-ROW argmax (TakeOrdered) broadcast
-    back into the rewrite. Per-round state is checkpointed (the
-    k-means/HITS iteration pattern), so {R} rounds are {R} flat tiny
-    jobs. At 100 TB the vocabulary table is millions of rows, not
+    map-side-combined count → a ONE-ROW argmax (TakeOrdered) COLLECTED
+    to the driver (the scalar-watermark collect class: one bounded row
+    per round, exactly what every real BPE trainer does with the merge
+    table) and fed back into the rewrite as string LITERALS. Per-round
+    word state is checkpointed (the k-means iteration pattern), so {R}
+    rounds are 2 flat tiny jobs each — argmax collect + rewrite
+    checkpoint; the r13 form this replaces spent ~37 scheduler
+    round-trips materializing each 1-row argmax as its own checkpoint
+    plus a broadcast exchange, and unioning 8 one-row DataFrames at the
+    end (now a single {R}-row createDataFrame from the collected merge
+    rows). At 100 TB the vocabulary table is millions of rows, not
     petabytes — the corpus is scanned exactly once."""
     from modevetl_spark.operators.text import tokens
 
@@ -768,18 +775,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
-            .localCheckpoint()
+            .collect()
         )
-        merges.append(
-            best.select(
-                F.lit(step).cast("int").alias("step"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
-        words = words.crossJoin(F.broadcast(best)).select(
+        if not best:
+            # no word carries a pair: every later round's argmax is
+            # empty too (the rewrite against an empty argmax emptied
+            # the word table in the pre-r13 form) — no further merges
+            break
+        a, b, cnt = best[0].a, best[0].b, best[0].cnt
+        merges.append((step, a, b, a + b, cnt))
+        words = words.select(
             "word",
             "freq",
             F.array_join(
@@ -787,21 +792,24 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.trim(
                         F.replace(
                             F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
-                            F.concat(F.lit(" "), F.col("a"), F.lit("  "),
-                                     F.col("b"), F.lit(" ")),
-                            F.concat(F.lit(" "), F.col("a"), F.col("b"),
-                                     F.lit(" ")),
+                            F.lit(" " + a + "  " + b + " "),
+                            F.lit(" " + a + b + " "),
                         )
                     ),
                     " +",
                 ),
                 "  ",
             ).alias("repr"),
-        ).localCheckpoint()
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+            # lazy: the next round's argmax collect materializes (and
+            # persists) the rewrite inside its own job — one scheduler
+            # round-trip per round instead of two; later references
+            # read the persisted RDD, so nothing re-evaluates
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
 
 
 _doc = bpe_merges.__doc__

@@ -531,14 +531,20 @@ class TestBpeMerges:
         ]
 
     def test_plan_trains_on_checkpointed_vocab(self, spark, sf_dir):
+        """r13 shape: each round's 1-row argmax is collected and fed
+        back as literals, and the merge table is returned as local
+        rows — so the returned plan touches neither the corpus nor any
+        join/exchange (the pre-r13 form unioned 8 checkpointed one-row
+        DataFrames through 8 broadcast exchanges)."""
         from modevetl_spark.queries.wave10 import bpe_merges
         from tests.test_plans import plan
 
         p = plan(bpe_merges(spark, sf_dir))
-        assert "Python" not in p
         # every round ran eagerly on the checkpointed word-frequency
         # table; the visible plan never rescans the corpus
         assert "documents" not in p
+        assert "Exchange" not in p
+        assert "Join" not in p
 
 
 def test_burstiness_single_doc_corpus_empty(spark, tmp_path):
