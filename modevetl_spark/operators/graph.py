@@ -112,10 +112,24 @@ def pagerank(
             e.select(F.col("s").alias("node"))
             .union(e.select(F.col("d").alias("node")))
             .distinct()
+        )
+        out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+        # the dangling-node membership is loop-invariant: pin it onto
+        # the vertex table ONCE (r13, guide §2.1 — the per-iteration
+        # left-anti join + one-row broadcast exchange this replaces was
+        # two scheduler round-trips per iteration)
+        vflag = (
+            verts.join(
+                out_deg.select(F.col("s").alias("node")).withColumn(
+                    "has_out", F.lit(True)
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.col("has_out").isNull().alias("is_dang"))
             .cache()
         )
-        n = verts.count()
-        out_deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg")).cache()
+        n = vflag.count()
         # out-degree is loop-invariant: attach it to the edge list ONCE,
         # so each iteration runs a single src-keyed join instead of two
         e_deg = (
@@ -131,10 +145,39 @@ def pagerank(
         # shuffle width to the graph and parks AQE, same reasoning as
         # the closure loop.
         try:
-            ranks = verts.select(
-                "node", _q(F.lit(1.0 / n)).alias("rank")
-            ).localCheckpoint(eager=True)
+            from pyspark.sql import Observation
+
+            # dangling mass: rank on nodes with no out-links — the same
+            # order-free decimal sum as before (the per-row cast skips
+            # non-dangling rows as SQL NULLs, so the decimal fold sees
+            # exactly the old anti-join subset), now observed DURING
+            # each iteration's eager checkpoint job and read back as a
+            # driver scalar for the NEXT iteration's literal: zero
+            # extra jobs where the r12 form paid a left-anti join plus
+            # a one-row broadcast exchange per iteration (r13, guide
+            # §5.3 — the scalar is loop state, not data). Eager
+            # checkpoints stay: only the plan-truncating eager form
+            # keeps Catalyst analysis O(1) per iteration (the lazy
+            # variant grew the logical plan and analysis time
+            # quadratically — measured slower than r12).
+            def _dang_sum():
+                return F.coalesce(
+                    F.sum(
+                        F.when(F.col("is_dang"), F.col("rank")).cast(dec)
+                    ).cast("double"),
+                    F.lit(0.0),
+                ).alias("dm")
+
+            obs = Observation()
+            ranks = (
+                vflag.select(
+                    "node", _q(F.lit(1.0 / n)).alias("rank"), "is_dang"
+                )
+                .observe(obs, _dang_sum())
+                .localCheckpoint(eager=True)
+            )
             for _ in range(iterations):
+                dm = obs.get["dm"]
                 contribs = (
                     e_deg.join(ranks, e_deg.s == ranks.node)
                     .select(
@@ -148,37 +191,26 @@ def pagerank(
                     .groupBy("node")
                     .agg(F.sum("c").cast("double").alias("s_in"))
                 )
-                # dangling mass: rank on nodes with no out-links — a
-                # broadcast ONE-ROW aggregate inside the DAG (no collect:
-                # one job per iteration, not two), decimal-summed so
-                # fetch order can't move it
-                dang = (
-                    ranks.join(out_deg, ranks.node == out_deg.s, "left_anti")
-                    .agg(
-                        F.coalesce(
-                            F.sum(F.col("rank").cast(dec)).cast("double"),
-                            F.lit(0.0),
-                        ).alias("dm")
-                    )
-                )
+                obs = Observation()
                 ranks = (
-                    verts.join(contribs, "node", "left")
-                    .crossJoin(F.broadcast(dang))
+                    vflag.join(contribs, "node", "left")
                     .select(
                         "node",
                         _q(
                             F.lit(teleport)
                             + F.lit(damping)
                             * F.coalesce(F.col("s_in"), F.lit(0.0))
-                            + F.lit(damping) * F.col("dm") / F.lit(n)
+                            + F.lit(damping) * F.lit(dm) / F.lit(n)
                         ).alias("rank"),
+                        "is_dang",
                     )
+                    .observe(obs, _dang_sum())
                     .localCheckpoint(eager=True)
                 )
+            ranks = ranks.select("node", "rank")
         finally:
             e.unpersist()
-            verts.unpersist()
-            out_deg.unpersist()
+            vflag.unpersist()
             e_deg.unpersist()
     return ranks
 
