@@ -197,19 +197,33 @@ def _closure_doubling(
     # tuned width too (same setup-width lesson as pagerank: the session's
     # full-table width wastes task overhead on a small edge list)
     n_edges = edges.count()
+    from pyspark.sql import Observation
+
     with _tuned_shuffle(edges, n_edges):
-        closure = edges.select(src, dst).distinct().localCheckpoint(eager=True)
-        n = closure.count()
+        # the fixpoint row count rides each round's eager checkpoint as
+        # an observed metric (r13: one scheduler round-trip per round
+        # instead of two — the post-checkpoint count() job re-scanned
+        # the persisted RDD only to drive the termination test)
+        obs = Observation()
+        closure = (
+            edges.select(src, dst)
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = obs.get["n"]
         for _ in range(max_iterations):
+            obs = Observation()
             doubled = (
                 closure.withColumnRenamed(dst, "__mid")
                 .join(closure.withColumnRenamed(src, "__mid"), on="__mid")
                 .select(src, dst)
                 .union(closure)
                 .distinct()
+                .observe(obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
-            n2 = doubled.count()
+            n2 = obs.get["n"]
             if n2 == n:
                 return closure
             closure, n = doubled, n2
