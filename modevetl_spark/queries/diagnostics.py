@@ -909,22 +909,19 @@ def _hits_replay(
 ) -> tuple[dict[int, float], dict[int, float]]:
     """Driver-side replay of :func:`modevetl_spark.operators.graph.hits`
     over the class-collapsed state — bit-identical to the in-DAG form:
-    ``_round9`` is Spark's ROUND(double, 9) (HALF_UP on the exact
-    decimal expansion), ``_dec9`` the exact double→DECIMAL(18,9) cast,
-    decimal sums are exact/order-free in both engines, float(Decimal)
-    and JVM Decimal.toDouble are both correctly rounded, and a Python
-    ZeroDivisionError corresponds to the ANSI DIVIDE_BY_ZERO abort the
-    in-DAG division raised on the same degenerate input. Returns
-    (authority per class, hub per class) after ``iterations`` rounds.
+    ``_round9`` is Spark's ROUND(double, 9) (HALF_UP on the double's
+    SHORTEST decimal repr — the JVM's ``BigDecimal.valueOf`` path, see
+    the ``_round9`` docstring and probe battery), ``_dec9`` the
+    double→DECIMAL(18,9) cast (same shortest-repr quantization —
+    Spark's Cast routes double→Decimal through ``BigDecimal.decimal`` =
+    ``valueOf``), decimal sums are exact/order-free in both engines,
+    float(Decimal) and JVM Decimal.toDouble are both correctly rounded,
+    and a Python ZeroDivisionError corresponds to the ANSI
+    DIVIDE_BY_ZERO abort the in-DAG division raised on the same
+    degenerate input. Returns (authority per class, hub per class)
+    after ``iterations`` rounds.
     """
-    import decimal
-
-    from modevetl_spark.queries.wave11 import _round9
-
-    def _dec9(x: float) -> decimal.Decimal:
-        return decimal.Decimal(x).quantize(
-            decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
-        )
+    from modevetl_spark.queries.wave11 import _dec9, _round9
 
     classes = sorted(cnt)
     n_src = sum(cnt.values())

@@ -597,3 +597,44 @@ class TestMixtureTemperature:
         assert odf.loc["tiny", "share_linear_ppm"] == 0
         assert math.isnan(odf.loc["tiny", "boost"])  # pandas NULL -> NaN
         assert math.isfinite(odf.loc["big", "boost"])
+
+
+class TestRound9Mirror:
+    """Pin the JVM rounding semantics the driver-side replays mirror.
+
+    Spark's ROUND(double, n) and CAST(double AS DECIMAL) both route
+    through BigDecimal.valueOf(d) = Double.toString(d): HALF_UP on the
+    double's SHORTEST decimal representation, not its exact binary
+    expansion. Probed on this build (Spark 4.1.2 / JDK 17): a 16k-value
+    battery with 8k half-ulp boundary doubles matched repr-based HALF_UP
+    16000/16000 while exact-expansion HALF_UP mismatched 2284. The two
+    pinned values below are battery members verified against Spark SQL:
+      round(CAST(7.5e-09 AS DOUBLE), 9)         = 8e-09
+      round(CAST(0.1234567885 AS DOUBLE), 9)    = 0.123456789
+    (their exact expansions are ...49999, which would round DOWN)."""
+
+    def test_round9_uses_shortest_repr(self):
+        from modevetl_spark.queries.wave11 import _round9
+
+        assert _round9(7.5e-09) == 8e-09
+        assert _round9(0.1234567885) == 0.123456789
+        # non-boundary values are unaffected
+        assert _round9(0.0128733049) == 0.012873305
+        assert _round9(1.0 / 3.0) == 0.333333333
+
+    def test_dec9_uses_shortest_repr(self):
+        import decimal
+
+        from modevetl_spark.queries.wave11 import _dec9
+
+        assert _dec9(7.5e-09) == decimal.Decimal("8E-9")
+        assert _dec9(0.1234567885) == decimal.Decimal("0.123456789")
+
+    def test_nan_inf_passthrough(self):
+        import math
+
+        from modevetl_spark.queries.wave11 import _round9
+
+        assert math.isnan(_round9(float("nan")))
+        assert _round9(float("inf")) == float("inf")
+        assert _round9(None) is None
