@@ -319,20 +319,116 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form unit tests (2-cycle symmetry, rank conservation, hub
     dominance) still pin the math independently.
 
-    Scale shape per iteration: one src-keyed join (co-partitioned when
-    the edge list is pre-partitioned on src), one dst-keyed contribution
-    agg with map-side combine; dangling mass is a broadcast one-row
-    aggregate inside the same job (no driver collect)."""
+    Plan shape (r13 optimization, guide §8 "decide with small rows"):
+    THIS query's edge list is the heap-shaped partkey tree, where every
+    node's out-degree is exactly 1 (the parent edge), the root is the
+    single dangling node, and — because a heap subtree's shape is
+    determined by its size — ``rank_k(v)`` is a function of
+    ``subtree_size(v)`` alone. The O(log M) size classes and their
+    contiguous node-id segments come from
+    :mod:`modevetl_spark.operators.heaptree`; one guard aggregate
+    proves the partkeys contiguous, and the 10 iterations replay on the
+    driver over the bounded class state (``_pagerank_heap_replay``),
+    mirroring the operator's round/cast/decimal-sum semantics step for
+    step — the same bounded-replay class as q_graph_hits' residue
+    collapse. The former form paid ~28 scheduler round-trips (a
+    join + contribution agg + eager checkpoint per iteration) on a rank
+    vector that only LOOKED data-sized. Non-contiguous (hostile-twin)
+    inputs fail the guard and take the unchanged generic operator.
+
+    Generic-operator scale shape per iteration (the fallback): one
+    src-keyed join (co-partitioned when the edge list is pre-partitioned
+    on src), one dst-keyed contribution agg with map-side combine;
+    dangling mass rides each iteration's checkpoint as an observed
+    metric (no driver collect)."""
     from modevetl_spark.operators.graph import pagerank, partkey_tree_edges
+    from modevetl_spark.operators.heaptree import (
+        contiguous_partkey_max,
+        size_segments,
+    )
 
     prep(spark)
     part = load(spark, sf_dir, "part")
+    m = contiguous_partkey_max(part)
+    if m is not None:
+        r_by_size = _pagerank_heap_replay(m, iterations=10)
+        # final contract: ROUND(rank, 8), top 50 by (rank DESC, node ASC).
+        # Select on the ROUNDED key (8dp ties can straddle distinct 9dp
+        # ranks), emitting ascending node ids inside each tied group.
+        from modevetl_spark.queries.wave11 import _round_repr
+
+        segs = sorted(
+            size_segments(m),
+            key=lambda s: (-_round_repr(r_by_size[s[2]], 8), s[0]),
+        )
+        rows: list[tuple[int, float]] = []
+        i = 0
+        while len(rows) < 50 and i < len(segs):
+            r8 = _round_repr(r_by_size[segs[i][2]], 8)
+            tied = [s for s in segs if _round_repr(r_by_size[s[2]], 8) == r8]
+            ids = sorted(
+                v for lo, hi, _sz in tied for v in range(lo, hi + 1)
+            )
+            rows.extend((v, r8) for v in ids[: 50 - len(rows)])
+            i += len(tied)
+        return spark.createDataFrame(rows, "node long, rank double").orderBy(
+            F.col("rank").desc(), "node"
+        )
     ranks = pagerank(partkey_tree_edges(part), iterations=10)
     return (
         ranks.select("node", F.round("rank", 8).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
         .limit(50)
     )
+
+
+def _pagerank_heap_replay(
+    m: int, iterations: int = 10, damping: float = 0.85
+) -> dict[int, float]:
+    """Driver-side replay of :func:`modevetl_spark.operators.graph.
+    pagerank` over the heap tree's subtree-size classes — bit-identical
+    to the in-DAG form on contiguous partkeys ``1..m``: out-degree is 1
+    everywhere (``round9(rank / 1) = rank``, already 9dp), the per-node
+    contribution sum has ≤ 2 terms (the children), accumulated as exact
+    DECIMAL(18,9) (``_dec9`` = the double→decimal cast, shortest-repr
+    HALF_UP) and re-entered as a correctly-rounded double; the dangling
+    mass is the root's rank (the only node without an out-edge); the
+    rank update mirrors the operator's left-associated IEEE tree
+    ``(teleport + damping·s_in) + (damping·dm)/n`` with the same
+    ``_round9`` quantization. Returns the final rank per subtree size.
+    State is O(log m) floats — bounded by the tree DEPTH, not the data.
+    """
+    from modevetl_spark.queries.wave11 import _dec9, _round9
+    from modevetl_spark.operators.heaptree import child_sizes
+
+    n = m
+    teleport = (1.0 - damping) / n
+    sizes: set[int] = set()
+    stack = [m]
+    while stack:
+        s = stack.pop()
+        if s <= 0 or s in sizes:
+            continue
+        sizes.add(s)
+        left, right = child_sizes(s)
+        stack.extend((left, right))
+    r = {s: _round9(1.0 / n) for s in sizes}
+    dm = float(_dec9(r[m]))
+    for _ in range(iterations):
+        nxt: dict[int, float] = {}
+        for s in sizes:
+            left, right = child_sizes(s)
+            if left or right:
+                acc = _dec9(r[left]) if left else 0
+                if right:
+                    acc += _dec9(r[right])
+                s_in = float(acc)
+            else:
+                s_in = 0.0  # leaf: left-join NULL → COALESCE(0.0)
+            nxt[s] = _round9((teleport + damping * s_in) + (damping * dm) / n)
+        r = nxt
+        dm = float(_dec9(r[m]))
+    return r
 
 
 _DEGREES_ORACLE = """

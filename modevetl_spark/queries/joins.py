@@ -163,11 +163,47 @@ GROUP BY ancestor
 @q("q_graph_closure", oracle_sql=_CLOSURE_ORACLE)
 def graph_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: transitive closure fixpoint (``hierarchy.py``), semi-naive
-    iteration; oracle via DuckDB WITH RECURSIVE."""
+    iteration; oracle via DuckDB WITH RECURSIVE.
+
+    Plan shape (r13 optimization, guide §8): THIS query's edge list is
+    the heap-shaped partkey tree (child k → k div 2), where
+    ``n_descendants(a)`` is the ancestor's subtree size − 1 — a closed
+    form over O(log M) contiguous node-id segments
+    (:mod:`modevetl_spark.operators.heaptree`). When one guard
+    aggregate proves the partkeys contiguous (the declared fixture
+    shape), the whole path-doubling fixpoint (4 rounds × self-join +
+    union + distinct, ~13 Spark jobs at sf0.1) is replaced by
+    ``spark.range(1, M div 2 + 1)`` broadcast-range-joined to the ≤
+    3·log₂M-row segment table — one parallel generate, zero iterative
+    shuffles, and at 100 TB the guard pass is the only data-sized work.
+    Non-contiguous (hostile-twin) inputs fail the guard and take the
+    unchanged semi-naive operator path."""
     prep(spark)
     from modevetl_spark.operators.graph import partkey_tree_edges
+    from modevetl_spark.operators.heaptree import (
+        contiguous_partkey_max,
+        size_segments,
+    )
 
     part = load(spark, sf_dir, "part")
+    m = contiguous_partkey_max(part)
+    if m is not None:
+        segs = [
+            (lo, min(hi, m // 2), size - 1)
+            for lo, hi, size in size_segments(m)
+            if lo <= m // 2 and size > 1
+        ]
+        seg_df = spark.createDataFrame(
+            segs, "lo long, hi long, n_descendants long"
+        )
+        return (
+            spark.range(1, m // 2 + 1)
+            .join(
+                F.broadcast(seg_df),
+                (F.col("id") >= F.col("lo")) & (F.col("id") <= F.col("hi")),
+            )
+            .select(F.col("id").alias("ancestor"), "n_descendants")
+        )
     edges = partkey_tree_edges(part).select(
         F.col("src").alias("node"), F.col("dst").alias("ancestor")
     )
