@@ -628,21 +628,40 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    rr = global_rank(
-        base.select("o_custkey", "recency_days"),
-        ["recency_days", "o_custkey"],
-        rank_col="_rr",
-    ).select("o_custkey", "_rr")
-    ff = global_rank(
-        base.select("o_custkey", "frequency"),
-        [F.col("frequency").desc(), F.col("o_custkey")],
-        rank_col="_rf",
-    ).select("o_custkey", "_rf")
-    mm = global_rank(
-        base.select("o_custkey", "monetary"),
-        [F.col("monetary").desc(), F.col("o_custkey")],
-        rank_col="_rm",
-    ).select("o_custkey", "_rm")
+    # The three rank passes are INDEPENDENT given the pinned base —
+    # build them from a small thread pool (guide §2.6) so their eager
+    # range-exchange + checkpoint jobs overlap instead of serializing
+    # three scheduler round-trips; each pass's layout/rank assignment
+    # is pinned inside its own checkpoint, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _rank(cols, keys, rank_col):
+        return global_rank(
+            base.select("o_custkey", cols), keys, rank_col=rank_col
+        ).select("o_custkey", rank_col)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_rr = pool.submit(
+            inheritable_thread_target(_rank),
+            "recency_days",
+            ["recency_days", "o_custkey"],
+            "_rr",
+        )
+        f_ff = pool.submit(
+            inheritable_thread_target(_rank),
+            "frequency",
+            [F.col("frequency").desc(), F.col("o_custkey")],
+            "_rf",
+        )
+        f_mm = pool.submit(
+            inheritable_thread_target(_rank),
+            "monetary",
+            [F.col("monetary").desc(), F.col("o_custkey")],
+            "_rm",
+        )
+        rr, ff, mm = f_rr.result(), f_ff.result(), f_mm.result()
     buckets = (
         base.select("o_custkey", "monetary")
         .join(rr, "o_custkey")
