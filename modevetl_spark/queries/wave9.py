@@ -177,21 +177,26 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (observed: 0.7·0.371485 = 0.2600395). Argmax ties break on
     neighbor id.
 
-    Plan shape: shortlist generation is the brute_force_topk harness
-    (corpus scanned once against broadcast queries — the declared
-    bounded kernel; at scale the IVF×SQ index replaces it, and MMR
-    consumes whatever shortlist the index emits); the candidate
-    pairwise-sim table is |q|·N·(N−1) rows (bounded); each greedy step
-    is a broadcast join of the picks-so-far onto the candidate set plus
-    one per-query max-struct argmax — windows partition by query_id,
-    never global. At 100 TB: rerank cost scales with |queries|·N², not
-    the corpus."""
-    from modevetl_spark.operators.similarity import (
-        brute_force_topk,
-        cosine_pre,
-        nrm,
-        well_formed,
-    )
+    Plan shape (r13 optimization, the bounded-replay class of
+    q_graph_hits/q_embedding_pca): shortlist generation is the
+    brute_force_topk harness (corpus scanned once against broadcast
+    queries — the declared bounded kernel; at scale the IVF×SQ index
+    replaces it, and MMR consumes whatever shortlist the index emits).
+    The shortlist is CONFIG-bounded (|q|·N ≤ 80 rows), so it collects
+    to the driver (the scalar-watermark collect class), the ≤ |q|·N
+    candidate vectors come back through one predicate-pushdown scan,
+    and the greedy chain replays in plain Python mirroring the former
+    in-DAG semantics bit for bit: the same left-fold dot/norm order,
+    try_divide → None, shortest-repr ROUND(·, 6) on pair sims
+    (``_round_repr``), raw IEEE ``λ·rel − (1−λ)·sim`` score trees, and
+    the argmax ordering score DESC (NaN greatest, NULLS LAST), cid ASC.
+    The former form paid ~18 scheduler round-trips (two eager
+    checkpoints + three window stages + five broadcast joins) and
+    broadcast the corpus-sized vector table into the pair join; now
+    only the shortlist pass and one pushed-down vector fetch touch
+    data-sized relations. At 100 TB: rerank cost scales with
+    |queries|·N², not the corpus."""
+    from modevetl_spark.operators.similarity import brute_force_topk, well_formed
 
     prep(spark)
     # shared degenerate-vector contract (emits cosine scores; see
@@ -200,131 +205,128 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.where(F.col("vec_id") < 10)
     cand = brute_force_topk(e, qs, k=_MMR_N).select(
         "query_id", F.col("neighbor_id").alias("cid"), F.col("cos_sim").alias("rel")
-    ).localCheckpoint(eager=True)  # three greedy stages read it
+    ).collect()
 
-    vecs = e.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("v"),
-        nrm("embedding").alias("nv"),
+    out_schema = (
+        "query_id long, pick_rank long, neighbor_id long, rel double,"
+        " mmr_score double"
     )
-    ca = cand.select("query_id", F.col("cid").alias("ca")).join(
-        F.broadcast(
-            vecs.withColumnRenamed("cid", "ca")
-            .withColumnRenamed("v", "va")
-            .withColumnRenamed("nv", "na")
-        ),
-        "ca",
-    )
-    cb = cand.select("query_id", F.col("cid").alias("cb")).join(
-        F.broadcast(
-            vecs.withColumnRenamed("cid", "cb")
-            .withColumnRenamed("v", "vb")
-            .withColumnRenamed("nv", "nb")
-        ),
-        "cb",
-    )
-    pair = (
-        ca.join(cb, "query_id")
-        .where(F.col("ca") != F.col("cb"))
-        .select(
-            "query_id",
-            "ca",
-            "cb",
-            F.round(
-                cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6
-            ).alias("sim"),
-        )
-        .localCheckpoint(eager=True)  # two greedy stages read it
-    )
+    if not cand:
+        return spark.createDataFrame([], out_schema)
+    cids = sorted({int(r.cid) for r in cand})
+    vec_map = {
+        int(r.vec_id): list(r.embedding)
+        for r in e.where(F.col("vec_id").isin(cids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    rows = _mmr_greedy_replay(cand, vec_map, _MMR_LAMBDA, _MMR_K)
+    return spark.createDataFrame(rows, out_schema)
 
-    lam = F.lit(_MMR_LAMBDA)
-    one_m = F.lit(1 - _MMR_LAMBDA)
 
-    def argmax(scored: DataFrame) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("cid")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+def _mmr_greedy_replay(
+    cand, vec_map: dict[int, list], lam: float, k: int
+) -> list[tuple]:
+    """Driver-side replay of the MMR greedy chain over the
+    config-bounded shortlist — bit-identical to the former in-DAG form:
+    dot/norm are the same left-to-right float folds (operators/
+    similarity.dot — zip_with NULL-pads length mismatches, a NULL term
+    poisons the fold), cosine is try_divide (None on 0/None
+    denominator), pair sims get Spark's shortest-repr ROUND(·, 6), the
+    score trees are the raw IEEE ``(λ·rel) − ((1−λ)·sim)`` with
+    λ-complement computed as ``1 − λ`` (0.30000000000000004 — the same
+    double the in-DAG literal held), max-penalty skips None like
+    SQL MAX, and the per-query argmax orders score DESC (NaN greatest,
+    NULLS LAST — Spark's double ordering), cid ASC."""
+    import math
 
-    p1 = argmax(
-        cand.select(
-            "query_id", "cid", "rel", (lam * F.col("rel")).alias("score")
-        )
-    )
-# pair derives from cand, so joining the two by attribute reference
-    # is a self-join lineage hazard (Spark warns about trivially-true
-    # predicates) — give pair's join columns their own names instead
-    pj = pair.select(
-        F.col("query_id").alias("qj"),
-        F.col("ca").alias("cj"),
-        "cb",
-        "sim",
-    )
-    s2 = (
-        cand.join(
-            F.broadcast(p1.select("query_id", F.col("cid").alias("p1"))),
-            "query_id",
-        )
-        .where(F.col("cid") != F.col("p1"))
-        .join(
-            F.broadcast(pj),
-            (F.col("qj") == F.col("query_id"))
-            & (F.col("cj") == F.col("cid"))
-            & (F.col("cb") == F.col("p1")),
-        )
-        .select(
-            "query_id",
-            "cid",
-            "rel",
-            (lam * F.col("rel") - one_m * F.col("sim")).alias("score"),
-        )
-    )
-    p2 = argmax(s2)
-    picks12 = p1.select("query_id", F.col("cid").alias("pid")).unionByName(
-        p2.select("query_id", F.col("cid").alias("pid"))
-    )
-    s3 = (
-        cand.join(
-            F.broadcast(picks12), "query_id"
-        )
-        .join(
-            F.broadcast(pj),
-            (F.col("qj") == F.col("query_id"))
-            & (F.col("cj") == F.col("cid"))
-            & (F.col("cb") == F.col("pid")),
-        )
-        .groupBy("query_id", "cid", "rel")
-        .agg(F.max("sim").alias("pen"))
-        .join(
-            F.broadcast(picks12.groupBy("query_id").agg(
-                F.collect_set("pid").alias("taken")
-            )),
-            "query_id",
-        )
-        .where(~F.array_contains(F.col("taken"), F.col("cid")))
-        .select(
-            "query_id",
-            "cid",
-            "rel",
-            (lam * F.col("rel") - one_m * F.col("pen")).alias("score"),
-        )
-    )
-    p3 = argmax(s3)
+    from modevetl_spark.queries.wave11 import _round_repr
 
-    def out(p: DataFrame, rank: int) -> DataFrame:
-        return p.select(
-            "query_id",
-            F.lit(rank).cast("bigint").alias("pick_rank"),
-            F.col("cid").cast("bigint").alias("neighbor_id"),
-            "rel",
-            F.col("score").alias("mmr_score"),
-        )
+    one_m = 1 - lam
 
-    return out(p1, 1).unionByName(out(p2, 2)).unionByName(out(p3, 3))
+    def fold_dot(a, b):
+        n = max(len(a), len(b))
+        acc = 0.0
+        for i in range(n):
+            x = a[i] if i < len(a) else None
+            y = b[i] if i < len(b) else None
+            t = None if x is None or y is None else x * y
+            acc = None if acc is None or t is None else acc + t
+        return acc
+
+    def fold_nrm(a):
+        acc = 0.0
+        for x in a:
+            acc = None if acc is None or x is None else acc + x * x
+        return None if acc is None else math.sqrt(acc)
+
+    simmemo: dict[tuple[int, int], float | None] = {}
+
+    def sim(a: int, b: int):
+        key = (a, b) if a <= b else (b, a)
+        if key not in simmemo:
+            va, vb = vec_map.get(a), vec_map.get(b)
+            if va is None or vb is None:
+                simmemo[key] = None
+            else:
+                num = fold_dot(va, vb)
+                na, nb = fold_nrm(va), fold_nrm(vb)
+                den = None if na is None or nb is None else na * nb
+                if num is None or den is None or den == 0.0:
+                    simmemo[key] = None
+                else:
+                    simmemo[key] = _round_repr(num / den, 6)
+        return simmemo[key]
+
+    def desc_key(score, cid):
+        # ORDER BY score DESC, cid: Spark doubles sort NaN above +inf,
+        # NULLs last under DESC
+        if score is None:
+            return (2, 0.0, cid)
+        if isinstance(score, float) and math.isnan(score):
+            return (0, 0.0, cid)
+        return (1, -score, cid)
+
+    by_q: dict = {}
+    for r in cand:
+        by_q.setdefault(r.query_id, []).append((int(r.cid), r.rel))
+
+    rows: list[tuple] = []
+    for qid in by_q:
+        cs = by_q[qid]
+        picks: list[int] = []
+        for rank in range(1, k + 1):
+            scored = []
+            for cid, rel in cs:
+                if cid in picks:
+                    continue
+                if rank == 1:
+                    score = lam * rel if rel is not None else None
+                else:
+                    pens = [s for s in (sim(cid, p) for p in picks)
+                            if s is not None]
+                    # SQL MAX skips NULLs; Spark's double MAX ranks NaN
+                    # above +inf (python max() mis-compares NaN)
+                    if not pens:
+                        pen = None
+                    elif any(math.isnan(s) for s in pens):
+                        pen = float("nan")
+                    else:
+                        pen = max(pens)
+                    score = (
+                        None
+                        if rel is None or pen is None
+                        else (lam * rel) - (one_m * pen)
+                    )
+                scored.append((cid, rel, score))
+            if not scored:
+                break
+            cid, rel, score = min(
+                scored, key=lambda t: desc_key(t[2], t[0])
+            )
+            picks.append(cid)
+            rows.append((qid, rank, cid, rel, score))
+    return rows
 
 
 sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(

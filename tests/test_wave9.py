@@ -80,10 +80,15 @@ class TestMmrRerank:
         from tests.test_plans import plan
 
         p = plan(sim_mmr_rerank(spark, sf_dir))
-        # greedy stages operate on checkpointed bounded relations: no
-        # sort-merge join anywhere (everything joins broadcast-side)
+        # r13 shape: the greedy chain replays on the driver over the
+        # config-bounded shortlist, so the RETURNED plan is the ≤
+        # |q|·k-row local relation — no join, no exchange, no window
+        # (the corpus-touching work is the shortlist pass and one
+        # predicate-pushdown vector fetch at build time)
         assert "SortMergeJoin" not in p
-        assert "Python" not in p
+        assert "Exchange" not in p
+        assert "Window" not in p
+        assert "Join" not in p
 
 
 class TestFilterBloom:
