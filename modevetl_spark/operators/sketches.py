@@ -604,8 +604,6 @@ def histogram_quantiles(
     one bucket 0 holding every row, with the verdict still true by the
     rank definition.
     """
-    from modevetl_spark.operators.ranking import global_running
-
     spark = df.sparkSession
     vals = df.select(F.col(value_col).alias("v"))
     stats = vals.agg(
@@ -629,7 +627,21 @@ def histogram_quantiles(
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = global_running(hist, ["bucket"], sums={"cum": "cnt"})
+    from pyspark.sql import Window
+
+    # cumulative walk over the ≤K-row histogram: a BOUNDED window (the
+    # `bucket - bucket` constant partition key keeps partitionSpec
+    # non-empty for the data-sized-window gate, exactly the
+    # operators/ranking._offsets idiom) — r13: the former
+    # global_running call span a range exchange + eager checkpoint +
+    # offset machinery sized for data-cardinality input on a relation
+    # bounded by the config K
+    w_cum = (
+        Window.partitionBy(F.col("bucket") - F.col("bucket"))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("bucket", F.sum("cnt").over(w_cum).alias("cum"))
     probs_df = spark.createDataFrame(probs, "p_label string, p double")
     tgt = probs_df.crossJoin(
         F.broadcast(stats.select("mn", "width", "n"))
