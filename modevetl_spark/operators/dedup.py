@@ -105,10 +105,15 @@ def minhash_band_keys_md5(
     ``('0x'||substr(md5(s),1,8))::BIGINT``, then
     mh_i = (a_i*h0 + b_i) mod P with a_i, b_i derived from i).
 
-    Same plan shape as :func:`minhash_signatures`: explode shingles, hash
-    each string once, fan out k permutation rows, one codegen'd hash-agg
-    with map-side combine computes all mins, then one agg per (doc, band)
-    folds the band key. Returns (id_col, band, band_key).
+    Same plan shape as :func:`minhash_signatures` (r13, guide §2.3/2.4):
+    explode shingles, hash each string once, then ONE codegen'd hash-agg
+    with map-side combine computes all k mins as WIDE aggregate
+    expressions — the permutation constants a_i/b_i fold to literals, so
+    there is no k-way row fanout and no second (doc, i) exchange (the
+    former form exploded every shingle k× and aggregated twice). Band
+    keys are projected from the wide mins (same i-ascending '-' concat,
+    NULL mins skipped by concat_ws exactly as before) and unpivoted
+    JVM-side. Returns (id_col, band, band_key).
     """
     p = MINHASH_P
     sh = spread(docs).select(
@@ -118,26 +123,39 @@ def minhash_band_keys_md5(
         ),
     )
     h0 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
-    hs = sh.select(
-        id_col,
-        h0.alias("h0"),
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1)).cast("array<bigint>")).alias("i"),
+    mins = sh.select(id_col, h0.alias("h0")).groupBy(id_col).agg(
+        *[
+            F.min(
+                (
+                    F.lit((2654435761 * (i + 1)) % p) * F.col("h0")
+                    + F.lit((40503 * (i + 7)) % p)
+                )
+                % p
+            ).alias(f"m{i}")
+            for i in range(k)
+        ]
     )
-    a_i = (F.lit(2654435761) * (F.col("i") + 1)) % p
-    b_i = (F.lit(40503) * (F.col("i") + 7)) % p
-    mins = (
-        hs.withColumn("mh", (a_i * F.col("h0") + b_i) % p)
-        .groupBy(id_col, "i")
-        .agg(F.min("mh").alias("mh"))
-        .withColumn("band", (F.col("i") / (k // bands)).cast("bigint"))
+    rows_per = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"m{b * rows_per + r}").cast("string")
+                            for r in range(rows_per)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "mh"))),
-        lambda x: x["mh"].cast("string"),
-    )
-    return mins.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws("-", ordered)).alias("band_key")
-    )
+    return mins.select(
+        id_col, F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_candidates_md5(
