@@ -124,82 +124,105 @@ def rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal fold and no transcendental anywhere (the q_decayed_value
     power-of-two rule).
 
-    Plan shape: two map-side-combined part aggregates; each top-{D}
-    prefix compiles to TakeOrderedAndProject (per-task {D}-row heaps,
-    ZERO exchanges for the rank step); prefix ranks come from a
-    {D}×{D} broadcast theta-join (a 32-row relation — the window-free
-    offsets pattern, no global window anywhere); the depth grid,
-    overlap histogram and cumulative join are all ≤ {D}-row broadcast
-    relations. At 100 TB the cost is exactly the two part-level
-    aggregates; everything after is constant-size."""
+    Plan shape (r13 optimization — one fact pass + bounded driver
+    replay, the q_graph_hits class): the two measure rollups FUSE into
+    ONE map-side-combined part aggregate (the former form scanned the
+    fact once per measure); each top-{D} prefix is a
+    TakeOrderedAndProject collect off the pinned aggregate — 2·{D}
+    rows, a CONFIG bound — and the entire agreement curve (prefix
+    ranks, overlap histogram, pico terms, cumulative RBO) is exact
+    integer/decimal arithmetic over those ≤ 2·{D} rows, replayed in
+    Python mirroring the former in-DAG ops: exact DECIMAL rank
+    comparisons with SQL NULL-miss semantics, shortest-repr
+    ROUND(·, 12) on the one correctly-rounded division, exact
+    pico-unit integers, truncating `div 2`. At 100 TB the cost is
+    exactly the one part-level aggregate; everything after is
+    constant-size."""
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
     dec = "decimal(18,6)"
     # try_cast at both fold seams: one 1e300 price/quantity row NULLs
     # out instead of aborting the stage (COVERAGE.md M11)
-    rev = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(
-                dec
-            )
-        ).alias("s")
+    pp = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).try_cast(
+                    dec
+                )
+            ).alias("s_rev"),
+            F.sum(F.col("l_quantity").try_cast(dec)).alias("s_qty"),
+        )
+        # two TakeOrdered consumers — pin so the fact aggregates once
+        .localCheckpoint(eager=True)
     )
-    qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("l_quantity").try_cast(dec)).alias("s")
+    ta = (
+        pp.select("pk", F.col("s_rev").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("pk"))
+        .limit(_RBO_D)
+        .collect()
+    )
+    tb = (
+        pp.select("pk", F.col("s_qty").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("pk"))
+        .limit(_RBO_D)
+        .collect()
+    )
+    rows = _rbo_replay(ta, tb, _RBO_D)
+    return spark.createDataFrame(
+        rows, "d bigint, x_d bigint, term_pico bigint, rbo_pico bigint"
     )
 
-    def prefix_ranks(agg: DataFrame) -> DataFrame:
-        top = agg.orderBy(F.col("s").desc(), F.col("pk")).limit(_RBO_D)
-        o1 = top.select(F.col("pk").alias("pk1"), F.col("s").alias("s1"))
-        o2 = top.select(F.col("pk").alias("pk2"), F.col("s").alias("s2"))
-        return (
-            o1.join(
-                F.broadcast(o2),
-                (F.col("s2") > F.col("s1"))
-                | ((F.col("s2") == F.col("s1")) & (F.col("pk2") <= F.col("pk1"))),
-            )
-            .groupBy(F.col("pk1").alias("pk"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
-        )
 
-    ra = prefix_ranks(rev).select(F.col("pk").alias("pka"), F.col("r").alias("ra"))
-    rb = prefix_ranks(qty).select(F.col("pk").alias("pkb"), F.col("r").alias("rb"))
-    m = ra.join(rb, F.col("pka") == F.col("pkb"), "full_outer").select(
-        F.greatest(
-            F.coalesce(F.col("ra"), F.lit(_RBO_D + 1)),
-            F.coalesce(F.col("rb"), F.lit(_RBO_D + 1)),
-        ).alias("m")
-    )
-    grid = spark.range(1, _RBO_D + 1).select(F.col("id").alias("d"))
-    x = (
-        grid.join(F.broadcast(m), F.col("m") <= F.col("d"), "left")
-        .groupBy("d")
-        .agg(F.count(F.col("m")).cast("bigint").alias("x_d"))
-    )
-    denom = F.col("d") * F.expr(f"shiftleft(cast(1 as bigint), cast(d - 1 as int))")
-    terms = x.select(
-        F.col("d").cast("bigint").alias("d"),
-        "x_d",
-        (
-            F.round(F.col("x_d").cast("double") / denom, 12).cast("decimal(18,12)")
-            * F.lit(1000000000000).cast("bigint")
+def _rbo_replay(ta, tb, depth: int) -> list[tuple]:
+    """Driver-side replay of the RBO agreement curve over the two
+    collected top-``depth`` prefixes — bit-identical to the former
+    in-DAG form: prefix ranks replicate the theta-join COUNT with SQL
+    NULL semantics (a NULL measure compares false, so NULL-measure rows
+    rank nothing and are ranked by nothing), the full-outer GREATEST/
+    COALESCE(depth+1) miss default, x_d as the count of m ≤ d, the term
+    as Spark's ROUND(x_d/denom, 12) (shortest-repr HALF_UP — one
+    correctly-rounded division of exact integers, denominator
+    d·2^(d−1) < 2^63) in exact pico units, and the cumulative sum
+    halved with truncating integer division."""
+    from modevetl_spark.queries.wave11 import _round_repr
+
+    def ranks(rows):
+        r: dict[int, int] = {}
+        for r1 in rows:
+            if r1.s is None:
+                continue  # NULL s1: every join predicate is NULL-false
+            c = sum(
+                1
+                for r2 in rows
+                if r2.s is not None
+                and (r2.s > r1.s or (r2.s == r1.s and r2.pk <= r1.pk))
+            )
+            if c:
+                r[r1.pk] = c
+        return r
+
+    ra, rb = ranks(ta), ranks(tb)
+    miss = depth + 1
+    ms = [
+        max(ra.get(pk, miss), rb.get(pk, miss))
+        for pk in set(ra) | set(rb)
+    ]
+    out: list[tuple] = []
+    cum = 0
+    for d in range(1, depth + 1):
+        x_d = sum(1 for m in ms if m <= d)
+        term = _round_repr(x_d / (d * (1 << (d - 1))), 12)
+        import decimal
+
+        term_pico = int(
+            decimal.Decimal(repr(term)).quantize(
+                decimal.Decimal("1E-12"), rounding=decimal.ROUND_HALF_UP
+            ).scaleb(12)
         )
-        .cast("bigint")
-        .alias("term_pico"),
-    )
-    t1 = terms.select(
-        F.col("d").alias("d1"), F.col("x_d").alias("x1"), F.col("term_pico").alias("tp1")
-    )
-    t2 = terms.select(F.col("d").alias("d2"), F.col("term_pico").alias("tp2"))
-    return (
-        t1.join(F.broadcast(t2), F.col("d2") <= F.col("d1"))
-        .groupBy(
-            F.col("d1").alias("d"),
-            F.col("x1").alias("x_d"),
-            F.col("tp1").alias("term_pico"),
-        )
-        .agg(F.expr("cast(sum(tp2) as bigint) div 2").alias("rbo_pico"))
-    )
+        cum += term_pico
+        out.append((d, x_d, term_pico, cum // 2))
+    return out
 
 
 rank_rbo.__doc__ = rank_rbo.__doc__.format(D=_RBO_D)

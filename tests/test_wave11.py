@@ -134,10 +134,15 @@ class TestRankRbo:
         from tests.test_plans import plan
 
         p = plan(rank_rbo(spark, sf_dir))
-        assert "Python" not in p
-        assert "Window" not in p  # rank step is the window-free theta-join
-        assert "TakeOrdered" in p  # top-D prefix never globally sorts
+        # r13 shape: the agreement curve replays on the driver over the
+        # two collected top-D prefixes (config-bounded), so the RETURNED
+        # plan is the 32-row local relation — the top-D prefixes
+        # themselves run as TakeOrdered collects off the pinned
+        # single-pass part aggregate at build time
+        assert "Window" not in p
         assert "CartesianProduct" not in p
+        assert "Exchange" not in p
+        assert "Join" not in p
 
 
 class TestEvalNdcg:
