@@ -644,13 +644,15 @@ embedding_pca.__doc__ = embedding_pca.__doc__.format(D=_PCA_D, T=_PCA_T)
 
 def _pca_units_exact(p: float) -> int:
     """BigDecimal-exact nano-units of one double: the integer u with
-    ROUND(p, 9) == u/1e9 under HALF_UP on p's exact decimal expansion —
-    the same number Spark's ``round(_, 9)`` + ``cast DECIMAL(18,9)``
-    produced. Raises on DECIMAL(18,9) overflow exactly where the old
-    ANSI cast did."""
+    ROUND(p, 9) == u/1e9 — HALF_UP on p's SHORTEST decimal repr (the
+    JVM ``BigDecimal.valueOf`` path; see :func:`_round9` and its probe
+    battery — the exact-expansion form diverges on half-ulp boundary
+    doubles, which are precisely the values the Dekker fast path routes
+    here). Raises on DECIMAL(18,9) overflow exactly where the old ANSI
+    cast did."""
     import decimal
 
-    q = decimal.Decimal(p).quantize(
+    q = decimal.Decimal(repr(p)).quantize(
         decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
     )
     if abs(q) >= decimal.Decimal(10**9):
