@@ -1424,10 +1424,22 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    corpus = d.where(F.col("doc_id") % 5 != 0)
-    batch = d.where(F.col("doc_id") % 5 == 0)
-    index = minhash_band_keys_md5(corpus, shingle_n=3, k=16, bands=4)
-    new_rows = minhash_band_keys_md5(batch, shingle_n=3, k=16, bands=4)
+    # banding is a pure per-row function of the text, so computing the
+    # band keys ONCE over the whole table and splitting the RESULT by
+    # the batch predicate is value-identical to banding corpus and
+    # batch separately — and saves a full tokenize+shingle+md5 pass
+    # (r13, guide §2.4: the deployment shape reads the corpus side
+    # from the persisted index anyway; the fixture derives it inline)
+    # pinned: three consumers (index join, batch side, batch self-join)
+    # would each re-run the banding scan — Catalyst does not reuse the
+    # subtree across branches; the materialized relation is the NARROW
+    # (doc_id, band, band_key) index, i.e. exactly what the deployment
+    # shape persists
+    bk = minhash_band_keys_md5(d, shingle_n=3, k=16, bands=4).localCheckpoint(
+        eager=True
+    )
+    index = bk.where(F.col("doc_id") % 5 != 0)
+    new_rows = bk.where(F.col("doc_id") % 5 == 0)
     vs_index = (
         new_rows.join(
             index.select(
