@@ -90,6 +90,26 @@ def minhash_signatures(
 MINHASH_P = 2147483647
 
 
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh): each doc's DISTINCT word-shingle array — the shared
+    upstream of banding (which explodes it) and exact-Jaccard verify
+    (which intersects it). Callers that need both can compute this once
+    and pass it to :func:`minhash_band_keys_md5` / :func:`jaccard_pairs`
+    via ``sets=`` so the tokenize+shingle pass runs a single time
+    (r13, guide §2.4)."""
+    return spread(docs).select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias(
+            "sh"
+        ),
+    )
+
+
 def minhash_band_keys_md5(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -97,6 +117,7 @@ def minhash_band_keys_md5(
     shingle_n: int = 3,
     k: int = 16,
     bands: int = 4,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash LSH band keys from the md5 affine family — the
     engine-portable twin of the xxhash64 path, letting a DuckDB oracle
@@ -116,12 +137,12 @@ def minhash_band_keys_md5(
     JVM-side. Returns (id_col, band, band_key).
     """
     p = MINHASH_P
-    sh = spread(docs).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(tokens(text_col), shingle_n))).alias(
-            "s"
-        ),
+    base = (
+        sets
+        if sets is not None
+        else shingle_sets(docs, id_col, text_col, shingle_n)
     )
+    sh = base.select(F.col(id_col), F.explode("sh").alias("s"))
     h0 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint")
     mins = sh.select(id_col, h0.alias("h0")).groupBy(id_col).agg(
         *[
@@ -229,12 +250,11 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs -> (id_a, id_b, jaccard)."""
-    sets = spread(docs).select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
-    )
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, shingle_n)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = candidates.join(a, "id_a").join(b, "id_b")

@@ -149,9 +149,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join AND verification; minhash_candidates keeps the
     xxhash64 fast path for when portability isn't needed."""
     prep(spark)
+    from modevetl_spark.operators.dedup import (
+        _banded_pairs,
+        minhash_band_keys_md5,
+        shingle_sets,
+    )
+
     d = load(spark, sf_dir, "documents")
-    cands = minhash_candidates_md5(d, shingle_n=3, k=16, bands=4)
-    return jaccard_pairs(d, cands, shingle_n=3).where(F.col("jaccard") >= 0.5)
+    # r13 (guide §2.4): banding and the exact-Jaccard verify share the
+    # tokenize+distinct-shingle pass — compute it once, pinned (three
+    # consumers: banding, verify side a, verify side b; Catalyst does
+    # not reuse the subtree across branches). The band-key relation is
+    # pinned too: its self-join's two branches would each re-run the
+    # explode+md5+mins aggregate otherwise.
+    sets = shingle_sets(d, shingle_n=3).localCheckpoint(eager=True)
+    bk = minhash_band_keys_md5(
+        d, shingle_n=3, k=16, bands=4, sets=sets
+    ).localCheckpoint(eager=True)
+    cands = _banded_pairs(bk, "doc_id", ["band", "band_key"])
+    return jaccard_pairs(d, cands, shingle_n=3, sets=sets).where(
+        F.col("jaccard") >= 0.5
+    )
 
 
 def _simhash_oracle() -> str:
