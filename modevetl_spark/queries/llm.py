@@ -1438,24 +1438,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from modevetl_spark.operators.dedup import (
         _banded_pairs,
         minhash_band_keys_md5,
+        shingle_sets,
     )
 
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    # banding is a pure per-row function of the text, so computing the
-    # band keys ONCE over the whole table and splitting the RESULT by
-    # the batch predicate is value-identical to banding corpus and
-    # batch separately — and saves a full tokenize+shingle+md5 pass
-    # (r13, guide §2.4: the deployment shape reads the corpus side
-    # from the persisted index anyway; the fixture derives it inline)
-    # pinned: three consumers (index join, batch side, batch self-join)
-    # would each re-run the banding scan — Catalyst does not reuse the
-    # subtree across branches; the materialized relation is the NARROW
-    # (doc_id, band, band_key) index, i.e. exactly what the deployment
-    # shape persists
-    bk = minhash_band_keys_md5(d, shingle_n=3, k=16, bands=4).localCheckpoint(
-        eager=True
-    )
+    # r13 (guide §2.4, the q_dedup_minhash shape): banding is a pure
+    # per-row function of the text and the exact-Jaccard verify needs
+    # the same distinct-shingle sets, so the tokenize+shingle pass runs
+    # ONCE (pinned — it feeds banding plus both verify sides) and the
+    # band keys compute once over the whole table, with the corpus
+    # index and the arriving batch split from the pinned NARROW
+    # (doc_id, band, band_key) relation — exactly what the deployment
+    # shape persists. The former form tokenized three times and banded
+    # twice.
+    sets = shingle_sets(d, shingle_n=3).localCheckpoint(eager=True)
+    bk = minhash_band_keys_md5(
+        d, shingle_n=3, k=16, bands=4, sets=sets
+    ).localCheckpoint(eager=True)
     index = bk.where(F.col("doc_id") % 5 != 0)
     new_rows = bk.where(F.col("doc_id") % 5 == 0)
     vs_index = (
@@ -1473,4 +1473,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = _banded_pairs(new_rows, "doc_id", ["band", "band_key"])
     pairs = vs_index.unionByName(within).distinct()
-    return jaccard_pairs(d, pairs, shingle_n=3).where(F.col("jaccard") >= 0.5)
+    return jaccard_pairs(d, pairs, shingle_n=3, sets=sets).where(
+        F.col("jaccard") >= 0.5
+    )
