@@ -44,6 +44,83 @@ def test_kmeans_partition_invariant(spark):
     assert ra == rb
 
 
+def test_kmeans_fast_path_equals_generic_on_fixture(spark, sf_dir):
+    """The r13 guarded Arrow fast path is bit-identical to the generic
+    decimal plan on the real fixture — including dist, whose stepwise
+    11dp fold lands five sf0.001 rows EXACTLY on an 8dp half-up
+    boundary (the case that caught the exact-sum mirror being wrong:
+    dec_fold_sum rounds the running sum at 11dp every step)."""
+    from modevetl_spark.operators.clustering import (
+        _kmeans_fast_profile,
+        _kmeans_generic,
+        kmeans_lloyd,
+    )
+    from modevetl_spark.sources.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assert _kmeans_fast_profile(emb, "vec_id", "v", 4) == 64
+    fast = sorted(map(tuple, kmeans_lloyd(emb).collect()))
+    gen = sorted(map(tuple, _kmeans_generic(emb, "vec_id", "v", 4, 2, 9).collect()))
+    assert fast == gen
+
+
+def test_kmeans_fast_path_tie_break_and_empty_cluster(spark):
+    """Identical seed vectors ⇒ every row ties between clusters 0 and 1
+    ⇒ the argmin mirror must break to the SMALLER cluster id (cluster 1
+    gets no members and drops out, k shrinks) — on both paths,
+    bit-identically."""
+    from modevetl_spark.operators.clustering import (
+        _kmeans_fast_profile,
+        _kmeans_generic,
+        kmeans_lloyd,
+    )
+
+    rows = [(0, [0.25, -0.5]), (1, [0.25, -0.5]), (2, [0.875, 0.125])]
+    rows += [(3 + i, [((i * 29) % 17) / 17.0 - 0.5, ((i * 31) % 13) / 13.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    assert _kmeans_fast_profile(emb, "vec_id", "v", 2) == 2
+    fast = sorted(map(tuple, kmeans_lloyd(emb, k=2).collect()))
+    gen = sorted(map(tuple, _kmeans_generic(emb, "vec_id", "v", 2, 2, 9).collect()))
+    assert fast == gen
+    assert {r[1] for r in fast} == {0}  # cluster 1 tied away everywhere
+
+
+def test_kmeans_fast_profile_guard(spark):
+    """Every input outside the fast path's exactness domain must be
+    rejected (→ unchanged generic path); the clean shape must be
+    accepted with its uniform length."""
+    from modevetl_spark.operators.clustering import _kmeans_fast_profile
+
+    def prof(rows):
+        df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+        return _kmeans_fast_profile(df, "vec_id", "v", 2)
+
+    assert prof([(0, [0.1, -1.0]), (1, [0.3, 1.0])]) == 2
+    hostile = {
+        "dup ids": [(0, [0.1, 0.2]), (0, [0.3, 0.4]), (1, [0.1, 0.1])],
+        "null id": [(None, [0.1, 0.2]), (1, [0.3, 0.4])],
+        "negative id": [(-1, [0.1, 0.2]), (1, [0.3, 0.4])],
+        "no seeds": [(5, [0.1, 0.2]), (6, [0.3, 0.4])],
+        "null vec": [(0, None), (1, [0.3, 0.4])],
+        "ragged": [(0, [0.1]), (1, [0.3, 0.4])],
+        "empty vec": [(0, []), (1, [0.3, 0.4])],
+        "null element": [(0, [0.1, None]), (1, [0.3, 0.4])],
+        "nan": [(0, [float("nan"), 0.2]), (1, [0.3, 0.4])],
+        "inf": [(0, [float("inf"), 0.2]), (1, [0.3, 0.4])],
+        "out of range": [(0, [1.5, 0.2]), (1, [0.3, 0.4])],
+        "empty df": [],
+    }
+    for name, rows in hostile.items():
+        assert prof(rows) is None, name
+    # wrong dtypes are rejected before any job
+    sdf = spark.createDataFrame([("a", [0.1])], "vec_id: string, v: array<double>")
+    assert _kmeans_fast_profile(sdf, "vec_id", "v", 2) is None
+    fdf = spark.createDataFrame([(0, [0.1])], "vec_id: long, v: array<float>")
+    assert _kmeans_fast_profile(fdf, "vec_id", "v", 2) is None
+
+
 def test_range_search_threshold_contract(spark, sf_dir):
     """Everything reported clears the threshold; pairs are canonical
     (a_id < b_id) and within one label block."""
