@@ -122,17 +122,20 @@ def kmeans_lloyd(
       rows (the sketch-state collect class — never data-sized), and
       the final assignment is one more Arrow pass. See
       :func:`_kmeans_units` for the bit-exactness argument against the
-      decimal fold. This path launches bounded EAGER jobs (guard,
-      seeds, one per iteration) at call time.
+      decimal fold. This path launches bounded EAGER jobs (one
+      guard+seed aggregate, one per iteration) at call time.
     - GENERIC (:func:`_kmeans_generic`, the pre-r13 form, unchanged):
       anything the guard cannot prove — ragged/NULL/NaN/huge vectors,
       duplicate or negative ids — takes the broadcast-cross-join
       decimal-fold plan, so hostile-twin semantics are byte-identical
       to round 12 by construction.
     """
-    dims = _kmeans_fast_profile(emb, id_col, vec_col, k)
-    if dims is not None:
-        return _kmeans_fast(emb, id_col, vec_col, k, iterations, quantize_dp, dims)
+    prof = _kmeans_fast_profile(emb, id_col, vec_col, k)
+    if prof is not None:
+        dims, seeds = prof
+        return _kmeans_fast(
+            emb, id_col, vec_col, iterations, quantize_dp, dims, seeds
+        )
     return _kmeans_generic(emb, id_col, vec_col, k, iterations, quantize_dp)
 
 
@@ -202,10 +205,10 @@ def _kmeans_generic(
 
 
 def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
-    """ONE aggregate pass: return the uniform vector length when the
-    input is provably inside the fast path's exactness domain, else
-    None (→ generic path). The collect is one 8-column row — the
-    scalar-watermark class.
+    """ONE aggregate pass: return (uniform vector length, seed rows)
+    when the input is provably inside the fast path's exactness domain,
+    else None (→ generic path). The collect is one 8-column row whose
+    seed list is bounded at k structs — the scalar-watermark class.
 
     Domain (each condition is load-bearing for a specific exactness
     argument in :func:`_kmeans_units` / :func:`_kmeans_fast`):
@@ -241,7 +244,15 @@ def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
         F.min(F.size(v)).alias("mnl"),
         F.max(F.size(v)).alias("mxl"),
         F.sum(F.when(hostile, 1).otherwise(0)).alias("bad"),
-        F.sum(F.when(F.col(id_col) < k, 1).otherwise(0)).alias("seeds"),
+        # the k seed rows ride the SAME aggregate (collect_list skips
+        # the non-seed NULLs; bounded at k structs by the distinct-ids
+        # check), so the fast path opens with ONE job, not two
+        F.collect_list(
+            F.when(
+                F.col(id_col) < k,
+                F.struct(F.col(id_col).alias("sid"), v.alias("sv")),
+            )
+        ).alias("seeds"),
     ).collect()[0]
     if (
         not row.cnt
@@ -257,7 +268,7 @@ def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
         or row.mnl > 1024
     ):
         return None
-    return int(row.mnl)
+    return int(row.mnl), [(int(r.sid), list(r.sv)) for r in row.seeds]
 
 
 def _kmeans_units(p):
@@ -442,10 +453,10 @@ def _kmeans_fast(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int,
     iterations: int,
     quantize_dp: int,
     dims: int,
+    seeds: list,
 ) -> DataFrame:
     """The guarded fast path (see :func:`kmeans_lloyd`): per iteration
     ONE Arrow pass → k×dims bounded partials → driver-side centroid
@@ -467,13 +478,8 @@ def _kmeans_fast(
 
     from modevetl_spark.queries.wave11 import _round_repr
 
-    seeds = (
-        emb.where(F.col(id_col) < k)
-        .select(F.col(id_col).cast("int").alias("cluster"), F.col(vec_col).alias("cv"))
-        .collect()
-    )
     cents = sorted(
-        ((int(r.cluster), np.asarray(r.cv, dtype=np.float64)) for r in seeds),
+        ((cid, np.asarray(cv, dtype=np.float64)) for cid, cv in seeds),
         key=lambda t: t[0],
     )
     data = emb.select(vec_col)

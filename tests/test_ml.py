@@ -60,7 +60,8 @@ def test_kmeans_fast_path_equals_generic_on_fixture(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    assert _kmeans_fast_profile(emb, "vec_id", "v", 4) == 64
+    dims, seeds = _kmeans_fast_profile(emb, "vec_id", "v", 4)
+    assert dims == 64 and sorted(s[0] for s in seeds) == [0, 1, 2, 3]
     fast = sorted(map(tuple, kmeans_lloyd(emb).collect()))
     gen = sorted(map(tuple, _kmeans_generic(emb, "vec_id", "v", 4, 2, 9).collect()))
     assert fast == gen
@@ -80,7 +81,7 @@ def test_kmeans_fast_path_tie_break_and_empty_cluster(spark):
     rows = [(0, [0.25, -0.5]), (1, [0.25, -0.5]), (2, [0.875, 0.125])]
     rows += [(3 + i, [((i * 29) % 17) / 17.0 - 0.5, ((i * 31) % 13) / 13.0]) for i in range(40)]
     emb = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
-    assert _kmeans_fast_profile(emb, "vec_id", "v", 2) == 2
+    assert _kmeans_fast_profile(emb, "vec_id", "v", 2)[0] == 2
     fast = sorted(map(tuple, kmeans_lloyd(emb, k=2).collect()))
     gen = sorted(map(tuple, _kmeans_generic(emb, "vec_id", "v", 2, 2, 9).collect()))
     assert fast == gen
@@ -97,7 +98,8 @@ def test_kmeans_fast_profile_guard(spark):
         df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
         return _kmeans_fast_profile(df, "vec_id", "v", 2)
 
-    assert prof([(0, [0.1, -1.0]), (1, [0.3, 1.0])]) == 2
+    ok = prof([(0, [0.1, -1.0]), (1, [0.3, 1.0])])
+    assert ok[0] == 2 and sorted(s[0] for s in ok[1]) == [0, 1]
     hostile = {
         "dup ids": [(0, [0.1, 0.2]), (0, [0.3, 0.4]), (1, [0.1, 0.1])],
         "null id": [(None, [0.1, 0.2]), (1, [0.3, 0.4])],
