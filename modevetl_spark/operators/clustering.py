@@ -148,7 +148,7 @@ def _kmeans_generic(
     quantize_dp: int,
 ) -> DataFrame:
     """The generic (pre-r13) plan: per-iteration broadcast cross join +
-    exact-decimal fold assignment, posexplode mean update.
+    stepwise-decimal fold assignment, posexplode mean update.
 
     The plan is returned LAZY and uncached — measured at sf0.1 (2×2:
     {corpus cache} × {eager materialization}), every managed-lifetime

