@@ -103,6 +103,53 @@ def test_kmeans_fast_path_tie_break_and_empty_cluster(spark):
     assert {r[1] for r in fast} == {0}  # cluster 1 tied away everywhere
 
 
+def test_kmeans_units_battery():
+    """Pin the Dekker fast path of _kmeans_units against the exact
+    repr-based Decimal quantization (the semantics Spark's
+    round(double,12) + DECIMAL cast implement) on 60k values spanning
+    the |p| <= 4 domain: uniform randoms, tiny magnitudes, and 20k
+    adversarial near-half-boundary doubles at 12dp — the class where
+    the 1e-3 risky window (ulp(4)·1e12 ≈ 9e-4) must route to the exact
+    scalar path."""
+    import decimal
+    import random
+
+    import numpy as np
+
+    from modevetl_spark.operators.clustering import _kmeans_units
+
+    rnd = random.Random(1312)
+    vals = [rnd.uniform(-4.0, 4.0) for _ in range(20_000)]
+    vals += [rnd.uniform(-1e-6, 1e-6) for _ in range(10_000)]
+    vals += [0.0, -0.0, 4.0, -4.0, 1e-13, -1e-13, 5e-13, -5e-13]
+    # adversarial: land within a few ulp of a .5 pico boundary
+    for _ in range(20_000):
+        base = rnd.randrange(0, 4 * 10**12)
+        b = (base + 0.5) / 1e12
+        vals.append(b * rnd.choice([1.0, -1.0]))
+        vals.append(np.nextafter(b, 0.0))
+        vals.append(np.nextafter(b, 8.0))
+    arr = np.asarray(vals, dtype=np.float64)
+    got = _kmeans_units(arr)
+    q12 = decimal.Decimal("1E-12")
+    exact = np.array(
+        [
+            int(
+                decimal.Decimal(repr(float(x)))
+                .quantize(q12, rounding=decimal.ROUND_HALF_UP)
+                .scaleb(12)
+            )
+            for x in arr
+        ],
+        dtype=np.int64,
+    )
+    bad = np.nonzero(got != exact)[0]
+    assert bad.size == 0, (
+        f"{bad.size} mismatches, first: "
+        f"{[(repr(float(arr[i])), int(got[i]), int(exact[i])) for i in bad[:5]]}"
+    )
+
+
 def test_kmeans_fast_profile_guard(spark):
     """Every input outside the fast path's exactness domain must be
     rejected (→ unchanged generic path); the clean shape must be
