@@ -131,43 +131,75 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     each step after the previous user's step time) — the product-analytics
     staple the reference's dashboard queries fed.
 
-    Scale shape: three hash aggs + two joins, all keyed on user_id — one
-    partitioning reused end-to-end (co-partitioned, no re-shuffle of the
-    fact table beyond the per-stage filters, which push to the scan). The
-    stage-count union is three 1-row aggregates."""
+    Scale shape (r14, guide §2.1/§2.4): ONE user_id exchange total. The
+    former per-stage aggregate+join chain re-shuffled the fact on the
+    SAME key seven times (3 hash aggs + 2 joins + their re-exchanges);
+    now the three stage times are stacked same-partition-key windows —
+    t1 = min view ts, t2 = min click ts strictly after t1, t3 = min
+    purchase ts strictly after t2 — planned as consecutive WindowExec
+    nodes over a single Exchange+Sort, followed by a groupBy(user_id)
+    that reuses that partitioning (no new exchange) and a 1-row global
+    count rollup stacked to the 3 output rows.
+
+    Exact-equivalence notes (pinned by the tie/null differential in
+    tests/test_differentials.py::test_funnel_window_form_matches_join_form):
+
+    - strict ``>`` at each step is preserved verbatim, so ties at a
+      stage boundary (click at exactly t1) stay excluded;
+    - a NULL user_id forms its own window partition and counts toward
+      stage 1 (the old groupBy kept a null group) but never toward
+      stages 2/3 (the old equi-joins dropped it) — hence the
+      ``user_id IS NOT NULL`` guard on n2/n3 only;
+    - stage 1 counts users with ≥1 view EVENT (even all-NULL view
+      timestamps — the old COUNT(*) counted the group row), so n1
+      counts a has-view indicator, not t1;
+    - within stages 2/3 every contributing ts is non-NULL (a NULL ts
+      never passes ``>``), so t2/t3 non-NULL ⟺ membership in the old
+      s2/s3."""
     prep(spark)
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def stage(df: DataFrame, ord_: int, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(ord_).alias("ord"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
+    w = Window.partitionBy("user_id")
+    enr = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
-
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = enr.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", F.lit(1))).alias("has_view"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = per_user.agg(
+        F.count("has_view").alias("n1"),
+        F.count(F.when(F.col("user_id").isNotNull(), F.col("t2"))).alias("n2"),
+        F.count(F.when(F.col("user_id").isNotNull(), F.col("t3"))).alias("n3"),
+    )
     return (
-        stage(s1, 1, "view")
-        .unionAll(stage(s2, 2, "view>click"))
-        .unionAll(stage(s3, 3, "view>click>purchase"))
+        counts.selectExpr(
+            "stack(3, 1, 'view', n1, 2, 'view>click', n2, "
+            "3, 'view>click>purchase', n3) AS (ord, stage, n_users)"
+        )
         .orderBy("ord")
         .select("stage", "n_users")
     )

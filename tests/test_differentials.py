@@ -692,6 +692,122 @@ def test_funnel_matches_ordered_step_replay(spark, sf_dir):
     }
 
 
+def test_funnel_window_form_matches_join_form(spark):  # noqa: C901
+    """r14 rewrite pin (guide §2.1): the one-exchange stacked-window
+    funnel must agree with the pre-r14 aggregate+join chain on every
+    boundary the rewrite touches — same-timestamp ties at each stage
+    (strict ``>`` keeps them excluded), NULL user_id (counts in stage 1
+    via the NULL group, never in stages 2/3 where the old equi-join
+    dropped it), NULL timestamps (an all-NULL-ts view user still counts
+    in stage 1; a NULL ts never advances a stage), and clicks before
+    the first view. The join form is rebuilt inline here verbatim from
+    the pre-r14 query body."""
+    from datetime import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 12, 0, sec)
+
+    rows = [
+        # u1: clean conversion
+        (1, "view", ts(0)), (1, "click", ts(1)), (1, "purchase", ts(2)),
+        # u2: click ties t1 exactly -> excluded; later click converts
+        (2, "view", ts(0)), (2, "click", ts(0)), (2, "click", ts(5)),
+        (2, "purchase", ts(5)),  # ties t2 -> excluded from stage 3
+        # u3: click BEFORE first view only
+        (3, "click", ts(0)), (3, "view", ts(1)),
+        # u4: view with NULL ts only -> stage 1 yes, never stage 2
+        (4, "view", None), (4, "click", ts(9)),
+        # u5: NULL ts click between valid steps
+        (5, "view", ts(0)), (5, "click", None), (5, "purchase", ts(3)),
+        # NULL user: full chain present, old join form drops it at s2
+        (None, "view", ts(0)), (None, "click", ts(1)),
+        (None, "purchase", ts(2)),
+        # u6: purchase before click
+        (6, "view", ts(0)), (6, "purchase", ts(1)), (6, "click", ts(2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+    # pre-r14 join form, verbatim
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    expected = {"view": s1.count(), "view>click": s2.count(),
+                "view>click>purchase": s3.count()}
+
+    # r14 window form, verbatim from queries/analytics.funnel_conversion
+    w = Window.partitionBy("user_id")
+    enr = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = enr.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", F.lit(1))).alias(
+            "has_view"
+        ),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    got_row = per_user.agg(
+        F.count("has_view").alias("n1"),
+        F.count(F.when(F.col("user_id").isNotNull(), F.col("t2"))).alias("n2"),
+        F.count(F.when(F.col("user_id").isNotNull(), F.col("t3"))).alias("n3"),
+    ).collect()[0]
+    got = {"view": got_row.n1, "view>click": got_row.n2,
+           "view>click>purchase": got_row.n3}
+    assert got == expected
+    # and the fixture-independent sanity: the hostile frame exercises
+    # every branch — u2's tie-at-t1 click and tie-at-t2 purchase are
+    # excluded, the NULL user reaches only stage 1, u4's NULL-ts view
+    # still counts there — guards against a vacuous pass if edited
+    assert expected == {"view": 7, "view>click": 3,
+                        "view>click>purchase": 1}
+
+
 def test_retention_cohorts_matches_week_replay(spark, sf_dir):
     """Weekly retention: cohort = Monday-start week of each user's
     first event, one count per DISTINCT (cohort, week-offset) of later
