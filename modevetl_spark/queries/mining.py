@@ -586,15 +586,18 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-customer segment's AVERAGE can land on an exact .005 boundary
     where the engines' final rounds split; the total cannot).
 
-    Plan shape: one custkey aggregate; the corpus max date is an in-DAG
-    broadcast one-row aggregate (no driver collect); the three quintile
-    cuts are three operators/ranking.global_rank passes over the SAME
-    checkpointed customer-cardinality relation (one range exchange
-    each — never a single-partition NTILE window), converted to buckets
-    by the exact ntile_from_rank closed form with a one-row broadcast
-    count, and joined back on custkey. Monetary is rounded before
-    ranking; custkey breaks every tie, so all three bucket assignments
-    are engine-exact. Plan-gated: no global Window node
+    Plan shape (r14): one custkey aggregate; the corpus max date is an
+    in-DAG broadcast one-row aggregate (no driver collect); the three
+    quintile cuts are ONE operators/ranking.global_rank pass over the
+    3n-row unpivoted (metric, sort-value, custkey) relation — one range
+    exchange + one checkpoint where the r13 form paid three of each
+    plus three custkey joins — pivoted back by a single custkey
+    hash aggregate and converted to buckets by the exact
+    ntile_from_rank closed form with a one-row broadcast count.
+    Monetary is rounded before ranking; custkey breaks every tie, so
+    all three bucket assignments are engine-exact (the order-isomorphic
+    unpivot mapping is documented inline and differential-pinned).
+    Plan-gated: no global Window node
     (tests/test_plans.py::test_no_data_sized_global_windows)."""
     prep(spark)
     from modevetl_spark.operators.ranking import global_rank, ntile_from_rank
@@ -628,53 +631,74 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n1 = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-    # The three rank passes are INDEPENDENT given the pinned base —
-    # build them from a small thread pool (guide §2.6) so their eager
-    # range-exchange + checkpoint jobs overlap instead of serializing
-    # three scheduler round-trips; each pass's layout/rank assignment
-    # is pinned inside its own checkpoint, so results are unchanged.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from pyspark import inheritable_thread_target
-
-    def _rank(cols, keys, rank_col):
-        return global_rank(
-            base.select("o_custkey", cols), keys, rank_col=rank_col
-        ).select("o_custkey", rank_col)
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_rr = pool.submit(
-            inheritable_thread_target(_rank),
-            "recency_days",
-            ["recency_days", "o_custkey"],
-            "_rr",
-        )
-        f_ff = pool.submit(
-            inheritable_thread_target(_rank),
-            "frequency",
-            [F.col("frequency").desc(), F.col("o_custkey")],
-            "_rf",
-        )
-        f_mm = pool.submit(
-            inheritable_thread_target(_rank),
-            "monetary",
-            [F.col("monetary").desc(), F.col("o_custkey")],
-            "_rm",
-        )
-        rr, ff, mm = f_rr.result(), f_ff.result(), f_mm.result()
-    buckets = (
-        base.select("o_custkey", "monetary")
-        .join(rr, "o_custkey")
-        .join(ff, "o_custkey")
-        .join(mm, "o_custkey")
-        .crossJoin(F.broadcast(n1))
-        .select(
-            "o_custkey",
-            "monetary",
-            ntile_from_rank("_rr", "_n", 5).alias("r"),
-            ntile_from_rank("_rf", "_n", 5).alias("f"),
-            ntile_from_rank("_rm", "_n", 5).alias("m"),
-        )
+    # r14 (guide §2.1/§2.4): ONE rank pass over the unpivoted
+    # (metric, sort-value, custkey) relation instead of three
+    # global_rank passes — one range exchange + one checkpoint where
+    # the r13 thread-pool form still paid three of each plus three
+    # custkey joins. Each metric slice holds exactly n rows (the
+    # 3-struct explode emits all three rows per customer
+    # unconditionally), metric is the leading range key with
+    # lexicographic order f < m < r, so the in-metric rank is
+    # rn − n·idx. The per-metric sort value maps to a double
+    # ORDER-PRESERVINGLY with the original null placement mirrored:
+    # frequency desc ≡ −frequency asc (a count: non-null, < 2⁵³ so the
+    # double cast is exact); monetary desc NULLS LAST ≡ −monetary asc
+    # with NULL→+inf (monetary is a 2dp-rounded finite double, so +inf
+    # is unreachable otherwise); recency asc NULLS FIRST ≡ recency asc
+    # with NULL→−inf (an int day-diff, exact in double). Ties break on
+    # o_custkey in both forms. Pinned by
+    # tests/test_differentials.py::test_rfm_unpivot_rank_matches_three_pass.
+    unp = base.select(
+        "o_custkey",
+        "monetary",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency").cast("double")).alias("sval"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.coalesce(
+                        -F.col("monetary"), F.lit(float("inf"))
+                    ).alias("sval"),
+                ),
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.coalesce(
+                        F.col("recency_days").cast("double"),
+                        F.lit(float("-inf")),
+                    ).alias("sval"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "monetary", "e.metric", "e.sval")
+    ranked = global_rank(unp, ["metric", "sval", "o_custkey"], rank_col="_rn")
+    idx = (
+        F.when(F.col("metric") == "f", F.lit(0))
+        .when(F.col("metric") == "m", F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+    )
+    rankw = ranked.crossJoin(F.broadcast(n1)).select(
+        "o_custkey",
+        "monetary",
+        "metric",
+        (F.col("_rn") - idx * F.col("_n")).alias("_rw"),
+        "_n",
+    )
+    buckets = rankw.groupBy("o_custkey").agg(
+        F.max("monetary").alias("monetary"),
+        F.max(F.when(F.col("metric") == "r", F.col("_rw"))).alias("_rr"),
+        F.max(F.when(F.col("metric") == "f", F.col("_rw"))).alias("_rf"),
+        F.max(F.when(F.col("metric") == "m", F.col("_rw"))).alias("_rm"),
+        F.max("_n").alias("_n"),
+    ).select(
+        "o_custkey",
+        "monetary",
+        ntile_from_rank("_rr", "_n", 5).alias("r"),
+        ntile_from_rank("_rf", "_n", 5).alias("f"),
+        ntile_from_rank("_rm", "_n", 5).alias("m"),
     )
     return buckets.groupBy(
         F.concat(

@@ -653,6 +653,84 @@ def test_rfm_matches_quintile_replay(spark, sf_dir):
         assert abs(got[seg]["total_monetary"] - s) <= 0.02
 
 
+def test_rfm_unpivot_rank_matches_three_pass(spark):
+    """r14 rewrite pin: the single unpivoted global_rank pass behind
+    q_customer_rfm must reproduce the three independent per-metric
+    global_rank passes (the r13 form) on every boundary the
+    order-isomorphic mapping touches — NULL monetary (desc NULLS LAST
+    ≡ −m asc with NULL→+inf), tied monetary / tied frequency (custkey
+    break), zero monetary (−0.0 vs 0.0 sort normalization), and a
+    non-multiple-of-5 customer count for the NTILE remainders."""
+    from pyspark.sql import functions as F
+
+    from modevetl_spark.operators.ranking import global_rank
+
+    rows = [
+        # (custkey, recency_days, frequency, monetary)
+        (1, 10, 3, 100.0), (2, 10, 3, 100.0),   # full tie pair
+        (3, 5, 7, None), (4, 5, 7, None),        # NULL monetary pair
+        (5, 99, 1, 0.0), (6, 0, 1, 0.0),         # zero monetary
+        (7, 42, 2, -50.0),                        # negative monetary
+    ]
+    base = spark.createDataFrame(
+        rows,
+        "o_custkey long, recency_days int, frequency long, monetary double",
+    )
+
+    def three_pass(metric_col, keys, rank_col):
+        return {
+            r["o_custkey"]: r[rank_col]
+            for r in global_rank(
+                base.select("o_custkey", metric_col), keys, rank_col=rank_col
+            ).collect()
+        }
+
+    want = {
+        "r": three_pass(
+            "recency_days", ["recency_days", "o_custkey"], "_rr"
+        ),
+        "f": three_pass(
+            "frequency", [F.col("frequency").desc(), F.col("o_custkey")], "_rf"
+        ),
+        "m": three_pass(
+            "monetary", [F.col("monetary").desc(), F.col("o_custkey")], "_rm"
+        ),
+    }
+
+    unp = base.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    (-F.col("frequency").cast("double")).alias("sval"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.coalesce(
+                        -F.col("monetary"), F.lit(float("inf"))
+                    ).alias("sval"),
+                ),
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.coalesce(
+                        F.col("recency_days").cast("double"),
+                        F.lit(float("-inf")),
+                    ).alias("sval"),
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "e.metric", "e.sval")
+    n = len(rows)
+    idx = {"f": 0, "m": 1, "r": 2}
+    got: dict = {"r": {}, "f": {}, "m": {}}
+    for r in global_rank(
+        unp, ["metric", "sval", "o_custkey"], rank_col="_rn"
+    ).collect():
+        got[r["metric"]][r["o_custkey"]] = r["_rn"] - idx[r["metric"]] * n
+    assert got == want
+
+
 def test_funnel_matches_ordered_step_replay(spark, sf_dir):
     """Strictly-ordered funnel (view → click → purchase, each step's
     FIRST occurrence strictly after the previous step's time) replayed
