@@ -46,10 +46,16 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     single pass over the data.
 
     The per-batch fold counts the Arrow batch C-side
-    (``value_counts``), merges into the running dict, and applies the
-    mergeable-summaries decrement only when the state overflows ``k`` —
-    per-item python work is O(1) amortized and the state never exceeds
-    ``2k`` entries between trims.
+    (``pyarrow.compute.value_counts``), merges into the running dict,
+    and applies the mergeable-summaries decrement only when the state
+    overflows ``k`` — per-item python work is O(1) amortized and the
+    state never exceeds ``2k`` entries between trims. r14 (guide §4.3):
+    the pass is ``mapInArrow`` — the batches stay Arrow end-to-end
+    instead of paying the Arrow→pandas→Arrow transposition of the old
+    ``mapInPandas`` form; the counting kernel, batch boundaries, and
+    the merged per-partition state are unchanged (and the caller's
+    final output is partitioning/trim-timing independent anyway: the
+    sketch only proposes candidates, the verify pass is exact).
 
     NULL CONTRACT: null values are excluded from both the candidates
     and the sentinel totals — the sketch answers "heavy hitters among
@@ -60,32 +66,37 @@ def mg_summary(df: DataFrame, col: str, k: int) -> DataFrame:
     population as the sketch's totals.
     """
 
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fold(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         state: dict[str, int] = {}
         total = 0
-        for pdf in batches:
-            counts = pdf[col].value_counts()
-            total += int(counts.sum())
-            for tok, c in counts.items():
-                state[tok] = state.get(tok, 0) + int(c)
+        for batch in batches:
+            arr = batch.column(0)
+            total += len(arr)
+            vc = pc.value_counts(arr)
+            for tok, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                state[tok] = state.get(tok, 0) + c
             if len(state) > k:
                 # MERGE decrement (Agarwal et al. 2012): subtract the
                 # (k+1)-th largest count, drop non-positive counters.
                 m = sorted(state.values(), reverse=True)[k]
                 state = {t: c - m for t, c in state.items() if c > m}
-        yield pd.DataFrame(
-            {
-                "tok": list(state) + [None],
-                "n_part": pd.Series(
-                    [None] * len(state) + [total], dtype="Int64"
-                ),
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(state) + [None], type=pa.string()),
+                pa.array([None] * len(state) + [total], type=pa.int64()),
+            ],
+            names=[col, "n_part"],
         )
 
     return (
         df.select(F.col(col).alias(col))
         .where(F.col(col).isNotNull())
-        .mapInPandas(fold, schema=f"{col} string, n_part long")
+        .mapInArrow(fold, schema=f"{col} string, n_part long")
     )
 
 

@@ -741,7 +741,8 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full token key space is never shuffled.
 
     Plan shape (:mod:`modevetl_spark.operators.sketches`): sketch pass
-    is mapInPandas with O(k) state per partition and NO shuffle; the
+    is mapInArrow (r14 — Arrow end-to-end, no pandas transposition at
+    the Python boundary) with O(k) state per partition and NO shuffle; the
     candidate union (≤ k·P rows) broadcasts into the verify pass, which
     hash-aggregates only candidate tokens. At corpus scale this replaces
     a full-vocabulary groupBy (the dominant shuffle of naive top-k) with

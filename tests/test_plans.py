@@ -93,7 +93,7 @@ def test_no_python_udf_in_jvm_paths(spark, sf_dir):
         "q_multimodal_features",
         "q_multimodal_frames",  # UDTF-shaped mapInPandas fan-out (declared)
         "q_pack_budget",  # per-partition greedy packing is applyInPandas
-        # q_heavy_hitters' MG sketch is mapInPandas too, but it runs
+        # q_heavy_hitters' MG sketch is mapInArrow (r14), but it runs
         # inside an eager localCheckpoint, so its plan shows only the
         # checkpoint scan — declared here anyway for honesty should the
         # materialization strategy ever change.
