@@ -109,6 +109,18 @@ def kmeans_lloyd(
     acceptable for curation workloads; seed-respawn policies belong to
     the caller. dist is the final squared distance rounded to 8dp.
 
+    POINT-IN-TIME CONTRACT (r14, promoted from the path notes): the
+    fast path launches bounded eager jobs at CALL time (the guard
+    aggregate and one job per iteration) and snapshots seeds/centroids,
+    while the returned final-assignment plan re-scans ``emb`` when the
+    caller acts on it — so the input relation must be immutable (and
+    deterministic) between the ``kmeans_lloyd`` call and that action,
+    or the snapshotted centroids describe data the assignment pass
+    never saw. Immutable parquet fixtures satisfy this trivially; a
+    mutated source fails loudly (the Arrow pass re-validates vector
+    length per batch). The generic path is uniformly lazy and
+    self-consistent by construction.
+
     Two value-identical execution paths (r13 optimization, guide
     §4.2/§8 — the q_embedding_pca recipe applied to the assignment
     fold):
@@ -207,8 +219,16 @@ def _kmeans_generic(
 def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
     """ONE aggregate pass: return (uniform vector length, seed rows)
     when the input is provably inside the fast path's exactness domain,
-    else None (→ generic path). The collect is one 8-column row whose
-    seed list is bounded at k structs — the scalar-watermark class.
+    else None (→ generic path). The collect is one row whose aggregate
+    buffers are ALL O(1)-or-O(k)-bounded by construction — the
+    scalar-watermark class even on hostile input (r14, the r13 advice
+    fix: the former ``collect_list(when(id < k, struct))`` seed column
+    accumulated one struct per MATCHING ROW, so an input with many
+    duplicate ids < k — exactly a shape the guard exists to reject —
+    could balloon the aggregation buffer before the distinctness check
+    ever ran; the seeds now ride as k bounded ``first(when(id = i))``
+    cells, one value each regardless of duplicates, and a k > 64 caller
+    falls back to a scalar guard + a second ≤k-row seed fetch).
 
     Domain (each condition is load-bearing for a specific exactness
     argument in :func:`_kmeans_units` / :func:`_kmeans_fast`):
@@ -224,7 +244,12 @@ def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
     - every element non-NULL, finite, |x| ≤ 1 — so every squared
       term ≤ 4 and every 12dp-rounded value survives the
       DECIMAL(38,12) cast losslessly (13 sig digits; 1e-12 grid gap
-      ≫ ulp(4) ≈ 8.9e-16).
+      ≫ ulp(4) ≈ 8.9e-16);
+    - ≤ 9·10⁶ rows total (r14, the advice fix): the driver replay's
+      pico-sum→double equivalence is verified for per-(cluster, dim)
+      sums < 2⁵³, i.e. ~9·10⁶ members/cluster at |x| ≤ 1; bounding the
+      TOTAL row count is the conservative sufficient condition, and
+      beyond it the generic path's decimal cast is authoritative.
     """
     from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
@@ -236,7 +261,7 @@ def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
         return None
     v = F.col(vec_col)
     hostile = F.exists(v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > 1.0))
-    row = emb.agg(
+    scalar_aggs = [
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct(F.col(id_col)).alias("nid"),
         F.min(F.col(id_col)).alias("mnid"),
@@ -244,31 +269,52 @@ def _kmeans_fast_profile(emb: DataFrame, id_col: str, vec_col: str, k: int):
         F.min(F.size(v)).alias("mnl"),
         F.max(F.size(v)).alias("mxl"),
         F.sum(F.when(hostile, 1).otherwise(0)).alias("bad"),
-        # the k seed rows ride the SAME aggregate (collect_list skips
-        # the non-seed NULLs; bounded at k structs by the distinct-ids
-        # check), so the fast path opens with ONE job, not two
-        F.collect_list(
-            F.when(
-                F.col(id_col) < k,
-                F.struct(F.col(id_col).alias("sid"), v.alias("sv")),
-            )
-        ).alias("seeds"),
-    ).collect()[0]
+    ]
+    # the k seed vectors ride the SAME aggregate as k first(when(id=i))
+    # cells — each buffer holds at most ONE vector no matter how many
+    # duplicate rows share the id, so the fast path still opens with
+    # one job AND the buffer stays bounded on hostile input; duplicate
+    # ids make the picked value arbitrary, but the nid != cnt check
+    # below discards the whole profile in that case
+    seed_aggs = [
+        F.first(F.when(F.col(id_col) == i, v), ignorenulls=True).alias(
+            f"_seed_{i}"
+        )
+        for i in range(min(k, 64))
+    ]
+    row = emb.agg(*scalar_aggs, *seed_aggs).collect()[0]
     if (
         not row.cnt
+        or row.cnt > 9_000_000
         or row.nid != row.cnt
         or row.mnid is None
         or row.mnid < 0
         or row.nullv
         or row.bad
-        or not row.seeds
         or row.mnl is None
         or row.mnl != row.mxl
         or row.mnl < 1
         or row.mnl > 1024
     ):
         return None
-    return int(row.mnl), [(int(r.sid), list(r.sv)) for r in row.seeds]
+    if k <= 64:
+        seeds = [
+            (i, list(row[f"_seed_{i}"]))
+            for i in range(k)
+            if row[f"_seed_{i}"] is not None
+        ]
+    else:
+        # distinctness is proven, so this second job is bounded at k rows
+        seeds = [
+            (int(r[id_col]), list(r[vec_col]))
+            for r in emb.where(F.col(id_col) < k)
+            .select(id_col, vec_col)
+            .collect()
+        ]
+        seeds.sort(key=lambda t: t[0])
+    if not seeds:
+        return None
+    return int(row.mnl), seeds
 
 
 def _kmeans_units(p):
@@ -351,11 +397,25 @@ def _kmeans_argmin(X, C):
 
 
 def _kmeans_batch_matrix(col, dims):
-    """Arrow list column → N×dims float64 matrix (the guard proved the
-    lengths uniform and the elements non-NULL)."""
+    """Arrow list column → N×dims float64 matrix. The guard proved the
+    lengths uniform AT PROFILE TIME; because the returned assignment
+    plan re-scans the source later (see the point-in-time note on
+    :func:`kmeans_lloyd`), each batch re-validates the row lengths so a
+    source mutated between build and action fails LOUDLY instead of
+    reshaping into silently wrong rows (r14 advice fix)."""
     import numpy as np
     import pyarrow.compute as pc
 
+    if len(col):
+        ms = pc.min_max(pc.list_value_length(col))
+        mn, mx = ms["min"].as_py(), ms["max"].as_py()
+        if mn != dims or mx != dims:
+            raise ValueError(
+                f"kmeans fast path: vector length changed under the plan "
+                f"(expected {dims}, saw [{mn}, {mx}]); the input must be "
+                f"immutable between kmeans_lloyd() and the action on its "
+                f"result"
+            )
     flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     return flat.astype(np.float64).reshape(-1, dims)
 
