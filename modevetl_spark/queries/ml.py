@@ -32,19 +32,46 @@ QUERIES, ORACLE, q = make_registry()
 
 _DEC = "decimal(38,12)"
 
+# The engine's dec_fold_sum is NOT an exact sum (r13 finding): every
+# fold step's DECIMAL(38,12)+DECIMAL(38,12) add is re-typed (38,11) by
+# Spark's precision-loss rule, HALF_UP-rounding the running sum at 11dp
+# per element. The r13 oracles wrote SUM(CAST(...)) and matched only
+# because the graded surfaces' output rounding hid the
+# ~5e-12-per-element drift — r14 replays the fold STEPWISE
+# (list_reduce with ROUND(acc+x, 11); DuckDB's decimal ROUND is
+# half-away-from-zero = Java HALF_UP, and its (38,12) add is exact, so
+# each step is bit-equal), closing the latent boundary fragility pinned
+# by tests/test_ml.py::test_range_search_oracle_replays_stepwise_fold.
+_STEPWISE_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS DECIMAL(38,12)), {terms}), "
+    "(acc, x) -> CAST(ROUND(acc + x, 11) AS DECIMAL(38,12)))"
+)
+
 
 # --- deterministic Lloyd k-means (full external replay) -----------------
 
 
 def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, dims: int = 64) -> str:
     """Unrolls operators/clustering.kmeans_lloyd CTE-per-iteration (the
-    pagerank oracle pattern): assignment = exact-decimal squared
-    distances + ROW_NUMBER argmin with cluster-id tie-break; update =
-    decimal-exact per-dim mean rounded to 9dp."""
-    idx = "t.i+1"
+    pagerank oracle pattern): assignment = STEPWISE-folded decimal
+    squared distances (r14 — the engine's dec_fold_sum HALF_UP-rounds
+    the running sum at 11dp per element, so the oracle replays the fold
+    with list_reduce + ROUND(acc+x, 11) instead of the r13 SUM whose
+    ~5e-12/element drift could flip an argmin whose two distances tie
+    within it; see ml._STEPWISE_FOLD) + ROW_NUMBER argmin with
+    cluster-id tie-break; update = decimal-exact per-dim mean rounded
+    to 9dp (the engine's posexplode+SUM update IS an exact sum — only
+    the distance fold is stepwise)."""
+    idx = "t.i+1"  # cstep's per-dim mean still joins the dim table
+    dist_terms = (
+        "list_transform(range(1, greatest(len(e.v), len(c.v)) + 1), "
+        "i -> CAST(ROUND((e.v[i]-c.v[i])*(e.v[i]-c.v[i]), 12)"
+        " AS DECIMAL(38,12)))"
+    )
     dist = (
-        f"SUM(CAST(ROUND((e.v[{idx}]-c.v[{idx}])*(e.v[{idx}]-c.v[{idx}]), 12)"
-        f" AS DECIMAL(38,12)))"
+        "CASE WHEN e.v IS NULL OR c.v IS NULL THEN NULL ELSE "
+        + _STEPWISE_FOLD.format(terms=dist_terms)
+        + " END"
     )
     sql = [
         f"""WITH emb AS MATERIALIZED (
@@ -61,8 +88,7 @@ c0 AS MATERIALIZED (
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
         FROM (
             SELECT e.vec_id, c.cluster, {dist} AS d
-            FROM emb e CROSS JOIN c{p} c CROSS JOIN dim t
-            GROUP BY e.vec_id, c.cluster
+            FROM emb e CROSS JOIN c{p} c
         )
     ) WHERE rn = 1
 )"""
@@ -118,23 +144,29 @@ _RANGE_ORACLE = f"""
 WITH emb AS MATERIALIZED (
     SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-dim AS (SELECT UNNEST(range(64)) AS i),
 normed AS MATERIALIZED (
-    SELECT e.vec_id, e.label, e.v,
-           ROUND(CAST(SUM(CAST(ROUND(e.v[t.i+1]*e.v[t.i+1], 12)
-                               AS DECIMAL(38,12))) AS DOUBLE), 12) AS nrm
-    FROM emb e CROSS JOIN dim t
-    GROUP BY e.vec_id, e.label, e.v
+    SELECT vec_id, label, v,
+           -- NULL-vector guard: Spark's transform+aggregate over a NULL
+           -- array is NULL, while list_prepend(0, NULL) would fold to 0
+           CASE WHEN v IS NULL THEN NULL ELSE
+           ROUND(CAST({_STEPWISE_FOLD.format(terms=(
+               "list_transform(v, x -> "
+               "CAST(ROUND(x*x, 12) AS DECIMAL(38,12)))"
+           ))} AS DOUBLE), 12) END AS nrm
+    FROM emb
 ),
 pairs AS (
+    -- the range(1, greatest(len)) index mirrors Spark's zip_with
+    -- NULL-padding: any length mismatch poisons the fold to NULL
     SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-           ROUND(CAST(SUM(CAST(ROUND(a.v[t.i+1]*b.v[t.i+1], 12)
-                               AS DECIMAL(38,12))) AS DOUBLE), 12) AS dot,
+           CASE WHEN a.v IS NULL OR b.v IS NULL THEN NULL ELSE
+           ROUND(CAST({_STEPWISE_FOLD.format(terms=(
+               "list_transform(range(1, greatest(len(a.v), len(b.v)) + 1), "
+               "i -> CAST(ROUND(a.v[i]*b.v[i], 12) AS DECIMAL(38,12)))"
+           ))} AS DOUBLE), 12) END AS dot,
            a.nrm AS na, b.nrm AS nb
     FROM normed a
     JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
-    CROSS JOIN dim t
-    GROUP BY 1, 2, 3, a.nrm, b.nrm
 )
 SELECT a_id, b_id, CAST(label AS BIGINT) AS label,
        ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine

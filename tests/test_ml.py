@@ -185,6 +185,151 @@ def test_kmeans_fast_profile_guard(spark):
     assert _kmeans_fast_profile(fdf, "vec_id", "v", 2) is None
 
 
+def test_dec_fold_sum_stepwise_semantics_vs_duckdb_mirror(spark):
+    """The r14 oracle-fold contract, pinned at the fold level: Spark's
+    dec_fold_sum HALF_UP-rounds the running sum at 11dp on EVERY step
+    (the r13 precision-loss finding), including negative running sums
+    (HALF_UP = away from zero), and DuckDB's
+    list_reduce + ROUND(acc+x, 11) decimal fold (ml._STEPWISE_FOLD)
+    reproduces it bit-for-bit. Terms are adversarial 12dp values with
+    .5 tails of both signs — the exact class where an exact SUM
+    diverges."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from modevetl_spark.operators.clustering import dec_fold_sum
+    from modevetl_spark.queries.ml import _STEPWISE_FOLD
+
+    def mirror(terms):
+        acc = Decimal(0)
+        for t in terms:
+            acc = (acc + Decimal(t)).quantize(
+                Decimal("1E-11"), rounding=ROUND_HALF_UP
+            )
+        return acc
+
+    cases = [
+        ["0.000000000005"],
+        ["-0.000000000005"],
+        ["0.000000000015", "0.000000000015"],
+        ["-0.000000000015", "-0.000000000015"],
+        ["0.312345249995", "0.000000000000"],
+        ["0.5", "-0.499999999995"],
+        ["-0.123456789015", "0.000000000005", "-0.000000000025"],
+        ["3.999999999995", "-1.999999999985", "0.000000000045"],
+        [],
+    ]
+    con = duckdb.connect()
+    for terms in cases:
+        want = mirror(terms)
+        # Spark: fold pre-cast DECIMAL(38,12) literals
+        arr = F.array(
+            *[F.lit(t).cast("decimal(38,12)") for t in terms]
+        ).cast("array<decimal(38,12)>")
+        got_spark = (
+            spark.range(1).select(dec_fold_sum(arr).alias("s")).collect()[0].s
+        )
+        assert Decimal(got_spark) == want, (terms, got_spark, want)
+        # DuckDB: the oracle's stepwise expression
+        lst = (
+            "["
+            + ", ".join(f"CAST({t} AS DECIMAL(38,12))" for t in terms)
+            + "]::DECIMAL(38,12)[]"
+        )
+        got_duck = con.execute(
+            "SELECT " + _STEPWISE_FOLD.format(terms=lst)
+        ).fetchone()[0]
+        assert Decimal(got_duck) == want, (terms, got_duck, want)
+
+
+def test_range_search_oracle_replays_stepwise_fold(spark, tmp_path):
+    """The r14 boundary differential the verdict asked for: a crafted
+    2-vector fixture where the engine's stepwise dot fold lands exactly
+    on a .5 tail at 11dp, so the cosine ROUNDs to 0.624691 while an
+    exact-SUM dot (the r13 oracle pairing) yields 0.624690 — the r13
+    oracle FAILS on it, the r14 stepwise oracle MATCHES. Construction:
+    v_a = [1, 0] (norm folds to exactly 1), v_b = [0.312345249995, b2]
+    with b2 chosen so v_b's norm folds to exactly 0.25 (sqrt = 0.5
+    exact), making cosine = 2 · dot with dot = fold(0.312345249995) =
+    0.31234525000 stepwise vs 0.312345249995 exact."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from modevetl_spark.queries import all_oracle
+
+    b1 = 0.312345249995
+    t1 = Decimal(repr(b1 * b1)).quantize(
+        Decimal("1E-12"), rounding=ROUND_HALF_UP
+    )
+    s1 = t1.quantize(Decimal("1E-11"), rounding=ROUND_HALF_UP)
+    t2 = Decimal("0.25") - s1
+    b2 = math.sqrt(float(t2))
+    assert Decimal(repr(b2 * b2)).quantize(
+        Decimal("1E-12"), rounding=ROUND_HALF_UP
+    ) == t2, "fixture construction drifted — pick a new b1"
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [b1, b2]], type=pa.list_(pa.float64())
+                ),
+                "label": pa.array([7, 7], type=pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = _Q["q_sim_range_search"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.a_id, row.b_id, row.label) == (0, 1, 7)
+    assert row.cosine == 0.624691, row  # the stepwise value
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    new_oracle = con.execute(all_oracle()["q_sim_range_search"]).fetchall()
+    assert new_oracle == [(0, 1, 7, 0.624691)], new_oracle
+
+    # the r13 pairing (exact SUM in place of the fold) fails here: the
+    # witness that the fragility was real, kept as the regression guard
+    old_oracle = con.execute(
+        """
+WITH emb AS MATERIALIZED (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dim AS (SELECT UNNEST(range(64)) AS i),
+normed AS MATERIALIZED (
+    SELECT e.vec_id, e.label, e.v,
+           ROUND(CAST(SUM(CAST(ROUND(e.v[t.i+1]*e.v[t.i+1], 12)
+                               AS DECIMAL(38,12))) AS DOUBLE), 12) AS nrm
+    FROM emb e CROSS JOIN dim t
+    GROUP BY e.vec_id, e.label, e.v
+),
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+           ROUND(CAST(SUM(CAST(ROUND(a.v[t.i+1]*b.v[t.i+1], 12)
+                               AS DECIMAL(38,12))) AS DOUBLE), 12) AS dot,
+           a.nrm AS na, b.nrm AS nb
+    FROM normed a
+    JOIN normed b ON a.label = b.label AND a.vec_id < b.vec_id
+    CROSS JOIN dim t
+    GROUP BY 1, 2, 3, a.nrm, b.nrm
+)
+SELECT ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine FROM pairs
+"""
+    ).fetchall()
+    assert old_oracle == [(0.62469,)], old_oracle  # differs from the engine
+
+
 def test_range_search_threshold_contract(spark, sf_dir):
     """Everything reported clears the threshold; pairs are canonical
     (a_id < b_id) and within one label block."""
