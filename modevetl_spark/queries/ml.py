@@ -13,10 +13,14 @@ clustering / threshold-search / attribution shapes a 100 TB corpus run
 needs.
 
 Float discipline: distance and dot-product terms are rounded to 12dp
-and accumulated as DECIMAL(38,12) (exact, order-free); means and final
-scores divide/round the decimal total exactly like `davg`; cosine's
-sqrt/divide are single correctly-rounded IEEE ops over bit-identical
-operands. See `operators/clustering.py` for the replay argument.
+into DECIMAL(38,12) and folded in ARRAY ORDER — deterministic but NOT
+an exact sum (the r13 finding: every fold step is HALF_UP-rounded at
+11dp by the precision-loss retype; see clustering.dec_fold_sum), and
+the oracles replay the fold STEPWISE (``_STEPWISE_FOLD``). Means and
+final scores divide/round the decimal total exactly like `davg`;
+cosine's sqrt/divide are single correctly-rounded IEEE ops over
+bit-identical operands. See `operators/clustering.py` for the replay
+argument.
 """
 
 from __future__ import annotations
