@@ -321,14 +321,20 @@ def test_domain_quota_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
 
 
-def test_funnel_joins_broadcast_no_smj(spark, sf_dir):
-    """Funnel stage joins key on user_id with tiny per-user aggregates on
-    the build side — they must ride as broadcasts, never a sort-merge of
-    the fact table."""
+def test_funnel_single_exchange_stacked_windows(spark, sf_dir):
+    """r14 shape (guide §2.1): the funnel is three stacked
+    same-partition-key windows over ONE user_id exchange, a
+    partitioning-reusing per-user aggregate, and a 1-row rollup — no
+    joins of any kind, and exactly two exchanges total (the user_id
+    hash exchange + the single-row rollup's SinglePartition)."""
     p = plan(_Q["q_funnel_conversion"](spark, sf_dir))
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "Join" not in p, p
     assert "CartesianProduct" not in p
+    assert p.count("Window") >= 3  # the three stacked stage windows
+    import re
+
+    exchanges = re.findall(r"\(\d+\) Exchange", p)
+    assert len(exchanges) <= 2, p
 
 
 def test_token_entropy_jvm_only_partial_agg(spark, sf_dir):
