@@ -110,7 +110,7 @@ def heavy_hitters_exact(
     n/denom is above n_p/(k+1) in at least one partition). The summary
     is tiny, so it is localCheckpointed once and read twice (candidate
     set + stream total) instead of re-running the sketch pass —
-    Catalyst does not reuse the mapInPandas subtree across branches.
+    Catalyst does not reuse the mapInArrow subtree across branches.
     """
     if k < denom:
         raise ValueError(f"k={k} must be >= denom={denom} for the guarantee")
